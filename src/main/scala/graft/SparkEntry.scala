@@ -1,13 +1,80 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{EntityResolution, SimilaritySearch}
+import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-checked operator inventory (SURVEY.md §2 plus
+  * the training-data-pipeline operators); `oracleSql` carries the DuckDB
+  * twin for every SQL-expressible entry. Queries without an oracle entry
+  * (custom Catalyst expressions, LSH ANN with engine-specific hashing,
+  * approximate aggregates) get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's core capability end-to-end — explode-free
+    * mini entity resolution of part names against a canonical dictionary
+    * with exact broadcast lookup, token-set-ratio fuzzy scoring,
+    * penalties, top-k ranking and three-band routing. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val items = p.where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
+    val dict = p.where(col("p_partkey") % 2 === 0)
+      .groupBy(col("p_name").as("title"))
+      .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
+    EntityResolution.resolve(items, dict, Seq("item_id"))
+  }
+
+  /** No-oracle queries (rows-only smoke in the driver): custom-expression
+    * and approximate operators whose exact values are engine-specific. */
+  private val extraDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full resolution pipeline with the custom token_set_ratio /
+    // partial_ratio Catalyst expressions + penalties + banding.
+    "q40_entity_resolution" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val items = p.where(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
+      val dict = p.where(col("p_partkey") % 2 === 0)
+        .groupBy(col("p_name").as("title"))
+        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
+      EntityResolution.resolve(items, dict, Seq("item_id"))
+        .orderBy("item_id")
+    }),
+    // Token-blocked fuzzy resolution — the 100 TB shape (no cross join).
+    "q41_blocked_resolution" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val items = p.where(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
+      val dict = p.where(col("p_partkey") % 2 === 0)
+        .groupBy(col("p_name").as("title"))
+        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
+      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+        .orderBy("item_id")
+    }),
+    // LSH-bucketed approximate nearest neighbors (scale path of q37).
+    "q42_lsh_ann" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.lshTopK(
+        e.where(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+    // Approximate distinct counts (HLL) — the at-scale variant of A4.
+    "q43_approx_distinct" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ extraDefs
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle
 }

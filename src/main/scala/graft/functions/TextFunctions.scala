@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * tokenization, token counting, language-ID heuristics, quality scoring,
+  * fingerprinting, SimHash/MinHash signatures.
+  *
+  * All are pure `Column` expression trees over built-ins (codegen'd,
+  * no UDFs), so they vectorize inside whole-stage codegen and their
+  * inputs benefit from parquet column pruning. Every function is
+  * deterministic and ANSI-SQL-mirrorable, which is what allows the
+  * DuckDB oracle in the correctness harness to replay them exactly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct lowercase token array (sorted — canonical form). */
+  def tokenSetSorted(c: Column): Column =
+    array_sort(array_distinct(split(lower(trim(c)), "\\s+")))
+
+  /** Whitespace token count (0 for empty/null-ish text). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(tokens(c)).cast("long"))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation runs,
+    * approximating a tokenizer's token count without a vocab. */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(c, "(?<=[a-z])(?=[A-Z])|[\\s]+|(?=[^A-Za-z0-9\\s])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Stopword hit count over a lowercase token array. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => lower(t).isin(stopwords: _*)))
+
+  /** n-character-gram count of normalized text (rolling windows). */
+  def charNgramCount(c: Column, n: Int): Column =
+    greatest(length(c) - lit(n - 1), lit(0)).cast("long")
+
+  /** Document fingerprint: md5 of the canonical token-set form — a
+    * deterministic rolling-hash substitute that any engine reproduces. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokenSetSorted(c)))
+
+  /** Exact-content key for hash dedup: md5 of lowercased trimmed text. */
+  def contentKey(c: Column): Column = md5(lower(trim(c)))
+
+  /** One MinHash value: the minimum md5 over tokens salted with `seed`.
+    * A signature is `Seq.tabulate(k)(i => minhash(c, i))`. */
+  def minhash(c: Column, seed: Int): Column =
+    array_min(transform(tokenSetSorted(c), t => md5(concat(t, lit("#" + seed)))))
+
+  /** MinHash signature as one concatenated band string (for LSH banding:
+    * equal band string => candidate duplicate pair). */
+  def minhashBand(c: Column, seeds: Seq[Int]): Column =
+    concat_ws("|", seeds.map(minhash(c, _)): _*)
+
+  /** One SimHash bit-weight: +1/-1 by parity of the ascii code of the
+    * (pos+1)-th hex char of each token's md5, summed over tokens. The
+    * signed sum's sign is bit `pos` of the document SimHash. */
+  def simhashBitWeight(toks: Column, pos: Int): Column =
+    aggregate(
+      transform(toks, t =>
+        when(ascii(substring(md5(t), pos + 1, 1)) % 2 === 1, lit(1)).otherwise(lit(-1))),
+      lit(0),
+      (acc, v) => acc + v)
+
+  /** SimHash of `bits` bits as a bigint (bit i set iff weight_i > 0). */
+  def simhash(c: Column, bits: Int = 16): Column = {
+    val toks = tokenSetSorted(c)
+    (0 until bits)
+      .map(i => when(simhashBitWeight(toks, i) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Quality score in integer mills (0..1000): rewards mid-length docs,
+    * penalizes very short text and low alphabetic ratio. Deterministic
+    * integer arithmetic only. */
+  def qualityScoreMills(text: Column): Column = {
+    val len      = length(text)
+    val alpha    = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val toksN    = tokenCount(text)
+    val lenScore = least(len, lit(400)) * 1000 / lit(400) // 0..1000
+    val alphaScore = when(len > 0, alpha * 1000 / len).otherwise(lit(0))
+    val tokScore = least(toksN, lit(50)) * 1000 / lit(50)
+    floor((lenScore + alphaScore + tokScore) / 3).cast("long")
+  }
+
+  /** Language-ID heuristic: score per language by marker-token hits,
+    * highest wins (ties broken by language code). Works on any corpus as
+    * a deterministic n-gram/stopword heuristic; marker lists are
+    * caller-supplied (broadcast-sized). */
+  def langIdHeuristic(toks: Column, markers: Map[String, Seq[String]]): Column = {
+    // score(lang) = number of tokens that are in the lang's marker list
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words: _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, then lexicographically-last lang for stability)
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

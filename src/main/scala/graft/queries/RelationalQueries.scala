@@ -1,0 +1,552 @@
+package graft.queries
+
+import graft.functions.{Normalize, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked relational queries over the testdata star schema.
+  *
+  * Every query maps one or more SURVEY.md §2 operators onto the
+  * TPC-H-ish tables, is fully deterministic (explicit ORDER BY on a
+  * unique key; money in floor-scaled integer cents; no engine-dependent
+  * float accumulation), and has an ANSI-SQL twin in `oracle` that DuckDB
+  * executes on the same parquet files.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  /** floor(x*100) as bigint — exact cents, identical in any IEEE engine. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2/A10 — grouped aggregate with exact integer measures (hash agg,
+    // partial+final; one shuffle on the two grouping keys).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1 — null-token normalization over a string column.
+    "q02_null_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Normalize.normEmpty(col("source")).as("norm_source"),
+          Normalize.normEmpty(col("text")).isNotNull.as("valid"))
+        .orderBy("doc_id")
+    }),
+
+    // P2/P3/P4 — validation predicates + error branch in one pass.
+    "q03_validate_rows" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          Normalize.validBusinessName(col("c_name")).as("valid_name"),
+          Normalize.validEmail(
+            concat(lower(regexp_replace(col("c_name"), " ", ".")), lit("@example.com")))
+            .as("valid_email"),
+          when(!Normalize.validBusinessName(col("c_name")), lit("invalid business name"))
+            .as("err"))
+        .orderBy("c_custkey")
+    }),
+
+    // P5 — sanitize: tag-strip + entity-escape chain.
+    "q04_sanitize" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          Normalize.sanitize(concat(lit("<b>"), col("p_name"), lit("</b> & co")))
+            .as("clean_name"))
+        .orderBy("p_partkey")
+    }),
+
+    // P7 — header→schema projection (rename/alias).
+    "q05_project_rename" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey").as("customer_id"),
+          upper(col("c_name")).as("name_upper"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("customer_id")
+    }),
+
+    // J1 + A — broadcast dim join, revenue rollup by brand.
+    "q06_rev_by_brand" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // J2/W1/F6 — fuzzy candidate join (broadcast nested loop) + top-3
+    // window + three-band routing, with an oracle-replicable integer
+    // Levenshtein ratio.
+    "q07_fuzzy_topk_band" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val items = p.where(col("p_partkey") % 7 === 3)
+        .select(col("p_partkey").as("item_id"), lower(col("p_name")).as("item_name"))
+      val dict = p.where(col("p_partkey") < 50)
+        .groupBy(lower(col("p_name")).as("title"))
+        .agg(min(col("p_partkey")).as("ext_id"))
+      val scored = items.crossJoin(broadcast(dict))
+        .withColumn("score", Similarity.levRatio(col("item_name"), col("title")))
+      val w = Window.partitionBy("item_id").orderBy(col("score").desc, col("ext_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .withColumn("decision", Normalize.decisionBand(col("score"), 97, 50))
+        .select("item_id", "rn", "title", "ext_id", "score", "decision")
+        .orderBy("item_id", "rn")
+    }),
+
+    // J4/J5 — semi/anti probe split (the upsert update-vs-insert fork).
+    "q08_semi_anti_split" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val upd = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("update").as("action"))
+      val ins = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("insert").as("action"))
+      upd.unionByName(ins).orderBy("c_custkey")
+    }),
+
+    // J7 — multi-way join rollup (region ⋈ nation ⋈ customer ⋈ orders).
+    "q09_multiway_rollup" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // W1/W2 — top-3 orders per customer (rank window, full tiebreak).
+    "q10_top3_per_customer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(
+          col("o_custkey"), col("rn"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // W4 — latest order per customer (argmax via rank).
+    "q11_latest_per_customer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // W6 — global top-k (TakeOrderedAndProject, no full sort at scale).
+    "q12_top10_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
+
+    // E1/E4 — split + explode + within-row distinct.
+    "q13_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          explode(array_distinct(split(col("p_name"), " "))).as("token"))
+        .orderBy("p_partkey", "token")
+    }),
+
+    // E2 — melt (kind unpivot) via stack.
+    "q14_melt_attrs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("stack(2, 'brand', p_brand, 'type', p_type) as (attr, val)"))
+        .orderBy("p_partkey", "attr")
+    }),
+
+    // J1 — exact case-insensitive dictionary join (broadcast hash join).
+    "q15_exact_dict_match" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val items = p.where(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
+      val dict = p.where(col("p_partkey") % 2 === 0)
+        .groupBy(upper(col("p_name")).as("title"))
+        .agg(min(col("p_partkey")).as("ext_id"))
+      items.join(broadcast(dict), lower(col("item_name")) === lower(col("title")), "left")
+        .select(col("item_id"), col("item_name"), col("ext_id"),
+          col("ext_id").isNotNull.as("matched"))
+        .orderBy("item_id")
+    }),
+
+    // A3/F9 — confidence-band histogram.
+    "q16_band_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("band",
+          when(col("o_totalprice") >= 200000, "high")
+            .when(col("o_totalprice") >= 100000, "medium")
+            .otherwise("low"))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+
+    // A7/F10 — daily usage rollup over the ops/event log.
+    "q17_daily_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("day", "event_type")
+    }),
+
+    // A8/F11 — trailing-24h window anchored at max(ts) (deterministic).
+    "q18_last24h_by_type" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val mx = e.agg(max(col("ts")).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .where(col("ts") >= col("mx") - expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // F15 — keyword error categorization over synthesized messages.
+    "q19_error_categories" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("msg",
+          when(col("value") < 40, "connection timeout to upstream")
+            .when(col("value") < 80, "permission denied for user")
+            .when(col("value") < 120, "duplicate key already exists")
+            .when(col("value") < 160, "rate limit exceeded")
+            .otherwise(concat(col("event_type"), lit(" failed unexpectedly"))))
+        .groupBy(Normalize.errorCategory(col("msg")).as("category"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("category")
+    }),
+
+    // F13 — sensitive-data masking over log values.
+    "q20_mask_sensitive" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          Normalize.maskSensitive(concat(lit("tok"), md5(col("props")))).as("token_masked"),
+          Normalize.maskSensitive(col("event_type")).as("type_unmasked"))
+        .orderBy("event_id")
+    }),
+
+    // S4-ish — JSON value extraction from the props payload.
+    "q21_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // ST2 batch-mirror — tumbling 1h window counts (streaming twin lives
+    // in graft.streaming with a real watermark; semantics identical).
+    "q22_hourly_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Gap sessionization — lag window, 30-minute inactivity break.
+    "q23_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800).cast("long"))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // U1/U2 — union distinct of two selection branches.
+    "q24_union_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") >= 250000).select("o_orderkey")
+        .union(o.where(col("o_orderpriority") === "1-URGENT").select("o_orderkey"))
+        .distinct()
+        .orderBy("o_orderkey")
+    }),
+
+    // S6/J4 — set-oriented MERGE: full-outer reconcile of two snapshots.
+    "q25_merge_snapshots" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.where(col("o_orderkey") % 3 <= 1)
+        .select(col("o_orderkey").as("key"), cents(col("o_totalprice")).as("old_cents"))
+      val neu = o.where(col("o_orderkey") % 3 >= 1)
+        .select(col("o_orderkey").as("key"), (cents(col("o_totalprice")) + 100).as("new_cents"))
+      old.join(neu, Seq("key"), "full_outer")
+        .withColumn("action",
+          when(col("old_cents").isNotNull && col("new_cents").isNotNull, "update")
+            .when(col("new_cents").isNotNull, "insert")
+            .otherwise("delete"))
+        .withColumn("merged_cents", coalesce(col("new_cents"), col("old_cents")))
+        .select("key", "action", "merged_cents")
+        .orderBy("key")
+    }),
+
+    // A9 — grouped distinct-set aggregation rendered as a stable string.
+    "q26_segments_by_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
+    // A5 — distinct sorted value list.
+    "q27_distinct_segments" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    }),
+
+    // A4/A10 — global stats in one aggregate.
+    "q28_global_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_null_normalize" ->
+      """SELECT doc_id,
+         CASE WHEN source IS NULL OR lower(trim(source)) IN ('','null','none','n/a','na','nan')
+              THEN NULL ELSE trim(source) END AS norm_source,
+         (CASE WHEN text IS NULL OR lower(trim(text)) IN ('','null','none','n/a','na','nan')
+              THEN NULL ELSE trim(text) END) IS NOT NULL AS valid
+         FROM documents ORDER BY doc_id""",
+    "q03_validate_rows" ->
+      """SELECT c_custkey,
+         (c_name IS NOT NULL AND length(trim(c_name)) BETWEEN 2 AND 200
+          AND NOT regexp_matches(c_name, '[<>"'']')) AS valid_name,
+         regexp_matches(lower(regexp_replace(c_name, ' ', '.', 'g')) || '@example.com',
+           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS valid_email,
+         CASE WHEN NOT (c_name IS NOT NULL AND length(trim(c_name)) BETWEEN 2 AND 200
+          AND NOT regexp_matches(c_name, '[<>"'']')) THEN 'invalid business name' END AS err
+         FROM customer ORDER BY c_custkey""",
+    "q04_sanitize" ->
+      """SELECT p_partkey,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace('<b>' || p_name || '</b> & co', '<[^>]*>', '', 'g'),
+           '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g'),
+           '"', '&quot;', 'g'), '''', '&#x27;', 'g') AS clean_name
+         FROM part ORDER BY p_partkey""",
+    "q05_project_rename" ->
+      """SELECT c_custkey AS customer_id, upper(c_name) AS name_upper,
+         c_mktsegment AS segment FROM customer ORDER BY customer_id""",
+    "q06_rev_by_brand" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q07_fuzzy_topk_band" ->
+      """WITH items AS (
+           SELECT p_partkey AS item_id, lower(p_name) AS item_name
+           FROM part WHERE p_partkey % 7 = 3),
+         dict AS (
+           SELECT lower(p_name) AS title, CAST(min(p_partkey) AS BIGINT) AS ext_id
+           FROM part WHERE p_partkey < 50 GROUP BY lower(p_name)),
+         scored AS (
+           SELECT item_id, item_name, title, ext_id,
+             CAST(floor((100 * (greatest(length(item_name), length(title), 1)
+                   - levenshtein(item_name, title)))
+                 / greatest(length(item_name), length(title), 1)) AS BIGINT) AS score
+           FROM items CROSS JOIN dict),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY item_id
+             ORDER BY score DESC, ext_id) AS rn FROM scored)
+         SELECT item_id, rn, title, ext_id, score,
+           CASE WHEN score >= 97 THEN 'resolved'
+                WHEN score >= 50 THEN 'review' ELSE 'rejected' END AS decision
+         FROM ranked WHERE rn <= 3 ORDER BY item_id, rn""",
+    "q08_semi_anti_split" ->
+      """SELECT c_custkey, 'update' AS action FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'insert' AS action FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q09_multiway_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q10_top3_per_customer" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         SELECT o_custkey, rn, o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM ranked WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q11_latest_per_customer" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_date
+         FROM ranked WHERE rn = 1 ORDER BY o_custkey""",
+    "q12_top10_orders" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q13_explode_tokens" ->
+      """SELECT p_partkey, unnest(list_distinct(string_split(p_name, ' '))) AS token
+         FROM part ORDER BY p_partkey, token""",
+    "q14_melt_attrs" ->
+      """SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+         UNION ALL
+         SELECT p_partkey, 'type' AS attr, p_type AS val FROM part
+         ORDER BY p_partkey, attr""",
+    "q15_exact_dict_match" ->
+      """WITH items AS (
+           SELECT p_partkey AS item_id, p_name AS item_name
+           FROM part WHERE p_partkey % 3 = 0),
+         dict AS (
+           SELECT upper(p_name) AS title, CAST(min(p_partkey) AS BIGINT) AS ext_id
+           FROM part WHERE p_partkey % 2 = 0 GROUP BY upper(p_name))
+         SELECT item_id, item_name, ext_id, ext_id IS NOT NULL AS matched
+         FROM items LEFT JOIN dict ON lower(item_name) = lower(title)
+         ORDER BY item_id""",
+    "q16_band_histogram" ->
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'low' END AS band, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY band""",
+    "q17_daily_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q18_last24h_by_type" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "q19_error_categories" ->
+      """WITH m AS (
+           SELECT CASE WHEN value < 40 THEN 'connection timeout to upstream'
+                  WHEN value < 80 THEN 'permission denied for user'
+                  WHEN value < 120 THEN 'duplicate key already exists'
+                  WHEN value < 160 THEN 'rate limit exceeded'
+                  ELSE event_type || ' failed unexpectedly' END AS msg
+           FROM events)
+         SELECT CASE
+             WHEN regexp_matches(lower(msg), 'connection|timeout|network|unreachable') THEN 'network'
+             WHEN regexp_matches(lower(msg), 'auth|permission|denied|unauthorized|forbidden') THEN 'auth'
+             WHEN regexp_matches(lower(msg), 'schema|column|field|type mismatch') THEN 'schema'
+             WHEN regexp_matches(lower(msg), 'duplicate|conflict|already exists') THEN 'conflict'
+             WHEN regexp_matches(lower(msg), 'quota|limit|rate|throttle') THEN 'quota'
+             WHEN regexp_matches(lower(msg), 'parse|decode|encoding|malformed|invalid json') THEN 'parse'
+             WHEN regexp_matches(lower(msg), 'not found|missing|no such') THEN 'missing'
+             WHEN regexp_matches(lower(msg), 'disk|memory|resource|oom') THEN 'resource'
+             WHEN regexp_matches(lower(msg), 'error|fail|exception') THEN 'generic'
+             ELSE 'unknown' END AS category,
+           count(*) AS n
+         FROM m GROUP BY 1 ORDER BY category""",
+    "q20_mask_sensitive" ->
+      """SELECT event_id,
+         CASE WHEN length('tok' || md5(props)) > 20
+               AND regexp_matches('tok' || md5(props), '^[A-Za-z0-9+/=]+$')
+              THEN '***MASKED***' ELSE 'tok' || md5(props) END AS token_masked,
+         CASE WHEN length(event_type) > 20
+               AND regexp_matches(event_type, '^[A-Za-z0-9+/=]+$')
+              THEN '***MASKED***' ELSE event_type END AS type_unmasked
+         FROM events ORDER BY event_id""",
+    "q21_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q22_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q23_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+             OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q24_union_orders" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice >= 250000
+         UNION
+         SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey""",
+    "q25_merge_snapshots" ->
+      """WITH old AS (
+           SELECT o_orderkey AS key, CAST(floor(o_totalprice * 100) AS BIGINT) AS old_cents
+           FROM orders WHERE o_orderkey % 3 <= 1),
+         neu AS (
+           SELECT o_orderkey AS key, CAST(floor(o_totalprice * 100) AS BIGINT) + 100 AS new_cents
+           FROM orders WHERE o_orderkey % 3 >= 1)
+         SELECT coalesce(old.key, neu.key) AS key,
+           CASE WHEN old_cents IS NOT NULL AND new_cents IS NOT NULL THEN 'update'
+                WHEN new_cents IS NOT NULL THEN 'insert' ELSE 'delete' END AS action,
+           coalesce(new_cents, old_cents) AS merged_cents
+         FROM old FULL OUTER JOIN neu ON old.key = neu.key
+         ORDER BY key""",
+    "q26_segments_by_nation" ->
+      """SELECT n_name,
+         array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+         count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q27_distinct_segments" ->
+      """SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
+    "q28_global_stats" ->
+      """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_suppliers
+         FROM lineitem""")
+}

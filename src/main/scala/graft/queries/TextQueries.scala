@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked document/text-pipeline queries over `documents`:
+  * exact + fuzzy dedup (hash, MinHash LSH, SimHash, Jaccard), token
+  * stats, quality scoring, language-ID, fingerprinting.
+  *
+  * Hash determinism comes from md5 (bit-identical in every engine);
+  * score determinism from integer mills arithmetic. LSH/blocking
+  * shapes are the 100 TB designs: shuffles happen on band strings /
+  * block keys, never on an unblocked O(N²) pair space.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Distinct sorted lowercase tokens — canonical shingle set. */
+  private val tokSet = TextFunctions.tokenSetSorted(col("text"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via content hash: one hash-agg shuffle on md5 key.
+    "q29_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(TextFunctions.contentKey(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy("keep_id")
+    }),
+
+    // Token statistics + fingerprint per document (pure projection).
+    "q30_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          size(tokSet).cast("long").as("n_distinct_tokens"),
+          length(trim(col("text"))).cast("long").as("n_chars_trim"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring in integer mills + stopword hits.
+    "q31_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.qualityScoreMills(col("text")).as("quality_mills"),
+          TextFunctions.stopwordHits(
+            TextFunctions.tokens(col("text")), TextAnalysis.DefaultStopwords)
+            .cast("long").as("stopword_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (marker-token argmax; ties → lexicographically
+    // greatest language, no hits → 'und').
+    "q32_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"), col("lang"),
+          TextFunctions.langIdHeuristic(
+            TextFunctions.tokens(lower(col("text"))), TextAnalysis.DefaultMarkers)
+            .as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash signature (16-bit, parity-of-md5-hex-char bit weights).
+    "q33_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.simhash(col("text"), 8).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signature (4 salted-md5 min-hashes).
+    "q34_minhash_sig" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.minhash(col("text"), 0).as("mh0"),
+          TextFunctions.minhash(col("text"), 1).as("mh1"),
+          TextFunctions.minhash(col("text"), 2).as("mh2"),
+          TextFunctions.minhash(col("text"), 3).as("mh3"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH candidate pairs: 2 bands × 4 rows, banded equi-join on
+    // the band string (the anti-cross-product design), on a 1-in-5
+    // document sample.
+    "q35_lsh_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 5 === 0)
+      val banded = d.select(
+        col("doc_id"),
+        TextFunctions.minhashBand(col("text"), 0 until 4).as("b0"),
+        TextFunctions.minhashBand(col("text"), 4 until 8).as("b1"))
+      val byBand =
+        banded.select(col("doc_id"), lit(0).as("band_no"), col("b0").as("sig"))
+          .unionByName(
+            banded.select(col("doc_id"), lit(1).as("band_no"), col("b1").as("sig")))
+      byBand.as("a")
+        .join(byBand.as("b"), Seq("band_no", "sig"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Token-set Jaccard near-dup pairs, blocked by source (same-block
+    // pairs only — the blocking key stands in for any coarse partitioner).
+    "q36_jaccard_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"), tokSet.as("toks"))
+      d.as("a").join(d.as("b"), Seq("source"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("common", size(array_intersect(col("a.toks"), col("b.toks"))))
+        .withColumn("jac_mills",
+          floor(lit(1000) * col("common")
+            / (size(col("a.toks")) + size(col("b.toks")) - col("common"))).cast("long"))
+        .where(col("jac_mills") >= 600)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
+        .orderBy("id_a", "id_b")
+    }))
+
+  /** DuckDB twin of the canonical token set. */
+  private val sqlTokSet =
+    "list_sort(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))"
+
+  private def sqlMinhash(seed: Int, tokExpr: String = "tok"): String =
+    s"min(md5($tokExpr || '#$seed'))"
+
+  val oracle: Map[String, String] = Map(
+    "q29_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_key,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q30_token_stats" ->
+      s"""SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END AS BIGINT) AS n_tokens,
+         CAST(len($sqlTokSet) AS BIGINT) AS n_distinct_tokens,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
+         md5(array_to_string($sqlTokSet, ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q31_quality_score" ->
+      """WITH m AS (
+           SELECT doc_id, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS toks
+           FROM documents),
+         sw AS (
+           SELECT doc_id, CAST(count(*) FILTER (WHERE lower(tok) IN
+             ('the','a','an','of','and','to','in','is','it','for')) AS BIGINT) AS hits
+           FROM (SELECT doc_id,
+                   unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+                 FROM documents) u
+           GROUP BY doc_id)
+         SELECT m.doc_id,
+           CAST(floor((least(len, 400) * 1000 / 400
+             + CASE WHEN len > 0 THEN alpha * 1000 / len ELSE 0 END
+             + least(toks, 50) * 1000 / 50) / 3) AS BIGINT) AS quality_mills,
+           coalesce(sw.hits, 0) AS stopword_hits
+         FROM m LEFT JOIN sw USING (doc_id) ORDER BY doc_id""",
+    "q32_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         hits AS (
+           SELECT doc_id, lang,
+             CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS h_en,
+             CAST(sum(CASE WHEN tok IN ('el','la','de','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS h_es,
+             CAST(sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS h_de,
+             CAST(sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS BIGINT) AS h_fr
+           FROM toks GROUP BY doc_id, lang)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM hits ORDER BY doc_id""",
+    "q33_simhash" -> {
+      val sums = (0 until 8).map(i =>
+        s"sum(CASE WHEN ascii(substr(md5(tok), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val pack = (0 until 8).map(i =>
+        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
+         bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
+         SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+    },
+    "q34_minhash_sig" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents)
+         SELECT doc_id, ${sqlMinhash(0)} AS mh0, ${sqlMinhash(1)} AS mh1,
+           ${sqlMinhash(2)} AS mh2, ${sqlMinhash(3)} AS mh3
+         FROM toks GROUP BY doc_id ORDER BY doc_id""",
+    "q35_lsh_pairs" -> {
+      val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($sqlTokSet) AS tok
+           FROM documents WHERE doc_id % 5 = 0),
+         sig AS (SELECT doc_id, $sig FROM toks GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_no,
+             mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS sig_s FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_no,
+             mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS sig_s FROM sig)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_no = b.band_no AND a.sig_s = b.sig_s AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b"""
+    },
+    "q36_jaccard_pairs" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, $sqlTokSet AS toks
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(1000 * len(list_intersect(a.toks, b.toks))
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) AS BIGINT) AS jac_mills
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE floor(1000 * len(list_intersect(a.toks, b.toks))
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 600
+         ORDER BY id_a, id_b""")
+}

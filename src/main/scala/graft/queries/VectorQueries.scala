@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked embedding queries over `embeddings`
+  * (vec_id bigint, embedding array<float>, label int).
+  *
+  * Determinism design: every vector is quantized to bigints
+  * (floor(x·1000)) first, so dot products and norms are exact integer
+  * sums (< 2^53 — order-independent even in double accumulators) in any
+  * engine; the single scaled-cosine division is one IEEE double op with
+  * identical operand association on both sides.
+  *
+  * Scale design: brute-force KNN broadcasts only the query set and makes
+  * one pass over the corpus (no corpus shuffle); near-dup verification
+  * joins only within blocks (label here; an LSH bucket in the unlabeled
+  * case — see graft.operators.SimilaritySearch.lshTopK).
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 per query vector (exact ANN baseline).
+    "q37_knn_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          VectorFunctions.quantize(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        VectorFunctions.quantize(col("embedding")).as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sq_scaled",
+          VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos_sq_scaled")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-dup pairs, blocked by label, verified by exact
+    // quantized cosine (threshold 0.9² · 1e6).
+    "q38_embedding_dups" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("vec_id") % 4 === 0)
+        .select(col("label"), col("vec_id"),
+          VectorFunctions.quantize(col("embedding")).as("q"))
+      e.as("a").join(e.as("b"), Seq("label"))
+        .where(col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sq_scaled",
+          VectorFunctions.cosineSqScaledQ(col("a.q"), col("b.q")))
+        .where(col("cos_sq_scaled") >= 50000)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("cos_sq_scaled"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-label aggregate statistics of quantized vectors (position-free
+    // integer sums — exact in every engine).
+    "q39_label_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          VectorFunctions.quantize(col("embedding")).as("q"))
+      e.groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(aggregate(col("q"), lit(0L), (acc, v) => acc + v)).as("sum_components"),
+          sum(VectorFunctions.normSqQ(col("q"))).as("sum_norm_sq"))
+        .orderBy("label")
+    }))
+
+  private val quant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized lists in DuckDB. Sums of
+    * products stay < 2^53, so list_dot_product's accumulator order is
+    * irrelevant — the result is exact. */
+  private def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q37_knn_bruteforce" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, $quant AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, $quant AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             CASE WHEN ${dotq("qv", "qv")} * ${dotq("cv", "cv")} = 0 THEN 0
+               ELSE CAST(floor(1000000.0 * sign(${dotq("qv", "cv")})
+                 * ${dotq("qv", "cv")} * ${dotq("qv", "cv")}
+                 / (${dotq("qv", "qv")} * ${dotq("cv", "cv")})) AS BIGINT) END AS cos_sq_scaled
+           FROM c JOIN q ON query_id <> neighbor_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sq_scaled DESC, neighbor_id) AS rank FROM scored)
+         SELECT query_id, rank, neighbor_id, cos_sq_scaled
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q38_embedding_dups" ->
+      s"""WITH e AS (
+           SELECT label, vec_id, $quant AS q
+           FROM embeddings WHERE vec_id % 4 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CASE WHEN ${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")} = 0 THEN 0
+             ELSE CAST(floor(1000000.0 * sign(${dotq("a.q", "b.q")})
+               * ${dotq("a.q", "b.q")} * ${dotq("a.q", "b.q")}
+               / (${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")})) AS BIGINT) END AS cos_sq_scaled
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE CASE WHEN ${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")} = 0 THEN 0
+             ELSE CAST(floor(1000000.0 * sign(${dotq("a.q", "b.q")})
+               * ${dotq("a.q", "b.q")} * ${dotq("a.q", "b.q")}
+               / (${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")})) AS BIGINT) END >= 50000
+         ORDER BY id_a, id_b""",
+    "q39_label_stats" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+         CAST(sum(list_sum($quant)) AS BIGINT) AS sum_components,
+         CAST(sum(list_dot_product($quant, $quant)) AS BIGINT) AS sum_norm_sq
+         FROM embeddings GROUP BY 1 ORDER BY label""")
+}

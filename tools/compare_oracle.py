@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 gate: run Verify's parquet dumps
+against the DuckDB oracle and diff. Usage:
+  python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> [query ...]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        # normalize ints/floats: int-like floats -> int64, hugeint -> int64
+        if str(df[c].dtype).startswith("float"):
+            s = df[c].dropna()
+            if len(s) and (s == s.round()).all() and s.abs().max() < 2**62:
+                df[c] = df[c].astype("Int64")
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == bool:
+            df[c] = df[c].astype("boolean")
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        try:
+            spark_df = norm_df(pd.concat([pd.read_parquet(f) for f in files]))
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}");  n_fail += 1;  continue
+        try:
+            duck_df = norm_df(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}");  n_fail += 1;  continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns differ spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1;  continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1;  continue
+        try:
+            pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(spark_df)} rows)");  n_pass += 1
+        except AssertionError as e:
+            msg = str(e).splitlines()
+            print(f"FAIL {name}: values differ: {' | '.join(msg[:3])}")
+            neq = (spark_df.fillna("<NA>") != duck_df.fillna("<NA>")).any(axis=1)
+            bad = neq[neq].index[:3]
+            for i in bad:
+                print(f"    spark: {spark_df.loc[i].to_dict()}")
+                print(f"    duck : {duck_df.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
