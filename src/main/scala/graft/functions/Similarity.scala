@@ -105,11 +105,9 @@ object Similarity {
     val diffB = tb.filterNot(sa.contains)
     if (diffA.isEmpty && diffB.isEmpty) return 100.0
     val s0 = inter.mkString(" ")
-    val s1 = if (s0.isEmpty) diffA.mkString(" ") else s0 + " " + diffA.mkString(" ")
-    val s2 = if (s0.isEmpty) diffB.mkString(" ") else s0 + " " + diffB.mkString(" ")
+    val s1 = (inter ++ diffA).mkString(" ")
+    val s2 = (inter ++ diffB).mkString(" ")
     if (inter.nonEmpty)
-      // any non-empty intersection prefix scores 100 on the (s0, s0+rest)
-      // pair only when one diff side is empty; otherwise take the max.
       math.max(ratio(s0, s1), math.max(ratio(s0, s2), ratio(s1, s2)))
     else ratio(s1, s2)
   }

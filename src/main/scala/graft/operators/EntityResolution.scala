@@ -155,6 +155,14 @@ object EntityResolution {
       .select(misses.columns.map(col) :+ col("ext_id") :+ col("score") :+ col("decision"): _*)
 
     val fuzzyOut = best.join(alts, itemKeyCols, "left")
+    // items with zero fuzzy candidates (possible under token blocking:
+    // nothing shares a token) must still surface — as auto-rejects.
+    val uncandidated = misses
+      .join(ranked.select(itemKeyCols.map(col): _*), itemKeyCols, "left_anti")
+      .withColumn("ext_id", lit(null).cast("string"))
+      .withColumn("score", lit(0.0))
+      .withColumn("decision", lit("rejected"))
     hits.unionByName(fuzzyOut, allowMissingColumns = true)
+      .unionByName(uncandidated, allowMissingColumns = true)
   }
 }

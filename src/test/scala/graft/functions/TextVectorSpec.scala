@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextVectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenCount / fingerprint / contentKey are deterministic") {
+    val df = Seq("the quick brown fox", "fox brown quick the", "").toDF("t")
+      .select(
+        TextFunctions.tokenCount($"t").as("n"),
+        TextFunctions.fingerprint($"t").as("fp"))
+    val rows = df.as[(Long, String)].collect()
+    assert(rows(0)._1 == 4 && rows(2)._1 == 0)
+    assert(rows(0)._2 == rows(1)._2) // order-free canonical fingerprint
+  }
+
+  test("quality score rewards longer alphabetic text (bounded 0..1000)") {
+    val rows = Seq("x", "a reasonable sentence with several words in it", "")
+      .toDF("t").select(TextFunctions.qualityScoreMills($"t").as("q"))
+      .as[Long].collect()
+    assert(rows.forall(q => q >= 0 && q <= 1000))
+    assert(rows(1) > rows(0))
+  }
+
+  test("langId heuristic picks marker language, und on no hits") {
+    val markers = Map("en" -> Seq("the", "and"), "es" -> Seq("el", "la"))
+    val rows = Seq("the cat and dog", "el gato la casa", "zzz qqq")
+      .toDF("t")
+      .select(TextFunctions.langIdHeuristic(
+        TextFunctions.tokens(lower($"t")), markers).as("l"))
+      .as[String].collect()
+    assert(rows.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quantized cosine ranks identically to double cosine on testdata") {
+    val e = spark.read.parquet(s"${graft.SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(50)
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("qv")).where($"qid" === 0)
+    val scored = e.crossJoin(q).where($"vec_id" =!= $"qid")
+      .select(
+        $"vec_id",
+        VectorFunctions.cosine($"embedding", $"qv").as("cos_d"),
+        VectorFunctions.cosineSqScaledQ(
+          VectorFunctions.quantize($"embedding"),
+          VectorFunctions.quantize($"qv")).as("cos_q"))
+      .collect()
+    val byDouble = scored.sortBy(r => -r.getAs[Double]("cos_d")).map(_.getLong(0)).take(5)
+    val byQuant = scored.sortBy(r => -r.getAs[Long]("cos_q")).map(_.getLong(0)).take(5)
+    assert(byDouble.toSeq == byQuant.toSeq) // quantization preserves top-k order here
+  }
+
+  test("normalizeOffering: variants, punctuation, title-case, idempotent (F1)") {
+    val rows = Seq("vit c  serum!!", "organic GREEN tea", "gluten free bread")
+      .toDF("t").select(OfferingText.normalizeOffering($"t").as("n"))
+      .as[String].collect()
+    assert(rows(0) == "Vitamin C Serum")
+    assert(rows(1) == "Organic Green Tea")
+    assert(rows(2) == "Gluten-Free Bread")
+    // idempotence
+    val again = rows.toSeq.toDF("t")
+      .select(OfferingText.normalizeOffering($"t").as("n")).as[String].collect()
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("semantic guard blocks category mismatches and tiny-length ratios (F7)") {
+    import graft.operators.SemanticGuard
+    val rows = Seq(
+      ("whole milk", "skim milk"),          // same category -> ok
+      ("whole milk", "chicken breast"),     // dairy vs meat -> blocked
+      ("tea", "a very long unrelated name") // length ratio -> blocked
+    ).toDF("a", "b")
+      .select(SemanticGuard.isSemanticallyValid($"a", $"b").as("ok"))
+      .as[Boolean].collect()
+    assert(rows.toSeq == Seq(true, false, false))
+  }
+}

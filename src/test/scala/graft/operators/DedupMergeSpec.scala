@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupMergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "The  quick Brown fox"),     // exact dup modulo case/ws? (no: ws differs)
+    (3L, "the quick brown fox"),      // exact dup of 1
+    (4L, "completely different text here"),
+    (5L, "the quick brown wolf")      // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content key (dedup#exact)") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(1L) && !survivors.contains(3L))
+    assert(out.where($"doc_id" === 1).select("dup_count").as[Long].head() == 2L)
+  }
+
+  test("jaccard pairs find near-dups above threshold (dedup#ngram)") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", minJaccardMills = 500)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))  // identical
+    assert(pairs.contains((1L, 5L)))  // 3 of 5 tokens shared -> 600
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH emits identical docs as candidates (dedup#minhash)") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("simhash of identical token sets is identical (dedup#simhash)") {
+    val sh = Dedup.simhashBuckets(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(3L))
+    assert(sh(1L) == sh(2L)) // token-set canonicalization unifies case/ws
+  }
+
+  test("embedding near-dup within blocks (dedup#embedding)") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.01f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.0f, 0.0f))).toDF("id", "blk", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec", "id", "blk", 900000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 is orthogonal; 4 is another block
+  }
+
+  test("reconcile classifies insert/update/unchanged/delete-candidate (S6)") {
+    val existing = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("key", "name", "v")
+    val incoming = Seq((2L, "b", 21L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("key", "name", "v")
+    val out = Merge.reconcile(existing, incoming, Seq("key"), Seq("name", "v"))
+      .select("key", "action").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "delete-candidate", 2L -> "update",
+      3L -> "unchanged", 4L -> "insert"))
+  }
+
+  test("splitUpsert semi/anti fork (J4)") {
+    val existing = Seq(Tuple1(1L), Tuple1(2L)).toDF("key")
+    val incoming = Seq(Tuple1(2L), Tuple1(3L)).toDF("key")
+    val (u, i) = Merge.splitUpsert(incoming, existing, Seq("key"))
+    assert(u.as[Long].collect().toSeq == Seq(2L))
+    assert(i.as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("missingDimRows derives deterministic create-set (J5)") {
+    val dim = Seq(("Almond Milk", "P1")).toDF("title", "ext_id")
+    val items = Seq(Tuple1("almond milk"), Tuple1("Oat Milk"), Tuple1("oat milk"), Tuple1(""))
+      .toDF("item_name")
+    val out = Merge.missingDimRows(items, dim, "item_name", "title", "NEW-")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("title") == "Oat Milk" ||
+      out(0).getAs[String]("title") == "oat milk")
+    assert(out(0).getAs[String]("ext_id").startsWith("NEW-"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntityResolutionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val dict = Seq(
+    ("Organic Green Tea", "P1"),
+    ("Almond Milk", "P2"),
+    ("Whole Wheat Flour", "P3"),
+    ("Sea Salt", "P4")).toDF("title", "ext_id")
+
+  lazy val items = Seq(
+    (1L, "organic green tea"),     // exact (case-insensitive) -> resolved 100
+    (2L, "green tea organic"),     // token reorder: tsr 100 but the
+                                   // algorithm-disagreement penalty (F5)
+                                   // drops it to 85 -> review, like the ref
+    (3L, "almond milkk"),          // near miss -> review band
+    (4L, "quantum flux capacitor") // garbage -> rejected
+  ).toDF("item_id", "item_name")
+
+  test("exact phase matches case-insensitively with score 100 (J1)") {
+    val out = EntityResolution.resolve(items, dict, Seq("item_id"))
+      .orderBy("item_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("decision") == "resolved")
+    assert(r1.getAs[String]("ext_id") == "P1")
+    assert(r1.getAs[Double]("score") == 100.0)
+  }
+
+  test("fuzzy phase routes bands: resolve / review / reject (J2/F6)") {
+    val out = EntityResolution.resolve(items, dict, Seq("item_id"))
+      .orderBy("item_id").collect()
+    assert(out(1).getAs[String]("decision") == "review")
+    assert(out(1).getAs[String]("ext_id") == "P1")
+    assert(out(1).getAs[Double]("score") == 85.0)
+    assert(out(2).getAs[String]("decision") == "review")
+    assert(out(2).getAs[String]("ext_id") == "P2")
+    assert(out(3).getAs[String]("decision") == "rejected")
+    assert(out(3).getAs[String]("ext_id") == null)
+  }
+
+  test("blocked fuzzy join agrees with broadcast cross join on matches") {
+    val un = EntityResolution.resolve(items, dict, Seq("item_id"))
+      .select("item_id", "ext_id", "decision").orderBy("item_id").collect()
+    val bl = EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+      .select("item_id", "ext_id", "decision").orderBy("item_id").collect()
+    // items sharing >= 1 token with their match must agree; the garbage
+    // row has no shared token so the blocked variant rejects it too.
+    assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
+  }
+
+  test("penalties never raise a score and floor at 0 (F4)") {
+    val df = Seq(
+      ("short", "a much longer candidate string with many words"),
+      ("same", "same")).toDF("a", "b")
+      .withColumn("adj", EntityResolution.applyPenalties(lit(80.0), col("a"), col("b")))
+    val rows = df.select("adj").as[Double].collect()
+    assert(rows(0) < 80.0 && rows(0) >= 0.0)
+    assert(rows(1) == 80.0)
+  }
+
+  test("alternatives exclude the winner and respect the reject floor (W3)") {
+    val manyDict = Seq(
+      ("green tea", "G1"), ("green tea extract", "G2"),
+      ("green tea powder", "G3"), ("black tea", "G4")).toDF("title", "ext_id")
+    val one = Seq((1L, "greem tea")).toDF("item_id", "item_name")
+    val out = EntityResolution.resolve(one, manyDict, Seq("item_id")).collect()(0)
+    val alts = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("alternatives")
+    assert(alts != null && alts.nonEmpty)
+    assert(!alts.map(_.getAs[String]("ext_id")).contains(out.getAs[String]("ext_id")))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ItemExplodeOfferingsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("melt + split + explode + within-row dedup (E1/E2/E4)") {
+    val df = Seq(
+      (1L, "Granola; granola, GRANOLA ; vit C", "salt,  pepper"),
+      (2L, null: String, "salt")).toDF("member_id", "products", "ingredients")
+    val out = ItemExplode.explodeItems(
+      df, Seq("member_id"),
+      Seq("product" -> "products", "ingredient" -> "ingredients"))
+    val rows = out.select("member_id", "kind", "item_name")
+      .orderBy("member_id", "kind", "item_name")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "ingredient", "pepper"), (1L, "ingredient", "salt"),
+      (1L, "product", "Granola"), (1L, "product", "vit C"),
+      (2L, "ingredient", "salt")))
+  }
+
+  test("offerings derivation emits mapped structs, deduped by uid (E3)") {
+    val df = Seq(
+      (1L, "yes we make things", "fleet of trucks", "widgets"),
+      (2L, null: String, null: String, null: String),
+      (3L, "n/a", "", "gadget")).toDF(
+      "member_id", "manufacturingServices", "logisticalServices", "products")
+    val out = Offerings.offeringLinks(df, Seq("member_id"))
+      .select("member_id", "uid").orderBy("member_id", "uid")
+      .as[(Long, String)].collect().toSeq
+    // member 1: MFG (from manufacturingServices, deduped vs products) + LOG
+    // member 2: nothing; member 3: MFG via products only
+    assert(out == Seq((1L, "OFF-LOG"), (1L, "OFF-MFG"), (3L, "OFF-MFG")))
+  }
+
+  test("splitDistinct trims, drops empties, dedupes exactly (E1)") {
+    val out = Seq("a; b,, B ;  a ").toDF("v")
+      .select(ItemExplode.splitDistinct($"v").as("arr"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a", "b", "B"))
+  }
+}

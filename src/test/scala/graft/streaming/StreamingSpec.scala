@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  test("ST1: file-source ingest is exactly-once across restarts") {
+    val in = tmp(); val out = tmp(); val cp = tmp()
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    batch1.write.mode("append").parquet(in)
+    val schema = batch1.schema
+    Incremental.fileSourceIngest(spark, in, schema, cp, out)
+    assert(spark.read.parquet(out).count() == 2)
+    // second run with no new files must be a no-op (idempotent skip)
+    Incremental.fileSourceIngest(spark, in, schema, cp, out)
+    assert(spark.read.parquet(out).count() == 2)
+    // new file -> only the delta lands
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(in)
+    Incremental.fileSourceIngest(spark, in, schema, cp, out)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("ST2: watermarked tumbling windows over the events stream") {
+    val eventsDir = tmp(); val cp = tmp()
+    val src = graft.Tables(spark, graft.SparkTestSession.sfDir, "events")
+    src.write.mode("overwrite").parquet(eventsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("win_counts")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("win_counts")
+    // append mode emits only watermark-closed windows; all but the last
+    // hour of the deterministic dataset are closed.
+    val batchEquivalent = src
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() > 0)
+    assert(got.count() <= batchEquivalent.count())
+    // every emitted row must equal its batch twin exactly
+    val joined = got.join(batchEquivalent, Seq("window", "event_type"))
+      .where(got("n") =!= batchEquivalent("n"))
+    assert(joined.count() == 0)
+  }
+
+  test("ops-log daily usage + 24h error summary (A7/A8 on log schema)") {
+    val logs = Seq(
+      ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "connection timeout", 100L),
+      ("2024-01-01 11:00:00", "INFO", "ok", "query", "fine", 10L),
+      ("2024-01-02 10:30:00", "ERROR", "auth", "mutation", "permission denied", 50L))
+      .toDF("ts_s", "level", "category", "operation", "message", "bytes")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .withColumn("submission_name", lit("f1"))
+    val daily = OpsLog.dailyUsage(logs).orderBy("day").collect()
+    assert(daily.length == 2)
+    assert(daily(0).getAs[Long]("total_bytes") == 110L)
+    assert(daily(0).getAs[Long]("mutations") == 1L)
+    val errs = OpsLog.errorSummary24h(logs).collect()
+    // anchored at max ts (01-02 10:30): only the 01-02 error is inside 24h
+    assert(errs.map(r => (r.getString(0), r.getLong(1))).toMap == Map("auth" -> 1L))
+  }
+}
