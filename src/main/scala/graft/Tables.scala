@@ -26,6 +26,9 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // full Java charset set for the S1 encoding-detection ladder
+      // (Spark 4 otherwise limits CSV to a small allowlist)
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -124,7 +124,13 @@ object EntityResolution {
           .as("alternatives"): _*)
     val misses = exact.where(col("exact_ext_id").isNull).drop("exact_ext_id")
 
-    val scored = fuzzyCandidates(misses, dict, itemCol, titleCol, idCol, blocked)
+    // Score DISTINCT item texts, not item rows: at scale many rows carry
+    // the same string (the reference's corpus repeats item names across
+    // members), and the O(names × dict) similarity work must not be
+    // multiplied by row count. Results join back on the text.
+    val names = misses.select(col(itemCol)).distinct()
+
+    val scored = fuzzyCandidates(names, dict, itemCol, titleCol, idCol, blocked)
       .withColumn("raw_score",
         Similarity.token_set_ratio(col(itemCol), col("cand_title")))
       .withColumn("cross_penalty", when(
@@ -136,13 +142,13 @@ object EntityResolution {
         applyPenalties(col("raw_score") - col("cross_penalty"),
           col(itemCol), col("cand_title")))
 
-    val w = Window.partitionBy(itemKeyCols.map(col): _*)
+    val w = Window.partitionBy(col(itemCol))
       .orderBy(col("score").desc, col("cand_ext_id"))
     val ranked = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
 
     val alts = ranked.where(col("rn") > 1 && col("rn") <= nAlternatives + 1 &&
         col("score") >= t.autoReject)
-      .groupBy(itemKeyCols.map(col): _*)
+      .groupBy(col(itemCol))
       .agg(collect_list(struct(
         col("cand_title").as("name"), col("score"), col("cand_ext_id").as("ext_id")))
         .as("alternatives"))
@@ -152,17 +158,16 @@ object EntityResolution {
         Normalize.decisionBand(col("score"), t.autoResolve, t.autoReject))
       .withColumn("ext_id",
         when(col("decision") =!= "rejected", col("cand_ext_id")))
-      .select(misses.columns.map(col) :+ col("ext_id") :+ col("score") :+ col("decision"): _*)
+      .select(col(itemCol), col("ext_id"), col("score"), col("decision"))
 
-    val fuzzyOut = best.join(alts, itemKeyCols, "left")
-    // items with zero fuzzy candidates (possible under token blocking:
-    // nothing shares a token) must still surface — as auto-rejects.
-    val uncandidated = misses
-      .join(ranked.select(itemKeyCols.map(col): _*), itemKeyCols, "left_anti")
-      .withColumn("ext_id", lit(null).cast("string"))
-      .withColumn("score", lit(0.0))
-      .withColumn("decision", lit("rejected"))
+    val perName = best.join(alts, Seq(itemCol), "left")
+    val fuzzyOut = misses.join(perName, Seq(itemCol), "left")
+      // names with zero fuzzy candidates (possible under token blocking:
+      // nothing shares a token) must still surface — as auto-rejects.
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("decision", coalesce(col("decision"), lit("rejected")))
+      .select(misses.columns.map(col) :+ col("ext_id") :+ col("score") :+
+        col("decision") :+ col("alternatives"): _*)
     hits.unionByName(fuzzyOut, allowMissingColumns = true)
-      .unionByName(uncandidated, allowMissingColumns = true)
   }
 }

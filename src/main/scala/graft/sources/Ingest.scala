@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   val EncodingLadder: Seq[String] =
-    Seq("UTF-8", "UTF-16", "windows-1252", "ISO-8859-1")
+    Seq("UTF-8", "windows-1252", "ISO-8859-1")
 
   /** Probe the first `probeBytes` of a local file; first charset that
     * decodes without error wins (BOM-stripped UTF-8 counts as UTF-8). */
