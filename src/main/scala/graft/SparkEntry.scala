@@ -70,6 +70,35 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
+    }),
+    // ST2 through the REAL streaming engine: watermarked tumbling-window
+    // counts over the events file source, drained with AvailableNow into
+    // a memory sink. Append mode emits only watermark-closed windows, so
+    // the row count is a strict subset of the batch twin (q22).
+    "q44_streaming_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val qname = s"q44_out_${System.nanoTime()}"
+      val cp = java.nio.file.Files.createTempDirectory("graft-q44-cp").toString
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -50,15 +50,14 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val banded = df.select(
-      col(idCol).as("__id") +:
-        (0 until bands).map { b =>
-          TextFunctions.minhashBand(
-            col(textCol), (b * rowsPerBand) until ((b + 1) * rowsPerBand)).as(s"band$b")
-        }: _*)
-    val byBand = (0 until bands).map { b =>
-      banded.select(col("__id"), lit(b).as("band_no"), col(s"band$b").as("band_sig"))
-    }.reduce(_ unionByName _)
+    // one scan: all band signatures in an array, posexploded to
+    // (band_no, band_sig) rows — not a per-band union of re-scans.
+    val byBand = df.select(
+      col(idCol).as("__id"),
+      posexplode(array((0 until bands).map { b =>
+        TextFunctions.minhashBand(
+          col(textCol), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
+      }: _*)).as(Seq("band_no", "band_sig")))
     val l = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_a"))
     val r = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_b"))
     l.join(r, Seq("band_no", "band_sig"))

@@ -91,14 +91,12 @@ object TextQueries {
     // document sample.
     "q35_lsh_pairs" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") % 5 === 0)
-      val banded = d.select(
+      val byBand = d.select(
         col("doc_id"),
-        TextFunctions.minhashBand(col("text"), 0 until 4).as("b0"),
-        TextFunctions.minhashBand(col("text"), 4 until 8).as("b1"))
-      val byBand =
-        banded.select(col("doc_id"), lit(0).as("band_no"), col("b0").as("sig"))
-          .unionByName(
-            banded.select(col("doc_id"), lit(1).as("band_no"), col("b1").as("sig")))
+        posexplode(array(
+          TextFunctions.minhashBand(col("text"), 0 until 4),
+          TextFunctions.minhashBand(col("text"), 4 until 8)))
+          .as(Seq("band_no", "sig")))
       byBand.as("a")
         .join(byBand.as("b"), Seq("band_no", "sig"))
         .where(col("a.doc_id") < col("b.doc_id"))
