@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,19 +112,37 @@ object Similarity {
     else ratio(s1, s2)
   }
 
+  // ------------------------------------------ codegen-callable kernels
+
+  /** Static entry points the generated Java calls (UTF8String in, score
+    * out) — keeps the expressions inside whole-stage codegen instead of
+    * falling back to interpreted eval. */
+  def tokenSetRatioU(a: UTF8String, b: UTF8String): Double =
+    tokenSetRatio(a.toString, b.toString)
+  def partialRatioU(a: UTF8String, b: UTF8String): Double =
+    partialRatio(preprocess(a.toString), preprocess(b.toString))
+  def indelRatioU(a: UTF8String, b: UTF8String): Double =
+    ratio(preprocess(a.toString), preprocess(b.toString))
+
   // ---------------------------------------------- Catalyst expressions
 
-  abstract class SimilarityExpression extends BinaryExpression with CodegenFallback {
+  abstract class SimilarityExpression extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    /** FQN of the static kernel: graft.functions.Similarity.<name>U. */
+    protected def kernel: String
     protected def score(a: String, b: String): Double
     override protected def nullSafeEval(a: Any, b: Any): Any =
       score(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Similarity.$kernel($a, $b);")
   }
 
   /** SQL: `token_set_ratio(a, b)` → double 0..100. */
   case class TokenSetRatio(left: Expression, right: Expression)
       extends SimilarityExpression {
+    override protected val kernel = "tokenSetRatioU"
     override protected def score(a: String, b: String): Double = tokenSetRatio(a, b)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -134,6 +152,7 @@ object Similarity {
   /** SQL: `partial_ratio(a, b)` → double 0..100. */
   case class PartialRatio(left: Expression, right: Expression)
       extends SimilarityExpression {
+    override protected val kernel = "partialRatioU"
     override protected def score(a: String, b: String): Double =
       partialRatio(preprocess(a), preprocess(b))
     override protected def withNewChildrenInternal(
@@ -144,6 +163,7 @@ object Similarity {
   /** SQL: `indel_ratio(a, b)` → double 0..100 (RapidFuzz `ratio`). */
   case class IndelRatio(left: Expression, right: Expression)
       extends SimilarityExpression {
+    override protected val kernel = "indelRatioU"
     override protected def score(a: String, b: String): Double =
       ratio(preprocess(a), preprocess(b))
     override protected def withNewChildrenInternal(

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.Normalize
+import graft.streaming.Incremental
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object MiscSpec {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class MiscSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stateful sessionization counts events within gap (mapGroupsWithState)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val evs = Seq(
+      Incremental.Event(1L, at(0), "a"),
+      Incremental.Event(1L, at(10), "b"),   // same session
+      Incremental.Event(1L, at(50), "c"),   // > 30 min gap -> new session
+      Incremental.Event(2L, at(0), "a")).toDS()
+    val out = Incremental.sessionize(evs).collect().map(s => s.user_id -> s.n_events).toMap
+    // user 1: last session has 1 event (the 50-min one); user 2: 1
+    assert(out(1L) == 1L && out(2L) == 1L)
+  }
+
+  test("pushSink retries transient failures with backoff (F14)") {
+    MiscSpec.attempts.set(0)
+    val df = Seq(1, 2, 3).toDF("v").coalesce(1)
+    // JVM-static counter: foreachPartition serializes the closure, so a
+    // captured local would be a copy even in local mode.
+    Merge.pushSink(df, rows => {
+      if (MiscSpec.attempts.incrementAndGet() == 1) sys.error("transient")
+      assert(rows.size == 3)
+    }, batchSize = 10, maxRetries = 2, baseDelayMs = 1L)
+    assert(MiscSpec.attempts.get() == 2)
+  }
+
+  test("pushSummary aggregates per-entity outcomes (A6)") {
+    val results = Seq(
+      ("member", true), ("member", true), ("product", true),
+      ("ingredient", false)).toDF("entity", "ok")
+    val r = Reports.pushSummary(results).collect()(0)
+    assert(r.getAs[Long]("members_pushed") == 2)
+    assert(r.getAs[Long]("products_created") == 1)
+    assert(r.getAs[Long]("errors") == 1)
+  }
+
+  test("createdItems three-way union aligns columns (U2)") {
+    val p = Seq(("Oat Milk", "product")).toDF("title", "kind")
+    val i = Seq(("Salt", "ingredient")).toDF("title", "kind")
+    val o = Seq(("France", "country", "extra")).toDF("title", "kind", "note")
+    val u = Reports.createdItems(p, i, o)
+    assert(u.count() == 3 && u.columns.toSet == Set("title", "kind", "note"))
+  }
+
+  test("payloadBytes measures JSON size of a struct (F12)") {
+    val n = Seq(("a", 1)).toDF("k", "v")
+      .select(Normalize.payloadBytes(struct($"k", $"v")).as("b")).as[Long].head()
+    assert(n == """{"k":"a","v":1}""".length)
+  }
+
+  test("decisionStatus derivation covers all branches (F8)") {
+    val rows = Seq(
+      (true, false, false), (false, true, true), (false, true, false),
+      (false, false, false)).toDF("ignored", "approved", "resolved")
+      .select(Normalize.decisionStatus($"ignored", $"approved", $"resolved").as("s"))
+      .as[String].collect()
+    assert(rows.toSeq == Seq("Ignored", "Matched to Existing", "Created as New", "Unknown"))
+  }
+}
