@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Vector (embedding) column functions for similarity search and
   * embedding-based near-dup detection over `Array[Float]` columns.
@@ -45,16 +50,47 @@ object VectorFunctions {
   /** Exact integer squared norm of a quantized array. */
   def normSqQ(a: Column): Column = dotQ(a, a)
 
-  /** Deterministic scaled cosine over quantized vectors:
-    * floor(1e6 * dotQ^2 * sign / (|a|^2 * |b|^2)) — all-integer inputs to
-    * one IEEE divide + floor, identical across engines. Preserves cosine
-    * ordering (squares, sign-corrected). */
-  def cosineSqScaledQ(a: Column, b: Column): Column = {
-    val d = dotQ(a, b)
-    val den = normSqQ(a) * normSqQ(b)
-    when(den === 0, lit(0L)).otherwise(
-      floor(lit(1000000L) * signum(d) * d * d / den).cast("long"))
+  /** Codegen-callable kernel: floor(1e6·sign(d)·d·d / (|a|²·|b|²)) with
+    * the exact IEEE op sequence of the equivalent column expression
+    * `floor(1000000 * signum(d) * d * d / den)` (left-assoc double
+    * chain), so the oracle twin in any ANSI engine matches bit-for-bit. */
+  def cosineSqScaledKernel(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var d = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val den = na * nb
+    if (den == 0L) 0L
+    else math.floor(1000000.0 * math.signum(d.toDouble) * d * d / den).toLong
   }
+
+  /** Catalyst expression form of the kernel — stays inside whole-stage
+    * codegen (the higher-order-function composition would be interpreted
+    * per pair, which dominates KNN/near-dup inner loops). */
+  case class CosineSqScaledQ(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineSqScaledKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.cosineSqScaledKernel($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Deterministic scaled cosine over quantized vectors:
+    * floor(1e6 * sign · dotQ² / (|a|² * |b|²)) — all-integer inputs to
+    * one IEEE multiply chain + divide + floor, identical across engines.
+    * Preserves cosine ordering (squares, sign-corrected). */
+  def cosineSqScaledQ(a: Column, b: Column): Column =
+    column(CosineSqScaledQ(expression(a), expression(b)))
 
   /** LSH bucket id for cosine: sign bits of `planes.size` random-plane
     * projections, packed into a bigint. Planes are caller-provided
