@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.util.zip.ZipFile
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable
+
+/** S2 — Excel (.xlsx) scan without external libraries: the workbook is a
+  * zip of XML parts (ECMA-376), so a container check + two XML parses
+  * (sharedStrings + worksheet) recover the grid. Mirrors the reference's
+  * openpyxl usage (`app/etl.py:963-1024`): header = row 1, data = rows
+  * ≥ 2, every cell surfaced as text.
+  *
+  * Driver-side by design: the reference caps uploads at 16 MB
+  * (`app/config.py:36`) and one submission file is one small table —
+  * the distributed scan starts after this converter (or after
+  * `Ingest.stage` persists it to parquet). Large-scale media/text
+  * corpora arrive as parquet, never xlsx.
+  */
+object ExcelReader {
+
+  private def parseXml(in: java.io.InputStream): org.w3c.dom.Document = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true) // required for getElementsByTagNameNS
+    // hygiene: no DTDs / external entities from untrusted workbooks
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(in)
+  }
+
+  private def elements(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
+    val nl = doc.getElementsByTagNameNS("*", tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  /** Column letters of an A1-style ref → 0-based index. */
+  private[sources] def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  /** Read the sheet grid as rows of (colIndex → text). */
+  private def readGrid(path: String, sheet: Int): Seq[mutable.LinkedHashMap[Int, String]] = {
+    val zf = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] =
+        Option(zf.getEntry("xl/sharedStrings.xml")).map { e =>
+          elements(parseXml(zf.getInputStream(e)), "si")
+            .map(_.getTextContent).toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+      val sheetEntry = Option(zf.getEntry(s"xl/worksheets/sheet$sheet.xml"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sheet$sheet.xml not found — not a valid workbook"))
+      val doc = parseXml(zf.getInputStream(sheetEntry))
+      elements(doc, "row").map { rowEl =>
+        val cells = rowEl.getElementsByTagNameNS("*", "c")
+        val m = mutable.LinkedHashMap[Int, String]()
+        var fallbackCol = 0
+        (0 until cells.getLength).foreach { i =>
+          val c = cells.item(i).asInstanceOf[org.w3c.dom.Element]
+          val ref = c.getAttribute("r")
+          val idx = if (ref.nonEmpty) colIndex(ref) else fallbackCol
+          fallbackCol = idx + 1
+          val t = c.getAttribute("t")
+          val vNodes = c.getElementsByTagNameNS("*", "v")
+          val isNodes = c.getElementsByTagNameNS("*", "is")
+          val value =
+            if (t == "inlineStr" && isNodes.getLength > 0) isNodes.item(0).getTextContent
+            else if (vNodes.getLength == 0) ""
+            else {
+              val raw = vNodes.item(0).getTextContent
+              if (t == "s") shared.lift(raw.toInt).getOrElse("") else raw
+            }
+          m(idx) = value
+        }
+        m
+      }
+    } finally zf.close()
+  }
+
+  /** Read an xlsx into a DataFrame of strings (header row 1, data ≥ 2),
+    * after the S3 container pre-flight. */
+  def readXlsx(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    Ingest.validateXlsxContainer(path) match {
+      case Left(err) => throw new IllegalArgumentException(s"S3 pre-flight failed: $err")
+      case Right(()) =>
+    }
+    val grid = readGrid(path, sheet)
+    require(grid.nonEmpty, "empty worksheet")
+    val headerMap = grid.head
+    val width = (grid.map(m => if (m.isEmpty) -1 else m.keys.max).max) + 1
+    val header = (0 until width).map(i =>
+      headerMap.get(i).filter(_.nonEmpty).getOrElse(s"col$i"))
+    val rows = grid.tail.map { m =>
+      Row.fromSeq((0 until width).map(i => m.get(i).filter(_.nonEmpty).orNull))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Builds a minimal real ECMA-376 workbook (zip + XML) in the test and
+  * reads it back through the S2 scan. */
+class ExcelReaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def writeXlsx(useShared: Boolean): String = {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val path = dir.resolve("book.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    if (useShared) {
+      put("xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4"><si><t>businessName</t></si><si><t>country1</t></si><si><t>Acme Foods</t></si><si><t>USA</t></si></sst>""")
+      put("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1"><v>42</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>7.5</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>9</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    } else {
+      put("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>
+          |<row r="2"><c r="A2" t="inlineStr"><is><t>Widget</t></is></c><c r="B2"><v>3</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    }
+    zos.close()
+    path
+  }
+
+  test("S2: shared-strings workbook reads with header row and gaps as null") {
+    val df = ExcelReader.readXlsx(spark, writeXlsx(useShared = true))
+    assert(df.columns.toSeq == Seq("businessName", "country1", "42"))
+    val rows = df.orderBy("42").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "Acme Foods" && rows(0).getString(1) == "USA")
+    assert(rows(1).getString(1) == null) // B3 missing -> null
+  }
+
+  test("S2: inline-string workbook reads numbers as text") {
+    val df = ExcelReader.readXlsx(spark, writeXlsx(useShared = false))
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    assert(df.collect()(0).getString(1) == "3")
+  }
+
+  test("S2 feeds the header-mapping pipeline (J8 on xlsx input)") {
+    val df = ExcelReader.readXlsx(spark, writeXlsx(useShared = true))
+    val m = graft.operators.HeaderMapper.mapHeaders(df.columns.toSeq)
+    assert(m.mapping.get("businessName").contains("businessName"))
+    assert(m.mapping.get("country1").contains("country1"))
+  }
+
+  test("colIndex decodes A1-style refs") {
+    assert(ExcelReader.colIndex("A1") == 0)
+    assert(ExcelReader.colIndex("Z9") == 25)
+    assert(ExcelReader.colIndex("AA3") == 26)
+  }
+}
