@@ -112,7 +112,7 @@ object RelationalQueries {
       val scored = names.crossJoin(broadcast(dict))
         .withColumn("score", Similarity.levRatio(col("item_name"), col("title")))
       val w = Window.partitionBy("item_name").orderBy(col("score").desc, col("ext_id"))
-      val ranked = scored.withColumn("rn", row_number().over(w))
+      val ranked = scored.withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .withColumn("decision", Normalize.decisionBand(col("score"), 97, 50))
       items.join(ranked, "item_name")
@@ -150,7 +150,7 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
+      o.withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select(
           col("o_custkey"), col("rn"), col("o_orderkey"),

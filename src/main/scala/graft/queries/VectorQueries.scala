@@ -38,7 +38,7 @@ object VectorQueries {
           VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos_sq_scaled")
         .orderBy("query_id", "rank")
