@@ -49,6 +49,55 @@ object SimilaritySearch {
       }
     }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
+    * partitions the corpus; queries probe only their nearest cell(s).
+    *
+    * Centroid selection is deterministic (every floor(N/nCells)-th
+    * corpus vector by id — a strided seed, no RNG, reproducible plans);
+    * a production build would run a few Lloyd iterations over the same
+    * DataFrame shape without changing the probe join. Corpus assignment
+    * is one crossJoin with the broadcast centroid set (k small) + argmin
+    * — the reusable "index build" shuffle; each query then touches
+    * ~N/nCells corpus rows instead of N. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 1): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorFunctions.quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(col(vecCol)).as("cv"))
+    val n = c.count()
+    val stride = math.max(n / nCells, 1L)
+    val cents = c.withColumn("__rn",
+        row_number().over(Window.orderBy(col("neighbor_id"))))
+      .where((col("__rn") - 1) % stride === 0)
+      .limit(nCells)
+      .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
+
+    def assign(df: DataFrame, vec: String, outCol: String, probes: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col(vec), col("centroid")))
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("__sim").desc, col("cell_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= probes)
+        .withColumn(outCol, col("cell_id"))
+        .drop("cell_id", "centroid", "__sim", "__r")
+    }
+
+    val cAssigned = assign(c, "cv", "cell", probes = 1)
+    val qAssigned = assign(q, "qv", "cell", probes = nProbe)
+    val scored = cAssigned.join(broadcast(qAssigned), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket. Same output shape
     * as bruteForceTopK; recall < 1 by construction (the scale path). */
   def lshTopK(
