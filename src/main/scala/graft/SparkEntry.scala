@@ -99,11 +99,35 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"))
         .orderBy("hour", "event_type")
+    }),
+    // The spark.sql textual surface: temp views + ANSI SQL (oracle twin
+    // in oracleSql — this one IS hash-checked).
+    "q45_sql_surface" -> ((s, dir) => {
+      graft.Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+    // Registered similarity functions callable from SQL text.
+    "q46_sql_similarity" -> ((s, dir) => {
+      graft.functions.Similarity.register(s)
+      graft.Tables(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p_partkey, p_name,
+          |  token_set_ratio(p_name, 'small ring') AS tsr,
+          |  partial_ratio(p_name, 'ring') AS pr,
+          |  indel_ratio(p_name, 'small ring') AS ir
+          |FROM part_v WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin)
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ extraDefs
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
+      "q45_sql_surface" ->
+        """SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }
