@@ -116,7 +116,7 @@ object EntityResolution {
       blocked: Boolean = false): DataFrame = {
     val exact = exactMatch(items, dict, itemCol, titleCol, idCol)
     val hits = exact.where(col("exact_ext_id").isNotNull)
-      .select(items.columns.map(col) :+
+      .select(items.columns.toIndexedSeq.map(col) :+
         col("exact_ext_id").as("ext_id") :+
         lit(100.0).as("score") :+
         lit("resolved").as("decision") :+
@@ -166,7 +166,7 @@ object EntityResolution {
       // nothing shares a token) must still surface — as auto-rejects.
       .withColumn("score", coalesce(col("score"), lit(0.0)))
       .withColumn("decision", coalesce(col("decision"), lit("rejected")))
-      .select(misses.columns.map(col) :+ col("ext_id") :+ col("score") :+
+      .select(misses.columns.toIndexedSeq.map(col) :+ col("ext_id") :+ col("score") :+
         col("decision") :+ col("alternatives"): _*)
     hits.unionByName(fuzzyOut, allowMissingColumns = true)
   }

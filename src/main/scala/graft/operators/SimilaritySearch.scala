@@ -44,7 +44,7 @@ object SimilaritySearch {
     (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         // deterministic hash -> [-1, 1)
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+        val h = scala.util.hashing.MurmurHash3.caseClassHash((p, d))
         (h.toDouble / Int.MaxValue)
       }
     }
@@ -78,7 +78,7 @@ object SimilaritySearch {
     def assign(df: DataFrame, vec: String, outCol: String, probes: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col(vec), col("centroid")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
+      val w = Window.partitionBy(df.columns.toIndexedSeq.map(col): _*)
         .orderBy(col("__sim").desc, col("cell_id"))
       scored.withColumn("__r", row_number().over(w))
         .where(col("__r") <= probes)
