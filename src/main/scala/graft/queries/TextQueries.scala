@@ -19,6 +19,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The testdata ships one row group per file, so a bare scan is a
+    * single task; hashing-heavy projections (md5 minhash/simhash per
+    * token) need the rows spread across cores first. At production
+    * scale the many-file layout provides this for free. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Distinct sorted lowercase tokens — canonical shingle set. */
   private val tokSet = TextFunctions.tokenSetSorted(col("text"))
 
@@ -69,14 +76,14 @@ object TextQueries {
 
     // SimHash signature (16-bit, parity-of-md5-hex-char bit weights).
     "q33_simhash" -> ((s, dir) => {
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"), TextFunctions.simhash(col("text"), 8).as("simhash"))
         .orderBy("doc_id")
     }),
 
     // MinHash signature (4 salted-md5 min-hashes).
     "q34_minhash_sig" -> ((s, dir) => {
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(
           col("doc_id"),
           TextFunctions.minhash(col("text"), 0).as("mh0"),
@@ -90,7 +97,7 @@ object TextQueries {
     // the band string (the anti-cross-product design), on a 1-in-5
     // document sample.
     "q35_lsh_pairs" -> ((s, dir) => {
-      val d = docs(s, dir).where(col("doc_id") % 5 === 0)
+      val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
       val byBand = d.select(
         col("doc_id"),
         posexplode(array(
@@ -108,7 +115,7 @@ object TextQueries {
     // Token-set Jaccard near-dup pairs, blocked by source (same-block
     // pairs only — the blocking key stands in for any coarse partitioner).
     "q36_jaccard_pairs" -> ((s, dir) => {
-      val d = docs(s, dir).where(col("doc_id") % 3 === 0)
+      val d = docsSpread(s, dir).where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("source"), tokSet.as("toks"))
       d.as("a").join(d.as("b"), Seq("source"))
         .where(col("a.doc_id") < col("b.doc_id"))

@@ -24,6 +24,11 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Single-row-group testdata => single-task scans; spread rows before
+    * the quantize/dot-heavy stages (many-file layouts do this natively). */
+  private def embSpread(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query vector (exact ANN baseline).
     "q37_knn_bruteforce" -> ((s, dir) => {
@@ -31,8 +36,9 @@ object VectorQueries {
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"),
           VectorFunctions.quantize(col("embedding")).as("qv"))
-      val c = e.select(col("vec_id").as("neighbor_id"),
-        VectorFunctions.quantize(col("embedding")).as("cv"))
+      val c = emb(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("neighbor_id"),
+          VectorFunctions.quantize(col("embedding")).as("cv"))
       val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("cos_sq_scaled",
           VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
@@ -47,7 +53,7 @@ object VectorQueries {
     // Embedding near-dup pairs, blocked by label, verified by exact
     // quantized cosine (threshold 0.9² · 1e6).
     "q38_embedding_dups" -> ((s, dir) => {
-      val e = emb(s, dir).where(col("vec_id") % 4 === 0)
+      val e = embSpread(s, dir).where(col("vec_id") % 4 === 0)
         .select(col("label"), col("vec_id"),
           VectorFunctions.quantize(col("embedding")).as("q"))
       e.as("a").join(e.as("b"), Seq("label"))
