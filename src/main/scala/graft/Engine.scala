@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{Normalize, OfferingText, Similarity}
+import graft.operators._
+import graft.sources.{ExcelReader, Ingest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine facade: session wiring + the reference's whole submission
+  * pipeline as one call (SURVEY.md §3.1 — upload → header map →
+  * normalize → validate → offerings → explode → resolve), returning
+  * every intermediate a reviewer or report needs.
+  *
+  * A user of the reference runs: ingest a CSV/Excel member submission,
+  * resolve its items against canonical dictionaries, review the middle
+  * band, push approved data, download reports. Each of those maps to
+  * one method here, all lazy DataFrame plans until an action runs.
+  */
+object Engine {
+
+  /** A session with the graft configuration + SQL similarity functions. */
+  def session(appName: String = "graft", cpus: String = "32"): SparkSession = {
+    val s = Tables.configure(SparkSession.builder().appName(appName), cpus)
+      .getOrCreate()
+    Similarity.register(s)
+    s
+  }
+
+  case class SubmissionResult(
+      mapping: HeaderMapper.MappingResult,
+      valid: DataFrame,        // accepted member rows (member_id added)
+      errors: DataFrame,       // rejected rows + error_message
+      offerings: DataFrame,    // (member_id, title, uid, source_field, …)
+      items: DataFrame,        // exploded (member_id, kind, item_name)
+      resolved: DataFrame)     // items + ext_id/score/decision/alternatives
+
+  /** Ingest + process one submission file (CSV or xlsx) end-to-end
+    * against a canonical dictionary `dict(title, ext_id)`. */
+  def processSubmission(
+      spark: SparkSession,
+      path: String,
+      dict: DataFrame,
+      thresholds: EntityResolution.Thresholds = EntityResolution.Thresholds(),
+      blocked: Boolean = false): SubmissionResult = {
+    val raw =
+      if (path.endsWith(".xlsx") || path.endsWith(".xls"))
+        ExcelReader.readXlsx(spark, path)
+      else Ingest.readCsv(spark, path)
+
+    val mapping = HeaderMapper.mapHeaders(raw.columns.toIndexedSeq)
+    require(mapping.missingRequired.isEmpty,
+      s"missing required columns: ${mapping.missingRequired.mkString(", ")}")
+    val projected = HeaderMapper.projection(raw, mapping)
+
+    val normed = projected.columns.foldLeft(projected) { (df, c) =>
+      df.withColumn(c, Normalize.normEmpty(col(c)))
+    }
+
+    val emailOk =
+      if (normed.columns.contains("contactEmail"))
+        Normalize.validEmail(col("contactEmail"))
+      else lit(true)
+    val flagged = normed.withColumn("__valid",
+      Normalize.validBusinessName(col("businessName")) &&
+        col("country1").isNotNull && emailOk)
+    val valid = flagged.where(col("__valid")).drop("__valid")
+      .withColumn("member_id", monotonically_increasing_id())
+    val errors = flagged.where(!col("__valid")).drop("__valid")
+      .withColumn("error_message",
+        when(!Normalize.validBusinessName(col("businessName")), "invalid business name")
+          .when(col("country1").isNull, "missing country")
+          .otherwise("invalid email"))
+
+    val offerings = Offerings.offeringLinks(valid, Seq("member_id"))
+
+    val kindCols = Seq(
+      "product" -> "products", "ingredient" -> "ingredients",
+      "certification" -> "certifications", "allergen" -> "allergens")
+      .filter { case (_, c) => valid.columns.contains(c) }
+    val items = ItemExplode.explodeItems(valid, Seq("member_id"), kindCols)
+      .withColumn("item_norm", OfferingText.normalizeOffering(col("item_name")))
+
+    val resolved = EntityResolution.resolve(
+      items, dict, Seq("member_id", "kind", "item_key"),
+      itemCol = "item_norm", t = thresholds, blocked = blocked)
+
+    SubmissionResult(mapping, valid, errors, offerings, items, resolved)
+  }
+
+  /** The review queue (pending band) with dashboard aggregates. */
+  def reviewQueue(r: SubmissionResult, submissionName: String): (DataFrame, DataFrame) = {
+    val pending = r.resolved.where(col("decision") === "review")
+      .withColumn("submission_name", lit(submissionName))
+      .join(r.valid.select(col("member_id"), col("businessName").as("member_name")),
+        Seq("member_id"))
+    (pending, Reports.reviewDashboard(pending))
+  }
+
+  /** The push/upsert plan: reconcile resolved items into the dimension,
+    * deriving the create-new set (J5) and the update/insert member fork
+    * (J4). Returns (newDimRows, memberUpdates, memberInserts). */
+  def pushPlan(
+      r: SubmissionResult,
+      dict: DataFrame,
+      existingMembers: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val approvedNew = r.resolved.where(col("decision") === "review" ||
+      col("decision") === "rejected")
+    val newDims = Merge.missingDimRows(approvedNew, dict, "item_norm", "title", "NEW-")
+    val (upd, ins) = Merge.splitUpsert(
+      r.valid, existingMembers, Seq("businessName"))
+    (newDims, upd, ins)
+  }
+}
