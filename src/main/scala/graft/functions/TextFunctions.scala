@@ -31,7 +31,9 @@ object TextFunctions {
     * approximating a tokenizer's token count without a vocab. */
   def subwordCount(c: Column): Column =
     size(filter(
-      split(c, "(?<=[a-z])(?=[A-Z])|[\\s]+|(?=[^A-Za-z0-9\\s])"),
+      split(c,
+        "(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])" +
+          "|\\s+|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])"),
       t => length(t) > 0)).cast("long")
 
   /** Stopword hit count over a lowercase token array. */
