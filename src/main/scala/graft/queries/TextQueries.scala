@@ -126,6 +126,28 @@ object TextQueries {
         .where(col("jac_mills") >= 600)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Word-bigram (2-gram shingle) Jaccard near-dup — the order-aware
+    // n-gram variant of q36 (unigram sets ignore token order; bigrams
+    // catch shared phrasing).
+    "q47_bigram_jaccard" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bigrams = array_sort(array_distinct(
+        transform(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          (x, i) => concat(x, lit(" "), element_at(toks, i + 2)))))
+      val d = docsSpread(s, dir).where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("source"), bigrams.as("sh"))
+      d.as("a").join(d.as("b"), Seq("source"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("common", size(array_intersect(col("a.sh"), col("b.sh"))))
+        .withColumn("jac_mills",
+          floor(lit(1000) * col("common")
+            / (size(col("a.sh")) + size(col("b.sh")) - col("common"))).cast("long"))
+        .where(col("jac_mills") >= 200)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
+        .orderBy("id_a", "id_b")
     }))
 
   /** DuckDB twin of the canonical token set. */
@@ -231,5 +253,22 @@ object TextQueries {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE floor(1000 * len(list_intersect(a.toks, b.toks))
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 600
+         ORDER BY id_a, id_b""",
+    "q47_bigram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+           FROM documents WHERE doc_id % 4 = 1),
+         d AS (
+           SELECT doc_id, source,
+             list_sort(list_distinct(
+               [l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])) AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(1000 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_mills
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE floor(1000 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200
          ORDER BY id_a, id_b""")
 }
