@@ -145,7 +145,7 @@ object TextQueries {
         .withColumn("jac_mills",
           floor(lit(1000) * col("common")
             / (size(col("a.sh")) + size(col("b.sh")) - col("common"))).cast("long"))
-        .where(col("jac_mills") >= 200)
+        .where(col("jac_mills") >= 60)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
         .orderBy("id_a", "id_b")
     }))
@@ -269,6 +269,6 @@ object TextQueries {
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_mills
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE floor(1000 * len(list_intersect(a.sh, b.sh))
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 200
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 60
          ORDER BY id_a, id_b""")
 }
