@@ -53,14 +53,14 @@ object TextFunctions {
   def contentKey(c: Column): Column = md5(lower(trim(c)))
 
   /** One MinHash value: the minimum md5 over tokens salted with `seed`.
-    * A signature is `Seq.tabulate(k)(i => minhash(c, i))`. */
+    * Backed by the single-pass TextHash expression (tokenize once). */
   def minhash(c: Column, seed: Int): Column =
-    array_min(transform(tokenSetSorted(c), t => md5(concat(t, lit("#" + seed)))))
+    element_at(TextHash.minhashSignature(c, Seq(seed)), 1)
 
   /** MinHash signature as one concatenated band string (for LSH banding:
     * equal band string => candidate duplicate pair). */
   def minhashBand(c: Column, seeds: Seq[Int]): Column =
-    concat_ws("|", seeds.map(minhash(c, _)): _*)
+    TextHash.minhashBand(c, seeds)
 
   /** One SimHash bit-weight: +1/-1 by parity of the ascii code of the
     * (pos+1)-th hex char of each token's md5, summed over tokens. The
@@ -72,13 +72,10 @@ object TextFunctions {
       lit(0),
       (acc, v) => acc + v)
 
-  /** SimHash of `bits` bits as a bigint (bit i set iff weight_i > 0). */
-  def simhash(c: Column, bits: Int = 16): Column = {
-    val toks = tokenSetSorted(c)
-    (0 until bits)
-      .map(i => when(simhashBitWeight(toks, i) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
+  /** SimHash of `bits` bits as a bigint (bit i set iff weight_i > 0).
+    * Backed by the single-pass TextHash expression (one md5 per token
+    * instead of one per token per bit). */
+  def simhash(c: Column, bits: Int = 16): Column = TextHash.simhash(c, bits)
 
   /** Quality score in integer mills (0..1000): rewards mid-length docs,
     * penalizes very short text and low alphabetic ratio. Deterministic

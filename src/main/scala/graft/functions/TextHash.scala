@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash / SimHash Catalyst expressions.
+  *
+  * The composable column forms (`TextFunctions.minhash` per salt,
+  * `simhashBitWeight` per bit) re-tokenize and re-hash the document for
+  * every salt/bit — 8 salts means 8 tokenizations and 8·|tokens| md5
+  * calls, all in interpreted higher-order functions. These expressions
+  * tokenize once, hash each token once per salt (minhash) or once total
+  * (simhash), and stay inside whole-stage codegen via static kernels.
+  *
+  * Value parity is exact: identical tokenization (trim → lower →
+  * `\s+`-split with trailing empty preserved → distinct), identical
+  * md5-hex strings, so the DuckDB oracle twins of q33-q35 are unchanged.
+  */
+object TextHash {
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.result()
+  }
+
+  /** Tokenization matching `split(lower(trim(text)), "\s+")` + distinct
+    * (Java regex split with -1 limit — empty text yields one "" token,
+    * exactly like Spark's split). */
+  private def tokensOf(s: String): Array[String] =
+    s.trim.toLowerCase.split("\\s+", -1).distinct
+
+  /** Kernel: min(md5(tok + "#" + seed)) per seed, one tokenization. */
+  def minhashKernel(text: UTF8String, seeds: Array[Int]): ArrayData = {
+    val toks = tokensOf(text.toString)
+    val out = new Array[AnyRef](seeds.length)
+    var i = 0
+    while (i < seeds.length) {
+      val salt = "#" + seeds(i)
+      var best: String = null
+      var j = 0
+      while (j < toks.length) {
+        val h = md5Hex(toks(j) + salt)
+        if (best == null || h.compareTo(best) < 0) best = h
+        j += 1
+      }
+      out(i) = UTF8String.fromString(if (best == null) "" else best)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Kernel: SimHash of `bits` bits; one md5 per token, parity of hex
+    * char i decides bit i's ±1 weight. */
+  def simhashKernel(text: UTF8String, bits: Int): Long = {
+    val toks = tokensOf(text.toString)
+    val weights = new Array[Int](bits)
+    var j = 0
+    while (j < toks.length) {
+      val h = md5Hex(toks(j))
+      var i = 0
+      while (i < bits) {
+        if ((h.charAt(i) & 1) == 1) weights(i) += 1 else weights(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (weights(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  case class MinhashSignature(child: Expression, seeds: Seq[Int])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    private lazy val seedArr = seeds.toArray
+    override protected def nullSafeEval(v: Any): Any =
+      minhashKernel(v.asInstanceOf[UTF8String], seedArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("seeds", seedArr, "int[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHash.minhashKernel($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      simhashKernel(v.asInstanceOf[UTF8String], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHash.simhashKernel($c, $bits);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Array of min-hashes for `seeds`, in order. */
+  def minhashSignature(c: Column, seeds: Seq[Int]): Column =
+    column(MinhashSignature(expression(c), seeds))
+
+  /** SimHash as a bigint of `bits` bits. */
+  def simhash(c: Column, bits: Int = 16): Column =
+    column(Simhash(expression(c), bits))
+
+  /** One LSH band string: the `seeds` min-hashes joined with '|'. */
+  def minhashBand(c: Column, seeds: Seq[Int]): Column =
+    org.apache.spark.sql.functions.array_join(minhashSignature(c, seeds), "|")
+}

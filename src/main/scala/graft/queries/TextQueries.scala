@@ -81,15 +81,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash signature (4 salted-md5 min-hashes).
+    // MinHash signature (4 salted-md5 min-hashes in one pass; codegen's
+    // subexpression elimination computes the signature array once).
     "q34_minhash_sig" -> ((s, dir) => {
+      val sig = graft.functions.TextHash.minhashSignature(col("text"), 0 until 4)
       docsSpread(s, dir)
         .select(
           col("doc_id"),
-          TextFunctions.minhash(col("text"), 0).as("mh0"),
-          TextFunctions.minhash(col("text"), 1).as("mh1"),
-          TextFunctions.minhash(col("text"), 2).as("mh2"),
-          TextFunctions.minhash(col("text"), 3).as("mh3"))
+          element_at(sig, 1).as("mh0"), element_at(sig, 2).as("mh1"),
+          element_at(sig, 3).as("mh2"), element_at(sig, 4).as("mh3"))
         .orderBy("doc_id")
     }),
 
