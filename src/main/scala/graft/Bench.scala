@@ -22,14 +22,18 @@ object Bench {
     Tables(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").agg(sum("l_quantity")).count()
 
-    // one unmeasured pass per query first: plan analysis + Janino codegen
-    // compilation dominate cold runs at small scale factors and are paid
-    // once per plan shape on a long-lived cluster — measure steady state.
+    // one unmeasured pass per query first (plan analysis + Janino codegen
+    // compilation dominate cold runs and are paid once per plan shape on
+    // a long-lived cluster), then best-of-2 measured runs — the minimum
+    // is the standard robust statistic on a noisy shared host.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -119,7 +119,8 @@ object TextQueries {
         .select(col("doc_id"), col("source"), tokSet.as("toks"))
       d.as("a").join(d.as("b"), Seq("source"))
         .where(col("a.doc_id") < col("b.doc_id"))
-        .withColumn("common", size(array_intersect(col("a.toks"), col("b.toks"))))
+        .withColumn("common",
+          graft.functions.ArrayOps.sortedIntersectSize(col("a.toks"), col("b.toks")))
         .withColumn("jac_mills",
           floor(lit(1000) * col("common")
             / (size(col("a.toks")) + size(col("b.toks")) - col("common"))).cast("long"))
@@ -141,7 +142,8 @@ object TextQueries {
         .select(col("doc_id"), col("source"), bigrams.as("sh"))
       d.as("a").join(d.as("b"), Seq("source"))
         .where(col("a.doc_id") < col("b.doc_id"))
-        .withColumn("common", size(array_intersect(col("a.sh"), col("b.sh"))))
+        .withColumn("common",
+          graft.functions.ArrayOps.sortedIntersectSize(col("a.sh"), col("b.sh")))
         .withColumn("jac_mills",
           floor(lit(1000) * col("common")
             / (size(col("a.sh")) + size(col("b.sh")) - col("common"))).cast("long"))
