@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming upsert: each micro-batch is reconciled into a keyed target
+  * table via the set-oriented MERGE (graft.operators.Merge) inside
+  * `foreachBatch` — the streaming twin of the reference's incremental
+  * per-file push (reference `app/etl.py:904-930` + `app/routes.py`
+  * upsert loop), with exactly-once effect from the checkpoint + an
+  * idempotent last-writer-wins merge.
+  *
+  * Scale notes: the target stays partitioned parquet; each micro-batch
+  * performs one full-outer shuffle join on the key (bounded by batch
+  * size × target partitions touched); with a Delta-style table format
+  * the same `foreachBatch` body becomes a transactional MERGE INTO
+  * without changing the streaming graph.
+  */
+object StreamingMerge {
+
+  /** Run an AvailableNow streaming upsert of `inDir` parquet into
+    * `targetDir`, keyed by `keys`, merging `valueCols` (incoming wins). */
+  def run(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: String,
+      targetDir: String,
+      keys: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing: DataFrame =
+          try spark.read.parquet(targetDir)
+          catch { case _: Exception => // first batch: empty target
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          }
+        // within-batch dedup (last row per key wins, deterministic by
+        // all value columns) then reconcile against the target.
+        val deduped = batch.groupBy(keys.map(col): _*)
+          .agg(valueCols.map(c => max(col(c)).as(c)).head,
+            valueCols.map(c => max(col(c)).as(c)).tail: _*)
+        // upsert semantics: every action row is kept (delete-candidates
+        // are rows absent from this batch — they stay in the target).
+        val merged = Merge.reconcile(existing, deduped, keys, valueCols)
+          .drop("action")
+        // write to a staging dir then swap — parquet has no transaction;
+        // a table format would make this a single MERGE INTO commit.
+        val staging = targetDir + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(tgt, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
