@@ -71,6 +71,36 @@ object Dedup {
       bits: Int = 16): DataFrame =
     df.withColumn("simhash", TextFunctions.simhash(col(textCol), bits))
 
+  /** SimHash near-dup pairs within Hamming distance ≤ 1: each doc is
+    * re-keyed on its signature plus every one-bit flip (bits+1 probe
+    * keys), pairs meet in an equi-join on the probe key. Probe-key
+    * explosion is linear in `bits` — still no O(N²) pair space; exact
+    * Hamming-0 pairs appear under their own signature, Hamming-1 pairs
+    * under the flipped key of exactly one side. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    val sig = simhashBuckets(df, textCol, idCol)
+      .select(col(idCol).as("__id"), col("simhash"))
+    // probe keys: the signature itself + each single-bit flip
+    val probes = sig.select(
+      col("__id"), col("simhash"),
+      explode(array(
+        col("simhash") +:
+          (0 until bits).map(i => col("simhash").bitwiseXOR(lit(1L << i))): _*))
+        .as("probe"))
+    // original-side (key = own signature) joined to probe-side: finds
+    // pairs at Hamming ≤ 1 without joining probes to probes (which
+    // would surface Hamming-2).
+    val own = sig.select(col("__id").as("id_a"), col("simhash").as("probe"),
+      col("simhash").as("sig_a"))
+    own.join(probes.select(col("__id").as("id_b"), col("probe"),
+        col("simhash").as("sig_b")), "probe")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("sig_a") === col("sig_b"), 0).otherwise(1).as("hamming"))
+      .distinct()
+  }
+
   /** n-gram (token-shingle) Jaccard near-dup pairs via shared-shingle
     * blocking. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed by counting
     * matched distinct shingles per pair — one shuffle on shingle, one on

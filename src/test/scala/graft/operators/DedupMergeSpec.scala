@@ -44,6 +44,18 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(sh(1L) == sh(2L)) // token-set canonicalization unifies case/ws
   }
 
+  test("simhash near-dup pairing covers Hamming 0 and 1 (dedup#simhash-probe)") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", bits = 8)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // identical token sets -> same signature -> hamming 0
+    assert(byPair.get((1L, 2L)).contains(0))
+    assert(byPair.get((1L, 3L)).contains(0))
+    // every reported pair is within distance 1 by construction
+    assert(pairs.forall(_._3 <= 1))
+  }
+
   test("embedding near-dup within blocks (dedup#embedding)") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),
