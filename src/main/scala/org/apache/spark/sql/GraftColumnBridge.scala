@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to an EXISTING
+    * session (getOrCreate ignores `withExtensions` when a session is
+    * already alive; libraries register into the live registry instead). */
+  def registerInto(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -8,14 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions wires the function family into plain SQL") {
-    // the shared test session may already exist; extensions require
-    // their own session instance
+    // getOrCreate returns the shared suite session if one is alive and
+    // ignores withExtensions — register into the live registry then
+    // (exactly what spark.sql.extensions does at session build time).
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.registerInto(ext, spark)
     try {
       import spark.implicits._
       val r = spark.sql(
