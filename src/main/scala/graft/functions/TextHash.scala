@@ -96,6 +96,49 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Kernel: Rabin-Karp polynomial rolling hash of the whole normalized
+    * text (base 257 over the Mersenne prime 2^61-1). The window-shift
+    * property (hash of s[1..] derivable from hash of s in O(1)) is what
+    * makes the same kernel usable for streaming chunk fingerprints. */
+  private final val MersenneM = (1L << 61) - 1
+
+  /** (a*b) mod 2^61-1 for 0 <= a,b < M: 2^64 ≡ 8 (mod M), so the 128-bit
+    * product hi·2^64 + lo reduces to hi·8 + (lo & M) + (lo >>> 61). */
+  private def mulmodM(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & MersenneM) + (lo >>> 61) + (hi << 3)
+    while (r >= MersenneM) r -= MersenneM
+    r
+  }
+
+  def rollingHashKernel(text: UTF8String): Long = {
+    val s = text.toString.trim
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = mulmodM(h, 257L) + s.charAt(i).toLong
+      if (h >= MersenneM) h -= MersenneM
+      i += 1
+    }
+    h
+  }
+
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      rollingHashKernel(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHash.rollingHashKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Rabin-Karp rolling fingerprint of the trimmed text as bigint. */
+  def rollingFingerprint(c: Column): Column =
+    column(RollingFingerprint(expression(c)))
+
   case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable

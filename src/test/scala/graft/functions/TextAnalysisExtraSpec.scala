@@ -75,4 +75,17 @@ class TextAnalysisExtraSpec extends AnyFunSuite {
     assert(dim.as[(String, String)].collect().toSet ==
       Set(("France", "C1"), ("Japan", "C2")))
   }
+
+  test("rolling fingerprint: deterministic, content-sensitive, codegen path") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "the quick brown fax", "")
+      .toDF("t").select(TextHash.rollingFingerprint($"t").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))          // deterministic
+    assert(hs(0) != hs(2))          // single-char change flips the hash
+    assert(hs(3) == 0L)             // empty text -> zero hash
+    assert(hs.forall(h => h >= 0 && h < (1L << 61) - 1))
+    // kernel and expression agree (interpreted vs codegen parity)
+    assert(hs(0) == TextHash.rollingHashKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+  }
 }
