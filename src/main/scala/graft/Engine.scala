@@ -63,8 +63,19 @@ object Engine {
     val flagged = normed.withColumn("__valid",
       Normalize.validBusinessName(col("businessName")) &&
         col("country1").isNotNull && emailOk)
+    // member_id must be DETERMINISTIC: r.valid/r.items/r.resolved are
+    // separate lazy branches of this plan, and reviewQueue joins resolved
+    // back to valid on member_id — monotonically_increasing_id() is
+    // documented nondeterministic and can diverge between branches.
+    // Derive the id from row content (xxhash64 over all columns), with a
+    // per-hash row_number so identical duplicate rows (interchangeable by
+    // construction) still get distinct ids.
+    val contentCols = projected.columns.toIndexedSeq.map(col)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(contentCols: _*)).orderBy(lit(1))
     val valid = flagged.where(col("__valid")).drop("__valid")
-      .withColumn("member_id", monotonically_increasing_id())
+      .withColumn("member_id",
+        concat_ws("-", xxhash64(contentCols: _*), row_number().over(wDup)))
     val errors = flagged.where(!col("__valid")).drop("__valid")
       .withColumn("error_message",
         when(!Normalize.validBusinessName(col("businessName")), "invalid business name")

@@ -81,21 +81,28 @@ object EntityResolution {
     }
   }
 
-  /** Penalty adjustment (`app/etl.py:713-755`): length-difference,
-    * word-count difference, dietary/special-char/digit mismatch. */
+  /** Penalty adjustment (`app/etl.py:713-755`), constant-for-constant
+    * with the reference (`app/etl.py:44-49`):
+    *  - length difference: (diff/maxlen)·30;
+    *  - word-count difference: min(diff·10, 25);
+    *  - dietary-terms mismatch (presence-of-any, reference term list): 20;
+    *  - special-char COUNT mismatch over the literal set `!@#$%^&*()`: 15;
+    *  - digit-presence mismatch: 15; floor at 0. */
   def applyPenalties(score: org.apache.spark.sql.Column,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      dietaryTerms: Seq[String] = Seq("vegan", "vegetarian", "organic",
-        "gluten", "kosher", "halal", "dairy", "sugar")): org.apache.spark.sql.Column = {
+      dietaryTerms: Seq[String] = Seq("gluten-free", "organic", "natural",
+        "raw", "extra virgin", "whole grain")): org.apache.spark.sql.Column = {
     val lenA = length(a); val lenB = length(b)
     val maxLen = greatest(lenA, lenB, lit(1))
     val lenPenalty = abs(lenA - lenB) * 30 / maxLen
     val wordsA = size(split(trim(a), "\\s+")); val wordsB = size(split(trim(b), "\\s+"))
     val wordPenalty = least(abs(wordsA - wordsB) * 10, lit(25))
-    val dietA = dietaryTerms.map(t => lower(a).contains(t).cast("int")).reduce(_ + _)
-    val dietB = dietaryTerms.map(t => lower(b).contains(t).cast("int")).reduce(_ + _)
+    val dietA = dietaryTerms.map(t => lower(a).contains(t)).reduce(_ || _)
+    val dietB = dietaryTerms.map(t => lower(b).contains(t)).reduce(_ || _)
     val dietPenalty = when(dietA =!= dietB, 20).otherwise(0)
-    val specialPenalty = when(a.rlike("[^A-Za-z0-9 ]") =!= b.rlike("[^A-Za-z0-9 ]"), 15).otherwise(0)
+    def specialCount(c: org.apache.spark.sql.Column) =
+      length(c) - length(regexp_replace(c, "[!@#$%^&*()]", ""))
+    val specialPenalty = when(specialCount(a) =!= specialCount(b), 15).otherwise(0)
     val digitPenalty = when(a.rlike("[0-9]") =!= b.rlike("[0-9]"), 15).otherwise(0)
     greatest(score - lenPenalty - wordPenalty - dietPenalty - specialPenalty - digitPenalty, lit(0.0))
   }
@@ -130,37 +137,70 @@ object EntityResolution {
     // multiplied by row count. Results join back on the text.
     val names = misses.select(col(itemCol)).distinct()
 
+    // Reference flow (`app/etl.py:1272-1314`): top-10 candidates are
+    // selected by RAW token_set_ratio; every candidate is then
+    // penalty-adjusted, but the algorithm-disagreement cross-check
+    // (ratio/partial_ratio variance > 20 → −15) applies ONLY to the
+    // raw-best candidate; the final match is the argmax of the adjusted
+    // score, ties broken by raw rank (the reference's strict `>` keeps
+    // the earlier candidate).
     val scored = fuzzyCandidates(names, dict, itemCol, titleCol, idCol, blocked)
       .withColumn("raw_score",
         Similarity.token_set_ratio(col(itemCol), col("cand_title")))
-      .withColumn("cross_penalty", when(
+
+    val wRaw = Window.partitionBy(col(itemCol))
+      .orderBy(col("raw_score").desc, col("cand_ext_id"))
+    val ranked = scored
+      .withColumn("raw_rn", row_number().over(wRaw)).where(col("raw_rn") <= topK)
+      .withColumn("adj",
+        applyPenalties(col("raw_score"), col(itemCol), col("cand_title")))
+      // gating on raw_rn=1 also keeps the expensive partial/indel kernels
+      // off the other k-1 candidates per item.
+      .withColumn("cross_penalty", when(col("raw_rn") === 1 &&
         greatest(
           abs(col("raw_score") - Similarity.indel_ratio(col(itemCol), col("cand_title"))),
           abs(col("raw_score") - Similarity.partial_ratio(col(itemCol), col("cand_title"))))
           > 20, 15.0).otherwise(0.0))
-      .withColumn("score",
-        applyPenalties(col("raw_score") - col("cross_penalty"),
-          col(itemCol), col("cand_title")))
+      .withColumn("score", greatest(col("adj") - col("cross_penalty"), lit(0.0)))
 
-    val w = Window.partitionBy(col(itemCol))
-      .orderBy(col("score").desc, col("cand_ext_id"))
-    val ranked = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+    val wBest = Window.partitionBy(col(itemCol))
+      .orderBy(col("score").desc, col("raw_rn"))
+    val flagged = ranked.withColumn("best_rn", row_number().over(wBest))
+      .withColumn("best_name",
+        max(when(col("best_rn") === 1, col("cand_title")))
+          .over(Window.partitionBy(col(itemCol))))
 
-    val alts = ranked.where(col("rn") > 1 && col("rn") <= nAlternatives + 1 &&
+    // Alternatives (`app/etl.py:1344-1351`): in RAW-rank order, excluding
+    // the winner by name, score ≥ reject floor, first 3 — materialized in
+    // canonical order via sort_array on the raw rank (collect_list alone
+    // has no ordering guarantee).
+    val wAlt = Window.partitionBy(col(itemCol)).orderBy(col("raw_rn"))
+    val alts = flagged.where(col("cand_title") =!= col("best_name") &&
         col("score") >= t.autoReject)
+      .withColumn("alt_rn", row_number().over(wAlt))
+      .where(col("alt_rn") <= nAlternatives)
       .groupBy(col(itemCol))
-      .agg(collect_list(struct(
-        col("cand_title").as("name"), col("score"), col("cand_ext_id").as("ext_id")))
-        .as("alternatives"))
+      .agg(transform(
+        sort_array(collect_list(struct(
+          col("raw_rn").as("rn"), col("cand_title").as("name"),
+          col("score"), col("cand_ext_id").as("ext_id")))),
+        x => struct(
+          x.getField("name").as("name"),
+          x.getField("score").as("score"),
+          x.getField("ext_id").as("ext_id"))).as("alternatives"))
 
-    val best = ranked.where(col("rn") === 1)
+    val best = flagged.where(col("best_rn") === 1)
       .withColumn("decision",
         Normalize.decisionBand(col("score"), t.autoResolve, t.autoReject))
       .withColumn("ext_id",
         when(col("decision") =!= "rejected", col("cand_ext_id")))
       .select(col(itemCol), col("ext_id"), col("score"), col("decision"))
 
+    // the reference stores alternatives only for the review band
+    // (`app/etl.py:1336-1357`; resolve and reject branches carry none).
     val perName = best.join(alts, Seq(itemCol), "left")
+      .withColumn("alternatives",
+        when(col("decision") === "review", col("alternatives")))
     val fuzzyOut = misses.join(perName, Seq(itemCol), "left")
       // names with zero fuzzy candidates (possible under token blocking:
       // nothing shares a token) must still surface — as auto-rejects.

@@ -3,16 +3,17 @@ package graft.plans
 import graft.functions.{Similarity, TextHash, VectorFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extensions entry point: registers the graft expression
   * family into any session created with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), making
   * `token_set_ratio` / `partial_ratio` / `indel_ratio` /
-  * `cosine_sq_scaled` / `minhash_sig` / `simhash64` available to plain
-  * SQL — including spark-sql shells and JDBC/Thrift sessions where no
-  * Scala code runs.
+  * `cosine_sq_scaled` / `minhash_sig` / `simhash` /
+  * `rolling_fingerprint` available to plain SQL — including spark-sql
+  * shells and JDBC/Thrift sessions where no Scala code runs.
   *
   * Deliberately NO custom `Rule[LogicalPlan]` or `SparkStrategy` is
   * injected: the survey's conclusion (SURVEY.md §4, §7.3) is that every
@@ -45,8 +46,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sq_scaled", "cosine_sq_scaled(qa, qb) - sign-corrected scaled cosine^2 of quantized bigint vectors"),
       (es: Seq[Expression]) => VectorFunctions.CosineSqScaledQ(es.head, es(1))))
     e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(text) - 16-bit SimHash of the token set as bigint"),
-      (es: Seq[Expression]) => TextHash.Simhash(es.head, 16)))
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(text[, bits]) - SimHash of the token set as bigint; bits is a literal int, default 16, max 32 (md5-hex parity bits)"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => TextHash.Simhash(t, 16)
+        case Seq(t, Literal(b: Int, IntegerType)) if b >= 1 && b <= 32 =>
+          TextHash.Simhash(t, b)
+        case _ => throw new IllegalArgumentException(
+          "simhash(text[, bits]) requires a literal int bits in 1..32")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text[, n]) - array of n md5 min-hashes over the token set (seeds 0..n-1); n is a literal int, default 8"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => TextHash.MinhashSignature(t, 0 until 8)
+        case Seq(t, Literal(n: Int, IntegerType)) if n >= 1 && n <= 512 =>
+          TextHash.MinhashSignature(t, 0 until n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, n]) requires a literal int n in 1..512")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint", "rolling_fingerprint(text) - Rabin-Karp rolling hash of the trimmed text as bigint"),
+      (es: Seq[Expression]) => TextHash.RollingFingerprint(es.head)))
   }
 }

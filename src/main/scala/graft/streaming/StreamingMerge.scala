@@ -41,11 +41,13 @@ object StreamingMerge {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
           }
-        // within-batch dedup (last row per key wins, deterministic by
-        // all value columns) then reconcile against the target.
+        // within-batch dedup: ONE whole row per key (max over the value
+        // struct = lexicographically greatest row, deterministic) — never
+        // a synthetic row mixing columns from different inputs.
         val deduped = batch.groupBy(keys.map(col): _*)
-          .agg(valueCols.map(c => max(col(c)).as(c)).head,
-            valueCols.map(c => max(col(c)).as(c)).tail: _*)
+          .agg(max(struct(valueCols.map(col): _*)).as("__row"))
+          .select(keys.map(col) ++
+            valueCols.map(c => col("__row").getField(c).as(c)): _*)
         // upsert semantics: every action row is kept (delete-candidates
         // are rows absent from this batch — they stay in the target).
         val merged = Merge.reconcile(existing, deduped, keys, valueCols)

@@ -27,11 +27,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       indel_ratio('abc', 'abc') AS ir,
           |       partial_ratio('tea', 'green tea') AS pr,
           |       cosine_sq_scaled(array(1L, 0L), array(1L, 0L)) AS cs,
-          |       simhash64('the quick fox') AS sh""".stripMargin)
+          |       simhash('the quick fox') AS sh""".stripMargin)
         .as[(Double, Double, Double, Long, Long)].head()
       assert(r._1 == 100.0 && r._2 == 100.0 && r._3 == 100.0)
       assert(r._4 == 1000000L)
       assert(r._5 >= 0L && r._5 < (1L << 16))
+      val r2 = spark.sql(
+        """SELECT simhash('the quick fox', 24) AS sh24,
+          |       size(minhash_sig('the quick fox')) AS n8,
+          |       size(minhash_sig('the quick fox', 4)) AS n4,
+          |       rolling_fingerprint(' abc ') = rolling_fingerprint('abc') AS rfeq""".stripMargin)
+        .as[(Long, Int, Int, Boolean)].head()
+      assert(r2._1 >= 0L && r2._1 < (1L << 24))
+      assert(r2._2 == 8 && r2._3 == 4 && r2._4)
+      // the minhash_sig SQL surface must agree with the column API
+      val sqlSig = spark.sql("SELECT minhash_sig('green tea', 4) AS s")
+        .as[Seq[String]].head()
+      val colSig = spark.range(1)
+        .select(graft.functions.TextHash.minhashSignature(
+          org.apache.spark.sql.functions.lit("green tea"), 0 until 4).as("s"))
+        .as[Seq[String]].head()
+      assert(sqlSig == colSig)
     } finally {
       // leave the shared session for other suites
     }
