@@ -56,10 +56,13 @@ object SparkEntry {
       EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
         .orderBy("item_id")
     }),
-    // LSH-bucketed approximate nearest neighbors (scale path of q37).
+    // LSH-bucketed approximate nearest neighbors (scale path of q37),
+    // with Rademacher md5-parity planes over quantized vectors — exact
+    // integer bucketing+scoring, so this one IS hash-checked (oracle
+    // twin below).
     "q42_lsh_ann" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      SimilaritySearch.lshTopK(
+      SimilaritySearch.rademacherLshTopK(
         e.where(col("vec_id") % 100 === 0), e,
         "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)
         .orderBy("query_id", "rank")
@@ -73,8 +76,9 @@ object SparkEntry {
     }),
     // ST2 through the REAL streaming engine: watermarked tumbling-window
     // counts over the events file source, drained with AvailableNow into
-    // a memory sink. Append mode emits only watermark-closed windows, so
-    // the row count is a strict subset of the batch twin (q22).
+    // a memory sink. Append mode emits exactly the windows closed by the
+    // final watermark (max event time − 1h) — deterministic, so this IS
+    // hash-checked against a batch DuckDB twin of that emission rule.
     "q44_streaming_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -84,16 +88,25 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val qname = s"q44_out_${System.nanoTime()}"
       val cp = java.nio.file.Files.createTempDirectory("graft-q44-cp").toString
-      val q = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", cp)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // State keyspace is tiny (hours × event types): 32 state-store
+      // partitions would mean 32 stores + 32 tasks per micro-batch of
+      // pure overhead. Sized at query start from the session conf;
+      // restored after the drain (at 100 TB this knob instead scales UP
+      // with the key cardinality).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(qname)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
@@ -126,6 +139,57 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
+      "q42_lsh_ann" -> {
+        // Rademacher sign matrix from md5 parity; integer buckets; then
+        // the q37-style exact quantized-cosine top-5 within each bucket.
+        val quant =
+          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+        s"""WITH sgn AS (
+             SELECT p.range AS p, d.range AS d,
+               CASE WHEN ascii(substr(md5(p.range || '|' || d.range), 1, 1)) % 2 = 1
+                 THEN 1 ELSE -1 END AS s
+             FROM range(0, 4) p, range(0, 64) d),
+           e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           bits AS (
+             SELECT e.vec_id, sgn.p,
+               CASE WHEN sum(e.q[CAST(sgn.d + 1 AS INT)] * sgn.s) >= 0
+                 THEN 1 ELSE 0 END AS bit
+             FROM e, sgn GROUP BY e.vec_id, sgn.p),
+           bucketed AS (
+             SELECT vec_id, CAST(sum(bit * (1 << p)) AS BIGINT) AS bucket
+             FROM bits GROUP BY vec_id),
+           q AS (
+             SELECT e.vec_id AS query_id, e.q AS qv, b.bucket
+             FROM e JOIN bucketed b USING (vec_id) WHERE e.vec_id % 100 = 0),
+           c AS (
+             SELECT e.vec_id AS neighbor_id, e.q AS cv, b.bucket
+             FROM e JOIN bucketed b USING (vec_id)),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN ${dotq("qv", "qv")} * ${dotq("cv", "cv")} = 0 THEN 0
+                 ELSE CAST(floor(1000000.0 * sign(${dotq("qv", "cv")})
+                   * ${dotq("qv", "cv")} * ${dotq("qv", "cv")}
+                   / (${dotq("qv", "qv")} * ${dotq("cv", "cv")})) AS BIGINT) END AS cos_sq_scaled
+             FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sq_scaled DESC, neighbor_id) AS rank FROM scored)
+           SELECT query_id, neighbor_id, cos_sq_scaled, rank
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
+      "q44_streaming_window" ->
+        """WITH e AS (
+             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+               event_type, CAST(ts AS TIMESTAMP) AS tsu
+             FROM events),
+           wm AS (
+             SELECT date_trunc('millisecond', max(tsu)) - INTERVAL 1 HOUR AS w
+             FROM e)
+           SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS hour, event_type,
+             count(*) AS n
+           FROM e, wm WHERE wstart + INTERVAL 1 HOUR <= wm.w
+           GROUP BY 1, 2 ORDER BY hour, event_type""",
       "q45_sql_surface" ->
         """SELECT o_orderpriority, count(*) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

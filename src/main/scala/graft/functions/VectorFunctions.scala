@@ -102,4 +102,29 @@ object VectorFunctions {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Rademacher (±1) hyperplane sign for plane `p`, dimension `d`:
+    * parity of the first hex char of md5("p|d"). Database-friendly
+    * random projections (Achlioptas 2003: ±1 entries preserve the JL
+    * guarantees of Gaussian planes) with an engine-portable seed — any
+    * system with md5 reproduces the exact matrix. */
+  def rademacherSign(p: Int, d: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes("UTF-8"))
+    val firstHexChar = "%02x".format(digest(0)).charAt(0)
+    if (firstHexChar.toInt % 2 == 1) 1 else -1
+  }
+
+  /** Sign-LSH bucket over a QUANTIZED (bigint) vector with Rademacher
+    * planes: bit p = [sum_d qv[d]·s(p,d) >= 0]. All-integer math —
+    * bit-exact in every engine, unlike float projections whose
+    * accumulation order is engine-specific. */
+  def rademacherLshBucket(qv: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val signs = (0 until dim).map(d => rademacherSign(p, d).toLong)
+      val proj = aggregate(
+        zip_with(qv, typedLit(signs), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

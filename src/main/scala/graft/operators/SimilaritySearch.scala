@@ -98,6 +98,32 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
 
+  /** LSH-bucketed ANN over QUANTIZED vectors with Rademacher (±1)
+    * md5-parity planes — the oracle-replicable scale path: bucketing and
+    * scoring are exact integer math, so any md5-capable engine produces
+    * the identical candidate set and ranking. Same output shape as
+    * bruteForceTopK; recall < 1 by construction. */
+  def rademacherLshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      VectorFunctions.quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", VectorFunctions.rademacherLshBucket(col("qv"), nPlanes, dim))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", VectorFunctions.rademacherLshBucket(col("cv"), nPlanes, dim))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket. Same output shape
     * as bruteForceTopK; recall < 1 by construction (the scale path). */
   def lshTopK(
