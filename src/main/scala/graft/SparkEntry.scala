@@ -30,8 +30,10 @@ object SparkEntry {
     EntityResolution.resolve(items, dict, Seq("item_id"))
   }
 
-  /** No-oracle queries (rows-only smoke in the driver): custom-expression
-    * and approximate operators whose exact values are engine-specific. */
+  /** Operator-pipeline queries assembled here rather than in the per-
+    * family query modules. Most are hash-checked (oracle twin below);
+    * the remaining rows-only ones (q40/q41/q46: rapidfuzz-style indel
+    * edit distance, q43: HLL) have no ANSI-SQL-expressible twin. */
   private val extraDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full resolution pipeline with the custom token_set_ratio /
     // partial_ratio Catalyst expressions + penalties + banding.
@@ -122,6 +124,31 @@ object SparkEntry {
           |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
           |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
+    // SimHash Hamming<=1 near-dup pairs via probe-key explosion (bits+1
+    // probe keys per doc, equi-join — never the O(N^2) pair space). The
+    // oracle verifies with a direct bit_count(xor) pair scan, feasible
+    // only at oracle scale.
+    "q48_simhash_neardup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Dedup.simhashNearDupPairs(d, "text", "doc_id", bits = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Multimodal pipeline: synthetic media table (binary payload + typed
+    // metadata) -> partition-wise batched feature extraction (decode
+    // stub) -> video frame sampling. Output is the float-free projection
+    // so it hash-checks; the mapPartitions decode path still executes.
+    "q49_multimodal_pipeline" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMediaFromDocs(s, dir)
+      val feats = graft.operators.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+      val frames = graft.operators.Multimodal.sampleFrames(media)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      feats.join(frames, Seq("media_id"), "left")
+        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+        .orderBy("media_id")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -178,6 +205,42 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos_sq_scaled, rank
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
+      "q48_simhash_neardup" -> {
+        val tokSet =
+          "list_sort(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))"
+        val sums = (0 until 16).map(i =>
+          s"sum(CASE WHEN ascii(substr(md5(tok), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+          .mkString(", ")
+        val pack = (0 until 16).map(i =>
+          s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH toks AS (
+             SELECT doc_id, unnest($tokSet) AS tok FROM documents),
+           bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+           sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS sim FROM bits)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(CASE WHEN a.sim = b.sim THEN 0 ELSE 1 END AS BIGINT) AS hamming
+           FROM sig a JOIN sig b
+             ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 1
+           ORDER BY id_a, id_b"""
+      },
+      "q49_multimodal_pipeline" ->
+        """WITH m AS (
+             SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               n_chars * 100 AS duration_ms
+             FROM documents),
+           fr AS (
+             SELECT media_id, count(*) AS n_frames
+             FROM (SELECT media_id,
+                     unnest(range(0, duration_ms // 1000 + 1, 10)) AS f
+                   FROM m WHERE kind = 'video') u
+             GROUP BY media_id)
+           SELECT m.media_id, m.kind, m.n_bytes,
+             coalesce(fr.n_frames, 0) AS n_frames
+           FROM m LEFT JOIN fr USING (media_id) ORDER BY media_id""",
       "q44_streaming_window" ->
         """WITH e AS (
              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
