@@ -35,6 +35,23 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("Rademacher LSH ANN preserves exact pair scores and bucket closure") {
+    val lsh = SimilaritySearch.rademacherLshTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nPlanes = 4, dim = 64)
+    assert(lsh.count() > 0)
+    val bf = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      k = Int.MaxValue - 1)
+    val mismatched = lsh.as("l").join(bf.as("b"), Seq("query_id", "neighbor_id"))
+      .where(col("l.cos_sq_scaled") =!= col("b.cos_sq_scaled"))
+    assert(mismatched.count() == 0)
+    // the bucket function is pure: a query must never out-rank its own
+    // bucket — every rank sequence starts at 1 and is gapless
+    val ranks = lsh.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(ranks.count() == 0)
+  }
+
   test("IVF ANN probes cells and preserves exact pair scores") {
     val ivf = SimilaritySearch.ivfTopK(queries, emb, "vec_id", "embedding",
       k = 5, nCells = 4)
