@@ -116,9 +116,14 @@ object TextQueries {
     // pairs only — the blocking key stands in for any coarse partitioner).
     "q36_jaccard_pairs" -> ((s, dir) => {
       val d = docsSpread(s, dir).where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("source"), tokSet.as("toks"))
+        .select(col("doc_id"), col("source"), tokSet.as("toks"), size(tokSet).as("nt"))
       d.as("a").join(d.as("b"), Seq("source"))
         .where(col("a.doc_id") < col("b.doc_id"))
+        // lossless size prefilter: J <= min/max, so 1000*min < 600*max
+        // can never reach jac_mills >= 600 — skips the O(|A|+|B|)
+        // intersection for the vast majority of blocked pairs.
+        .where(least(col("a.nt"), col("b.nt")) * 1000
+          >= greatest(col("a.nt"), col("b.nt")) * 600)
         .withColumn("common",
           graft.functions.ArrayOps.sortedIntersectSize(col("a.toks"), col("b.toks")))
         .withColumn("jac_mills",
@@ -139,9 +144,12 @@ object TextQueries {
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           (x, i) => concat(x, lit(" "), element_at(toks, i + 2)))))
       val d = docsSpread(s, dir).where(col("doc_id") % 4 === 1)
-        .select(col("doc_id"), col("source"), bigrams.as("sh"))
+        .select(col("doc_id"), col("source"), bigrams.as("sh"), size(bigrams).as("ns"))
       d.as("a").join(d.as("b"), Seq("source"))
         .where(col("a.doc_id") < col("b.doc_id"))
+        // lossless size prefilter (J <= min/max; threshold 0.06)
+        .where(least(col("a.ns"), col("b.ns")) * 1000
+          >= greatest(col("a.ns"), col("b.ns")) * 60)
         .withColumn("common",
           graft.functions.ArrayOps.sortedIntersectSize(col("a.sh"), col("b.sh")))
         .withColumn("jac_mills",

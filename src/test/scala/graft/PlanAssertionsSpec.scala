@@ -52,4 +52,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q18_last24h_by_type")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("q42: LSH probe broadcasts only the query set and keeps top-k partial") {
+    val p = plan("q42_lsh_ann")
+    assert(p.contains("BroadcastHashJoin"), "bucket probe should broadcast the query side")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("q48: simhash near-dup meets pairs via an equi-join on the probe key") {
+    val p = plan("q48_simhash_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), "probe join degenerated to a nested loop")
+  }
+
+  test("q36: jaccard verification runs behind the lossless size prefilter") {
+    val p = plan("q36_jaccard_pairs")
+    // the prefilter is part of the join condition, evaluated before the
+    // sorted-intersect kernel ever runs
+    assert(p.contains("sortedintersectsize") || p.contains("SortedIntersectSize"))
+    assert(p.contains("least") && p.contains("greatest"))
+  }
 }
