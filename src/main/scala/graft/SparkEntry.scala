@@ -149,6 +149,24 @@ object SparkEntry {
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
         .orderBy("media_id")
     }),
+    // Skew-mitigation path: the q06 rollup computed through a salted
+    // equi-join (hot keys spread over 8 sub-keys) and a two-phase
+    // (partial-on-salt, final) aggregation. Row-identical to the plain
+    // join by construction — the oracle is the plain SQL.
+    "q50_salted_rollup" -> ((s, dir) => {
+      val li = graft.Tables(s, dir, "lineitem")
+      val p = graft.Tables(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val joined = graft.operators.SkewJoin.saltedJoin(
+        li, p, Seq("l_partkey"), saltFrom = col("l_orderkey"))
+        .withColumn("rc",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+      graft.operators.SkewJoin.twoPhaseAgg(
+        joined, Seq("p_brand"), saltFrom = col("l_orderkey"), nSalts = 8)(
+        Seq(sum(col("rc")).as("prc"), count(lit(1)).as("pn")),
+        Seq(sum(col("prc")).as("revenue_cents"), sum(col("pn")).as("n_items")))
+        .orderBy("p_brand")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -205,6 +223,12 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos_sq_scaled, rank
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
+      "q50_salted_rollup" ->
+        """SELECT p_brand,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand ORDER BY p_brand""",
       "q48_simhash_neardup" -> {
         val tokSet =
           "list_sort(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))"
