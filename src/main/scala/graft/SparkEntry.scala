@@ -76,6 +76,30 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
     }),
+    // KMV (k-minimum-values) distinct sketch: unlike HLL, deterministic
+    // given the hash — estimate = (k-1)·2^32 / kth-smallest 32-bit md5
+    // prefix (exact count when fewer than k distinct hashes). The
+    // rn<=k filter plans as WindowGroupLimit: partial min-k per
+    // partition before the shuffle, the sketch's at-scale shape.
+    "q51_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val h = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+      h.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("nd"),
+          max(when(col("rn") === k,
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long"))).as("vk"))
+        .select(col("event_type"),
+          when(col("nd") < k, col("nd"))
+            .otherwise(floor(lit((k - 1).toLong * 4294967296L) / (col("vk") + 1))
+              .cast("long")).as("kmv_users"))
+        .orderBy("event_type")
+    }),
     // ST2 through the REAL streaming engine: watermarked tumbling-window
     // counts over the events file source, drained with AvailableNow into
     // a memory sink. Append mode emits exactly the windows closed by the
@@ -223,6 +247,23 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos_sq_scaled, rank
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
+      "q51_kmv_distinct" ->
+        """WITH h AS (
+             SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+             FROM events),
+           ranked AS (
+             SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+             FROM h),
+           st AS (
+             SELECT event_type, count(*) AS nd,
+               max(CASE WHEN rn = 64
+                 THEN CAST(('0x' || substr(h, 1, 8)) AS BIGINT) END) AS vk
+             FROM ranked WHERE rn <= 64 GROUP BY event_type)
+           SELECT event_type,
+             CAST(CASE WHEN nd < 64 THEN nd
+               ELSE floor((63 * 4294967296) / (vk + 1)) END AS BIGINT) AS kmv_users
+           FROM st ORDER BY event_type""",
       "q50_salted_rollup" ->
         """SELECT p_brand,
            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
