@@ -64,6 +64,41 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(rows(1) == 80.0)
   }
 
+  test("dietary penalty fires on the reference term list, not substrings of old terms (F4)") {
+    // isolate the dietary term: equal lengths, word counts, no digits,
+    // no special chars -> only the presence-of-any mismatch remains
+    val df = Seq(
+      ("organic flour", "regular flour"), // 'organic' in the ref list -> 20
+      ("vegan bread", "fresh bread")      // 'vegan' is NOT in the ref list
+    ).toDF("a", "b")
+      .withColumn("adj", EntityResolution.applyPenalties(lit(80.0), col("a"), col("b")))
+    val rows = df.select("adj").as[Double].collect()
+    assert(rows(0) == 60.0, s"expected dietary -20, got ${rows(0)}")
+    assert(rows(1) == 80.0, s"'vegan' must not trigger the reference list, got ${rows(1)}")
+  }
+
+  test("special-char penalty counts the literal !@#$%^&*() set (F4)") {
+    // '?' is outside the reference's counted set, '!' inside: counts 1 vs 0
+    val df = Seq(("ab!", "ab?"), ("ab!", "ab!")).toDF("a", "b")
+      .withColumn("adj", EntityResolution.applyPenalties(lit(80.0), col("a"), col("b")))
+    val rows = df.select("adj").as[Double].collect()
+    assert(rows(0) == 65.0, s"count mismatch must cost 15, got ${rows(0)}")
+    assert(rows(1) == 80.0)
+  }
+
+  test("alternatives only carry for the review band and are deterministic") {
+    val out = EntityResolution.resolve(items, dict, Seq("item_id"))
+      .orderBy("item_id").collect()
+    // resolved (exact) and rejected rows carry no alternatives
+    assert(out(0).getAs[scala.collection.Seq[_]]("alternatives") == null)
+    assert(out(3).getAs[scala.collection.Seq[_]]("alternatives") == null)
+    // repeated runs produce the identical alternatives array (canonical
+    // raw-rank ordering, not collect_list arrival order)
+    val again = EntityResolution.resolve(items, dict, Seq("item_id"))
+      .orderBy("item_id").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("alternatives exclude the winner and respect the reject floor (W3)") {
     val manyDict = Seq(
       ("green tea", "G1"), ("green tea extract", "G2"),
