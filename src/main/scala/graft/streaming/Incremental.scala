@@ -52,6 +52,35 @@ object Incremental {
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 
+  case class Keyed(key: String, id: Long)
+  case class FirstSeen(key: String, id: Long)
+
+  /** Streaming exact dedup with flatMapGroupsWithState: emits each key's
+    * FIRST occurrence only (smallest id within the first batch that sees
+    * the key — deterministic), suppresses every later one. State is one
+    * long per key with NO timeout: a processing-time timeout would pin
+    * `Trigger.AvailableNow` drains alive waiting for the timer, so TTL
+    * eviction belongs to a continuously-running deployment — there,
+    * carry an event-time column, `withWatermark` it, and swap in
+    * `EventTimeTimeout` without touching the emission logic.
+    * The batch twin is q29 (groupBy content key, min id). */
+  def streamingDedup(
+      rows: org.apache.spark.sql.Dataset[Keyed]): org.apache.spark.sql.Dataset[FirstSeen] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val firstId = it.map(_.id).min
+            state.update(firstId)
+            Iterator.single(FirstSeen(key, firstId))
+          }
+      }
+  }
+
   /** Custom state: gap-based sessionization with mapGroupsWithState —
     * the streaming twin of the batch lag-window sessionizer (q23). */
   def sessionize(events: org.apache.spark.sql.Dataset[Event],

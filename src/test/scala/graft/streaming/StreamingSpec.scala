@@ -61,6 +61,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("streaming dedup emits exactly the first occurrence per key") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    Seq(("k1", 5L), ("k1", 3L), ("k2", 7L))
+      .toDF("key", "id").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    // memory sinks cannot recover from a checkpoint, and state recovery
+    // across drains is exactly what's under test -> parquet sink
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .as[Incremental.Keyed]
+      val q = Incremental.streamingDedup(stream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(out).as[Incremental.FirstSeen].collect()
+      .map(f => f.key -> f.id).toMap
+    assert(first == Map("k1" -> 3L, "k2" -> 7L),
+      "first batch must emit min id per key")
+    // a later file with duplicate and new keys: only the new key lands
+    Seq(("k1", 1L), ("k3", 9L)).toDF("key", "id").write.mode("append").parquet(in)
+    drain()
+    val all = spark.read.parquet(out).as[Incremental.FirstSeen].collect()
+      .map(f => f.key -> f.id).toMap
+    assert(all == Map("k1" -> 3L, "k2" -> 7L, "k3" -> 9L),
+      "duplicates across batches must be suppressed by state")
+  }
+
   test("ops-log daily usage + 24h error summary (A7/A8 on log schema)") {
     val logs = Seq(
       ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "connection timeout", 100L),
