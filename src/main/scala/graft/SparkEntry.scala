@@ -69,6 +69,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)
         .orderBy("query_id", "rank")
     }),
+    // IVF (inverted-file) ANN: deterministic strided centroids, integer
+    // cosine assignment, probe-one-cell — hash-checked like q42.
+    "q52_ivf_ann" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.ivfTopK(
+        e.where(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // Approximate distinct counts (HLL) — the at-scale variant of A4.
     "q43_approx_distinct" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -247,6 +257,44 @@ object SparkEntry {
                    * ${dotq("qv", "cv")} * ${dotq("qv", "cv")}
                    / (${dotq("qv", "qv")} * ${dotq("cv", "cv")})) AS BIGINT) END AS cos_sq_scaled
              FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+           ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sq_scaled DESC, neighbor_id) AS rank FROM scored)
+           SELECT query_id, neighbor_id, cos_sq_scaled, rank
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
+      "q52_ivf_ann" -> {
+        val quant =
+          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+        def cossq(a: String, b: String) =
+          s"""CASE WHEN ${dotq(a, a)} * ${dotq(b, b)} = 0 THEN 0
+              ELSE CAST(floor(1000000.0 * sign(${dotq(a, b)})
+                * ${dotq(a, b)} * ${dotq(a, b)}
+                / (${dotq(a, a)} * ${dotq(b, b)})) AS BIGINT) END"""
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+           rc AS (SELECT vec_id, q,
+               row_number() OVER (ORDER BY vec_id) AS rn FROM e),
+           cents AS (
+             SELECT vec_id AS cell_id, q AS centroid FROM rc, st
+             WHERE (rn - 1) % stride = 0 AND rn <= 15 * stride + 1),
+           casgn AS (
+             SELECT * FROM (
+               SELECT e.vec_id AS neighbor_id, e.q AS cv, cents.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cossq("e.q", "cents.centroid")} DESC, cents.cell_id) AS r
+               FROM e CROSS JOIN cents) WHERE r = 1),
+           qasgn AS (
+             SELECT * FROM (
+               SELECT e.vec_id AS query_id, e.q AS qv, cents.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cossq("e.q", "cents.centroid")} DESC, cents.cell_id) AS r
+               FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE r = 1),
+           scored AS (
+             SELECT query_id, neighbor_id, ${cossq("qv", "cv")} AS cos_sq_scaled
+             FROM casgn JOIN qasgn USING (cell_id)
+             WHERE query_id <> neighbor_id),
            ranked AS (
              SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cos_sq_scaled DESC, neighbor_id) AS rank FROM scored)

@@ -71,8 +71,10 @@ object SimilaritySearch {
     val stride = math.max(n / nCells, 1L)
     val cents = c.withColumn("__rn",
         row_number().over(Window.orderBy(col("neighbor_id"))))
-      .where((col("__rn") - 1) % stride === 0)
-      .limit(nCells)
+      // first nCells strided rows, as a rank predicate rather than a
+      // limit: row-order after a filter is engine-defined, rank is not
+      .where((col("__rn") - 1) % stride === 0
+        && col("__rn") <= (nCells - 1) * stride + 1)
       .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
 
     def assign(df: DataFrame, vec: String, outCol: String, probes: Int): DataFrame = {
