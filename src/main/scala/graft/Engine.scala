@@ -71,11 +71,17 @@ object Engine {
     // per-hash row_number so identical duplicate rows (interchangeable by
     // construction) still get distinct ids.
     val contentCols = projected.columns.toIndexedSeq.map(col)
+    // orderBy the content columns, not a constant: identical rows still
+    // tie (interchangeable by construction), but a hash COLLISION of two
+    // distinct rows gets a total order, so the suffix assignment can't
+    // flip between the independently re-executed plan branches.
     val wDup = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(contentCols: _*)).orderBy(lit(1))
+      .partitionBy(col("__h")).orderBy(contentCols: _*)
     val valid = flagged.where(col("__valid")).drop("__valid")
+      .withColumn("__h", xxhash64(contentCols: _*))
       .withColumn("member_id",
-        concat_ws("-", xxhash64(contentCols: _*), row_number().over(wDup)))
+        concat_ws("-", col("__h"), row_number().over(wDup)))
+      .drop("__h")
     val errors = flagged.where(!col("__valid")).drop("__valid")
       .withColumn("error_message",
         when(!Normalize.validBusinessName(col("businessName")), "invalid business name")

@@ -148,8 +148,11 @@ object EntityResolution {
       .withColumn("raw_score",
         Similarity.token_set_ratio(col(itemCol), col("cand_title")))
 
+    // cand_title completes a TOTAL order: two dict rows can share an
+    // ext_id (case-variant titles), and a non-total tiebreak would make
+    // raw_rn — and everything gated on it — nondeterministic.
     val wRaw = Window.partitionBy(col(itemCol))
-      .orderBy(col("raw_score").desc, col("cand_ext_id"))
+      .orderBy(col("raw_score").desc, col("cand_ext_id"), col("cand_title"))
     val ranked = scored
       .withColumn("raw_rn", row_number().over(wRaw)).where(col("raw_rn") <= topK)
       .withColumn("adj",

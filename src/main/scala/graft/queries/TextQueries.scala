@@ -160,8 +160,10 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }))
 
-  /** DuckDB twin of the canonical token set. */
-  private val sqlTokSet =
+  /** DuckDB twin of the canonical token set — the single shared parity
+    * contract with `TextHash.tokensOf`; every oracle over token sets
+    * (q29-q36 here, q48 in SparkEntry) must reference THIS value. */
+  private[graft] val sqlTokSet =
     "list_sort(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))"
 
   private def sqlMinhash(seed: Int, tokExpr: String = "tok"): String =

@@ -19,7 +19,7 @@ object Model {
       processed_at: java.sql.Timestamp)
 
   case class Member(
-      member_id: Long,
+      member_id: String,  // content-hash id: "<xxhash64>-<dup_rank>" (Engine)
       submission_id: Long,
       businessName: String,
       contactEmail: Option[String],
@@ -34,7 +34,7 @@ object Model {
 
   case class NewItem(
       new_item_id: Long,
-      member_id: Long,
+      member_id: String,
       kind: String,            // product | ingredient | certification | allergen
       item_name: String,
       resolved: Boolean,
