@@ -66,6 +66,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), "probe join degenerated to a nested loop")
   }
 
+  test("q37: the cosine kernel evaluates inside a whole-stage codegen span") {
+    // AQE materializes codegen stages only in the FINAL plan — execute
+    // first, then read the adaptive plan's *(n) codegen markers
+    val df = SparkEntry.queries("q37_knn_bruteforce")(spark, dir)
+    df.collect() // count() would execute a DIFFERENT QueryExecution
+    val lines = df.queryExecution.executedPlan.toString.split("\n")
+    assert(lines.exists(l => l.contains("cosinesqscaledq") && l.contains("*(")),
+      "custom kernel fell out of codegen:\n" + lines.take(40).mkString("\n"))
+  }
+
   test("q36: jaccard verification runs behind the lossless size prefilter") {
     val p = plan("q36_jaccard_pairs")
     // the prefilter is part of the join condition, evaluated before the
