@@ -31,7 +31,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // keep the JSON contract intact but make failures visible
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
