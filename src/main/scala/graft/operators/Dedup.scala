@@ -125,6 +125,44 @@ object Dedup {
       .select("id_a", "id_b", "jac_mills")
   }
 
+  /** Connected components over a near-dup pair graph — the "dedup
+    * groups" step that turns candidate pairs into keep/drop decisions
+    * (keep the min id per component, drop the rest).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round takes the min of its own label and its neighbors' labels;
+    * converges in graph-diameter rounds (near-dup graphs are clique-ish,
+    * so 2-3). Each round is one equi-shuffle on the edge list — no
+    * driver-side graph, no O(V²) anything; `persist` caps lineage
+    * growth across rounds. Returns (id, component = min reachable id)
+    * for every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr_comp"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
+        .persist()
+      changed = updated.where(col("next") < col("comp")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("next").as("comp")).persist()
+      old.unpersist(); updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or
     * coarse quantizer cell), verifies by exact quantized cosine within
     * the block. Returns (id_a, id_b, cos_sq_scaled). */

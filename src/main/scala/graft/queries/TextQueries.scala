@@ -29,6 +29,22 @@ object TextQueries {
   /** Distinct sorted lowercase tokens — canonical shingle set. */
   private val tokSet = TextFunctions.tokenSetSorted(col("text"))
 
+  /** q35's LSH candidate-pair graph (shared with q53's components). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+    val byBand = d.select(
+      col("doc_id"),
+      posexplode(array(
+        TextFunctions.minhashBand(col("text"), 0 until 4),
+        TextFunctions.minhashBand(col("text"), 4 until 8)))
+        .as(Seq("band_no", "sig")))
+    byBand.as("a")
+      .join(byBand.as("b"), Seq("band_no", "sig"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via content hash: one hash-agg shuffle on md5 key.
     "q29_dedup_exact" -> ((s, dir) => {
@@ -96,20 +112,16 @@ object TextQueries {
     // MinHash-LSH candidate pairs: 2 bands × 4 rows, banded equi-join on
     // the band string (the anti-cross-product design), on a 1-in-5
     // document sample.
-    "q35_lsh_pairs" -> ((s, dir) => {
-      val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
-      val byBand = d.select(
-        col("doc_id"),
-        posexplode(array(
-          TextFunctions.minhashBand(col("text"), 0 until 4),
-          TextFunctions.minhashBand(col("text"), 4 until 8)))
-          .as(Seq("band_no", "sig")))
-      byBand.as("a")
-        .join(byBand.as("b"), Seq("band_no", "sig"))
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .orderBy("id_a", "id_b")
+    "q35_lsh_pairs" -> ((s, dir) =>
+      lshPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // Dedup GROUPS: connected components over the q35 pair graph (keep
+    // min id per component, drop the rest) — min-label propagation, one
+    // equi-shuffle per round, converging in graph-diameter rounds.
+    "q53_dedup_components" -> ((s, dir) => {
+      graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
     }),
 
     // Token-set Jaccard near-dup pairs, blocked by source (same-block
@@ -168,6 +180,25 @@ object TextQueries {
 
   private def sqlMinhash(seed: Int, tokExpr: String = "tok"): String =
     s"min(md5($tokExpr || '#$seed'))"
+
+  /** DuckDB CTEs producing q35's LSH candidate-pair graph as `pairs`. */
+  private val lshPairsCtes: String = {
+    val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
+    s"""toks AS (
+         SELECT doc_id, unnest($sqlTokSet) AS tok
+         FROM documents WHERE doc_id % 5 = 0),
+       sig AS (SELECT doc_id, $sig FROM toks GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band_no,
+           mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS sig_s FROM sig
+         UNION ALL
+         SELECT doc_id, 1 AS band_no,
+           mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS sig_s FROM sig),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_no = b.band_no AND a.sig_s = b.sig_s AND a.doc_id < b.doc_id)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q29_dedup_exact" ->
@@ -238,23 +269,25 @@ object TextQueries {
          SELECT doc_id, ${sqlMinhash(0)} AS mh0, ${sqlMinhash(1)} AS mh1,
            ${sqlMinhash(2)} AS mh2, ${sqlMinhash(3)} AS mh3
          FROM toks GROUP BY doc_id ORDER BY doc_id""",
-    "q35_lsh_pairs" -> {
-      val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
-      s"""WITH toks AS (
-           SELECT doc_id, unnest($sqlTokSet) AS tok
-           FROM documents WHERE doc_id % 5 = 0),
-         sig AS (SELECT doc_id, $sig FROM toks GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_no,
-             mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS sig_s FROM sig
-           UNION ALL
-           SELECT doc_id, 1 AS band_no,
-             mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS sig_s FROM sig)
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band_no = b.band_no AND a.sig_s = b.sig_s AND a.doc_id < b.doc_id
-         ORDER BY id_a, id_b"""
-    },
+    "q35_lsh_pairs" ->
+      s"""WITH $lshPairsCtes
+         SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""",
+    "q53_dedup_components" ->
+      // transitive closure by label propagation: every node reaches its
+      // whole component through the bidirectional edge list; min over
+      // reached labels = canonical component id. Feasible at oracle
+      // scale; the engine side does the same by iterated min-shuffles.
+      s"""WITH RECURSIVE $lshPairsCtes,
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, min(comp) AS component
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q36_jaccard_pairs" ->
       s"""WITH d AS (
            SELECT doc_id, source, $sqlTokSet AS toks

@@ -86,6 +86,20 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(i.as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("connectedComponents labels every node with its component min") {
+    // two components: a triangle {1,2,3} chained to 4 via 3-4, and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path exercises multi-round propagation (diameter 4)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet == Set(5L) && got2.size == 5)
+  }
+
   test("missingDimRows derives deterministic create-set (J5)") {
     val dim = Seq(("Almond Milk", "P1")).toDF("title", "ext_id")
     val items = Seq(Tuple1("almond milk"), Tuple1("Oat Milk"), Tuple1("oat milk"), Tuple1(""))
