@@ -31,14 +31,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
-            // keep the JSON contract intact but make failures visible
+            // a fast failure must never become the reported "best" time
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Double.PositiveInfinity
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // all-runs-failed -> explicit -1 sentinel, not a bogus duration
+      name -> (if (times.min.isFinite) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -152,10 +152,14 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         // the drained result lives in the memory sink; the checkpoint is
-        // single-use scratch — reclaim it
+        // single-use scratch — reclaim it (walk streams hold directory
+        // handles open until closed)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(cp)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(cp))) { walk =>
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
       s.table(qname)
         .select(
@@ -245,9 +249,7 @@ object SparkEntry {
       "q42_lsh_ann" -> {
         // Rademacher sign matrix from md5 parity; integer buckets; then
         // the q37-style exact quantized-cosine top-5 within each bucket.
-        val quant =
-          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+        val quant = graft.queries.VectorQueries.quant
         s"""WITH sgn AS (
              SELECT p.range AS p, d.range AS d,
                CASE WHEN ascii(substr(md5(p.range || '|' || d.range), 1, 1)) % 2 = 1
@@ -270,10 +272,7 @@ object SparkEntry {
              FROM e JOIN bucketed b USING (vec_id)),
            scored AS (
              SELECT query_id, neighbor_id,
-               CASE WHEN ${dotq("qv", "qv")} * ${dotq("cv", "cv")} = 0 THEN 0
-                 ELSE CAST(floor(1000000.0 * sign(${dotq("qv", "cv")})
-                   * ${dotq("qv", "cv")} * ${dotq("qv", "cv")}
-                   / (${dotq("qv", "qv")} * ${dotq("cv", "cv")})) AS BIGINT) END AS cos_sq_scaled
+               ${graft.queries.VectorQueries.cossq("qv", "cv")} AS cos_sq_scaled
              FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
            ranked AS (
              SELECT *, row_number() OVER (PARTITION BY query_id
@@ -282,14 +281,8 @@ object SparkEntry {
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
       "q52_ivf_ann" -> {
-        val quant =
-          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
-        def cossq(a: String, b: String) =
-          s"""CASE WHEN ${dotq(a, a)} * ${dotq(b, b)} = 0 THEN 0
-              ELSE CAST(floor(1000000.0 * sign(${dotq(a, b)})
-                * ${dotq(a, b)} * ${dotq(a, b)}
-                / (${dotq(a, a)} * ${dotq(b, b)})) AS BIGINT) END"""
+        val quant = graft.queries.VectorQueries.quant
+        def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
         s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
            st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
            rc AS (SELECT vec_id, q,

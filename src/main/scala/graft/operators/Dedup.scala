@@ -156,11 +156,22 @@ object Dedup {
       changed = updated.where(col("next") < col("comp")).count()
       val old = labels
       labels = updated.select(col("id"), col("next").as("comp")).persist()
+      // MATERIALIZE the new round's labels while its cached parent is
+      // still alive — only then drop the previous caches; otherwise the
+      // next round recomputes the whole lineage back to round 0.
+      labels.count()
       old.unpersist(); updated.unpersist()
       i += 1
     }
-    edges.unpersist()
-    labels
+    if (changed > 0)
+      System.err.println(s"[dedup] connectedComponents: NOT converged after " +
+        s"$maxIter rounds ($changed labels still changing) — component ids " +
+        "beyond that radius are intermediate; raise maxIter")
+    // truncate lineage and hand back an un-cached result: the loop's
+    // caches are torn down here, not leaked to the caller
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(); edges.unpersist()
+    out
   }
 
   /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or

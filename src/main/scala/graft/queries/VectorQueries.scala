@@ -80,13 +80,25 @@ object VectorQueries {
         .orderBy("label")
     }))
 
-  private val quant =
+  /** DuckDB twin of `VectorFunctions.quantize` — THE shared parity
+    * contract for every quantized-vector oracle (q37/q38/q39 here,
+    * q42/q52 in SparkEntry). */
+  private[graft] val quant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Exact integer dot product of two quantized lists in DuckDB. Sums of
     * products stay < 2^53, so list_dot_product's accumulator order is
     * irrelevant — the result is exact. */
-  private def dotq(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+  private[graft] def dotq(a: String, b: String) =
+    s"CAST(list_dot_product($a, $b) AS BIGINT)"
+
+  /** DuckDB twin of `VectorFunctions.cosineSqScaledQ` (the one IEEE
+    * multiply-chain + divide + floor, identical operand order). */
+  private[graft] def cossq(a: String, b: String) =
+    s"""CASE WHEN ${dotq(a, a)} * ${dotq(b, b)} = 0 THEN 0
+        ELSE CAST(floor(1000000.0 * sign(${dotq(a, b)})
+          * ${dotq(a, b)} * ${dotq(a, b)}
+          / (${dotq(a, a)} * ${dotq(b, b)})) AS BIGINT) END"""
 
   val oracle: Map[String, String] = Map(
     "q37_knn_bruteforce" ->
@@ -96,10 +108,7 @@ object VectorQueries {
          c AS (SELECT vec_id AS neighbor_id, $quant AS cv FROM embeddings),
          scored AS (
            SELECT query_id, neighbor_id,
-             CASE WHEN ${dotq("qv", "qv")} * ${dotq("cv", "cv")} = 0 THEN 0
-               ELSE CAST(floor(1000000.0 * sign(${dotq("qv", "cv")})
-                 * ${dotq("qv", "cv")} * ${dotq("qv", "cv")}
-                 / (${dotq("qv", "qv")} * ${dotq("cv", "cv")})) AS BIGINT) END AS cos_sq_scaled
+             ${cossq("qv", "cv")} AS cos_sq_scaled
            FROM c JOIN q ON query_id <> neighbor_id),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY query_id
@@ -111,15 +120,9 @@ object VectorQueries {
            SELECT label, vec_id, $quant AS q
            FROM embeddings WHERE vec_id % 4 = 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CASE WHEN ${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")} = 0 THEN 0
-             ELSE CAST(floor(1000000.0 * sign(${dotq("a.q", "b.q")})
-               * ${dotq("a.q", "b.q")} * ${dotq("a.q", "b.q")}
-               / (${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")})) AS BIGINT) END AS cos_sq_scaled
+           ${cossq("a.q", "b.q")} AS cos_sq_scaled
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE CASE WHEN ${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")} = 0 THEN 0
-             ELSE CAST(floor(1000000.0 * sign(${dotq("a.q", "b.q")})
-               * ${dotq("a.q", "b.q")} * ${dotq("a.q", "b.q")}
-               / (${dotq("a.q", "a.q")} * ${dotq("b.q", "b.q")})) AS BIGINT) END >= 50000
+         WHERE ${cossq("a.q", "b.q")} >= 50000
          ORDER BY id_a, id_b""",
     "q39_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
