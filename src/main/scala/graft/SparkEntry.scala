@@ -229,6 +229,35 @@ object SparkEntry {
         Seq(sum(col("prc")).as("revenue_cents"), sum(col("pn")).as("n_items")))
         .orderBy("p_brand")
     }),
+    // Deterministic train/val split: md5-bucket hashing on the document
+    // id — the reproducible-split primitive (same row lands in the same
+    // split on any engine, any run, any cluster size; no RNG, no seed
+    // coordination).
+    "q54_det_split" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+          .otherwise("val"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("split", "lang")
+    }),
+    // Supplier-side multiway rollup (J6/J9 shape on the one remaining
+    // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
+    // dims broadcast.
+    "q55_supplier_rollup" -> ((s, dir) => {
+      val li = graft.Tables(s, dir, "lineitem")
+      val sup = graft.Tables(s, dir, "supplier")
+      val nat = graft.Tables(s, dir, "nation")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_name")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -329,6 +358,20 @@ object SparkEntry {
              CAST(CASE WHEN nd < 64 THEN nd
                ELSE floor((63 * 4294967296) / (vk + 1)) END AS BIGINT) AS kmv_users
            FROM st ORDER BY event_type""",
+      "q54_det_split" ->
+        """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+             THEN 'train' ELSE 'val' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+      "q55_supplier_rollup" ->
+        """SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(DISTINCT s_suppkey) AS n_suppliers
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""",
       "q50_salted_rollup" ->
         """SELECT p_brand,
            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
