@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
   * embedding-cosine near-dup.
   *
+  * Published designs: MinHash resemblance (Broder 1997, "On the
+  * resemblance and containment of documents"); LSH banding (Leskovec/
+  * Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3); SimHash
+  * (Charikar 2002, STOC; Manku et al. 2007, WWW, for Hamming probing);
+  * min-label propagation components (Kang et al. 2009, PEGASUS).
+  *
   * Scale notes (the point of each design):
   *  - exact dedup is one hash aggregate on a content key — a single
   *    shuffle on md5(text), no full-text comparison;
