@@ -76,6 +76,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "custom kernel fell out of codegen:\n" + lines.take(40).mkString("\n"))
   }
 
+  test("date-partitioned log scans prune partitions at the source (S10)") {
+    import spark.implicits._
+    val logDir = java.nio.file.Files.createTempDirectory("graft-oplog").toString
+    val logs = Seq(
+      ("2024-01-01 10:00:00", "INFO", 10L),
+      ("2024-01-02 10:00:00", "INFO", 20L),
+      ("2024-01-03 10:00:00", "INFO", 30L))
+      .toDF("ts_s", "level", "bytes")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts_s"))
+      .drop("ts_s")
+    graft.streaming.OpsLog.append(logs, logDir)
+    val q = spark.read.parquet(logDir)
+      .where($"log_date" === "2024-01-02")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("log_date"), scan.take(1500))
+    // the pruned scan must read exactly the one matching partition
+    assert(q.count() == 1)
+  }
+
   test("q36: jaccard verification runs behind the lossless size prefilter") {
     val p = plan("q36_jaccard_pairs")
     // the prefilter is part of the join condition, evaluated before the
