@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Headroom smoke: the aggregation/join kernels must hold their
+  * linear-scaling invariants when the input multiplies — counts and
+  * integer sums scale exactly by the replication factor, join
+  * multiplicity stays key-driven. (Replication only widens the data;
+  * the per-key distributions the plans shuffle on are unchanged, which
+  * is precisely the claim "this plan survives a scale-up".)
+  */
+class ScaleHeadroomSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+  private val factor = 16
+
+  test(s"rollup invariants hold at ${factor}x replication") {
+    val li = Tables(spark, dir, "lineitem")
+    val wide = (1 to factor).map(_ => li).reduce(_ union _)
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+    val one = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = wide.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(big.keySet == one.keySet)
+    one.foreach { case (k, (n, cents)) =>
+      assert(big(k) == (n * factor, cents * factor), s"flag $k broke linearity")
+    }
+  }
+
+  test(s"broadcast join multiplicity stays key-driven at ${factor}x") {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val wide = (1 to factor).map(_ => li).reduce(_ union _)
+    val n1 = li.join(broadcast(p), li("l_partkey") === p("p_partkey")).count()
+    val nN = wide.join(broadcast(p), wide("l_partkey") === p("p_partkey")).count()
+    assert(nN == n1 * factor)
+  }
+}
