@@ -365,16 +365,16 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS n_chars_total
            FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
       "q55_supplier_rollup" ->
-        """SELECT n_name,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        s"""SELECT n_name,
+           ${graft.queries.RelationalQueries.revenueCentsSql} AS revenue_cents,
            count(DISTINCT s_suppkey) AS n_suppliers
            FROM lineitem
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            GROUP BY n_name ORDER BY n_name""",
       "q50_salted_rollup" ->
-        """SELECT p_brand,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        s"""SELECT p_brand,
+           ${graft.queries.RelationalQueries.revenueCentsSql} AS revenue_cents,
            count(*) AS n_items
            FROM lineitem JOIN part ON l_partkey = p_partkey
            GROUP BY p_brand ORDER BY p_brand""",

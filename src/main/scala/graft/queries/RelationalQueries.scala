@@ -22,6 +22,14 @@ object RelationalQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100).cast("long")
 
+  /** Discounted lineitem revenue in cents — the ONE parity-critical
+    * revenue expression (q01/q06/q09 here, q50/q55 in SparkEntry) and
+    * its DuckDB twin. */
+  private[graft] val revenueCents: org.apache.spark.sql.Column =
+    floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+  private[graft] val revenueCentsSql: String =
+    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A2/A10 — grouped aggregate with exact integer measures (hash agg,
     // partial+final; one shuffle on the two grouping keys).
@@ -31,8 +39,7 @@ object RelationalQueries {
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           sum(cents(col("l_extendedprice"))).as("price_cents"),
-          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
-            .as("revenue_cents"),
+          sum(revenueCents).as("revenue_cents"),
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -89,8 +96,7 @@ object RelationalQueries {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
-            .as("revenue_cents"),
+          sum(revenueCents).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
@@ -349,10 +355,10 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
-         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         ${revenueCentsSql} AS revenue_cents,
          count(*) AS n_rows,
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -383,8 +389,8 @@ object RelationalQueries {
       """SELECT c_custkey AS customer_id, upper(c_name) AS name_upper,
          c_mktsegment AS segment FROM customer ORDER BY customer_id""",
     "q06_rev_by_brand" ->
-      """SELECT p_brand,
-         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      s"""SELECT p_brand,
+         ${revenueCentsSql} AS revenue_cents,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",

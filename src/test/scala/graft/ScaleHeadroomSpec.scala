@@ -15,9 +15,12 @@ class ScaleHeadroomSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
   private val factor = 16
 
+  private def widen(df: org.apache.spark.sql.DataFrame) =
+    (1 to factor).map(_ => df).reduce(_ union _)
+
   test(s"rollup invariants hold at ${factor}x replication") {
     val li = Tables(spark, dir, "lineitem")
-    val wide = (1 to factor).map(_ => li).reduce(_ union _)
+    val wide = widen(li)
       .repartition(spark.sparkContext.defaultParallelism * 4)
     val one = li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -36,7 +39,7 @@ class ScaleHeadroomSpec extends AnyFunSuite {
   test(s"broadcast join multiplicity stays key-driven at ${factor}x") {
     val li = Tables(spark, dir, "lineitem")
     val p = Tables(spark, dir, "part")
-    val wide = (1 to factor).map(_ => li).reduce(_ union _)
+    val wide = widen(li)
     val n1 = li.join(broadcast(p), li("l_partkey") === p("p_partkey")).count()
     val nN = wide.join(broadcast(p), wide("l_partkey") === p("p_partkey")).count()
     assert(nN == n1 * factor)
