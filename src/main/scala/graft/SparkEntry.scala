@@ -242,6 +242,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
         .orderBy("split", "lang")
     }),
+    // Decontamination: train docs sharing >= 5 distinct word-bigram
+    // shingles with any val doc (q54's split). The scale shape is the
+    // shared-shingle equi-join — work ∝ shingle collisions, never the
+    // train × val cross product.
+    "q56_decontam_overlap" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bigrams = array_distinct(transform(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+      // 1-in-4 sample: the synthetic corpus's near-dup cliques make the
+      // contaminated-pair OUTPUT quadratic in clique size (1.1M rows
+      // unsampled at sf0.1) — the sample keeps the benchmark measuring
+      // the shingle-join design, not result materialization.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 4 === 2)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+            .otherwise("val"))
+        .select(col("doc_id"), col("split"), explode(bigrams).as("sh"))
+      val tr = d.where(col("split") === "train")
+        .select(col("doc_id").as("train_id"), col("sh"))
+      val va = d.where(col("split") === "val")
+        .select(col("doc_id").as("val_id"), col("sh"))
+      tr.join(va, "sh")
+        .groupBy("train_id", "val_id").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy("train_id", "val_id")
+    }),
     // Supplier-side multiway rollup (J6/J9 shape on the one remaining
     // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
     // dims broadcast.
@@ -358,6 +386,24 @@ object SparkEntry {
              CAST(CASE WHEN nd < 64 THEN nd
                ELSE floor((63 * 4294967296) / (vk + 1)) END AS BIGINT) AS kmv_users
            FROM st ORDER BY event_type""",
+      "q56_decontam_overlap" ->
+        """WITH t AS (
+             SELECT doc_id,
+               string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train' ELSE 'val' END AS split
+             FROM documents WHERE doc_id % 4 = 2),
+           d AS (
+             SELECT doc_id, split,
+               unnest(list_distinct(
+                 [l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])) AS sh
+             FROM t)
+           SELECT a.doc_id AS train_id, b.doc_id AS val_id,
+             count(*) AS n_shared
+           FROM d a JOIN d b ON a.sh = b.sh
+             AND a.split = 'train' AND b.split = 'val'
+           GROUP BY 1, 2 HAVING count(*) >= 5
+           ORDER BY train_id, val_id""",
       "q54_det_split" ->
         """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
              THEN 'train' ELSE 'val' END AS split,
