@@ -79,6 +79,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // Deterministic k-means (2 Lloyd rounds, integer centroids) — the
+    // coarse-quantizer training step for IVF, hash-checked.
+    "q58_kmeans_assign" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.kmeansAssignments(e, "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
+    }),
     // Approximate distinct counts (HLL) — the at-scale variant of A4.
     "q43_approx_distinct" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -286,6 +293,21 @@ object SparkEntry {
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy("n_name")
     }),
+    // Exact distributed median (lower median by rank position — no
+    // approximate percentile, engine-independent under ties because the
+    // VALUE at the position is tie-invariant).
+    "q57_exact_median" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("n").as("n_docs"),
+          col("n_chars").as("median_chars"))
+        .orderBy("lang")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -369,6 +391,32 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos_sq_scaled, rank
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
+      "q58_kmeans_assign" -> {
+        val quant = graft.queries.VectorQueries.quant
+        def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
+        def assign(name: String, cents: String) =
+          s"""$name AS (
+             SELECT * FROM (
+               SELECT e.vec_id, e.q, $cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${cossq("e.q", s"$cents.centroid")} DESC, $cents.cell) AS r
+               FROM e CROSS JOIN $cents) WHERE r = 1)"""
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           st AS (SELECT greatest(count(*) // 8, 1) AS stride FROM e),
+           rc AS (SELECT vec_id, q,
+               row_number() OVER (ORDER BY vec_id) AS rn FROM e),
+           c0 AS (SELECT vec_id AS cell, q AS centroid FROM rc, st
+                  WHERE (rn - 1) % stride = 0 AND rn <= 7 * stride + 1),
+           ${assign("a1", "c0")},
+           c1 AS (
+             SELECT cell, list(m ORDER BY d) AS centroid FROM (
+               SELECT a1.cell, dd.range AS d,
+                 CAST(floor(sum(a1.q[CAST(dd.range + 1 AS INT)]) / count(*)) AS BIGINT) AS m
+               FROM a1, range(0, 64) dd GROUP BY a1.cell, dd.range)
+             GROUP BY cell),
+           ${assign("a2", "c1")}
+           SELECT vec_id, cell FROM a2 ORDER BY vec_id"""
+      },
       "q51_kmv_distinct" ->
         """WITH h AS (
              SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
@@ -386,6 +434,14 @@ object SparkEntry {
              CAST(CASE WHEN nd < 64 THEN nd
                ELSE floor((63 * 4294967296) / (vk + 1)) END AS BIGINT) AS kmv_users
            FROM st ORDER BY event_type""",
+      "q57_exact_median" ->
+        """WITH r AS (
+             SELECT lang, n_chars, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+             FROM documents)
+           SELECT lang, n AS n_docs, n_chars AS median_chars
+           FROM r WHERE rn = (n + 1) // 2 ORDER BY lang""",
       "q56_decontam_overlap" ->
         """WITH t AS (
              SELECT doc_id,

@@ -100,6 +100,47 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
 
+  /** Deterministic distributed k-means over quantized vectors — the
+    * Lloyd iterations the IVF coarse quantizer's doc promises: strided
+    * init (no RNG), integer-cosine assignment (argmax, ties to the
+    * lowest cell id), centroids recomputed as element-wise
+    * floor-averaged integers — every step exact, so any engine
+    * reproduces the identical assignment. Per iteration: one broadcast
+    * of k centroids + one shuffle on (cell, dim); the corpus itself
+    * never reshuffles. Returns (vec_id, cell) after `iters`
+    * assignment rounds (centroids update between rounds). */
+  def kmeansAssignments(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      VectorFunctions.quantize(col(vecCol)).as("q"))
+    val n = c.count()
+    val stride = math.max(n / k, 1L)
+    var cents = c
+      .withColumn("__rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .where((col("__rn") - 1) % stride === 0
+        && col("__rn") <= (k - 1) * stride + 1)
+      .select(col("vec_id").as("cell"), col("q").as("centroid"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("__sim").desc, col("cell"))
+      assigned = c.crossJoin(broadcast(cents))
+        .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col("q"), col("centroid")))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col("vec_id"), col("q"), col("cell"))
+      if (i < iters) cents = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+    }
+    assigned.select("vec_id", "cell")
+  }
+
   /** LSH-bucketed ANN over QUANTIZED vectors with Rademacher (±1)
     * md5-parity planes — the oracle-replicable scale path: bucketing and
     * scoring are exact integer math, so any md5-capable engine produces

@@ -52,6 +52,19 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(ranks.count() == 0)
   }
 
+  test("k-means assigns every vector to an existing cell, deterministically") {
+    val a = SimilaritySearch.kmeansAssignments(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val rows = a.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == emb.count())
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate assignment")
+    val cells = rows.map(_._2).distinct
+    assert(cells.length > 1 && cells.length <= 4, s"got ${cells.length} cells")
+    val again = SimilaritySearch.kmeansAssignments(emb, "vec_id", "embedding",
+      k = 4, iters = 2).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toSeq == again.toSeq, "assignment not deterministic")
+  }
+
   test("IVF ANN probes cells and preserves exact pair scores") {
     val ivf = SimilaritySearch.ivfTopK(queries, emb, "vec_id", "embedding",
       k = 5, nCells = 4)
