@@ -30,6 +30,14 @@ object SparkEntry {
     EntityResolution.resolve(items, dict, Seq("item_id"))
   }
 
+  /** md5-bucket train/val split of doc_id — the ONE parity-critical
+    * split pair (Spark column + DuckDB twin), shared by q54 and q56. */
+  private val mdSplit: org.apache.spark.sql.Column =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+      .otherwise("val")
+  private val mdSplitSql: String =
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train' ELSE 'val' END"
+
   /** Operator-pipeline queries assembled here rather than in the per-
     * family query modules. Most are hash-checked (oracle twin below);
     * the remaining rows-only ones (q40/q41/q46: rapidfuzz-style indel
@@ -228,8 +236,7 @@ object SparkEntry {
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
       val joined = graft.operators.SkewJoin.saltedJoin(
         li, p, Seq("l_partkey"), saltFrom = col("l_orderkey"))
-        .withColumn("rc",
-          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+        .withColumn("rc", RelationalQueries.revenueCents)
       graft.operators.SkewJoin.twoPhaseAgg(
         joined, Seq("p_brand"), saltFrom = col("l_orderkey"), nSalts = 8)(
         Seq(sum(col("rc")).as("prc"), count(lit(1)).as("pn")),
@@ -242,9 +249,7 @@ object SparkEntry {
     // coordination).
     "q54_det_split" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.withColumn("split",
-        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
-          .otherwise("val"))
+      d.withColumn("split", mdSplit)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
         .orderBy("split", "lang")
@@ -254,20 +259,15 @@ object SparkEntry {
     // shared-shingle equi-join — work ∝ shingle collisions, never the
     // train × val cross product.
     "q56_decontam_overlap" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val bigrams = array_distinct(transform(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
       // 1-in-4 sample: the synthetic corpus's near-dup cliques make the
       // contaminated-pair OUTPUT quadratic in clique size (1.1M rows
       // unsampled at sf0.1) — the sample keeps the benchmark measuring
       // the shingle-join design, not result materialization.
       val d = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 4 === 2)
-        .withColumn("split",
-          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
-            .otherwise("val"))
-        .select(col("doc_id"), col("split"), explode(bigrams).as("sh"))
+        .withColumn("split", mdSplit)
+        .select(col("doc_id"), col("split"),
+          explode(graft.queries.TextQueries.wordBigrams).as("sh"))
       val tr = d.where(col("split") === "train")
         .select(col("doc_id").as("train_id"), col("sh"))
       val va = d.where(col("split") === "val")
@@ -288,8 +288,7 @@ object SparkEntry {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-            .cast("long")).as("revenue_cents"),
+          sum(RelationalQueries.revenueCents).as("revenue_cents"),
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy("n_name")
     }),
@@ -298,6 +297,7 @@ object SparkEntry {
     // VALUE at the position is tie-invariant).
     "q57_exact_median" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("n_chars").isNotNull) // null sort position differs across engines
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
       d.withColumn("rn", row_number().over(w))
@@ -439,20 +439,18 @@ object SparkEntry {
              SELECT lang, n_chars, doc_id,
                row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
                count(*) OVER (PARTITION BY lang) AS n
-             FROM documents)
+             FROM documents WHERE n_chars IS NOT NULL)
            SELECT lang, n AS n_docs, n_chars AS median_chars
            FROM r WHERE rn = (n + 1) // 2 ORDER BY lang""",
       "q56_decontam_overlap" ->
-        """WITH t AS (
+        s"""WITH t AS (
              SELECT doc_id,
-               string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                 THEN 'train' ELSE 'val' END AS split
+               ${graft.queries.TextQueries.tokenListSql} AS l,
+               $mdSplitSql AS split
              FROM documents WHERE doc_id % 4 = 2),
            d AS (
              SELECT doc_id, split,
-               unnest(list_distinct(
-                 [l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])) AS sh
+               unnest(${graft.queries.TextQueries.wordBigramsSql}) AS sh
              FROM t)
            SELECT a.doc_id AS train_id, b.doc_id AS val_id,
              count(*) AS n_shared
@@ -461,8 +459,7 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 5
            ORDER BY train_id, val_id""",
       "q54_det_split" ->
-        """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-             THEN 'train' ELSE 'val' END AS split,
+        s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_total
            FROM documents GROUP BY 1, 2 ORDER BY split, lang""",

@@ -49,47 +49,57 @@ object SimilaritySearch {
       }
     }
 
+  /** The first `k` every-stride(=max(N/k,1)) rows by id, as centroid
+    * seeds — deterministic (no RNG), computed fully inside the plan (no
+    * separate count action), and a rank PREDICATE rather than a limit:
+    * row-order after a filter is engine-defined, rank is not. Shared by
+    * the IVF quantizer and k-means init so the two cannot drift. */
+  private def stridedCentroids(
+      c: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    c.withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
+      .withColumn("__stride",
+        greatest(count(lit(1)).over(Window.partitionBy()) / k, lit(1))
+          .cast("long"))
+      .where((col("__rn") - 1) % col("__stride") === 0
+        && col("__rn") <= (col("__stride") * (k - 1)) + 1)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+
+  /** Argmax-cosine cell assignment against a broadcast centroid set
+    * (ties to the lowest cell id); keeps the `probes` best cells. */
+  private def assignCells(df: DataFrame, vec: String, cents: DataFrame,
+      outCol: String, probes: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col(vec), col("centroid")))
+    val w = Window.partitionBy(df.columns.toIndexedSeq.map(col): _*)
+      .orderBy(col("__sim").desc, col("cell_id"))
+    scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= probes)
+      .withColumn(outCol, col("cell_id"))
+      .drop("cell_id", "centroid", "__sim", "__r")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * partitions the corpus; queries probe only their nearest cell(s).
     *
-    * Centroid selection is deterministic (every floor(N/nCells)-th
-    * corpus vector by id — a strided seed, no RNG, reproducible plans);
-    * a production build would run a few Lloyd iterations over the same
-    * DataFrame shape without changing the probe join. Corpus assignment
-    * is one crossJoin with the broadcast centroid set (k small) + argmin
-    * — the reusable "index build" shuffle; each query then touches
-    * ~N/nCells corpus rows instead of N. */
+    * Centroid selection is deterministic (strided seed via
+    * `stridedCentroids`); `kmeansAssignments` runs Lloyd iterations
+    * over the same DataFrame shape to train better centroids. Corpus
+    * assignment is one crossJoin with the broadcast centroid set (k
+    * small) + argmax — the reusable "index build" shuffle; each query
+    * then touches ~N/nCells corpus rows instead of N. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
       nProbe: Int = 1): DataFrame = {
+    require(nCells > 0 && nProbe > 0, s"nCells=$nCells, nProbe=$nProbe must be positive")
     val q = queries.select(col(idCol).as("query_id"),
       VectorFunctions.quantize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(col(vecCol)).as("cv"))
-    val n = c.count()
-    val stride = math.max(n / nCells, 1L)
-    val cents = c.withColumn("__rn",
-        row_number().over(Window.orderBy(col("neighbor_id"))))
-      // first nCells strided rows, as a rank predicate rather than a
-      // limit: row-order after a filter is engine-defined, rank is not
-      .where((col("__rn") - 1) % stride === 0
-        && col("__rn") <= (nCells - 1) * stride + 1)
-      .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
+    val cents = stridedCentroids(c, "neighbor_id", "cv", nCells)
 
-    def assign(df: DataFrame, vec: String, outCol: String, probes: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col(vec), col("centroid")))
-      val w = Window.partitionBy(df.columns.toIndexedSeq.map(col): _*)
-        .orderBy(col("__sim").desc, col("cell_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .where(col("__r") <= probes)
-        .withColumn(outCol, col("cell_id"))
-        .drop("cell_id", "centroid", "__sim", "__r")
-    }
-
-    val cAssigned = assign(c, "cv", "cell", probes = 1)
-    val qAssigned = assign(q, "qv", "cell", probes = nProbe)
+    val cAssigned = assignCells(c, "cv", cents, "cell", probes = 1)
+    val qAssigned = assignCells(q, "qv", cents, "cell", probes = nProbe)
     val scored = cAssigned.join(broadcast(qAssigned), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
@@ -112,23 +122,16 @@ object SimilaritySearch {
   def kmeansAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters > 0, s"iters=$iters must be positive")
+    // each round rescans the (columnar, codegen'd) quantize lineage; a
+    // long-lived production index build would persist `c` across rounds.
     val c = corpus.select(col(idCol).as("vec_id"),
       VectorFunctions.quantize(col(vecCol)).as("q"))
-    val n = c.count()
-    val stride = math.max(n / k, 1L)
-    var cents = c
-      .withColumn("__rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .where((col("__rn") - 1) % stride === 0
-        && col("__rn") <= (k - 1) * stride + 1)
-      .select(col("vec_id").as("cell"), col("q").as("centroid"))
+    var cents = stridedCentroids(c, "vec_id", "q", k)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("__sim").desc, col("cell"))
-      assigned = c.crossJoin(broadcast(cents))
-        .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col("q"), col("centroid")))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1)
-        .select(col("vec_id"), col("q"), col("cell"))
+      assigned = assignCells(c, "q", cents, "cell", probes = 1)
       if (i < iters) cents = assigned
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
@@ -137,6 +140,7 @@ object SimilaritySearch {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("centroid"))
+        .select(col("cell").as("cell_id"), col("centroid"))
     }
     assigned.select("vec_id", "cell")
   }

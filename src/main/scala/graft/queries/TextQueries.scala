@@ -29,6 +29,20 @@ object TextQueries {
   /** Distinct sorted lowercase tokens — canonical shingle set. */
   private val tokSet = TextFunctions.tokenSetSorted(col("text"))
 
+  /** Distinct word-bigram shingles of `text` (order-aware 2-grams) and
+    * the DuckDB twin (operating on a `l` token-list alias) — the ONE
+    * parity-critical bigram expression, shared by q47 and q56. */
+  private[graft] val wordBigrams: org.apache.spark.sql.Column = {
+    val toks = split(trim(col("text")), "\\s+")
+    array_distinct(transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+  }
+  private[graft] val wordBigramsSql: String =
+    "list_distinct([l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])"
+  private[graft] val tokenListSql: String =
+    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
   /** q35's LSH candidate-pair graph (shared with q53's components). */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
@@ -150,11 +164,7 @@ object TextQueries {
     // n-gram variant of q36 (unigram sets ignore token order; bigrams
     // catch shared phrasing).
     "q47_bigram_jaccard" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val bigrams = array_sort(array_distinct(
-        transform(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          (x, i) => concat(x, lit(" "), element_at(toks, i + 2)))))
+      val bigrams = array_sort(wordBigrams)
       val d = docsSpread(s, dir).where(col("doc_id") % 4 === 1)
         .select(col("doc_id"), col("source"), bigrams.as("sh"), size(bigrams).as("ns"))
       d.as("a").join(d.as("b"), Seq("source"))
@@ -300,14 +310,11 @@ object TextQueries {
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 600
          ORDER BY id_a, id_b""",
     "q47_bigram_jaccard" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+      s"""WITH t AS (
+           SELECT doc_id, source, $tokenListSql AS l
            FROM documents WHERE doc_id % 4 = 1),
          d AS (
-           SELECT doc_id, source,
-             list_sort(list_distinct(
-               [l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])) AS sh
+           SELECT doc_id, source, list_sort($wordBigramsSql) AS sh
            FROM t)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(floor(1000 * len(list_intersect(a.sh, b.sh))
