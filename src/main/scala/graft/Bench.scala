@@ -28,8 +28,14 @@ object Bench {
     // is the standard robust statistic on a noisy shared host (observed
     // per-query noise here is 2-5x under co-tenant load).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val times = (1 to 3).map { _ =>
+      val warmSec = (System.nanoTime() - w0) / 1e9
+      // adaptive repeats: best-of-3 damps co-tenant noise on the fast
+      // majority; a query already slow in warmup gets one measured run
+      // so total bench wall-clock stays bounded under heavy host load
+      val nRuns = if (warmSec > 5) 1 else 3
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -145,11 +145,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // iterative plans MUST cut lineage every round with an EAGER local
+    // checkpoint: plain persist/unpersist chains proved unreliable here
+    // (dependent-cache eviction re-exposed the full lineage, making each
+    // round recompute everything before it — exponential blowup).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -158,26 +162,16 @@ object Dedup {
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
-        .persist()
+        .localCheckpoint(true)
       changed = updated.where(col("next") < col("comp")).count()
-      val old = labels
-      labels = updated.select(col("id"), col("next").as("comp")).persist()
-      // MATERIALIZE the new round's labels while its cached parent is
-      // still alive — only then drop the previous caches; otherwise the
-      // next round recomputes the whole lineage back to round 0.
-      labels.count()
-      old.unpersist(); updated.unpersist()
+      labels = updated.select(col("id"), col("next").as("comp"))
       i += 1
     }
     if (changed > 0)
       System.err.println(s"[dedup] connectedComponents: NOT converged after " +
         s"$maxIter rounds ($changed labels still changing) — component ids " +
         "beyond that radius are intermediate; raise maxIter")
-    // truncate lineage and hand back an un-cached result: the loop's
-    // caches are torn down here, not leaked to the caller
-    val out = labels.localCheckpoint(true)
-    labels.unpersist(); edges.unpersist()
-    out
+    labels
   }
 
   /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or

@@ -141,6 +141,9 @@ object SimilaritySearch {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("centroid"))
         .select(col("cell").as("cell_id"), col("centroid"))
+        // k tiny rows; eager checkpoint keeps the per-round lineage flat
+        // instead of nesting every previous round's plan
+        .localCheckpoint(true)
     }
     assigned.select("vec_id", "cell")
   }
