@@ -32,9 +32,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val warmSec = (System.nanoTime() - w0) / 1e9
       // adaptive repeats: best-of-3 damps co-tenant noise on the fast
-      // majority; a query already slow in warmup gets one measured run
-      // so total bench wall-clock stays bounded under heavy host load
-      val nRuns = if (warmSec > 5) 1 else 3
+      // majority; queries already slow in warmup drop to best-of-2 —
+      // still min-damped, but total bench wall-clock stays bounded
+      // under heavy host load (warmup includes codegen, so it only
+      // UNDER-counts repeats, never inflates them)
+      val nRuns = if (warmSec > 5) 2 else 3
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -52,7 +54,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries carry the -1 sentinel in the per-query map but must
+    // not SUBTRACT from the total (a broken query must never look fast)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -263,8 +263,11 @@ object SparkEntry {
       // contaminated-pair OUTPUT quadratic in clique size (1.1M rows
       // unsampled at sf0.1) — the sample keeps the benchmark measuring
       // the shingle-join design, not result materialization.
+      // single-row-group testdata => spread rows before the tokenizing
+      // explode (many-file production layouts parallelize natively)
       val d = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 4 === 2)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("split", mdSplit)
         .select(col("doc_id"), col("split"),
           explode(graft.queries.TextQueries.wordBigrams).as("sh"))
@@ -465,7 +468,7 @@ object SparkEntry {
            FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
       "q55_supplier_rollup" ->
         s"""SELECT n_name,
-           ${graft.queries.RelationalQueries.revenueCentsSql} AS revenue_cents,
+           ${graft.queries.RelationalQueries.revenueCentsSumSql} AS revenue_cents,
            count(DISTINCT s_suppkey) AS n_suppliers
            FROM lineitem
            JOIN supplier ON l_suppkey = s_suppkey
@@ -473,7 +476,7 @@ object SparkEntry {
            GROUP BY n_name ORDER BY n_name""",
       "q50_salted_rollup" ->
         s"""SELECT p_brand,
-           ${graft.queries.RelationalQueries.revenueCentsSql} AS revenue_cents,
+           ${graft.queries.RelationalQueries.revenueCentsSumSql} AS revenue_cents,
            count(*) AS n_items
            FROM lineitem JOIN part ON l_partkey = p_partkey
            GROUP BY p_brand ORDER BY p_brand""",

@@ -149,11 +149,16 @@ object Dedup {
     // checkpoint: plain persist/unpersist chains proved unreliable here
     // (dependent-cache eviction re-exposed the full lineage, making each
     // round recompute everything before it — exponential blowup).
+    // Local checkpoints trade executor-loss resilience for speed; a
+    // multi-hour cluster run would point `spark.sparkContext
+    // .setCheckpointDir` at reliable storage and use checkpoint()
+    // instead — the loop shape is unchanged.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
+    var prevCkpt = labels // blocks the CURRENT labels projection reads
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -162,8 +167,10 @@ object Dedup {
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materialized HERE, off the old blocks
       changed = updated.where(col("next") < col("comp")).count()
+      prevCkpt.unpersist() // the new checkpoint no longer needs round i-1
+      prevCkpt = updated
       labels = updated.select(col("id"), col("next").as("comp"))
       i += 1
     }
@@ -171,6 +178,7 @@ object Dedup {
       System.err.println(s"[dedup] connectedComponents: NOT converged after " +
         s"$maxIter rounds ($changed labels still changing) — component ids " +
         "beyond that radius are intermediate; raise maxIter")
+    edges.unpersist() // the result projection reads only the last checkpoint
     labels
   }
 

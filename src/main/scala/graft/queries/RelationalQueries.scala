@@ -27,7 +27,7 @@ object RelationalQueries {
     * its DuckDB twin. */
   private[graft] val revenueCents: org.apache.spark.sql.Column =
     floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
-  private[graft] val revenueCentsSql: String =
+  private[graft] val revenueCentsSumSql: String =
     "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -358,7 +358,7 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
-         ${revenueCentsSql} AS revenue_cents,
+         ${revenueCentsSumSql} AS revenue_cents,
          count(*) AS n_rows,
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -390,7 +390,7 @@ object RelationalQueries {
          c_mktsegment AS segment FROM customer ORDER BY customer_id""",
     "q06_rev_by_brand" ->
       s"""SELECT p_brand,
-         ${revenueCentsSql} AS revenue_cents,
+         ${revenueCentsSumSql} AS revenue_cents,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
