@@ -36,6 +36,35 @@ class EngineSpec extends AnyFunSuite {
     assert(decisions("Salt") == "resolved")
   }
 
+  test("end-to-end on the reference's own labeled corpus (fidelity)") {
+    // real canonical titles from the reference seed data, fed through
+    // the FULL pipeline (csv -> headers -> explode -> resolve)
+    val corpus = graft.sources.ExcelReader.readXlsx(
+      spark, "/root/reference/seed_data/Training Data + Matching IDs.xlsx", sheet = 1)
+    val Seq(titleCol, uidCol) = corpus.columns.take(2).toSeq
+    val refDict = corpus
+      .select(col(s"`$titleCol`").as("title"), col(s"`$uidCol`").as("ext_id"))
+      .where(col("title").isNotNull && col("ext_id").isNotNull)
+    val titles = refDict.select("title").as[String].collect()
+      .filter(t => !t.exists(";,\"\n".contains(_)) && t.trim.nonEmpty)
+      .take(25)
+    assert(titles.length == 25, "corpus too small for the fixture")
+    val dir = Files.createTempDirectory("graft-ref-e2e")
+    val p = dir.resolve("ref.csv")
+    Files.writeString(p,
+      "Company Name,Country,E-Mail,Street Address,City,Products Offered,Ingredient List,About\n" +
+        s"""RefCo,USA,r@ref.co,1 Ref Way,Reftown,"${titles.mkString("; ")}",,Reference corpus fixture\n""")
+    val r = Engine.processSubmission(spark, p.toString, refDict)
+    val n = r.resolved.count()
+    assert(n >= 25, s"explode lost items: $n")
+    val resolvedOrReview = r.resolved
+      .where(col("decision") =!= "rejected").count()
+    // the reference's own vocabulary must overwhelmingly match itself;
+    // normalizeOffering rewrites a small tail into review territory
+    assert(resolvedOrReview >= (n * 0.8).toLong,
+      s"only $resolvedOrReview of $n corpus titles matched their own dictionary")
+  }
+
   test("reviewQueue + pushPlan derive the downstream sets") {
     val r = Engine.processSubmission(spark, csvPath, dict)
     val (pending, dash) = Engine.reviewQueue(r, "m.csv")
