@@ -52,12 +52,19 @@ object Bench {
       // all-runs-failed -> explicit -1 sentinel, not a bogus duration
       name -> (if (times.min.isFinite) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only a bounded TAIL of stdout: the summary
+    // line must stay well under ~1.9 KB or its head gets truncated and
+    // the round's bench goes unparsed (this happened twice). Hence
+    // centisecond precision, a basename-only sf, and nothing nested.
+    def cs(v: Double): String = // locale-pinned: "0.50", never "0,50"
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel in the per-query map but must
     // not SUBTRACT from the total (a broken query must never look fast)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -77,8 +77,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)
         .orderBy("query_id", "rank")
     }),
-    // IVF (inverted-file) ANN: deterministic strided centroids, integer
-    // cosine assignment, probe-one-cell — hash-checked like q42.
+    // IVF (inverted-file) ANN: deterministic k-smallest-md5 centroid
+    // seeds, shuffle-free integer-cosine assignment against the inlined
+    // centroid set, probe-one-cell — hash-checked like q42.
     "q52_ivf_ann" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       SimilaritySearch.ivfTopK(
@@ -295,18 +296,27 @@ object SparkEntry {
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy("n_name")
     }),
-    // Exact distributed median (lower median by rank position — no
-    // approximate percentile, engine-independent under ties because the
-    // VALUE at the position is tie-invariant).
+    // Exact distributed median by distributed selection (no approximate
+    // percentile): aggregate a per-(lang, value) histogram first (one
+    // partial-agg shuffle; result size = distinct values per group, not
+    // rows), then find the value whose cumulative count brackets the
+    // median rank. The window runs over the HISTOGRAM — at 100 TB each
+    // group's window input is its value cardinality, never its row
+    // count, so no multi-TB single-task sort exists anywhere. The VALUE
+    // at rank (n+1)/2 is tie-invariant, so this equals the naive
+    // row_number formulation on any engine.
     "q57_exact_median" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .where(col("n_chars").isNotNull) // null sort position differs across engines
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-      d.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
+      val hist = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val byVal = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("n_chars")
+      hist
+        .withColumn("cum", sum(col("cnt")).over(byVal))
+        .withColumn("n", sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-        .where(col("rn") === expr("(n + 1) div 2"))
+        .where(col("cum") - col("cnt") < expr("(n + 1) div 2")
+          && expr("(n + 1) div 2") <= col("cum"))
         .select(col("lang"), col("n").as("n_docs"),
           col("n_chars").as("median_chars"))
         .orderBy("lang")
@@ -366,12 +376,9 @@ object SparkEntry {
         val quant = graft.queries.VectorQueries.quant
         def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
         s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
-           st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
-           rc AS (SELECT vec_id, q,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM e),
            cents AS (
-             SELECT vec_id AS cell_id, q AS centroid FROM rc, st
-             WHERE (rn - 1) % stride = 0 AND rn <= 15 * stride + 1),
+             SELECT vec_id AS cell_id, q AS centroid FROM e
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
            casgn AS (
              SELECT * FROM (
                SELECT e.vec_id AS neighbor_id, e.q AS cv, cents.cell_id,
@@ -405,11 +412,8 @@ object SparkEntry {
                    ${cossq("e.q", s"$cents.centroid")} DESC, $cents.cell) AS r
                FROM e CROSS JOIN $cents) WHERE r = 1)"""
         s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
-           st AS (SELECT greatest(count(*) // 8, 1) AS stride FROM e),
-           rc AS (SELECT vec_id, q,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM e),
-           c0 AS (SELECT vec_id AS cell, q AS centroid FROM rc, st
-                  WHERE (rn - 1) % stride = 0 AND rn <= 7 * stride + 1),
+           c0 AS (SELECT vec_id AS cell, q AS centroid FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
            ${assign("a1", "c0")},
            c1 AS (
              SELECT cell, list(m ORDER BY d) AS centroid FROM (
@@ -438,13 +442,18 @@ object SparkEntry {
                ELSE floor((63 * 4294967296) / (vk + 1)) END AS BIGINT) AS kmv_users
            FROM st ORDER BY event_type""",
       "q57_exact_median" ->
-        """WITH r AS (
-             SELECT lang, n_chars, doc_id,
-               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-               count(*) OVER (PARTITION BY lang) AS n
-             FROM documents WHERE n_chars IS NOT NULL)
-           SELECT lang, n AS n_docs, n_chars AS median_chars
-           FROM r WHERE rn = (n + 1) // 2 ORDER BY lang""",
+        """WITH h AS (
+             SELECT lang, n_chars, count(*) AS cnt
+             FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+           r AS (
+             SELECT lang, n_chars, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS n
+             FROM h)
+           SELECT lang, CAST(n AS BIGINT) AS n_docs, n_chars AS median_chars
+           FROM r WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+           ORDER BY lang""",
       "q56_decontam_overlap" ->
         s"""WITH t AS (
              SELECT doc_id,

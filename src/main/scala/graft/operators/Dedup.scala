@@ -52,10 +52,19 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: band the signature into `bands` groups
     * of `rowsPerBand` hashes; docs sharing any band string are
-    * candidates. Output: (id_a, id_b) with id_a < id_b, distinct. */
+    * candidates. Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Hot-bucket guard (MMDS ch.3): a degenerate band bucket (boiler-
+    * plate or mass-duplicated docs collapsing onto one signature) makes
+    * the within-bucket join O(|bucket|²) in work AND output. Buckets
+    * larger than `maxBucket` are star-reduced: each member pairs with
+    * the bucket's min id only — O(|bucket|) pairs with the identical
+    * transitive closure (a star and a clique have the same connected
+    * components), so downstream `connectedComponents` grouping is
+    * unaffected; only redundant in-clique candidate edges are elided. */
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
     // one scan: all band signatures in an array, posexploded to
     // (band_no, band_sig) rows — not a per-band union of re-scans.
     val byBand = df.select(
@@ -64,11 +73,19 @@ object Dedup {
         TextFunctions.minhashBand(
           col(textCol), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
       }: _*)).as(Seq("band_no", "band_sig")))
-    val l = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_a"))
-    val r = byBand.select(col("band_no"), col("band_sig"), col("__id").as("id_b"))
-    l.join(r, Seq("band_no", "band_sig"))
+    val bucket = Window.partitionBy("band_no", "band_sig")
+    val st = byBand
+      .withColumn("bsz", count(lit(1)).over(bucket))
+      .withColumn("bmin", min(col("__id")).over(bucket))
+    val small = st.where(col("bsz") <= maxBucket)
+    val smallPairs = small.select(col("band_no"), col("band_sig"), col("__id").as("id_a"))
+      .join(small.select(col("band_no"), col("band_sig"), col("__id").as("id_b")),
+        Seq("band_no", "band_sig"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val starPairs = st.where(col("bsz") > maxBucket && col("__id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("__id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** SimHash dedup: docs bucketed by `bits`-bit SimHash; survivors keep
@@ -107,26 +124,47 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram (token-shingle) Jaccard near-dup pairs via shared-shingle
-    * blocking. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed by counting
-    * matched distinct shingles per pair — one shuffle on shingle, one on
-    * pair. Returns (id_a, id_b, jac_mills) with jac_mills = floor(1000·J). */
+  /** n-gram (token-shingle) Jaccard near-dup pairs via a PPJoin-style
+    * prefix-filtered shingle join (Bayardo et al. 2007, "Scaling Up All
+    * Pairs Similarity Search"; Chaudhuri et al. 2006, SSJoin).
+    *
+    * A pair with J >= t must share one of each side's
+    * (|x| - ceil(t·|x|) + 1) globally-RAREST shingles (prefix-filter
+    * theorem, shingles ordered by corpus document frequency), so the
+    * candidate join runs on prefix shingles only — a stopword shingle
+    * never becomes a join key because frequent shingles sort out of
+    * every prefix. Candidates are then verified with an exact sorted-
+    * array intersection. Lossless at any threshold (unlike a frequency
+    * cap); for thresholds below ~0.3 the prefix covers most of each
+    * set and a plain counting join does the same work.
+    * Returns (id_a, id_b, jac_mills), jac_mills = floor(1000·J) >=
+    * `minJaccardMills`. */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       minJaccardMills: Int = 500): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("__id"),
-      explode(TextFunctions.tokenSetSorted(col(textCol))).as("shingle"))
-    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("n"))
-    val pairs = toks.select(col("shingle"), col("__id").as("id_a"))
-      .join(toks.select(col("shingle"), col("__id").as("id_b")), "shingle")
+    val d = df.select(col(idCol).as("__id"),
+      TextFunctions.tokenSetSorted(col(textCol)).as("toks"))
+    val toks = d.select(col("__id"), explode(col("toks")).as("shingle"))
+    val dfreq = toks.groupBy("shingle").agg(count(lit(1)).as("gdf"))
+    val byDoc = Window.partitionBy("__id").orderBy("gdf", "shingle")
+    val prefix = toks.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(byDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("__id")))
+      .where(col("rnk") <=
+        col("sz") - ceil(col("sz") * minJaccardMills / lit(1000.0)) + 1)
+      .select("shingle", "__id")
+    val cand = prefix.select(col("shingle"), col("__id").as("id_a"))
+      .join(prefix.select(col("shingle"), col("__id").as("id_b")), "shingle")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(d.select(col("__id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(d.select(col("__id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("common",
+        graft.functions.ArrayOps.sortedIntersectSize(col("ta"), col("tb")))
       .withColumn("jac_mills",
-        floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
+        floor(lit(1000) * col("common")
+          / (size(col("ta")) + size(col("tb")) - col("common"))).cast("long"))
       .where(col("jac_mills") >= minJaccardMills)
       .select("id_a", "id_b", "jac_mills")
   }

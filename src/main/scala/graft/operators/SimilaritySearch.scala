@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * pre-bucketed (one shuffle, reusable across queries), queries probe
   * only their own bucket (and optionally Hamming-1 neighbors), so the
   * per-query cost drops from O(N) to O(N / 2^bits) at a measured recall
-  * trade-off. An IVF variant can swap the bucketer for k-means cells
+  * trade-off. An IVF variant swaps the bucketer for k-means cells
   * without changing the probe/join shape.
   */
 object SimilaritySearch {
@@ -49,44 +49,57 @@ object SimilaritySearch {
       }
     }
 
-  /** The first `k` every-stride(=max(N/k,1)) rows by id, as centroid
-    * seeds — deterministic (no RNG), computed fully inside the plan (no
-    * separate count action), and a rank PREDICATE rather than a limit:
-    * row-order after a filter is engine-defined, rank is not. Shared by
-    * the IVF quantizer and k-means init so the two cannot drift. */
-  private def stridedCentroids(
-      c: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
-    c.withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-      .withColumn("__stride",
-        greatest(count(lit(1)).over(Window.partitionBy()) / k, lit(1))
-          .cast("long"))
-      .where((col("__rn") - 1) % col("__stride") === 0
-        && col("__rn") <= (col("__stride") * (k - 1)) + 1)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+  /** The k corpus rows with the smallest md5(id), as centroid seeds —
+    * deterministic (no RNG, md5 is unique per id so there are no ties)
+    * and scale-safe: orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition top-k, then a k·P-row merge) — no global sort, no
+    * single-partition exchange, unlike a row_number over an unpartitioned
+    * window. The k rows are collected: k is the IVF cell count (tens to
+    * a few thousand), the canonical inline-the-small-side case — the
+    * centroid table then rides into every task as a plan literal instead
+    * of a per-task join. Shared by the IVF quantizer and k-means init so
+    * the two cannot drift. */
+  private def seedCentroids(
+      c: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Long, Seq[Long])] =
+    c.orderBy(md5(col(idCol).cast("string")))
+      .limit(k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
 
-  /** Argmax-cosine cell assignment against a broadcast centroid set
-    * (ties to the lowest cell id); keeps the `probes` best cells. */
-  private def assignCells(df: DataFrame, vec: String, cents: DataFrame,
+  /** Centroid set as a literal array<struct<cell_id, centroid>> column. */
+  private def centroidLit(cents: Array[(Long, Seq[Long])]) =
+    array(cents.map { case (id, v) =>
+      struct(lit(id).as("cell_id"), array(v.map(lit(_)): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+
+  /** Argmax-cosine cell assignment against the inlined centroid set
+    * (ties to the lowest cell id); keeps the `probes` best cells.
+    * A pure projection: per row, score the k literal centroids, sort the
+    * k-element struct array (sim desc, cell asc), keep the head — no
+    * join, no shuffle, no window; the whole assignment stays inside
+    * whole-stage codegen alongside the scan. */
+  private def assignCells(df: DataFrame, vec: String, cents: Array[(Long, Seq[Long])],
       outCol: String, probes: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(cents))
-      .withColumn("__sim", VectorFunctions.cosineSqScaledQ(col(vec), col("centroid")))
-    val w = Window.partitionBy(df.columns.toIndexedSeq.map(col): _*)
-      .orderBy(col("__sim").desc, col("cell_id"))
-    scored.withColumn("__r", row_number().over(w))
-      .where(col("__r") <= probes)
-      .withColumn(outCol, col("cell_id"))
-      .drop("cell_id", "centroid", "__sim", "__r")
+    val cands = sort_array(transform(centroidLit(cents), c =>
+      struct(
+        (-VectorFunctions.cosineSqScaledQ(col(vec), c.getField("centroid"))).as("neg_sim"),
+        c.getField("cell_id").as("cell_id"))))
+    df.withColumn("__c", explode(slice(cands, 1, probes)))
+      .withColumn(outCol, col("__c").getField("cell_id"))
+      .drop("__c")
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * partitions the corpus; queries probe only their nearest cell(s).
     *
-    * Centroid selection is deterministic (strided seed via
-    * `stridedCentroids`); `kmeansAssignments` runs Lloyd iterations
-    * over the same DataFrame shape to train better centroids. Corpus
-    * assignment is one crossJoin with the broadcast centroid set (k
-    * small) + argmax — the reusable "index build" shuffle; each query
-    * then touches ~N/nCells corpus rows instead of N. */
+    * Centroid selection is deterministic (k-smallest-md5 seeds via
+    * `seedCentroids`); `kmeansAssignments` runs Lloyd iterations over
+    * the same assignment kernel to train better centroids. Corpus
+    * assignment is a shuffle-free projection against the inlined
+    * centroid set — the reusable "index build"; each query then touches
+    * ~N/nCells corpus rows instead of N. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
@@ -96,7 +109,7 @@ object SimilaritySearch {
       VectorFunctions.quantize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(col(vecCol)).as("cv"))
-    val cents = stridedCentroids(c, "neighbor_id", "cv", nCells)
+    val cents = seedCentroids(c, "neighbor_id", "cv", nCells)
 
     val cAssigned = assignCells(c, "cv", cents, "cell", probes = 1)
     val qAssigned = assignCells(q, "qv", cents, "cell", probes = nProbe)
@@ -111,14 +124,16 @@ object SimilaritySearch {
   }
 
   /** Deterministic distributed k-means over quantized vectors — the
-    * Lloyd iterations the IVF coarse quantizer's doc promises: strided
-    * init (no RNG), integer-cosine assignment (argmax, ties to the
-    * lowest cell id), centroids recomputed as element-wise
+    * Lloyd iterations the IVF coarse quantizer's doc promises:
+    * k-smallest-md5 init (no RNG), integer-cosine assignment (argmax,
+    * ties to the lowest cell id), centroids recomputed as element-wise
     * floor-averaged integers — every step exact, so any engine
-    * reproduces the identical assignment. Per iteration: one broadcast
-    * of k centroids + one shuffle on (cell, dim); the corpus itself
-    * never reshuffles. Returns (vec_id, cell) after `iters`
-    * assignment rounds (centroids update between rounds). */
+    * reproduces the identical assignment. Per iteration: one pass over
+    * the corpus (assignment is a projection against the inlined
+    * centroids) + one (cell, dim)-keyed partial-agg shuffle whose
+    * result is k·dim rows, collected and re-inlined for the next round
+    * — the corpus itself never shuffles. Returns (vec_id, cell) after
+    * `iters` assignment rounds (centroids update between rounds). */
   def kmeansAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2): DataFrame = {
@@ -128,22 +143,25 @@ object SimilaritySearch {
     // long-lived production index build would persist `c` across rounds.
     val c = corpus.select(col(idCol).as("vec_id"),
       VectorFunctions.quantize(col(vecCol)).as("q"))
-    var cents = stridedCentroids(c, "vec_id", "q", k)
+    var cents = seedCentroids(c, "vec_id", "q", k)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       assigned = assignCells(c, "q", cents, "cell", probes = 1)
-      if (i < iters) cents = assigned
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
-        .groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-        .select(col("cell").as("cell_id"), col("centroid"))
-        // k tiny rows; eager checkpoint keeps the per-round lineage flat
-        // instead of nesting every previous round's plan
-        .localCheckpoint(true)
+      if (i < iters) {
+        // partial (map-side) sums per (cell, dim) → k·dim tiny rows on
+        // the driver; empty cells simply disappear (same as before).
+        cents = assigned
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          }
+          .toArray
+          .sortBy(_._1)
+      }
     }
     assigned.select("vec_id", "cell")
   }

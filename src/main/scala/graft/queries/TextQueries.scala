@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked document/text-pipeline queries over `documents`:
@@ -33,17 +34,39 @@ object TextQueries {
     * the DuckDB twin (operating on a `l` token-list alias) — the ONE
     * parity-critical bigram expression, shared by q47 and q56. */
   private[graft] val wordBigrams: org.apache.spark.sql.Column = {
+    // zip the token list against its own 1-shifted slice: the lambda
+    // sees only its two zipped elements. (The earlier formulation read
+    // `element_at(toks, i + 2)` INSIDE the transform lambda, which
+    // re-evaluates the whole split() per element — O(n²) per document;
+    // that single expression was ~3 s of q47 at sf0.1.)
     val toks = split(trim(col("text")), "\\s+")
-    array_distinct(transform(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    array_distinct(zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b)))
   }
   private[graft] val wordBigramsSql: String =
     "list_distinct([l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])"
   private[graft] val tokenListSql: String =
     "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
 
-  /** q35's LSH candidate-pair graph (shared with q53's components). */
+  /** q35's bucket cap: band buckets larger than this are star-reduced.
+    * 32 is small enough that the star path is exercised (and so oracle-
+    * verified) at sf0.01, where the hottest bucket holds ~50 docs. */
+  private[graft] val LshBucketCap = 32
+
+  /** q35's LSH candidate-pair graph (shared with q53's components).
+    *
+    * Hot-bucket guard (MMDS ch.3): a degenerate band bucket — boiler-
+    * plate or heavily duplicated docs sharing one band signature — makes
+    * the within-bucket join O(|bucket|²) in both work and OUTPUT (at
+    * sf0.1 two buckets of 532 and 461 docs carried 95% of the join).
+    * Buckets over `LshBucketCap` are star-reduced instead: each member
+    * pairs with the bucket's min doc_id only — O(|bucket|) pairs whose
+    * transitive closure is the same (a star and a clique have identical
+    * connected components), so q53's dedup groups are unchanged while
+    * the candidate graph stays linear in the corpus. The cap is part of
+    * the query's contract and is encoded in the DuckDB twin. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
     val byBand = d.select(
@@ -52,11 +75,17 @@ object TextQueries {
         TextFunctions.minhashBand(col("text"), 0 until 4),
         TextFunctions.minhashBand(col("text"), 4 until 8)))
         .as(Seq("band_no", "sig")))
-    byBand.as("a")
-      .join(byBand.as("b"), Seq("band_no", "sig"))
+    val bucket = Window.partitionBy("band_no", "sig")
+    val st = byBand
+      .withColumn("bsz", count(lit(1)).over(bucket))
+      .withColumn("bmin", min(col("doc_id")).over(bucket))
+    val small = st.where(col("bsz") <= LshBucketCap)
+    val smallPairs = small.as("a").join(small.as("b"), Seq("band_no", "sig"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val starPairs = st.where(col("bsz") > LshBucketCap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("doc_id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,47 +167,71 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Token-set Jaccard near-dup pairs, blocked by source (same-block
-    // pairs only — the blocking key stands in for any coarse partitioner).
+    // Token-set Jaccard near-dup pairs within the `source` block, found
+    // by a PPJoin-style prefix-filtered shingle join (Bayardo et al.
+    // 2007, "Scaling Up All Pairs Similarity Search"; Chaudhuri et al.
+    // 2006, SSJoin): a pair with J >= 0.6 must share one of each side's
+    // (|x| - ceil(0.6|x|) + 1) globally-RAREST shingles, so candidates
+    // come from an equi-join on prefix shingles + the block key — work
+    // tracks rare-shingle collision mass, never the block×block pair
+    // space — then exact sorted-array verification on candidates only.
+    // Row-identical to the naive all-pairs formulation (the oracle) by
+    // the prefix-filter theorem.
     "q36_jaccard_pairs" -> ((s, dir) => {
       val d = docsSpread(s, dir).where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("source"), tokSet.as("toks"), size(tokSet).as("nt"))
-      d.as("a").join(d.as("b"), Seq("source"))
+        .select(col("doc_id"), col("source"), tokSet.as("toks"))
+      val toks = d.select(col("doc_id"), col("source"), explode(col("toks")).as("sh"))
+      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("gdf"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("gdf", "sh")
+      val prefix = toks.join(dfreq, "sh")
+        .withColumn("rnk", row_number().over(byDoc))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .where(col("rnk") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+        .select("sh", "source", "doc_id")
+      val cand = prefix.as("a").join(prefix.as("b"), Seq("sh", "source"))
         .where(col("a.doc_id") < col("b.doc_id"))
-        // lossless size prefilter: J <= min/max, so 1000*min < 600*max
-        // can never reach jac_mills >= 600 — skips the O(|A|+|B|)
-        // intersection for the vast majority of blocked pairs.
-        .where(least(col("a.nt"), col("b.nt")) * 1000
-          >= greatest(col("a.nt"), col("b.nt")) * 600)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
         .withColumn("common",
-          graft.functions.ArrayOps.sortedIntersectSize(col("a.toks"), col("b.toks")))
+          graft.functions.ArrayOps.sortedIntersectSize(col("ta"), col("tb")))
         .withColumn("jac_mills",
           floor(lit(1000) * col("common")
-            / (size(col("a.toks")) + size(col("b.toks")) - col("common"))).cast("long"))
+            / (size(col("ta")) + size(col("tb")) - col("common"))).cast("long"))
         .where(col("jac_mills") >= 600)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
+        .select("id_a", "id_b", "jac_mills")
         .orderBy("id_a", "id_b")
     }),
 
     // Word-bigram (2-gram shingle) Jaccard near-dup — the order-aware
     // n-gram variant of q36 (unigram sets ignore token order; bigrams
-    // catch shared phrasing).
+    // catch shared phrasing). The 0.06 threshold defeats prefix
+    // filtering (the prefix would be ~94% of each set), so this uses
+    // the shared-shingle COUNTING join (MMDS ch.3): explode distinct
+    // bigrams, equi-join on (bigram, block), count collisions per pair
+    // = |A∩B| exactly, then a sizes join for the Jaccard denominator.
+    // Work tracks bigram collision mass (per-source bigram df maxes at
+    // 28 on this corpus — no hot key); the block×block pair space is
+    // never formed. Row-identical to the naive all-pairs oracle.
     "q47_bigram_jaccard" -> ((s, dir) => {
-      val bigrams = array_sort(wordBigrams)
       val d = docsSpread(s, dir).where(col("doc_id") % 4 === 1)
-        .select(col("doc_id"), col("source"), bigrams.as("sh"), size(bigrams).as("ns"))
-      d.as("a").join(d.as("b"), Seq("source"))
+        .select(col("doc_id"), col("source"), wordBigrams.as("sh"))
+      val sizes = d.select(col("doc_id"), size(col("sh")).as("ns"))
+      val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("shg"))
+      val common = ex.as("a").join(ex.as("b"), Seq("shg", "source"))
         .where(col("a.doc_id") < col("b.doc_id"))
-        // lossless size prefilter (J <= min/max; threshold 0.06)
-        .where(least(col("a.ns"), col("b.ns")) * 1000
-          >= greatest(col("a.ns"), col("b.ns")) * 60)
-        .withColumn("common",
-          graft.functions.ArrayOps.sortedIntersectSize(col("a.sh"), col("b.sh")))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
         .withColumn("jac_mills",
           floor(lit(1000) * col("common")
-            / (size(col("a.sh")) + size(col("b.sh")) - col("common"))).cast("long"))
+            / (col("na") + col("nb") - col("common"))).cast("long"))
         .where(col("jac_mills") >= 60)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jac_mills"))
+        .select("id_a", "id_b", "jac_mills")
         .orderBy("id_a", "id_b")
     }))
 
@@ -204,10 +257,21 @@ object TextQueries {
          UNION ALL
          SELECT doc_id, 1 AS band_no,
            mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS sig_s FROM sig),
+       bstat AS (
+         SELECT doc_id, band_no, sig_s,
+           count(*) OVER (PARTITION BY band_no, sig_s) AS bsz,
+           min(doc_id) OVER (PARTITION BY band_no, sig_s) AS bmin
+         FROM bands),
        pairs AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
-           ON a.band_no = b.band_no AND a.sig_s = b.sig_s AND a.doc_id < b.doc_id)"""
+         SELECT DISTINCT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bstat a JOIN bstat b
+             ON a.band_no = b.band_no AND a.sig_s = b.sig_s
+             AND a.doc_id < b.doc_id
+           WHERE a.bsz <= $LshBucketCap
+           UNION ALL
+           SELECT bmin AS id_a, doc_id AS id_b FROM bstat
+           WHERE bsz > $LshBucketCap AND doc_id <> bmin))"""
   }
 
   val oracle: Map[String, String] = Map(

@@ -102,11 +102,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(logDir))
   }
 
-  test("q36: jaccard verification runs behind the lossless size prefilter") {
+  test("q36: candidates come from the prefix-shingle join; verify is exact") {
     val p = plan("q36_jaccard_pairs")
-    // the prefilter is part of the join condition, evaluated before the
-    // sorted-intersect kernel ever runs
+    // the sorted-intersect kernel runs only on candidate pairs produced
+    // by the prefix-filtered shingle equi-join — never on a block×block
+    // pair space (no nested-loop/cartesian join anywhere in the plan)
     assert(p.contains("sortedintersectsize") || p.contains("SortedIntersectSize"))
-    assert(p.contains("least") && p.contains("greatest"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q52/q58: no single-partition exchange (seeding is per-partition top-k)") {
+    // the centroid seeds are the k smallest md5(id) rows via
+    // TakeOrderedAndProject — a global Window.orderBy would instead
+    // funnel the whole corpus through one task (Exchange SinglePartition)
+    Seq("q52_ivf_ann", "q58_kmeans_assign").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q plans a single-partition exchange")
+    }
+  }
+
+  test("q35: oversized LSH band buckets are star-reduced, not self-joined") {
+    // the capped plan carries the bucket-size window count and the
+    // bmin star column; output stays linear in degenerate buckets
+    val p = plan("q35_lsh_pairs")
+    assert(p.contains("bsz") && p.contains("bmin"), p.take(2000))
   }
 }
