@@ -43,9 +43,16 @@ object Engine {
       thresholds: EntityResolution.Thresholds = EntityResolution.Thresholds(),
       blocked: Boolean = false): SubmissionResult = {
     val raw =
-      if (path.endsWith(".xlsx") || path.endsWith(".xls"))
+      if (path.endsWith(".xlsx") || path.endsWith(".xls")) {
+        // legacy BIFF .xls is an OLE2 compound file, not a zip: reject
+        // it with a typed error instead of letting the xlsx container
+        // parser fail obscurely (the reference reads both via pandas,
+        // app/etl.py:612-632; BIFF has no zero-dependency reader here)
+        if (Ingest.isLegacyBiff(path))
+          throw Ingest.UnsupportedFormat(path,
+            "legacy BIFF .xls workbook — re-export as .xlsx or .csv")
         ExcelReader.readXlsx(spark, path)
-      else Ingest.readCsv(spark, path)
+      } else Ingest.readCsv(spark, path)
 
     val mapping = HeaderMapper.mapHeaders(raw.columns.toIndexedSeq)
     require(mapping.missingRequired.isEmpty,

@@ -4,10 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** F1 — `normalizeOffering`: the reference's item-text normalization
-  * (reference `app/etl.py:767-883`): collapse whitespace, rewrite known
-  * variants (vit c → Vitamin C, …), strip punctuation except `-./()`,
-  * then title-case with stop-words lowered and hyphen/dot parts
-  * capitalized.
+  * (reference `app/etl.py:767-883`): collapse whitespace, rewrite the
+  * full variant table (vit c → Vitamin C, B. lactis → Bifidobacterium
+  * lactis, …), strip the reference's punctuation set (quotes, commas,
+  * brackets — keeping `-.()&`), then title-case with stop-words lowered
+  * and hyphen/dot parts capitalized.
   *
   * Expressed as a codegen-friendly chain of `regexp_replace` plus one
   * higher-order-function title-caser — no UDF. The variant table is
@@ -17,22 +18,51 @@ import org.apache.spark.sql.functions._
   */
 object OfferingText {
 
-  /** lowercase-form -> canonical replacement (reference's variant map,
-    * representative subset; data not code). */
+  /** pattern -> canonical replacement — the reference's full variant
+    * table (`app/etl.py:790-832`), applied in order, case-insensitive.
+    * Data not code: swap per deployment. */
   val Variants: Seq[(String, String)] = Seq(
-    "\\bvit\\.?\\s*c\\b" -> "Vitamin C",
-    "\\bvit\\.?\\s*d\\b" -> "Vitamin D",
-    "\\bvit\\.?\\s*b\\s*12\\b" -> "Vitamin B12",
-    "\\bb\\.\\s*adolescentis\\b" -> "Bifidobacterium adolescentis",
-    "\\bl\\.\\s*acidophilus\\b" -> "Lactobacillus acidophilus",
+    // vitamin variants
+    "\\bvit\\s+c\\b" -> "Vitamin C",
+    "\\bvit\\s+d\\b" -> "Vitamin D",
+    "\\bvit\\s+b\\b" -> "Vitamin B",
+    "\\bvit\\s+e\\b" -> "Vitamin E",
+    "\\bvit\\s+a\\b" -> "Vitamin A",
+    "\\bvit\\s+k\\b" -> "Vitamin K",
+    // common abbreviations
+    "\\bprobiotics?\\b" -> "Probiotics",
+    "\\bprebiotics?\\b" -> "Prebiotics",
     "\\bomega\\s*3\\b" -> "Omega-3",
+    "\\bomega\\s*6\\b" -> "Omega-6",
+    "\\bomega\\s*9\\b" -> "Omega-9",
+    "\\bcoq10\\b" -> "CoQ10",
     "\\bco\\s*q\\s*10\\b" -> "CoQ10",
-    "\\bgluten\\s*-?\\s*free\\b" -> "Gluten-Free",
-    "\\bnon\\s*-?\\s*gmo\\b" -> "Non-GMO")
+    // scientific name expansions
+    "\\bB\\.\\s*adolescentis\\b" -> "Bifidobacterium adolescentis",
+    "\\bB\\.\\s*lactis\\b" -> "Bifidobacterium lactis",
+    "\\bB\\.\\s*bifidum\\b" -> "Bifidobacterium bifidum",
+    "\\bL\\.\\s*acidophilus\\b" -> "Lactobacillus acidophilus",
+    "\\bL\\.\\s*rhamnosus\\b" -> "Lactobacillus rhamnosus",
+    "\\bL\\.\\s*casei\\b" -> "Lactobacillus casei",
+    "\\bS\\.\\s*boulardii\\b" -> "Saccharomyces boulardii",
+    "\\bS\\.\\s*cerevisiae\\b" -> "Saccharomyces cerevisiae",
+    // common ingredient variants
+    "\\bstevia\\b" -> "Stevia",
+    "\\bmonk\\s*fruit\\b" -> "Monk Fruit",
+    "\\bmonkfruit\\b" -> "Monk Fruit",
+    "\\bchicory\\s*root\\b" -> "Chicory Root",
+    "\\binulin\\b" -> "Inulin",
+    "\\bpectin\\b" -> "Pectin",
+    "\\bguar\\s*gum\\b" -> "Guar Gum",
+    "\\bxanthan\\s*gum\\b" -> "Xanthan Gum",
+    "\\bcarrageenan\\b" -> "Carrageenan",
+    "\\bagar\\b" -> "Agar",
+    "\\bgelatin\\b" -> "Gelatin",
+    "\\bgelatine\\b" -> "Gelatin")
 
+  /** The reference's lowercase-unless-first word list (`app/etl.py:853`). */
   val StopWords: Set[String] =
-    Set("a", "an", "and", "as", "at", "by", "for", "in", "of", "on",
-      "or", "the", "to", "with")
+    Set("and", "or", "of", "the", "in", "on", "at", "to", "for", "with", "by")
 
   /** Collapse runs of whitespace, trim. */
   def collapseWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
@@ -43,9 +73,12 @@ object OfferingText {
       regexp_replace(acc, "(?i)" + pat, repl)
     }
 
-  /** Strip punctuation except word-internal `- . ( )`. */
+  /** Strip the reference's punctuation set (`app/etl.py:838`): commas,
+    * semicolons, bangs, question marks, quotes, brackets, braces —
+    * PRESERVING hyphens, periods, parentheses, ampersands and other
+    * notation scientific/brand names rely on. */
   def stripPunct(c: Column): Column =
-    collapseWs(regexp_replace(c, "[^\\p{L}\\p{N}\\s\\-.()]", ""))
+    collapseWs(regexp_replace(c, "[,;!?'\"“”\\[\\]{}]", ""))
 
   /** Title-case with stop-word lowering; first word always capitalized;
     * hyphen/dot-separated sub-parts each capitalized. */

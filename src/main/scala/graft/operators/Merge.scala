@@ -66,6 +66,18 @@ object Merge {
       .withColumn("ext_id", concat(lit(idPrefix), md5(col("__k"))))
       .select("title", "ext_id")
 
+  /** Mutation preview (reference `app/routes.py:871-1040`): the first
+    * `n` rows of the would-be upsert — reconcile's insert/update branch
+    * ordered by the natural key — so a reviewer inspects exactly what
+    * the push sink would send before any external call happens.
+    * Deterministic (key-ordered TakeOrdered, not engine row order); the
+    * full reconcile plan is untouched. */
+  def pushPreview(reconciled: DataFrame, keys: Seq[String], n: Int = 5): DataFrame =
+    reconciled
+      .where(col("action").isin("insert", "update"))
+      .orderBy(keys.map(col): _*)
+      .limit(n)
+
   /** External-push sink shape: per-partition delivery with categorized
     * retry/backoff (F14/F15). `send` is the boundary adapter (HTTP,
     * queue, …) — everything else stays set-oriented. Retries are

@@ -15,22 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Offerings {
 
-  /** service column -> (offering title, offering uid). */
+  /** service column -> (offering title, offering uid) — the reference's
+    * full 18-field table plus the products→Manufacturing rule
+    * (`app/etl.py:224-321`, `1149-1182`); uids are its fallback ids.
+    * Several source fields share one offering (both packaging fields →
+    * Packaging; the four facility fields → Spaces) — the uid-level
+    * dedupe below collapses them per member. */
   val DefaultMapping: Map[String, (String, String)] = Map(
-    "manufacturingServices" -> ("Manufacturing", "OFF-MFG"),
-    "logisticalServices" -> ("Logistics", "OFF-LOG"),
-    "labServices" -> ("Lab Services", "OFF-LAB"),
-    "startupFriendlyServices" -> ("Startup Friendly", "OFF-STARTUP"),
-    "suppliedPackaging" -> ("Packaging", "OFF-PKG"),
-    "deliveredIn" -> ("Delivery", "OFF-DELIV"),
-    "designServices" -> ("Design", "OFF-DESIGN"),
-    "legalServices" -> ("Legal", "OFF-LEGAL"),
-    "marketingServices" -> ("Marketing", "OFF-MKT"),
-    "regulatoryServices" -> ("Regulatory", "OFF-REG"),
-    "consultingServices" -> ("Consulting", "OFF-CONSULT"),
-    "facilityDetails" -> ("Facilities", "OFF-FAC"),
-    "suppliedEquipment" -> ("Equipment", "OFF-EQUIP"),
-    "products" -> ("Manufacturing", "OFF-MFG"))
+    "designServices" -> ("Design", "0x19f191"),
+    "suppliedEquipment" -> ("Equipment", "0x494de"),
+    "facilityEquipment" -> ("Equipment", "0x494de"),
+    "ingredients" -> ("Ingredients", "0x2626b4"),
+    "laboratoryServices" -> ("Laboratory", "0x928dd"),
+    "legalServices" -> ("Legal", "0x2192be"),
+    "logisticalServices" -> ("Logistics", "0x200c34"),
+    "marketingServices" -> ("Marketing", "0x30e3a"),
+    "deliveredIn" -> ("Packaging", "0x928dc"),
+    "suppliedPackaging" -> ("Packaging", "0x928dc"),
+    "regulatoryServices" -> ("Regulatory", "0x7a21e"),
+    "facilityDetails" -> ("Spaces", "0x19f18f"),
+    "typeOfSpace" -> ("Spaces", "0x19f18f"),
+    "typeOfAgreement" -> ("Spaces", "0x19f18f"),
+    "facilityAmenities" -> ("Spaces", "0x19f18f"),
+    "manufacturingServices" -> ("Manufacturing", "0x2c411f"),
+    "startupFriendlyServices" -> ("R&D", "0x19f192"),
+    "consultingServices" -> ("Consulting", "0x2aba6c"),
+    "products" -> ("Manufacturing", "0x2c411f"))
 
   private def nonEmpty(c: Column): Column =
     c.isNotNull && length(trim(c)) > 0 &&

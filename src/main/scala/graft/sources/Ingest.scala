@@ -21,6 +21,45 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
+  /** Typed ingest rejection — callers can branch on it instead of
+    * pattern-matching a parser's internal crash message. */
+  final case class UnsupportedFormat(path: String, detail: String)
+      extends RuntimeException(s"$path: $detail")
+
+  /** P11: the reference's upload whitelist (`app/routes.py:41-42`). */
+  val AllowedExtensions: Set[String] = Set("csv", "xlsx", "xls")
+
+  /** P11: extension whitelist — mirrors `allowed_file`. */
+  def allowedFile(filename: String): Boolean =
+    filename.contains(".") &&
+      AllowedExtensions.contains(filename.split("\\.").last.toLowerCase)
+
+  /** P11: path-traversal guard — the resolved path must stay inside the
+    * upload directory (mirrors `is_safe_filename`,
+    * `app/routes.py:44-54`): "../../etc/passwd" and absolute paths are
+    * rejected, nested subdirectories are allowed. */
+  def isSafeFilename(uploadDir: String, filename: String): Boolean =
+    filename.nonEmpty && {
+      val base = Paths.get(uploadDir).toAbsolutePath.normalize
+      val resolved = base.resolve(filename).normalize
+      resolved.startsWith(base) && resolved != base
+    }
+
+  /** Legacy .xls detection: BIFF workbooks live in an OLE2 compound
+    * file whose 8-byte magic is D0 CF 11 E0 A1 B1 1A E1 — an xlsx (zip)
+    * starts with PK. */
+  def isLegacyBiff(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 8) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val head = new Array[Byte](8)
+      if (in.read(head) < 8) false
+      else java.util.Arrays.equals(head, Array(
+        0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    } finally in.close()
+  }
+
   val EncodingLadder: Seq[String] =
     Seq("UTF-8", "windows-1252", "ISO-8859-1")
 
@@ -82,4 +121,32 @@ object Ingest {
     * reference's one-file-per-report contract). */
   def writeCsvReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S8: bundle named reports into one zip of `<name>.csv` entries
+    * (reference `app/routes.py:2113-2145`). Each report is written via
+    * the S7 single-file sink, then its part file streams into the
+    * archive — a driver-side post-step over already-reduced report
+    * rows, deliberately not a distributed write. */
+  def zipReports(reports: Map[String, DataFrame], zipPath: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-reports")
+    val out = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(Paths.get(zipPath)))
+    try {
+      reports.toSeq.sortBy(_._1).foreach { case (name, df) =>
+        val dir = tmp.resolve(name)
+        writeCsvReport(df, dir.toString)
+        val part = scala.util.Using.resource(Files.list(dir)) { s =>
+          s.filter(p =>
+            p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".csv")).findFirst().orElseThrow()
+        }
+        out.putNextEntry(new java.util.zip.ZipEntry(s"$name.csv"))
+        Files.copy(part, out)
+        out.closeEntry()
+      }
+    } finally {
+      out.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }

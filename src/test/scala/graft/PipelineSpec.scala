@@ -79,7 +79,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // E3: offerings (both survivors have manufacturing)
     val offerings = Offerings.offeringLinks(valid, Seq("member_id"))
-    assert(offerings.where(col("uid") === "OFF-MFG").count() == 2)
+    assert(offerings.where(col("uid") === "0x2c411f").count() == 2)
 
     // E1/E2/E4: item explode with within-row dedup
     val items = ItemExplode.explodeItems(valid, Seq("member_id"),

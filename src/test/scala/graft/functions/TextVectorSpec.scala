@@ -54,12 +54,12 @@ class TextVectorSpec extends AnyFunSuite {
   }
 
   test("normalizeOffering: variants, punctuation, title-case, idempotent (F1)") {
-    val rows = Seq("vit c  serum!!", "organic GREEN tea", "gluten free bread")
+    val rows = Seq("vit c  serum!!", "organic GREEN tea", "b. lactis culture")
       .toDF("t").select(OfferingText.normalizeOffering($"t").as("n"))
       .as[String].collect()
     assert(rows(0) == "Vitamin C Serum")
     assert(rows(1) == "Organic Green Tea")
-    assert(rows(2) == "Gluten-Free Bread")
+    assert(rows(2) == "Bifidobacterium Lactis Culture")
     // idempotence
     val again = rows.toSeq.toDF("t")
       .select(OfferingText.normalizeOffering($"t").as("n")).as[String].collect()

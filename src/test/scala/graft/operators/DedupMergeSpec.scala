@@ -78,6 +78,18 @@ class DedupMergeSpec extends AnyFunSuite {
       3L -> "unchanged", 4L -> "insert"))
   }
 
+  test("pushPreview shows the first-n key-ordered insert/update rows") {
+    val existing = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("key", "name", "v")
+    val incoming = Seq((2L, "b", 21L), (4L, "d", 40L), (3L, "c", 30L))
+      .toDF("key", "name", "v")
+    val rec = Merge.reconcile(existing, incoming, Seq("key"), Seq("name", "v"))
+    val prev = Merge.pushPreview(rec, Seq("key"), n = 2)
+      .select("key", "action").as[(Long, String)].collect().toSeq
+    // unchanged/delete-candidate rows never reach the push sink, so
+    // they never reach the preview either; key order, capped at n
+    assert(prev == Seq((2L, "update"), (3L, "insert")))
+  }
+
   test("splitUpsert semi/anti fork (J4)") {
     val existing = Seq(Tuple1(1L), Tuple1(2L)).toDF("key")
     val incoming = Seq(Tuple1(2L), Tuple1(3L)).toDF("key")

@@ -28,4 +28,46 @@ class HeaderMapperSpec extends AnyFunSuite {
     val r = HeaderMapper.mapHeaders(Seq("Company Name", "company"))
     assert(r.mapping.size == 1 && r.unmapped == Seq("company"))
   }
+
+  test("the dictionary carries the full canonical schema (63 fields), " +
+    "and every alias of every required/important field maps exactly") {
+    assert(HeaderMapper.CanonicalFields.size == 63)
+    // the reference's two validation tiers are fully alias-covered: any
+    // spreadsheet using ANY documented alias resolves without fuzzing
+    (HeaderMapper.RequiredFields ++ HeaderMapper.ImportantFields).foreach { f =>
+      val aliases = HeaderMapper.CanonicalFields(f)
+      assert(aliases.nonEmpty, s"$f has no aliases")
+      (f +: aliases.toList).foreach { a =>
+        val m = HeaderMapper.mapHeader(a)
+        assert(m.isDefined, s"alias '$a' of $f did not map")
+      }
+    }
+    // unambiguous aliases land on their own field
+    assert(HeaderMapper.mapHeader("postal_code").contains("zipCode1"))
+    assert(HeaderMapper.mapHeader("surname").contains("lastName"))
+    assert(HeaderMapper.mapHeader("fb_url").contains("facebookURL"))
+    assert(HeaderMapper.mapHeader("minimum_order_quantity").contains("moq"))
+    assert(HeaderMapper.mapHeader("upcycled").contains("upCycledIngredients"))
+  }
+
+  test("user override wins over fuzzy inference and can evict a claim") {
+    // 'name' is an alias of several fields; the user pins it
+    val r = HeaderMapper.mapHeaders(Seq("name", "Description"),
+      overrides = Map("name" -> "contactFullName"))
+    assert(r.mapping("name") == "contactFullName")
+    assert(r.mapping("Description") == "companyBio")
+    // an override evicts an earlier inferred claim of the same field
+    val r2 = HeaderMapper.mapHeaders(Seq("Company Name", "the real name col"),
+      overrides = Map("the real name col" -> "businessName"))
+    assert(r2.mapping.get("the real name col").contains("businessName"))
+    assert(!r2.mapping.get("Company Name").contains("businessName"))
+    // mapping a header to "" forces it unmapped
+    val r3 = HeaderMapper.mapHeaders(Seq("status"),
+      overrides = Map("status" -> ""))
+    assert(r3.mapping.isEmpty && r3.unmapped == Seq("status"))
+    // unknown override target is rejected loudly
+    intercept[IllegalArgumentException] {
+      HeaderMapper.mapHeaders(Seq("x"), overrides = Map("x" -> "notAField"))
+    }
+  }
 }

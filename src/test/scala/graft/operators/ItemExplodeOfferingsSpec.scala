@@ -33,9 +33,9 @@ class ItemExplodeOfferingsSpec extends AnyFunSuite {
     val out = Offerings.offeringLinks(df, Seq("member_id"))
       .select("member_id", "uid").orderBy("member_id", "uid")
       .as[(Long, String)].collect().toSeq
-    // member 1: MFG (from manufacturingServices, deduped vs products) + LOG
-    // member 2: nothing; member 3: MFG via products only
-    assert(out == Seq((1L, "OFF-LOG"), (1L, "OFF-MFG"), (3L, "OFF-MFG")))
+    // member 1: Manufacturing (deduped vs products) + Logistics
+    // member 2: nothing; member 3: Manufacturing via products only
+    assert(out == Seq((1L, "0x200c34"), (1L, "0x2c411f"), (3L, "0x2c411f")))
   }
 
   test("splitDistinct trims, drops empties, dedupes exactly (E1)") {
