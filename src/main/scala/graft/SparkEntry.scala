@@ -53,6 +53,8 @@ object SparkEntry {
         .groupBy(col("p_name").as("title"))
         .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
       EntityResolution.resolve(items, dict, Seq("item_id"))
+        .withColumn("alt_digest", altDigest(col("alternatives")))
+        .drop("alternatives")
         .orderBy("item_id")
     }),
     // Token-blocked fuzzy resolution — the 100 TB shape (no cross join).
@@ -64,6 +66,28 @@ object SparkEntry {
         .groupBy(col("p_name").as("title"))
         .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
       EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+        .withColumn("alt_digest", altDigest(col("alternatives")))
+        .drop("alternatives")
+        .orderBy("item_id")
+    }),
+    // Forced-fuzzy resolution: perturbed item names (a ' v<k>' suffix)
+    // guarantee every item MISSES the exact phase, so the driver's
+    // sf0.01 correctness run exercises the fuzzy kernels, penalties,
+    // banding and alternatives end-to-end (q40/q41's natural item set
+    // happens to fully exact-match at sf0.01). Blocked candidates +
+    // full oracle.
+    "q59_fuzzy_forced" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val items = p.where(col("p_partkey") % 3 === 0 && col("p_partkey") < 150)
+        .select(col("p_partkey").as("item_id"),
+          concat(col("p_name"), lit(" v"),
+            (col("p_partkey") % 5).cast("string")).as("item_name"))
+      val dict = p.where(col("p_partkey") % 2 === 0)
+        .groupBy(col("p_name").as("title"))
+        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
+      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+        .withColumn("alt_digest", altDigest(col("alternatives")))
+        .drop("alternatives")
         .orderBy("item_id")
     }),
     // LSH-bucketed approximate nearest neighbors (scale path of q37),
@@ -336,6 +360,160 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ extraDefs
 
+  // ---- DuckDB twins of the Similarity kernels (q46's oracle) ----
+  // The indel DP runs as nested list_reduce lambdas; DuckDB 1.0 has no
+  // reduce-with-initial-value, so the initial accumulator rides as the
+  // list's first element (same element type: list<int>, chars encoded
+  // as [ascii, index] pairs). Distance/ratio semantics mirror
+  // Similarity.indelDistance/ratio/partialRatio/tokenSetRatio exactly,
+  // including the IEEE op order of the final ratio, so doubles match
+  // bit-for-bit.
+  private def sqlPrep(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def sqlChars(s: String): String =
+    s"list_filter(string_split_regex($s,''), dpc -> dpc <> '')"
+  private def sqlZ(s: String): String =
+    s"list_transform(list_zip(${sqlChars(s)}, range(1, len(${sqlChars(s)})+1)), dpp -> [ascii(dpp[1]), dpp[2]])"
+  private def sqlIndel(sa: String, sb: String): String =
+    s"""list_reduce(
+      list_concat([range(0, len($sb)+1)], ${sqlZ(sa)}),
+      (dpP, dpx) -> list_reduce(
+         list_concat([[dpx[2]]], ${sqlZ(sb)}),
+         (dpN, dpy) -> list_append(dpN,
+            CASE WHEN dpy[1] = dpx[1] THEN dpP[dpy[2]]
+                 ELSE 1 + least(dpP[dpy[2]+1], dpN[len(dpN)]) END)))[len($sb)+1]"""
+  private def sqlRatio(sa: String, sb: String): String =
+    s"""CASE WHEN len($sa) + len($sb) = 0 THEN 100.0
+       ELSE 100.0 * (1.0 - CAST(${sqlIndel(sa, sb)} AS DOUBLE) / (len($sa) + len($sb))) END"""
+  private def sqlPartial(sa: String, sb: String): String = {
+    def wins(s: String, t: String) =
+      s"""CASE WHEN len($s) = 0 THEN (CASE WHEN len($t) = 0 THEN 100.0 ELSE 0.0 END)
+        ELSE list_max(list_transform(range(0, len($t) - len($s) + 1),
+               wi -> ${sqlRatio(s, s"substr($t, wi + 1, len($s))")})) END"""
+    s"CASE WHEN len($sa) <= len($sb) THEN (${wins(sa, sb)}) ELSE (${wins(sb, sa)}) END"
+  }
+
+  /** Deterministic digest of the alternatives array — structs of doubles
+    * neither sort nor hash portably in the driver's compare, so the
+    * resolve queries project name#ext_id#score-mills rows joined by '|'
+    * (order, membership and floor-scaled scores all hash-checked). */
+  private def altDigest(alts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(alts, x => concat_ws("#",
+      x.getField("name"), x.getField("ext_id"),
+      floor(x.getField("score") * 100).cast("long").cast("string"))), "|")
+
+  /** The complete DuckDB twin of `EntityResolution.resolve` — exact
+    * broadcast phase, fuzzy token_set_ratio top-10 with the reference's
+    * penalties, raw-best cross-check, three-band routing, review-band
+    * alternatives — over `items(item_id, item_name)` vs the q40 dict
+    * (parts with even keys). `blocked` adds the token-blocking candidate
+    * constraint (a shared length>1 token). */
+  private def resolveOracleSql(itemsSql: String, blocked: Boolean): String = {
+    def tokset(p: String) =
+      s"CASE WHEN $p = '' THEN [] ELSE list_sort(list_distinct(string_split($p, ' '))) END"
+    def blockToks(x: String) =
+      s"list_distinct(string_split_regex(lower(trim($x)), '[^a-z0-9]+'))"
+    val blockedFilter =
+      if (!blocked) ""
+      else s"""WHERE len(list_filter(${blockToks("n.item_name")},
+             bt -> len(bt) > 1 AND list_contains(${blockToks("d.title")}, bt))) > 0"""
+    val diet = Seq("gluten-free", "organic", "natural", "raw", "extra virgin",
+      "whole grain")
+    def dietHit(x: String) =
+      diet.map(t => s"lower($x) LIKE '%$t%'").mkString("(", " OR ", ")")
+    def specials(x: String) =
+      s"(length($x) - length(regexp_replace($x, '[!@#\\$$%^&*()]', '', 'g')))"
+    def words(x: String) = s"len(string_split_regex(trim($x), '\\s+'))"
+    s"""WITH items AS ($itemsSql),
+       dict AS (
+         SELECT p_name AS title, 'EXT-' || CAST(min(p_partkey) AS VARCHAR) AS ext_id
+         FROM part WHERE p_partkey % 2 = 0 GROUP BY p_name),
+       exact_dict AS (
+         SELECT lower(trim(title)) AS k, min(ext_id) AS exact_ext_id
+         FROM dict GROUP BY 1),
+       exact AS (
+         SELECT i.item_id, i.item_name, e.exact_ext_id
+         FROM items i LEFT JOIN exact_dict e ON lower(trim(i.item_name)) = e.k),
+       hits AS (
+         SELECT item_id, item_name, exact_ext_id AS ext_id, 100.0 AS score,
+           'resolved' AS decision, CAST(NULL AS VARCHAR) AS alt_digest
+         FROM exact WHERE exact_ext_id IS NOT NULL),
+       misses AS (SELECT item_id, item_name FROM exact WHERE exact_ext_id IS NULL),
+       names AS (SELECT DISTINCT item_name FROM misses),
+       cands AS (
+         SELECT n.item_name, d.title AS cand_title, d.ext_id AS cand_ext_id
+         FROM names n CROSS JOIN dict d $blockedFilter),
+       prepped AS (SELECT *, ${sqlPrep("item_name")} AS pa,
+           ${sqlPrep("cand_title")} AS pb FROM cands),
+       toksets AS (SELECT *, ${tokset("pa")} AS ta, ${tokset("pb")} AS tb
+         FROM prepped),
+       tparts AS (SELECT *,
+           list_filter(ta, tt -> list_contains(tb, tt)) AS inter,
+           list_filter(ta, tt -> NOT list_contains(tb, tt)) AS da,
+           list_filter(tb, tt -> NOT list_contains(ta, tt)) AS db
+         FROM toksets),
+       strs AS (SELECT *,
+           array_to_string(inter, ' ') AS s0,
+           array_to_string(list_concat(inter, da), ' ') AS s1,
+           array_to_string(list_concat(inter, db), ' ') AS s2
+         FROM tparts),
+       raw AS (SELECT item_name, cand_title, cand_ext_id, pa, pb,
+           CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 100.0
+                WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+                WHEN len(da) = 0 AND len(db) = 0 THEN 100.0
+                WHEN len(inter) > 0 THEN greatest(${sqlRatio("s0", "s1")},
+                  ${sqlRatio("s0", "s2")}, ${sqlRatio("s1", "s2")})
+                ELSE ${sqlRatio("s1", "s2")} END AS raw_score
+         FROM strs),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY item_name
+           ORDER BY raw_score DESC, cand_ext_id, cand_title) AS raw_rn FROM raw),
+       pen AS (SELECT *, greatest(raw_score
+           - abs(length(item_name) - length(cand_title)) * 30
+             / greatest(length(item_name), length(cand_title), 1)
+           - least(abs(${words("item_name")} - ${words("cand_title")}) * 10, 25)
+           - CASE WHEN ${dietHit("item_name")} <> ${dietHit("cand_title")}
+               THEN 20 ELSE 0 END
+           - CASE WHEN ${specials("item_name")} <> ${specials("cand_title")}
+               THEN 15 ELSE 0 END
+           - CASE WHEN regexp_matches(item_name, '[0-9]')
+                    <> regexp_matches(cand_title, '[0-9]') THEN 15 ELSE 0 END,
+           0.0) AS adj
+         FROM ranked WHERE raw_rn <= 10),
+       crossed AS (SELECT *, CASE WHEN raw_rn = 1 AND greatest(
+             abs(raw_score - ${sqlRatio("pa", "pb")}),
+             abs(raw_score - ${sqlPartial("pa", "pb")})) > 20
+           THEN 15.0 ELSE 0.0 END AS cross_penalty FROM pen),
+       adjusted AS (SELECT *, greatest(adj - cross_penalty, 0.0) AS score
+         FROM crossed),
+       best AS (SELECT *, row_number() OVER (PARTITION BY item_name
+           ORDER BY score DESC, raw_rn) AS best_rn FROM adjusted),
+       bn AS (SELECT *, max(CASE WHEN best_rn = 1 THEN cand_title END)
+           OVER (PARTITION BY item_name) AS best_name FROM best),
+       altrows AS (SELECT *, row_number() OVER (PARTITION BY item_name
+           ORDER BY raw_rn) AS alt_rn
+         FROM bn WHERE cand_title <> best_name AND score >= 50),
+       alts AS (SELECT item_name, array_to_string(list(
+             cand_title || '#' || cand_ext_id || '#'
+               || CAST(CAST(floor(score * 100) AS BIGINT) AS VARCHAR)
+             ORDER BY raw_rn), '|') AS alt_digest
+         FROM altrows WHERE alt_rn <= 3 GROUP BY item_name),
+       bestrow AS (SELECT item_name, cand_ext_id, score,
+           CASE WHEN score >= 97 THEN 'resolved'
+                WHEN score >= 50 THEN 'review'
+                ELSE 'rejected' END AS decision
+         FROM bn WHERE best_rn = 1),
+       pername AS (SELECT b.item_name,
+           CASE WHEN b.decision <> 'rejected' THEN b.cand_ext_id END AS ext_id,
+           b.score, b.decision,
+           CASE WHEN b.decision = 'review' THEN a.alt_digest END AS alt_digest
+         FROM bestrow b LEFT JOIN alts a USING (item_name)),
+       fuzzy AS (SELECT m.item_id, m.item_name, p.ext_id,
+           coalesce(p.score, 0.0) AS score,
+           coalesce(p.decision, 'rejected') AS decision, p.alt_digest
+         FROM misses m LEFT JOIN pername p USING (item_name))
+       SELECT * FROM hits UNION ALL SELECT * FROM fuzzy ORDER BY item_id"""
+  }
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
       "q42_lsh_ann" -> {
@@ -541,5 +719,44 @@ object SparkEntry {
       "q45_sql_surface" ->
         """SELECT o_orderpriority, count(*) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q40_entity_resolution" -> resolveOracleSql(
+        "SELECT p_partkey AS item_id, p_name AS item_name FROM part WHERE p_partkey % 3 = 0",
+        blocked = false),
+      "q41_blocked_resolution" -> resolveOracleSql(
+        "SELECT p_partkey AS item_id, p_name AS item_name FROM part WHERE p_partkey % 3 = 0",
+        blocked = true),
+      "q59_fuzzy_forced" -> resolveOracleSql(
+        """SELECT p_partkey AS item_id,
+           p_name || ' v' || CAST(p_partkey % 5 AS VARCHAR) AS item_name
+           FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 150""",
+        blocked = true),
+      "q46_sql_similarity" ->
+        // token_set_ratio('small ring') sorted token set is constant:
+        // ['ring','small']; inter/diff filters replicate tokenSetRatio's
+        // sorted-order combination strings s0/s1/s2.
+        s"""WITH base AS (
+             SELECT p_partkey, p_name, ${sqlPrep("p_name")} AS pn
+             FROM part WHERE p_partkey < 100),
+           tok AS (SELECT *, list_sort(list_distinct(string_split(pn, ' '))) AS ta
+                   FROM base),
+           sets AS (SELECT *,
+              list_filter(ta, tt -> list_contains(['ring','small'], tt)) AS inter,
+              list_filter(ta, tt -> NOT list_contains(['ring','small'], tt)) AS da,
+              list_filter(['ring','small'], tt -> NOT list_contains(ta, tt)) AS db
+            FROM tok),
+           strs AS (SELECT *,
+              array_to_string(inter, ' ') AS s0,
+              array_to_string(list_concat(inter, da), ' ') AS s1,
+              array_to_string(list_concat(inter, db), ' ') AS s2
+            FROM sets)
+           SELECT p_partkey, p_name,
+             CASE WHEN pn = '' THEN 0.0
+                  WHEN len(da) = 0 AND len(db) = 0 THEN 100.0
+                  WHEN len(inter) > 0 THEN greatest(${sqlRatio("s0", "s1")},
+                    ${sqlRatio("s0", "s2")}, ${sqlRatio("s1", "s2")})
+                  ELSE ${sqlRatio("s1", "s2")} END AS tsr,
+             ${sqlPartial("pn", "'ring'")} AS pr,
+             ${sqlRatio("pn", "'small ring'")} AS ir
+           FROM strs ORDER BY p_partkey""")
 }
