@@ -39,9 +39,10 @@ object SparkEntry {
     "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train' ELSE 'val' END"
 
   /** Operator-pipeline queries assembled here rather than in the per-
-    * family query modules. Most are hash-checked (oracle twin below);
-    * the remaining rows-only ones (q40/q41/q46: rapidfuzz-style indel
-    * edit distance, q43: HLL) have no ANSI-SQL-expressible twin. */
+    * family query modules. All are hash-checked (oracle twin below) —
+    * the rapidfuzz-style indel family included, via the list_reduce DP
+    * twins — except q43 (HLL), which is inherently engine-specific and
+    * gets the driver's rows-only check. */
   private val extraDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full resolution pipeline with the custom token_set_ratio /
     // partial_ratio Catalyst expressions + penalties + banding.
@@ -368,8 +369,11 @@ object SparkEntry {
   // Similarity.indelDistance/ratio/partialRatio/tokenSetRatio exactly,
   // including the IEEE op order of the final ratio, so doubles match
   // bit-for-bit.
+  // [^\p{L}\p{Nd}] mirrors Character.isLetterOrDigit (isDigit = Nd
+  // only), so non-ASCII names ('café') tokenize identically; the DP's
+  // ascii() yields code points = Java chars for all of the BMP.
   private def sqlPrep(e: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^\\p{L}\\p{Nd}]', ' ', 'g'), ' +', ' ', 'g'))"
   private def sqlChars(s: String): String =
     s"list_filter(string_split_regex($s,''), dpc -> dpc <> '')"
   private def sqlZ(s: String): String =

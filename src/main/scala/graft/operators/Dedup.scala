@@ -73,18 +73,29 @@ object Dedup {
         TextFunctions.minhashBand(
           col(textCol), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
       }: _*)).as(Seq("band_no", "band_sig")))
-    val bucket = Window.partitionBy("band_no", "band_sig")
-    val st = byBand
+    cappedBucketPairs(byBand, Seq("band_no", "band_sig"), "__id", maxBucket)
+  }
+
+  /** THE star-cap kernel (single-sourced: `minhashLshPairs` and the q35
+    * query both ride through here — a cap or tie-break tweak must never
+    * fork between the library and the oracle-checked query). Buckets of
+    * `byKey` rows sharing `keyCols`: ≤ `maxBucket` members emit all
+    * within-bucket pairs; larger (degenerate) buckets emit the star
+    * (bucket-min, member) — identical transitive closure, linear
+    * output. Returns distinct (id_a < id_b). */
+  def cappedBucketPairs(byKey: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame = {
+    val bucket = Window.partitionBy(keyCols.map(col): _*)
+    val st = byKey
       .withColumn("bsz", count(lit(1)).over(bucket))
-      .withColumn("bmin", min(col("__id")).over(bucket))
+      .withColumn("bmin", min(col(idCol)).over(bucket))
     val small = st.where(col("bsz") <= maxBucket)
-    val smallPairs = small.select(col("band_no"), col("band_sig"), col("__id").as("id_a"))
-      .join(small.select(col("band_no"), col("band_sig"), col("__id").as("id_b")),
-        Seq("band_no", "band_sig"))
+    val smallPairs = small.select(keyCols.map(col) :+ col(idCol).as("id_a"): _*)
+      .join(small.select(keyCols.map(col) :+ col(idCol).as("id_b"): _*), keyCols)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val starPairs = st.where(col("bsz") > maxBucket && col("__id") =!= col("bmin"))
-      .select(col("bmin").as("id_a"), col("__id").as("id_b"))
+    val starPairs = st.where(col("bsz") > maxBucket && col(idCol) =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col(idCol).as("id_b"))
     smallPairs.union(starPairs).distinct()
   }
 
@@ -137,14 +148,17 @@ object Dedup {
     * array intersection. Lossless at any threshold (unlike a frequency
     * cap); for thresholds below ~0.3 the prefix covers most of each
     * set and a plain counting join does the same work.
-    * Returns (id_a, id_b, jac_mills), jac_mills = floor(1000·J) >=
-    * `minJaccardMills`. */
+    * `blockCols` optionally restricts pairs to the same block (the
+    * columns join into the candidate key; shingle document frequency
+    * stays global). Returns (id_a, id_b, jac_mills), jac_mills =
+    * floor(1000·J) >= `minJaccardMills`. */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      minJaccardMills: Int = 500): DataFrame = {
-    val d = df.select(col(idCol).as("__id"),
-      TextFunctions.tokenSetSorted(col(textCol)).as("toks"))
-    val toks = d.select(col("__id"), explode(col("toks")).as("shingle"))
+      minJaccardMills: Int = 500, blockCols: Seq[String] = Nil): DataFrame = {
+    val d = df.select(col(idCol).as("__id") +: blockCols.map(col) :+
+      TextFunctions.tokenSetSorted(col(textCol)).as("toks"): _*)
+    val toks = d.select(col("__id") +: blockCols.map(col) :+
+      explode(col("toks")).as("shingle"): _*)
     val dfreq = toks.groupBy("shingle").agg(count(lit(1)).as("gdf"))
     val byDoc = Window.partitionBy("__id").orderBy("gdf", "shingle")
     val prefix = toks.join(dfreq, "shingle")
@@ -152,9 +166,10 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("__id")))
       .where(col("rnk") <=
         col("sz") - ceil(col("sz") * minJaccardMills / lit(1000.0)) + 1)
-      .select("shingle", "__id")
-    val cand = prefix.select(col("shingle"), col("__id").as("id_a"))
-      .join(prefix.select(col("shingle"), col("__id").as("id_b")), "shingle")
+      .select(("shingle" +: blockCols :+ "__id").map(col): _*)
+    val candKeys = "shingle" +: blockCols
+    val cand = prefix.select(candKeys.map(col) :+ col("__id").as("id_a"): _*)
+      .join(prefix.select(candKeys.map(col) :+ col("__id").as("id_b"): _*), candKeys)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand

@@ -15,9 +15,13 @@ import graft.functions.Similarity
 object HeaderMapper {
 
   /** Canonical member fields with accepted aliases — the reference's
-    * full dictionary (`app/etl.py:54-135`), all 63 fields. Alias
-    * strings are data, not code: swap per deployment. */
-  val CanonicalFields: Map[String, Seq[String]] = Map(
+    * full dictionary (`app/etl.py:54-135`), all 63 fields IN REFERENCE
+    * ORDER: several aliases are shared ('name' belongs to businessName
+    * AND contactFullName, 'status' to networkStatus AND
+    * membershipStatus), and the reference resolves them by dict
+    * insertion order — first field wins. Alias strings are data, not
+    * code: swap per deployment. */
+  val CanonicalFieldOrder: Vector[(String, Seq[String])] = Vector(
     // core member identification
     "memberID" -> Seq("memberid", "member_id", "uid", "id", "member uid"),
     "businessName" -> Seq("businessname", "business_name", "company_name",
@@ -132,6 +136,9 @@ object HeaderMapper {
     "updatedAt" -> Seq("updatedat", "updated_at", "last_updated",
       "modified_date"))
 
+  /** Lookup view of the ordered dictionary. */
+  val CanonicalFields: Map[String, Seq[String]] = CanonicalFieldOrder.toMap
+
   /** The reference's hard-required tier (`app/etl.py:538-546`). */
   val RequiredFields: Seq[String] = Seq(
     "businessName", "contactEmail", "streetAddress1", "city1", "country1",
@@ -149,17 +156,18 @@ object HeaderMapper {
     * fuzzy ≥ `floor` else None. */
   def mapHeader(header: String, floor: Double = 60.0): Option[String] = {
     val n = norm(header)
-    val exact = CanonicalFields.collectFirst {
+    val exact = CanonicalFieldOrder.collectFirst {
       case (f, aliases) if norm(f) == n || aliases.exists(norm(_) == n) => f
     }
     exact.orElse {
-      val scored = CanonicalFields.toSeq.map { case (f, aliases) =>
+      val scored = CanonicalFieldOrder.map { case (f, aliases) =>
         val best = (f +: aliases)
           .map(a => Similarity.tokenSetRatio(n, norm(a))).max
         (f, best)
       }
-      // deterministic: best score, ties by field name
-      val (f, s) = scored.maxBy { case (f2, s2) => (s2, f2) }
+      // deterministic: best score; ties keep the EARLIEST field in
+      // reference order (the reference's strict `>` comparison)
+      val (f, s) = scored.maxBy(_._2)
       if (s >= floor) Some(f) else None
     }
   }

@@ -75,17 +75,8 @@ object TextQueries {
         TextFunctions.minhashBand(col("text"), 0 until 4),
         TextFunctions.minhashBand(col("text"), 4 until 8)))
         .as(Seq("band_no", "sig")))
-    val bucket = Window.partitionBy("band_no", "sig")
-    val st = byBand
-      .withColumn("bsz", count(lit(1)).over(bucket))
-      .withColumn("bmin", min(col("doc_id")).over(bucket))
-    val small = st.where(col("bsz") <= LshBucketCap)
-    val smallPairs = small.as("a").join(small.as("b"), Seq("band_no", "sig"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val starPairs = st.where(col("bsz") > LshBucketCap && col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("id_a"), col("doc_id").as("id_b"))
-    smallPairs.union(starPairs).distinct()
+    graft.operators.Dedup.cappedBucketPairs(
+      byBand, Seq("band_no", "sig"), "doc_id", LshBucketCap)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,33 +168,11 @@ object TextQueries {
     // space — then exact sorted-array verification on candidates only.
     // Row-identical to the naive all-pairs formulation (the oracle) by
     // the prefix-filter theorem.
-    "q36_jaccard_pairs" -> ((s, dir) => {
-      val d = docsSpread(s, dir).where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("source"), tokSet.as("toks"))
-      val toks = d.select(col("doc_id"), col("source"), explode(col("toks")).as("sh"))
-      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("gdf"))
-      val byDoc = Window.partitionBy("doc_id").orderBy("gdf", "sh")
-      val prefix = toks.join(dfreq, "sh")
-        .withColumn("rnk", row_number().over(byDoc))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .where(col("rnk") <= col("sz") - ceil(col("sz") * 0.6) + 1)
-        .select("sh", "source", "doc_id")
-      val cand = prefix.as("a").join(prefix.as("b"), Seq("sh", "source"))
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
-        .withColumn("common",
-          graft.functions.ArrayOps.sortedIntersectSize(col("ta"), col("tb")))
-        .withColumn("jac_mills",
-          floor(lit(1000) * col("common")
-            / (size(col("ta")) + size(col("tb")) - col("common"))).cast("long"))
-        .where(col("jac_mills") >= 600)
-        .select("id_a", "id_b", "jac_mills")
-        .orderBy("id_a", "id_b")
-    }),
+    "q36_jaccard_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairs(
+        docsSpread(s, dir).where(col("doc_id") % 3 === 0),
+        "text", "doc_id", minJaccardMills = 600, blockCols = Seq("source"))
+        .orderBy("id_a", "id_b")),
 
     // Word-bigram (2-gram shingle) Jaccard near-dup — the order-aware
     // n-gram variant of q36 (unigram sets ignore token order; bigrams

@@ -53,9 +53,10 @@ object Ingest {
     if (!f.isFile || f.length < 8) return false
     val in = new java.io.FileInputStream(f)
     try {
-      val head = new Array[Byte](8)
-      if (in.read(head) < 8) false
-      else java.util.Arrays.equals(head, Array(
+      // readNBytes (not read): a single read() may legally return short
+      // even mid-file, which would misclassify a real BIFF workbook
+      val head = in.readNBytes(8)
+      head.length == 8 && java.util.Arrays.equals(head, Array(
         0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
     } finally in.close()
   }
@@ -129,23 +130,30 @@ object Ingest {
     * rows, deliberately not a distributed write. */
   def zipReports(reports: Map[String, DataFrame], zipPath: String): Unit = {
     val tmp = Files.createTempDirectory("graft-reports")
-    val out = new java.util.zip.ZipOutputStream(
-      Files.newOutputStream(Paths.get(zipPath)))
+    val target = Paths.get(zipPath)
+    // stage next to the target, move into place only on success: a
+    // mid-loop failure must never leave a truncated archive at zipPath
+    val staging = target.resolveSibling(target.getFileName.toString + ".tmp")
     try {
-      reports.toSeq.sortBy(_._1).foreach { case (name, df) =>
-        val dir = tmp.resolve(name)
-        writeCsvReport(df, dir.toString)
-        val part = scala.util.Using.resource(Files.list(dir)) { s =>
-          s.filter(p =>
-            p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".csv")).findFirst().orElseThrow()
+      scala.util.Using.resource(new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(staging))) { out =>
+        reports.toSeq.sortBy(_._1).foreach { case (name, df) =>
+          val dir = tmp.resolve(name)
+          writeCsvReport(df, dir.toString)
+          val part = scala.util.Using.resource(Files.list(dir)) { s =>
+            s.filter(p =>
+              p.getFileName.toString.startsWith("part-") &&
+                p.getFileName.toString.endsWith(".csv")).findFirst().orElseThrow()
+          }
+          out.putNextEntry(new java.util.zip.ZipEntry(s"$name.csv"))
+          Files.copy(part, out)
+          out.closeEntry()
         }
-        out.putNextEntry(new java.util.zip.ZipEntry(s"$name.csv"))
-        Files.copy(part, out)
-        out.closeEntry()
       }
+      Files.move(staging, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally {
-      out.close()
+      Files.deleteIfExists(staging)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }

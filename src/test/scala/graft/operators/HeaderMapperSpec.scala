@@ -38,10 +38,22 @@ class HeaderMapperSpec extends AnyFunSuite {
       val aliases = HeaderMapper.CanonicalFields(f)
       assert(aliases.nonEmpty, s"$f has no aliases")
       (f +: aliases.toList).foreach { a =>
+        // a shared alias ('name', 'status', …) must land on the FIRST
+        // field in reference order that carries it — mirroring the
+        // reference's insertion-order resolution
+        val expected = HeaderMapper.CanonicalFieldOrder.collectFirst {
+          case (f2, as) if f2.equalsIgnoreCase(a) ||
+            as.exists(_.equalsIgnoreCase(a)) => f2
+        }.getOrElse(f)
         val m = HeaderMapper.mapHeader(a)
-        assert(m.isDefined, s"alias '$a' of $f did not map")
+        assert(m.contains(expected), s"alias '$a' of $f mapped to $m, expected $expected")
       }
     }
+    // the two reference-order pins that caught a real regression: 'name'
+    // belongs to businessName (before contactFullName), 'status' to
+    // networkStatus (before membershipStatus)
+    assert(HeaderMapper.mapHeader("name").contains("businessName"))
+    assert(HeaderMapper.mapHeader("status").contains("networkStatus"))
     // unambiguous aliases land on their own field
     assert(HeaderMapper.mapHeader("postal_code").contains("zipCode1"))
     assert(HeaderMapper.mapHeader("surname").contains("lastName"))
