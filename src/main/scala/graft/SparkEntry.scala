@@ -346,6 +346,57 @@ object SparkEntry {
           col("n_chars").as("median_chars"))
         .orderBy("lang")
     }),
+    // F7/P10/F8: the semantic batch-approval guard over a deterministic
+    // review-shaped set (suggested title = the next part's name, score a
+    // derived 50-99 band, approved/ignored flags from key residues) —
+    // category-mismatch, problematic-pair and length-ratio rules all
+    // hash-checked.
+    "q60_semantic_guard" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val a = p.select(col("p_partkey").as("review_id"),
+        col("p_name").as("item_name"))
+      val b = p.select((col("p_partkey") - 1).as("review_id"),
+        col("p_name").as("suggested_title"))
+      val reviews = a.join(b, "review_id")
+        // perturbations that trip each guard rule: a category word on
+        // one side only (%5=0), a problematic pair (%5=1), a truncated
+        // suggestion that fails the length-ratio floor (%5=2)
+        .withColumn("item_name",
+          when(col("review_id") % 5 === 1, lit("milk")).otherwise(col("item_name")))
+        .withColumn("suggested_title",
+          when(col("review_id") % 5 === 0, concat(col("suggested_title"), lit(" milk")))
+            .when(col("review_id") % 5 === 1, lit("almond milk"))
+            .when(col("review_id") % 5 === 2, substring(col("suggested_title"), 1, 5))
+            .otherwise(col("suggested_title")))
+        .withColumn("score", (lit(50) + col("review_id") % 50).cast("double"))
+        .withColumn("approved",
+          when(col("review_id") % 7 === 0, lit(true)).otherwise(lit(null).cast("boolean")))
+        .withColumn("ignored", col("review_id") % 11 === 0)
+      graft.operators.SemanticGuard.batchApprovable(reviews)
+        .select("review_id", "item_name", "suggested_title", "score", "semantic_ok")
+        .orderBy("review_id")
+    }),
+    // A6: push-result summary — one-pass conditional counts over a
+    // deterministic result-shaped set.
+    "q61_push_summary" -> ((s, dir) => {
+      val o = graft.Tables(s, dir, "orders")
+      val results = o.select(
+        element_at(array(lit("member"), lit("product"), lit("ingredient")),
+          (col("o_orderkey") % 3 + 1).cast("int")).as("entity"),
+        (col("o_orderkey") % 7 =!= 0).as("ok"))
+      graft.operators.Reports.pushSummary(results)
+    }),
+    // F12: payload-size estimate (JSON mutation bytes) per customer —
+    // to_json is format-identical across engines for null-free
+    // string/int structs, so the byte count hash-checks.
+    "q62_payload_bytes" -> ((s, dir) => {
+      graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.functions.Normalize.payloadBytes(
+            struct(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+            .as("payload_bytes"))
+        .orderBy("c_custkey")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -735,6 +786,58 @@ object SparkEntry {
            p_name || ' v' || CAST(p_partkey % 5 AS VARCHAR) AS item_name
            FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 150""",
         blocked = true),
+      "q60_semantic_guard" -> {
+        // generated FROM SemanticGuard's keyword tables — the oracle can
+        // never drift from the operator's category/pair data
+        def hits(x: String, ws: Seq[String]) =
+          ws.map(w => s"lower($x) LIKE '%$w%'").mkString("(", " OR ", ")")
+        val catMismatch = graft.operators.SemanticGuard.Categories.values
+          .map(ws => s"(${hits("item_name", ws)} <> ${hits("suggested_title", ws)})")
+          .mkString("(", " OR ", ")")
+        val pairHit = graft.operators.SemanticGuard.ProblematicPairs
+          .map { case (x, y) =>
+            s"""(lower(item_name) = '$x' AND lower(suggested_title) LIKE '%$y%')
+               OR (lower(suggested_title) = '$x' AND lower(item_name) LIKE '%$y%')"""
+          }.mkString("(", " OR ", ")")
+        s"""WITH reviews AS (
+             SELECT a.p_partkey AS review_id,
+               CASE WHEN a.p_partkey % 5 = 1 THEN 'milk'
+                    ELSE a.p_name END AS item_name,
+               CASE WHEN a.p_partkey % 5 = 0 THEN b.p_name || ' milk'
+                    WHEN a.p_partkey % 5 = 1 THEN 'almond milk'
+                    WHEN a.p_partkey % 5 = 2 THEN substr(b.p_name, 1, 5)
+                    ELSE b.p_name END AS suggested_title,
+               CAST(50 + a.p_partkey % 50 AS DOUBLE) AS score,
+               CASE WHEN a.p_partkey % 7 = 0 THEN true END AS approved,
+               a.p_partkey % 11 = 0 AS ignored
+             FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1)
+           SELECT review_id, item_name, suggested_title, score,
+             (NOT $catMismatch AND NOT $pairHit
+              AND CAST(least(length(item_name), length(suggested_title)) AS DOUBLE)
+                / greatest(length(item_name), length(suggested_title), 1) >= 0.5)
+               AS semantic_ok
+           FROM reviews
+           WHERE approved IS NULL AND NOT ignored
+             AND score >= 90 AND score < 97 AND suggested_title IS NOT NULL
+           ORDER BY review_id"""
+      },
+      "q61_push_summary" ->
+        """WITH results AS (
+             SELECT (['member', 'product', 'ingredient'])[CAST(o_orderkey % 3 + 1 AS INT)] AS entity,
+               o_orderkey % 7 <> 0 AS ok
+             FROM orders)
+           SELECT
+             CAST(sum(CASE WHEN entity = 'member' AND ok THEN 1 ELSE 0 END) AS BIGINT) AS members_pushed,
+             CAST(sum(CASE WHEN entity = 'product' AND ok THEN 1 ELSE 0 END) AS BIGINT) AS products_created,
+             CAST(sum(CASE WHEN entity = 'ingredient' AND ok THEN 1 ELSE 0 END) AS BIGINT) AS ingredients_created,
+             CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS errors
+           FROM results""",
+      "q62_payload_bytes" ->
+        """SELECT c_custkey,
+           CAST(length(CAST(to_json(struct_pack(
+             c_custkey := c_custkey, c_name := c_name,
+             c_mktsegment := c_mktsegment)) AS VARCHAR)) AS BIGINT) AS payload_bytes
+           FROM customer ORDER BY c_custkey""",
       "q46_sql_similarity" ->
         // token_set_ratio('small ring') sorted token set is constant:
         // ['ring','small']; inter/diff filters replicate tokenSetRatio's
