@@ -153,6 +153,10 @@ object TextQueries {
     // min id per component, drop the rest) — min-label propagation, one
     // equi-shuffle per round, converging in graph-diameter rounds.
     "q53_dedup_components" -> ((s, dir) => {
+      // (measured: shrinking shuffle partitions for the tiny per-round
+      // frames does NOT help here — local[32] amortizes task overhead
+      // and the checkpoint writes parallelize; the loop's cost is its
+      // irreducible per-round materialization)
       graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")

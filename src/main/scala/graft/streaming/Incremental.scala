@@ -81,31 +81,49 @@ object Incremental {
       }
   }
 
-  /** Custom state: gap-based sessionization with mapGroupsWithState —
-    * the streaming twin of the batch lag-window sessionizer (q23). */
+  /** Custom state: gap-based sessionization — the streaming twin of the
+    * batch lag-window sessionizer (q23). EVENT-time semantics: a session
+    * closes when the WATERMARK passes its last event + gap (not wall
+    * clock — a processing-time timeout would both misdefine the session
+    * boundary under replay and pin `Trigger.AvailableNow` drains alive).
+    * Append-mode flatMap: only CLOSED sessions are emitted — split
+    * sessions inside a batch immediately, watermark-expired ones via
+    * EventTimeTimeout — so any append sink (parquet, Kafka) works and
+    * restarts recover in-flight sessions from the state store. */
   def sessionize(events: org.apache.spark.sql.Dataset[Event],
       gapSeconds: Long = 1800): org.apache.spark.sql.Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Long), SessionUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[(Long, Long), SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state: GroupState[(Long, Long)]) if state.hasTimedOut =>
+          val (n, _) = state.get
+          state.remove()
+          Iterator.single(SessionUpdate(uid, n, closed = true))
         case (uid, it, state: GroupState[(Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (n, _) = state.getOption.getOrElse((0L, 0L))
-            state.remove()
-            SessionUpdate(uid, n, closed = true)
-          } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            var (n, lastMs) = state.getOption.getOrElse((0L, 0L))
-            evs.foreach { e =>
-              if (lastMs != 0L && e.ts.getTime - lastMs > gapSeconds * 1000) n = 0L
-              n += 1; lastMs = e.ts.getTime
+          val evs = it.toSeq.sortBy(_.ts.getTime)
+          var (n, lastMs) = state.getOption.getOrElse((0L, 0L))
+          val closed = Seq.newBuilder[SessionUpdate]
+          evs.foreach { e =>
+            if (lastMs != 0L && e.ts.getTime - lastMs > gapSeconds * 1000) {
+              closed += SessionUpdate(uid, n, closed = true)
+              n = 0L
             }
-            state.update((n, lastMs))
-            state.setTimeoutDuration(s"$gapSeconds seconds")
-            SessionUpdate(uid, n, closed = false)
+            n += 1
+            lastMs = e.ts.getTime
           }
+          state.update((n, lastMs))
+          // the timeout must sit strictly above the current watermark —
+          // a user already idle for > gap relative to the stream's head
+          // closes on the next watermark advance. In BATCH execution of
+          // the same Dataset there is no watermark (and timeouts never
+          // fire), so timeout arming is skipped there.
+          try state.setTimeoutTimestamp(
+            math.max(lastMs + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
+          catch { case _: UnsupportedOperationException => () }
+          closed.result().iterator
       }
   }
 }

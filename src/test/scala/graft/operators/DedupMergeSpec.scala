@@ -31,6 +31,51 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("PROPERTY: prefix-filtered jaccardPairs equals naive all-pairs " +
+    "on randomized near-dup corpora (PPJoin losslessness)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (1 to 3).foreach { trial =>
+      val base = Seq.fill(12)(Seq.fill(2 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // near-dups: perturb half the docs by one appended token
+      val texts = base ++ base.take(6).map(_ + " " + vocab(rnd.nextInt(vocab.size)))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(df, "text", "doc_id", minJaccardMills = 500)
+        .select("id_a", "id_b", "jac_mills").as[(Long, Long, Long)].collect().toSet
+      // ground truth: pure-Scala all-pairs over the same token-set contract
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").distinct.toSet
+      val ts = texts.map(toks).zipWithIndex
+      val want = (for {
+        (ta, a) <- ts; (tb, b) <- ts if a < b
+        inter = (ta & tb).size
+        union = ta.size + tb.size - inter
+        if union > 0
+        mills = 1000L * inter / union
+        if mills >= 500
+      } yield (a.toLong, b.toLong, mills)).toSet
+      assert(got == want, s"trial $trial: got ${got.size}, want ${want.size}: " +
+        s"missing=${want -- got}, extra=${got -- want}")
+    }
+  }
+
+  test("PROPERTY: star-capped bucket pairs preserve connected components " +
+    "exactly vs uncapped (randomized buckets incl. degenerate ones)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      // key space of 6 buckets, two of them hot (half the rows)
+      val k = if (i % 2 == 0) s"hot${i % 4 / 2}" else s"cold${rnd.nextInt(4)}"
+      (k, i.toLong)
+    }.toDF("bucket", "id")
+    def components(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val capped = components(Dedup.cappedBucketPairs(rows, Seq("bucket"), "id", maxBucket = 3))
+    val full = components(Dedup.cappedBucketPairs(rows, Seq("bucket"), "id", maxBucket = Int.MaxValue))
+    assert(capped == full)
+    assert(capped.nonEmpty)
+  }
+
   test("minhash LSH emits identical docs as candidates (dedup#minhash)") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2)
       .as[(Long, Long)].collect().toSet

@@ -14,17 +14,20 @@ class MiscSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("stateful sessionization counts events within gap (mapGroupsWithState)") {
+  test("stateful sessionization emits gap-closed sessions (event-time state)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
     val evs = Seq(
       Incremental.Event(1L, at(0), "a"),
       Incremental.Event(1L, at(10), "b"),   // same session
-      Incremental.Event(1L, at(50), "c"),   // > 30 min gap -> new session
+      Incremental.Event(1L, at(50), "c"),   // > 30 min gap -> closes (1,2)
       Incremental.Event(2L, at(0), "a")).toDS()
+    // append semantics: only CLOSED sessions surface — user 1's first
+    // session (2 events) splits at the in-batch gap; the trailing open
+    // sessions (u1's 1-event, u2's 1-event) stay in state for the
+    // watermark to close (StreamingSpec covers that path end-to-end)
     val out = Incremental.sessionize(evs).collect().map(s => s.user_id -> s.n_events).toMap
-    // user 1: last session has 1 event (the 50-min one); user 2: 1
-    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out == Map(1L -> 2L), out.toString)
   }
 
   test("pushSink retries transient failures with backoff (F14)") {

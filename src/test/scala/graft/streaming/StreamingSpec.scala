@@ -94,6 +94,43 @@ class StreamingSpec extends AnyFunSuite {
       "duplicates across batches must be suppressed by state")
   }
 
+  test("event-time sessionization closes sessions by watermark, not wall clock") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 + min * 60000L)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .as[Incremental.Event]
+      val q = Incremental.sessionize(stream, gapSeconds = 1800)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: u1 two events 5 min apart, u2 one event — nothing closes
+    // (the watermark is still behind every session's gap horizon)
+    Seq(
+      Incremental.Event(1L, ts(0), "view"),
+      Incremental.Event(1L, ts(5), "click"),
+      Incremental.Event(2L, ts(1), "view")
+    ).toDS().write.mode("append").parquet(in)
+    drain()
+    assert(!new java.io.File(out).exists() ||
+      spark.read.parquet(out).isEmpty)
+    // batch 2: u2 reappears 2h later — the watermark jumps to 1h30,
+    // closing u1's idle session (2 events) via event-time timeout AND
+    // splitting u2's own history in-batch (old session of 1 closes)
+    Seq(Incremental.Event(2L, ts(120), "view"))
+      .toDS().write.mode("append").parquet(in)
+    drain()
+    val sessions = spark.read.parquet(out).as[Incremental.SessionUpdate]
+      .collect().map(su => su.user_id -> su.n_events).toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L), sessions.toString)
+  }
+
   test("ops-log daily usage + 24h error summary (A7/A8 on log schema)") {
     val logs = Seq(
       ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "connection timeout", 100L),
