@@ -397,6 +397,41 @@ object SparkEntry {
             .as("payload_bytes"))
         .orderBy("c_custkey")
     }),
+    // E3: offerings derivation over a member-shaped frame synthesized
+    // from customers (service columns driven by key residues, including
+    // empty/'null'/'n/a' negatives) — melt + uid-dedup all hash-checked
+    // via the exploded link-table projection.
+    "q63_offerings_links" -> ((s, dir) => {
+      val c = graft.Tables(s, dir, "customer")
+      val members = c.select(
+        col("c_custkey").as("member_id"),
+        when(col("c_custkey") % 2 === 0, lit("we manufacture"))
+          .when(col("c_custkey") % 5 === 1, lit("n/a"))
+          .otherwise(lit(null).cast("string")).as("manufacturingServices"),
+        when(col("c_custkey") % 3 === 0, col("c_name")).as("products"),
+        when(col("c_custkey") % 5 === 0, lit("fleet")).as("logisticalServices"),
+        when(col("c_custkey") % 7 === 0, lit(" boxes ")).as("suppliedPackaging"),
+        when(col("c_custkey") % 7 === 3, lit("crates")).as("deliveredIn"),
+        when(col("c_custkey") % 11 === 0, lit("")).otherwise(lit("shared kitchen"))
+          .as("typeOfSpace"))
+      graft.operators.Offerings.offeringLinks(members, Seq("member_id"))
+        .orderBy("member_id", "uid")
+    }),
+    // F1: the full offering-text normalization chain (whitespace
+    // collapse, 34 variant rewrites, punctuation strip, smart title
+    // case) over perturbed part names that exercise every stage.
+    "q64_normalize_offering" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val t = when(col("p_partkey") % 6 === 0, concat(lit("vit c "), col("p_name")))
+        .when(col("p_partkey") % 6 === 1, concat(upper(col("p_name")), lit(", organic!!")))
+        .when(col("p_partkey") % 6 === 2, concat(lit("b. lactis with "), col("p_name")))
+        .when(col("p_partkey") % 6 === 3, concat(col("p_name"), lit(" co q 10")))
+        .when(col("p_partkey") % 6 === 4, concat(lit("  "), col("p_name"), lit("   gelatine  ")))
+        .otherwise(concat(col("p_name"), lit(" \"quoted\" [bracketed]")))
+      p.select(col("p_partkey"), t.as("raw"),
+          graft.functions.OfferingText.normalizeOffering(t).as("normalized"))
+        .orderBy("p_partkey")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -786,6 +821,75 @@ object SparkEntry {
            p_name || ' v' || CAST(p_partkey % 5 AS VARCHAR) AS item_name
            FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 150""",
         blocked = true),
+      "q64_normalize_offering" -> {
+        // the rewrite chain is generated FROM OfferingText.Variants /
+        // StopWords, so oracle and operator share one variant table
+        def collapse(x: String) = s"trim(regexp_replace($x, '\\s+', ' ', 'g'))"
+        val rewritten = graft.functions.OfferingText.Variants
+          .foldLeft(collapse("raw")) { case (acc, (pat, repl)) =>
+            s"regexp_replace($acc, '$pat', '$repl', 'gi')"
+          }
+        val stripped = collapse(
+          s"""regexp_replace($rewritten, '[,;!?''"“”\\[\\]{}]', '', 'g')""")
+        val stops = graft.functions.OfferingText.StopWords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        val capWord = // per word: capitalize each '-'/'.'-separated part
+          """array_to_string(list_transform(string_split(wz[1], '-'), hp ->
+             array_to_string(list_transform(string_split(hp, '.'), dp ->
+               upper(substr(dp, 1, 1)) || lower(substr(dp, 2))), '.')), '-')"""
+        val titled =
+          s"""array_to_string(list_transform(
+               list_zip(string_split(stripped, ' '),
+                 range(1, len(string_split(stripped, ' ')) + 1)),
+               wz -> CASE WHEN wz[2] > 1 AND lower(wz[1]) IN ($stops)
+                          THEN lower(wz[1])
+                          ELSE $capWord END), ' ')"""
+        s"""WITH base AS (
+             SELECT p_partkey,
+               CASE WHEN p_partkey % 6 = 0 THEN 'vit c ' || p_name
+                    WHEN p_partkey % 6 = 1 THEN upper(p_name) || ', organic!!'
+                    WHEN p_partkey % 6 = 2 THEN 'b. lactis with ' || p_name
+                    WHEN p_partkey % 6 = 3 THEN p_name || ' co q 10'
+                    WHEN p_partkey % 6 = 4 THEN '  ' || p_name || '   gelatine  '
+                    ELSE p_name || ' "quoted" [bracketed]' END AS raw
+             FROM part),
+           strip AS (SELECT p_partkey, raw, $stripped AS stripped FROM base)
+           SELECT p_partkey, raw, $titled AS normalized
+           FROM strip ORDER BY p_partkey"""
+      },
+      "q63_offerings_links" -> {
+        // titles/uids come FROM Offerings.DefaultMapping and the dedup
+        // rule mirrors withOfferings' first-in-sorted-column-order —
+        // min(source_field) per (member, uid)
+        val synth = Map(
+          "manufacturingServices" ->
+            "CASE WHEN c_custkey % 2 = 0 THEN 'we manufacture' WHEN c_custkey % 5 = 1 THEN 'n/a' END",
+          "products" -> "CASE WHEN c_custkey % 3 = 0 THEN c_name END",
+          "logisticalServices" -> "CASE WHEN c_custkey % 5 = 0 THEN 'fleet' END",
+          "suppliedPackaging" -> "CASE WHEN c_custkey % 7 = 0 THEN ' boxes ' END",
+          "deliveredIn" -> "CASE WHEN c_custkey % 7 = 3 THEN 'crates' END",
+          "typeOfSpace" ->
+            "CASE WHEN c_custkey % 11 = 0 THEN '' ELSE 'shared kitchen' END")
+        def nonEmpty(x: String) =
+          s"""$x IS NOT NULL AND length(trim($x)) > 0
+             AND lower(trim($x)) NOT IN ('null', 'none', 'n/a', 'na', 'nan')"""
+        val branches = synth.keys.toSeq.sorted.map { f =>
+          val (title, uid) = graft.operators.Offerings.DefaultMapping(f)
+          s"""SELECT member_id, '$title' AS title, '$uid' AS uid,
+              '$f' AS source_field, trim($f) AS source_value
+              FROM m WHERE ${nonEmpty(f)}"""
+        }.mkString("\n UNION ALL\n")
+        s"""WITH m AS (
+             SELECT c_custkey AS member_id,
+               ${synth.toSeq.sortBy(_._1).map { case (f, e) => s"$e AS $f" }.mkString(", ")}
+             FROM customer),
+           cand AS ($branches)
+           SELECT member_id, title, uid, source_field, source_value
+           FROM cand
+           QUALIFY row_number() OVER (PARTITION BY member_id, uid
+             ORDER BY source_field) = 1
+           ORDER BY member_id, uid"""
+      },
       "q60_semantic_guard" -> {
         // generated FROM SemanticGuard's keyword tables — the oracle can
         // never drift from the operator's category/pair data
