@@ -36,6 +36,22 @@ class ScaleHeadroomSpec extends AnyFunSuite {
     }
   }
 
+  test("star-capped candidate pairs grow LINEARLY in degenerate buckets") {
+    import spark.implicits._
+    def pairs(bucketSize: Int): Long = {
+      val rows = (0 until bucketSize).map(i => ("hot", i.toLong)) ++
+        Seq(("cold", 1000L), ("cold", 1001L))
+      graft.operators.Dedup.cappedBucketPairs(
+        rows.toDF("bucket", "id"), Seq("bucket"), "id", maxBucket = 8).count()
+    }
+    // over the cap the bucket contributes B-1 star pairs — doubling the
+    // degenerate bucket doubles the output instead of quadrupling it
+    assert(pairs(64) == 63 + 1)
+    assert(pairs(128) == 127 + 1)
+    // at the cap the full clique survives
+    assert(pairs(8) == 8 * 7 / 2 + 1)
+  }
+
   test(s"broadcast join multiplicity stays key-driven at ${factor}x") {
     val li = Tables(spark, dir, "lineitem")
     val p = Tables(spark, dir, "part")
