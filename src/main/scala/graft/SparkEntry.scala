@@ -829,8 +829,8 @@ object SparkEntry {
           .foldLeft(collapse("raw")) { case (acc, (pat, repl)) =>
             s"regexp_replace($acc, '$pat', '$repl', 'gi')"
           }
-        val stripped = collapse(
-          s"""regexp_replace($rewritten, '[,;!?''"“”\\[\\]{}]', '', 'g')""")
+        val punct = graft.functions.OfferingText.PunctClass.replace("'", "''")
+        val stripped = collapse(s"regexp_replace($rewritten, '$punct', '', 'g')")
         val stops = graft.functions.OfferingText.StopWords.toSeq.sorted
           .map(w => s"'$w'").mkString(", ")
         val capWord = // per word: capitalize each '-'/'.'-separated part
@@ -870,9 +870,11 @@ object SparkEntry {
           "deliveredIn" -> "CASE WHEN c_custkey % 7 = 3 THEN 'crates' END",
           "typeOfSpace" ->
             "CASE WHEN c_custkey % 11 = 0 THEN '' ELSE 'shared kitchen' END")
+        val nullToks = graft.operators.Offerings.NullTokens
+          .map(t => s"'$t'").mkString(", ")
         def nonEmpty(x: String) =
           s"""$x IS NOT NULL AND length(trim($x)) > 0
-             AND lower(trim($x)) NOT IN ('null', 'none', 'n/a', 'na', 'nan')"""
+             AND lower(trim($x)) NOT IN ($nullToks)"""
         val branches = synth.keys.toSeq.sorted.map { f =>
           val (title, uid) = graft.operators.Offerings.DefaultMapping(f)
           s"""SELECT member_id, '$title' AS title, '$uid' AS uid,
@@ -918,11 +920,14 @@ object SparkEntry {
            SELECT review_id, item_name, suggested_title, score,
              (NOT $catMismatch AND NOT $pairHit
               AND CAST(least(length(item_name), length(suggested_title)) AS DOUBLE)
-                / greatest(length(item_name), length(suggested_title), 1) >= 0.5)
+                / greatest(length(item_name), length(suggested_title), 1)
+                >= ${graft.operators.SemanticGuard.MinLenRatio})
                AS semantic_ok
            FROM reviews
            WHERE approved IS NULL AND NOT ignored
-             AND score >= 90 AND score < 97 AND suggested_title IS NOT NULL
+             AND score >= ${graft.operators.SemanticGuard.DefaultHigh}
+             AND score < ${graft.operators.SemanticGuard.DefaultAutoResolve}
+             AND suggested_title IS NOT NULL
            ORDER BY review_id"""
       },
       "q61_push_summary" ->

@@ -73,12 +73,16 @@ object OfferingText {
       regexp_replace(acc, "(?i)" + pat, repl)
     }
 
-  /** Strip the reference's punctuation set (`app/etl.py:838`): commas,
-    * semicolons, bangs, question marks, quotes, brackets, braces —
-    * PRESERVING hyphens, periods, parentheses, ampersands and other
-    * notation scientific/brand names rely on. */
+  /** The reference's punctuation character class (`app/etl.py:838`) —
+    * shared with q64's oracle SQL (edit HERE, never in the SQL). */
+  val PunctClass: String = "[,;!?'\"“”\\[\\]{}]"
+
+  /** Strip the reference's punctuation set: commas, semicolons, bangs,
+    * question marks, quotes, brackets, braces — PRESERVING hyphens,
+    * periods, parentheses, ampersands and other notation
+    * scientific/brand names rely on. */
   def stripPunct(c: Column): Column =
-    collapseWs(regexp_replace(c, "[,;!?'\"“”\\[\\]{}]", ""))
+    collapseWs(regexp_replace(c, PunctClass, ""))
 
   /** Title-case with stop-word lowering; first word always capitalized;
     * hyphen/dot-separated sub-parts each capitalized. */

@@ -69,11 +69,15 @@ object Multimodal {
         val w = img.getWidth; val h = img.getHeight
         val feats = new Array[Float](dim)
         val counts = new Array[Int](dim)
+        // bulk row reads: per-pixel getRGB(x, y) does a color-model
+        // conversion per call — the slow path on this hot decode loop
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = rowBuf(x)
             val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
               (rgb & 0xFF) * 114) / 1000
             val b = ((y.toLong * w + x) * dim / (w.toLong * h)).toInt
@@ -100,8 +104,19 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content))
       try {
         val fmt = in.getFormat
+        // only the encodings this kernel actually interprets correctly:
+        // 16/8-bit signed and 8-bit unsigned PCM. Anything else (float,
+        // 24/32-bit, compressed) returns None -> the hash stub, instead
+        // of silently mis-reading sample bytes (an 8-bit UNSIGNED silent
+        // file read as signed decodes to full-scale noise).
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!((signed && (bits == 16 || bits == 8)) || (unsigned && bits == 8)))
+          return None
         val bytes = in.readAllBytes()
-        val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val bytesPerSample = math.max(bits / 8, 1)
         val n = bytes.length / bytesPerSample
         if (n == 0) return None
         val sq = new Array[Double](dim)
@@ -110,11 +125,12 @@ object Multimodal {
         var i = 0
         while (i < n) {
           val v =
-            if (bytesPerSample >= 2) {
-              val o = i * bytesPerSample
+            if (bytesPerSample == 2) {
+              val o = i * 2
               val (lo, hi) = if (be) (bytes(o + 1), bytes(o)) else (bytes(o), bytes(o + 1))
               ((hi << 8) | (lo & 0xFF)).toDouble / 32768.0
-            } else (bytes(i).toDouble) / 128.0
+            } else if (signed) bytes(i).toDouble / 128.0
+            else ((bytes(i) & 0xFF) - 128).toDouble / 128.0
           val b = (i.toLong * dim / n).toInt
           sq(b) += v * v
           counts(b) += 1
@@ -137,13 +153,19 @@ object Multimodal {
   }
 
   /** REAL resize for decodable images (Graphics2D bilinear); identity
-    * for anything the JDK cannot decode. */
+    * for anything the JDK cannot decode. The output is ALWAYS
+    * PNG-encoded (normalize-on-resize: PNG is lossless and carries
+    * alpha, which is preserved via an ARGB canvas — never flattened);
+    * callers tracking a mime column should set it to image/png for
+    * resized rows. */
   private[graft] def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
     (try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
         .map { img =>
-          val out = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val outType =
+            if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(w, h, outType)
           val g = out.createGraphics()
           try {
             g.setRenderingHint(

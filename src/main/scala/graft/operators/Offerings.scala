@@ -42,9 +42,13 @@ object Offerings {
     "consultingServices" -> ("Consulting", "0x2aba6c"),
     "products" -> ("Manufacturing", "0x2c411f"))
 
+  /** The null-ish token list (shared with q63's oracle SQL — edit HERE,
+    * never in the SQL). */
+  val NullTokens: Seq[String] = Seq("null", "none", "n/a", "na", "nan")
+
   private def nonEmpty(c: Column): Column =
     c.isNotNull && length(trim(c)) > 0 &&
-      !lower(trim(c)).isin("null", "none", "n/a", "na", "nan")
+      !lower(trim(c)).isin(NullTokens: _*)
 
   /** Derive an `offerings` array column
     * array<struct<title,uid,source_field,source_value>> from whichever

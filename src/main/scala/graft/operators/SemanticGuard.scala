@@ -34,6 +34,11 @@ object SemanticGuard {
     "rice" -> "rice paper", "bean" -> "vanilla bean", "salt" -> "sea salt",
     "oil" -> "essential oil")
 
+  /** Guard thresholds (shared with q60's oracle SQL — edit HERE). */
+  val MinLenRatio: Double = 0.5
+  val DefaultHigh: Double = 90.0
+  val DefaultAutoResolve: Double = 97.0
+
   private def hitsCategory(c: Column, words: Seq[String]): Column =
     words.map(w => lower(c).contains(w)).reduce(_ || _)
 
@@ -48,7 +53,7 @@ object SemanticGuard {
     }.reduce(_ || _)
     val lenRatio =
       least(length(a), length(b)).cast("double") / greatest(length(a), length(b), lit(1))
-    !categoryMismatch && !pairHit && lenRatio >= 0.5
+    !categoryMismatch && !pairHit && lenRatio >= MinLenRatio
   }
 
   /** P10 + F7: the batch-approve set — pending reviews in
@@ -58,8 +63,8 @@ object SemanticGuard {
       itemCol: String = "item_name",
       suggestedCol: String = "suggested_title",
       scoreCol: String = "score",
-      high: Double = 90.0,
-      autoResolve: Double = 97.0): DataFrame =
+      high: Double = DefaultHigh,
+      autoResolve: Double = DefaultAutoResolve): DataFrame =
     reviews
       .where(col("approved").isNull && !col("ignored"))
       .where(col(scoreCol) >= high && col(scoreCol) < autoResolve)

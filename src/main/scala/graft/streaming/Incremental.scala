@@ -112,7 +112,11 @@ object Incremental {
               n = 0L
             }
             n += 1
-            lastMs = e.ts.getTime
+            // never regress: a LATE within-watermark event from an
+            // earlier micro-batch merges into the session but must not
+            // pull the gap anchor (and the armed timeout) backwards —
+            // that would split and close genuine sessions early
+            lastMs = math.max(lastMs, e.ts.getTime)
           }
           state.update((n, lastMs))
           // the timeout must sit strictly above the current watermark —

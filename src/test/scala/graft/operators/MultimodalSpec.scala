@@ -94,6 +94,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f > 0.45f && f < 0.55f), feats.toSeq.toString)
   }
 
+  test("audio decode handles 8-bit UNSIGNED PCM; exotic encodings fall back") {
+    // digital silence in 8-bit unsigned PCM is 0x80 — it must decode to
+    // RMS ~0, not full-scale (the signed misread this regression pins)
+    val silent = Array.fill(1000)(0x80.toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(silent), fmt, 1000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((_, _, feats)) = Multimodal.decodeAudio(bos.toByteArray, dim = 2)
+    assert(feats.forall(_ < 0.01f), feats.toSeq.toString)
+    // a float-PCM or otherwise uninterpreted format must return None
+    // (the caller then falls back to the deterministic stub)
+    val f32 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)
+    val fais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](400)), f32, 100L)
+    val fbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(fais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, fbos)
+    assert(Multimodal.decodeAudio(fbos.toByteArray, dim = 2).isEmpty)
+  }
+
   test("REAL resize: decodable image is rescaled; opaque bytes pass through") {
     val resized = Multimodal.resize(tinyPng(), 4, 3)
     val Some((w, h, _)) = Multimodal.decodeImage(resized, dim = 2)

@@ -131,6 +131,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions == Map(1L -> 2L, 2L -> 1L), sessions.toString)
   }
 
+  test("sessionization merges LATE within-watermark events without splitting") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 + min * 60000L)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .as[Incremental.Event]
+      val q = Incremental.sessionize(stream, gapSeconds = 1800)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // drain 1: u1 at t=100 -> state (1, 100); watermark advances to 70
+    Seq(Incremental.Event(1L, ts(100), "a")).toDS().write.mode("append").parquet(in)
+    drain()
+    // drain 2: LATE u1 event at t=80 (>= watermark 70, admitted): must
+    // merge into the session WITHOUT pulling the gap anchor back to 80
+    Seq(Incremental.Event(1L, ts(80), "b")).toDS().write.mode("append").parquet(in)
+    drain()
+    // drain 3: u1 at t=125 — 25 min after the anchor (100): same session.
+    // a regressed anchor (80) would see a 45-min gap and split here.
+    Seq(Incremental.Event(1L, ts(125), "c")).toDS().write.mode("append").parquet(in)
+    drain()
+    // drain 4: an unrelated user far in the future closes u1 by watermark
+    Seq(Incremental.Event(2L, ts(400), "d")).toDS().write.mode("append").parquet(in)
+    drain()
+    val sessions = spark.read.parquet(out).as[Incremental.SessionUpdate]
+      .collect().filter(_.user_id == 1L).map(_.n_events).toSeq
+    assert(sessions == Seq(3L), sessions.toString)
+  }
+
   test("ops-log daily usage + 24h error summary (A7/A8 on log schema)") {
     val logs = Seq(
       ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "connection timeout", 100L),
