@@ -18,6 +18,20 @@ object TextFunctions {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Order-aware word n-grams WITH multiplicity, space-joined — the one
+    * n-gram constructor (TextQueries' distinct bigrams and the
+    * repetition stats both derive from it). Built by zipping the token
+    * list against its own shifted slices: the lambdas see only their
+    * zipped elements (an element_at(toks, i+k) inside the lambda would
+    * re-evaluate the split per element — O(n²) per document). */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** Distinct lowercase token array (sorted — canonical form). */
   def tokenSetSorted(c: Column): Column =
     array_sort(array_distinct(split(lower(trim(c)), "\\s+")))

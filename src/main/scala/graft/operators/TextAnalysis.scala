@@ -22,6 +22,42 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
+  /** Repetition-filter thresholds (Gopher-style; shared with q65's
+    * oracle SQL — edit HERE). Docs whose single most frequent word
+    * bigram covers ≥ 20% of all bigrams, or whose repeated trigrams
+    * cover ≥ 30% of all trigrams, fail the filter. */
+  val MaxTopBigramShareMills: Long = 200L
+  val MaxDupTrigramMills: Long = 300L
+
+  /** Gopher/C4-style repetition quality signals per document (the
+    * standard pretraining-data repetition filters, word-level): the
+    * most-frequent-bigram share and the repeated-trigram mass, in
+    * mills, plus the combined pass flag. Only docs with ≥ 3 tokens
+    * (a non-empty trigram set) are scored. Shape: two n-gram explodes
+    * with partial-agg counting — one shuffle per n-gram order, work
+    * linear in corpus token count. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.wordNGrams(col(textCol), 2).as("bi"),
+        TextFunctions.wordNGrams(col(textCol), 3).as("tri"))
+      .where(size(col("tri")) > 0)
+    val biStats = base.select(col(idCol), explode(col("bi")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(floor(lit(1000) * max(col("c")) / sum(col("c"))).cast("long")
+        .as("top_bigram_share_mills"))
+    val triStats = base.select(col(idCol), explode(col("tri")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(floor(lit(1000) * sum(when(col("c") > 1, col("c")).otherwise(0L))
+        / sum(col("c"))).cast("long").as("dup_trigram_mills"))
+    biStats.join(triStats, Seq(idCol))
+      .withColumn("repetition_ok",
+        col("top_bigram_share_mills") < MaxTopBigramShareMills &&
+          col("dup_trigram_mills") < MaxDupTrigramMills)
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

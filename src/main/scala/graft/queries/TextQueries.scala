@@ -33,20 +33,12 @@ object TextQueries {
   /** Distinct word-bigram shingles of `text` (order-aware 2-grams) and
     * the DuckDB twin (operating on a `l` token-list alias) — the ONE
     * parity-critical bigram expression, shared by q47 and q56. */
-  private[graft] val wordBigrams: org.apache.spark.sql.Column = {
-    // zip the token list against its own 1-shifted slice: the lambda
-    // sees only its two zipped elements. (The earlier formulation read
-    // `element_at(toks, i + 2)` INSIDE the transform lambda, which
-    // re-evaluates the whole split() per element — O(n²) per document;
-    // that single expression was ~3 s of q47 at sf0.1.)
-    val toks = split(trim(col("text")), "\\s+")
-    val n1 = greatest(size(toks) - 1, lit(0))
-    array_distinct(zip_with(
-      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b)))
-  }
+  private[graft] val wordBigrams: org.apache.spark.sql.Column =
+    array_distinct(TextFunctions.wordNGrams(col("text"), 2))
+  private[graft] val wordBigramsAllSql: String =
+    "[l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))]"
   private[graft] val wordBigramsSql: String =
-    "list_distinct([l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] FOR i IN range(1, len(l))])"
+    s"list_distinct($wordBigramsAllSql)"
   private[graft] val tokenListSql: String =
     "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
 
@@ -177,6 +169,14 @@ object TextQueries {
         docsSpread(s, dir).where(col("doc_id") % 3 === 0),
         "text", "doc_id", minJaccardMills = 600, blockCols = Seq("source"))
         .orderBy("id_a", "id_b")),
+
+    // Gopher/C4-style repetition quality filter: most-frequent-bigram
+    // share + repeated-trigram mass per document (word-level, with
+    // multiplicity — the standard pretraining-data repetition signals).
+    "q65_repetition_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionStats(
+        docsSpread(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
 
     // Word-bigram (2-gram shingle) Jaccard near-dup — the order-aware
     // n-gram variant of q36 (unigram sets ignore token order; bigrams
@@ -346,6 +346,34 @@ object TextQueries {
          WHERE floor(1000 * len(list_intersect(a.toks, b.toks))
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 600
          ORDER BY id_a, id_b""",
+    "q65_repetition_stats" -> {
+      val triAllSql =
+        "[l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] || ' ' || l[CAST(i + 2 AS INT)] FOR i IN range(1, len(l) - 1)]"
+      s"""WITH t AS (
+           SELECT doc_id, $tokenListSql AS l FROM documents
+           WHERE text IS NOT NULL),
+         eligible AS (SELECT * FROM t WHERE len(l) >= 3),
+         b AS (
+           SELECT doc_id,
+             CAST(floor(1000 * max(c) / sum(c)) AS BIGINT) AS top_bigram_share_mills
+           FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest($wordBigramsAllSql) AS g FROM eligible) u
+                 GROUP BY doc_id, g) gc
+           GROUP BY doc_id),
+         tr AS (
+           SELECT doc_id,
+             CAST(floor(1000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c)) AS BIGINT)
+               AS dup_trigram_mills
+           FROM (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest($triAllSql) AS g FROM eligible) u
+                 GROUP BY doc_id, g) gc
+           GROUP BY doc_id)
+         SELECT b.doc_id, top_bigram_share_mills, dup_trigram_mills,
+           (top_bigram_share_mills < ${graft.operators.TextAnalysis.MaxTopBigramShareMills}
+            AND dup_trigram_mills < ${graft.operators.TextAnalysis.MaxDupTrigramMills})
+             AS repetition_ok
+         FROM b JOIN tr USING (doc_id) ORDER BY doc_id"""
+    },
     "q47_bigram_jaccard" ->
       s"""WITH t AS (
            SELECT doc_id, source, $tokenListSql AS l

@@ -30,6 +30,20 @@ class MiscSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L), out.toString)
   }
 
+  test("repetition filter flags boilerplate docs and passes varied ones") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),      // one bigram dominates
+      (2L, "the quick brown fox jumps over the lazy dog"),  // varied
+      (3L, "ab")                                            // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("top_bigram_share_mills"), r.getAs[Boolean]("repetition_ok"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(!out(1L)._2 && out(1L)._1 > TextAnalysis.MaxTopBigramShareMills)
+    assert(out(2L)._2)
+  }
+
   test("pushSink retries transient failures with backoff (F14)") {
     MiscSpec.attempts.set(0)
     val df = Seq(1, 2, 3).toDF("v").coalesce(1)
