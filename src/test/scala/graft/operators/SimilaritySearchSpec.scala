@@ -80,4 +80,17 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val hit = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
     assert(hit > 0, "IVF recalled none of the true top-5")
   }
+
+  test("IVF recall is monotone in nProbe and exhaustive probing is exact") {
+    val bf = SimilaritySearch.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    def recall(nProbe: Int): Long =
+      SimilaritySearch.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = nProbe)
+        .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val r1 = recall(1); val r2 = recall(2); val rAll = recall(4)
+    // probing more cells can only add candidates: recall never drops
+    assert(r1 <= r2 && r2 <= rAll, s"recall not monotone: $r1, $r2, $rAll")
+    // probing every cell = scoring the whole corpus = exact top-5
+    assert(rAll == bf.count(), s"exhaustive probe missed: $rAll of ${bf.count()}")
+  }
 }
