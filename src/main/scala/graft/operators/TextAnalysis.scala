@@ -42,17 +42,22 @@ object TextAnalysis {
         TextFunctions.wordNGrams(col(textCol), 2).as("bi"),
         TextFunctions.wordNGrams(col(textCol), 3).as("tri"))
       .where(size(col("tri")) > 0)
-    val biStats = base.select(col(idCol), explode(col("bi")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    // ONE explode of the order-tagged n-gram union -> one (id, n, gram)
+    // counting shuffle -> one per-doc rollup. Conditional aggregates
+    // split the orders back out; no second shuffle tree, no join.
+    val tagged = base.select(col(idCol), explode(concat(
+        transform(col("bi"), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(col("tri"), g => struct(lit(3).as("n"), g.as("g"))))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+    tagged.groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg(floor(lit(1000) * max(col("c")) / sum(col("c"))).cast("long")
-        .as("top_bigram_share_mills"))
-    val triStats = base.select(col(idCol), explode(col("tri")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(floor(lit(1000) * sum(when(col("c") > 1, col("c")).otherwise(0L))
-        / sum(col("c"))).cast("long").as("dup_trigram_mills"))
-    biStats.join(triStats, Seq(idCol))
+      .agg(
+        floor(lit(1000) * max(when(col("n") === 2, col("c")))
+          / sum(when(col("n") === 2, col("c")))).cast("long")
+          .as("top_bigram_share_mills"),
+        floor(lit(1000) * sum(when(col("n") === 3 && col("c") > 1, col("c")).otherwise(0L))
+          / sum(when(col("n") === 3, col("c")))).cast("long")
+          .as("dup_trigram_mills"))
       .withColumn("repetition_ok",
         col("top_bigram_share_mills") < MaxTopBigramShareMills &&
           col("dup_trigram_mills") < MaxDupTrigramMills)
