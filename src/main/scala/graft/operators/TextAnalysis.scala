@@ -33,9 +33,9 @@ object TextAnalysis {
     * standard pretraining-data repetition filters, word-level): the
     * most-frequent-bigram share and the repeated-trigram mass, in
     * mills, plus the combined pass flag. Only docs with ≥ 3 tokens
-    * (a non-empty trigram set) are scored. Shape: two n-gram explodes
-    * with partial-agg counting — one shuffle per n-gram order, work
-    * linear in corpus token count. */
+    * (a non-empty trigram set) are scored. Shape: one explode of the
+    * order-tagged n-gram union through a single counting shuffle and a
+    * per-doc conditional rollup — work linear in corpus token count. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol),
