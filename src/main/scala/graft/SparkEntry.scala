@@ -91,6 +91,25 @@ object SparkEntry {
         .drop("alternatives")
         .orderBy("item_id")
     }),
+    // Zero-shared-token forced resolution: item names are the dict
+    // titles with all spaces removed ("navy apple" → "navyapple"), so
+    // every item misses the exact phase AND shares no whitespace token
+    // with its true match — reachable ONLY through the char-3-gram
+    // blocking family. Gates the recall fix in
+    // EntityResolution.fuzzyCandidates (round-3 verdict item 1).
+    "q66_ngram_blocked_resolution" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val items = p.where(col("p_partkey") % 3 === 0 && col("p_partkey") < 150)
+        .select(col("p_partkey").as("item_id"),
+          regexp_replace(col("p_name"), " ", "").as("item_name"))
+      val dict = p.where(col("p_partkey") % 2 === 0)
+        .groupBy(col("p_name").as("title"))
+        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
+      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+        .withColumn("alt_digest", altDigest(col("alternatives")))
+        .drop("alternatives")
+        .orderBy("item_id")
+    }),
     // LSH-bucketed approximate nearest neighbors (scale path of q37),
     // with Rademacher md5-parity planes over quantized vectors — exact
     // integer bucketing+scoring, so this one IS hash-checked (oracle
@@ -503,10 +522,21 @@ object SparkEntry {
       s"CASE WHEN $p = '' THEN [] ELSE list_sort(list_distinct(string_split($p, ' '))) END"
     def blockToks(x: String) =
       s"list_distinct(string_split_regex(lower(trim($x)), '[^a-z0-9]+'))"
+    // char-3-gram blocking keys — mirrors EntityResolution.charGrams:
+    // strip non-alphanumerics, window into 3-grams, whole string if < 3.
+    def strip(x: String) = s"regexp_replace(lower(trim($x)), '[^a-z0-9]+', '', 'g')"
+    def blockGrams(x: String) = {
+      val s = strip(x)
+      s"""CASE WHEN len($s) >= 3
+           THEN list_transform(range(0, len($s) - 2), gi -> substr($s, gi + 1, 3))
+           WHEN len($s) > 0 THEN [$s] ELSE [] END"""
+    }
     val blockedFilter =
       if (!blocked) ""
       else s"""WHERE len(list_filter(${blockToks("n.item_name")},
-             bt -> len(bt) > 1 AND list_contains(${blockToks("d.title")}, bt))) > 0"""
+             bt -> len(bt) > 1 AND list_contains(${blockToks("d.title")}, bt))) > 0
+           OR len(list_filter(${blockGrams("n.item_name")},
+             gg -> list_contains(${blockGrams("d.title")}, gg))) > 0"""
     val diet = Seq("gluten-free", "organic", "natural", "raw", "extra virgin",
       "whole grain")
     def dietHit(x: String) =
@@ -819,6 +849,10 @@ object SparkEntry {
       "q59_fuzzy_forced" -> resolveOracleSql(
         """SELECT p_partkey AS item_id,
            p_name || ' v' || CAST(p_partkey % 5 AS VARCHAR) AS item_name
+           FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 150""",
+        blocked = true),
+      "q66_ngram_blocked_resolution" -> resolveOracleSql(
+        """SELECT p_partkey AS item_id, replace(p_name, ' ', '') AS item_name
            FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 150""",
         blocked = true),
       "q64_normalize_offering" -> {

@@ -52,13 +52,33 @@ object EntityResolution {
       .drop("__dict_key")
   }
 
+  /** Char-3-gram blocking keys: the lowercased text stripped of all
+    * non-alphanumerics, windowed into distinct 3-grams; strings shorter
+    * than 3 chars block on the whole stripped string (empty → no keys).
+    * Mirrored verbatim in the q41/q59/q66 DuckDB oracle twin. */
+  private[operators] def charGrams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = regexp_replace(lower(trim(c)), "[^a-z0-9]+", "")
+    when(length(s) >= 3,
+      array_distinct(transform(sequence(lit(0), length(s) - 3),
+        i => s.substr(i + lit(1), lit(3)))))
+      .when(length(s) > 0, array(s))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Candidate generation for the fuzzy phase.
     * blocked=false → broadcast cross join (small dict);
-    * blocked=true  → token-blocking: explode tokens on both sides,
-    * equi-join on token, dedupe (item, candidate) pairs. This turns the
-    * O(N·D) cross product into a shuffle join on tokens — the 100 TB
-    * path; recall is bounded to pairs sharing ≥ 1 token, which the
-    * token_set_ratio score ≥ floor implies anyway. */
+    * blocked=true  → token-blocking ∪ char-3-gram blocking: explode keys
+    * on both sides, equi-join per key family, union, dedupe
+    * (item, candidate) pairs. This turns the O(N·D) cross product into
+    * shuffle equi-joins — the 100 TB path.
+    *
+    * Token blocking alone misses high-similarity pairs that share NO
+    * whitespace token (`"ap ple"` vs `"apple"`, concatenations,
+    * single-token typos) because indel-based scores do not imply a shared
+    * token. The char-3-gram family closes that hole: any pair with a
+    * common length≥3 substring of the stripped text meets. Gram keys
+    * draw from a bounded space (36³), so skew is capped and AQE's
+    * skew-join split (or salting) handles hot grams at scale. */
   def fuzzyCandidates(
       misses: DataFrame,
       dict: DataFrame,
@@ -75,8 +95,11 @@ object EntityResolution {
       val dictTok = d.withColumn(
         "__tok", explode(array_distinct(split(lower(trim(col("cand_title"))), "[^a-z0-9]+"))))
         .where(length(col("__tok")) > 1)
-      itemTok.join(dictTok, "__tok")
-        .drop("__tok")
+      val tokenPairs = itemTok.join(dictTok, "__tok").drop("__tok")
+      val itemGram = misses.withColumn("__gram", explode(charGrams(col(itemCol))))
+      val dictGram = d.withColumn("__gram", explode(charGrams(col("cand_title"))))
+      val gramPairs = itemGram.join(dictGram, "__gram").drop("__gram")
+      tokenPairs.unionByName(gramPairs)
         .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
     }
   }

@@ -54,6 +54,30 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
   }
 
+  test("char-3-gram blocking reaches zero-shared-token near-matches (J2 recall)") {
+    // none of these share a whitespace token with their dictionary match,
+    // so token blocking alone generates zero candidates; the 3-gram
+    // family must still surface them with a non-rejected decision.
+    val tricky = Seq(
+      (1L, "almondmilk"),        // concatenation
+      (2L, "al mondmilk"),       // misplaced space
+      (3L, "almondd milkk")      // per-token typos (no token matches)
+    ).toDF("item_id", "item_name")
+    val out = EntityResolution.resolve(tricky, dict, Seq("item_id"), blocked = true)
+      .orderBy("item_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("decision") != "rejected",
+        s"item ${r.getAs[String]("item_name")} unreachable under blocking")
+      assert(r.getAs[String]("ext_id") == "P2")
+    }
+    // and the blocked decisions agree with the unblocked ground truth
+    val un = EntityResolution.resolve(tricky, dict, Seq("item_id"))
+      .select("item_id", "ext_id", "score", "decision").orderBy("item_id").collect()
+    val bl = EntityResolution.resolve(tricky, dict, Seq("item_id"), blocked = true)
+      .select("item_id", "ext_id", "score", "decision").orderBy("item_id").collect()
+    assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
+  }
+
   test("penalties never raise a score and floor at 0 (F4)") {
     val df = Seq(
       ("short", "a much longer candidate string with many words"),
