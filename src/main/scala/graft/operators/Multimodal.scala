@@ -144,12 +144,92 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Mean luminance of one decoded frame, in [0, 1]. */
+  private def meanLum(img: java.awt.image.BufferedImage): Float = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w == 0 || h == 0) return 0.0f
+    val rowBuf = new Array[Int](w)
+    var sum = 0.0; var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    (sum / (w.toLong * h) / 255.0).toFloat
+  }
+
+  /** REAL video decode for ImageIO-readable frame sequences (animated
+    * GIF — the one multi-frame container the JDK ships a codec for):
+    * per-frame mean luminance via the sequence reader
+    * (`ImageReader.read(i)`). None when no reader claims the payload or
+    * it holds zero frames. */
+  private[graft] def decodeGifFrames(content: Array[Byte]): Option[IndexedSeq[Float]] =
+    try {
+      if (content == null) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(i => meanLum(reader.read(i))))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Video features: frame mean-luminances folded into `dim` time
+    * buckets (the temporal analogue of the audio RMS buckets). */
+  private[graft] def decodeVideo(content: Array[Byte], dim: Int)
+      : Option[(Int, Array[Float])] =
+    decodeGifFrames(content).map { lums =>
+      val n = lums.length
+      val feats = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * dim / n).toInt
+        feats(b) += lums(i); counts(b) += 1; i += 1
+      }
+      var b = 0
+      while (b < dim) { if (counts(b) > 0) feats(b) /= counts(b); b += 1 }
+      (n, feats)
+    }
+
+  /** Minimal multi-frame GIF encoder via the JDK's ImageIO sequence
+    * writer — lets specs and the q67 gate build deterministic animated
+    * payloads without external codecs. */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Decode dispatch: real codec per kind, hash-stub fallback. */
   private[graft] def decodeFeatures(kind: String, content: Array[Byte],
       dim: Int): Array[Float] = kind match {
     case "image" => decodeImage(content, dim).map(_._3).getOrElse(decodeStub(content, dim))
     case "audio" => decodeAudio(content, dim).map(_._3).getOrElse(decodeStub(content, dim))
-    case _ => decodeStub(content, dim) // video: no JDK codec — stub stands
+    // video: animated GIF is the JDK-decodable container; anything the
+    // sequence reader can't claim falls back to the hash stub
+    case _ => decodeVideo(content, dim).map(_._2).getOrElse(decodeStub(content, dim))
   }
 
   /** REAL resize for decodable images (Graphics2D bilinear); identity
@@ -204,15 +284,40 @@ object Multimodal {
     ds.toDF()
   }
 
-  /** Frame sampling contract for video rows: emits `everyNth` synthetic
-    * frame references per video (a codec would emit decoded frames). */
-  def sampleFrames(media: DataFrame, everyNth: Int = 10): DataFrame =
+  case class FrameSample(
+      media_id: Long, frame_no: Int, decoded: Boolean, mean_lum: Option[Float])
+
+  /** Frame sampling for video rows: every `everyNth` frame. Payloads the
+    * JDK sequence reader can decode (animated GIF) yield GENUINE frames
+    * — real frame indices plus the decoded frame's mean luminance
+    * (`decoded = true`). Undecodable payloads keep the synthetic
+    * duration-based frame references (`decoded = false`, null
+    * luminance), so the sampling contract holds for codec-less formats.
+    * Runs partition-wise; binary payloads never shuffle — only the
+    * (media_id, frame_no, mean_lum) projection moves. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val step = math.max(everyNth, 1)
     media.where(col("kind") === "video")
-      .withColumn("frame_no",
-        explode(sequence(lit(0),
-          greatest((coalesce(col("meta.duration_ms"), lit(0L)) / 1000).cast("int"), lit(0)),
-          lit(everyNth))))
-      .select(col("media_id"), col("frame_no"))
+      .select(col("media_id"), col("content"),
+        greatest((coalesce(col("meta.duration_ms"), lit(0L)) / 1000).cast("int"),
+          lit(0)).as("dur_s"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, content, durS) =>
+          decodeGifFrames(content) match {
+            case Some(lums) =>
+              (0 until lums.length by step).map(i =>
+                FrameSample(id, i, decoded = true, Some(lums(i))))
+            case None =>
+              (0 to durS by step).map(i =>
+                FrameSample(id, i, decoded = false, None))
+          }
+        }
+      }
+      .toDF()
+  }
 
   /** Synthesize a deterministic media table from the documents testdata
     * (text bytes as payload) — lets every multimodal operator run and be
