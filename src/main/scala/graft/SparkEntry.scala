@@ -531,12 +531,21 @@ object SparkEntry {
            THEN list_transform(range(0, len($s) - 2), gi -> substr($s, gi + 1, 3))
            WHEN len($s) > 0 THEN [$s] ELSE [] END"""
     }
+    // token-blocking predicate between a name expression and a title
+    // expression — shared in the pair filter and the rescue-set probe.
+    def shareTok(n: String, t: String) =
+      s"""len(list_filter(${blockToks(n)},
+         bt -> len(bt) > 1 AND list_contains(${blockToks(t)}, bt))) > 0"""
+    // mirrors EntityResolution.fuzzyCandidates: token pairs, plus the
+    // char-3-gram family ONLY for names sharing no token with ANY
+    // dictionary title (the rescue set).
     val blockedFilter =
       if (!blocked) ""
-      else s"""WHERE len(list_filter(${blockToks("n.item_name")},
-             bt -> len(bt) > 1 AND list_contains(${blockToks("d.title")}, bt))) > 0
-           OR len(list_filter(${blockGrams("n.item_name")},
-             gg -> list_contains(${blockGrams("d.title")}, gg))) > 0"""
+      else s"""WHERE ${shareTok("n.item_name", "d.title")}
+           OR (NOT EXISTS (SELECT 1 FROM dict d2
+                 WHERE ${shareTok("n.item_name", "d2.title")})
+               AND len(list_filter(${blockGrams("n.item_name")},
+                 gg -> list_contains(${blockGrams("d.title")}, gg))) > 0)"""
     val diet = Seq("gluten-free", "organic", "natural", "raw", "extra virgin",
       "whole grain")
     def dietHit(x: String) =

@@ -67,18 +67,29 @@ object EntityResolution {
 
   /** Candidate generation for the fuzzy phase.
     * blocked=false → broadcast cross join (small dict);
-    * blocked=true  → token-blocking ∪ char-3-gram blocking: explode keys
-    * on both sides, equi-join per key family, union, dedupe
-    * (item, candidate) pairs. This turns the O(N·D) cross product into
-    * shuffle equi-joins — the 100 TB path.
+    * blocked=true  → token blocking, plus a char-3-gram RESCUE pass that
+    * runs only for names with zero token-blocked candidates. Each family
+    * is an explode + shuffle equi-join — no O(N·D) cross product — which
+    * is the 100 TB path.
     *
     * Token blocking alone misses high-similarity pairs that share NO
     * whitespace token (`"ap ple"` vs `"apple"`, concatenations,
     * single-token typos) because indel-based scores do not imply a shared
-    * token. The char-3-gram family closes that hole: any pair with a
-    * common length≥3 substring of the stripped text meets. Gram keys
-    * draw from a bounded space (36³), so skew is capped and AQE's
-    * skew-join split (or salting) handles hot grams at scale. */
+    * token. The char-3-gram family closes exactly that hole, so it is
+    * GATED to that set (the rescue set): running it for every miss would
+    * re-pair items token blocking already paired AND pay a quadratic
+    * blowup on hot grams — a gram appearing in fraction f of both sides
+    * emits f²·N·D join rows, and common trigrams ("ing", "ate") make that
+    * a constant fraction of the full cross product regardless of the
+    * bounded 36³ key space (AQE can split the partitions but cannot
+    * shrink the output). The rescue set is small by construction (names
+    * so mangled they share no token with anything), so hot grams multiply
+    * a small N. Contract: a name WITH token-blocked candidates sees only
+    * those candidates; the gram family is recall rescue, not a general
+    * candidate widener. The token-match name set is computed via a
+    * semi-join (bounded by distinct names, no pair fan-out); the token
+    * explode feeds both it and the pair join — cheap relative to the
+    * all-misses gram join it replaces. */
   def fuzzyCandidates(
       misses: DataFrame,
       dict: DataFrame,
@@ -96,11 +107,20 @@ object EntityResolution {
         "__tok", explode(array_distinct(split(lower(trim(col("cand_title"))), "[^a-z0-9]+"))))
         .where(length(col("__tok")) > 1)
       val tokenPairs = itemTok.join(dictTok, "__tok").drop("__tok")
-      val itemGram = misses.withColumn("__gram", explode(charGrams(col(itemCol))))
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
+      // rescue set: misses whose name shares no (len>1) token with any
+      // dictionary title — the only names token blocking cannot reach.
+      val matchedNames = itemTok
+        .join(dictTok.select("__tok").distinct(), Seq("__tok"), "left_semi")
+        .select(col(itemCol)).distinct()
+      val rescued = misses.join(matchedNames, Seq(itemCol), "left_anti")
+      val itemGram = rescued.withColumn("__gram", explode(charGrams(col(itemCol))))
       val dictGram = d.withColumn("__gram", explode(charGrams(col("cand_title"))))
       val gramPairs = itemGram.join(dictGram, "__gram").drop("__gram")
-      tokenPairs.unionByName(gramPairs)
         .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
+      // the families are disjoint by name (gram pairs exist only for
+      // names with zero token pairs), so the union needs no re-dedupe.
+      tokenPairs.unionByName(gramPairs)
     }
   }
 
