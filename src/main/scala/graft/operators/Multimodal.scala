@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample operator plumbing.
   *
   * Decode is REAL for the formats the JDK ships codecs for —
-  * `javax.imageio` (PNG/JPEG/BMP/GIF) and `javax.sound.sampled`
-  * (WAV/PCM) — producing bucketed-luminance / bucketed-RMS feature
-  * vectors and real resize via Graphics2D. Video (no JDK codec) and
-  * undecodable payloads fall back to a deterministic byte-hash STUB so
-  * the Spark-side contract (schema, batch shape, partition-wise
-  * execution, null handling) stays exercised end-to-end either way.
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — including multi-frame animated
+  * GIF via the sequence reader, the video path) and
+  * `javax.sound.sampled` (WAV/PCM) — producing bucketed-luminance /
+  * bucketed-RMS feature vectors and real resize via Graphics2D.
+  * Payloads no JDK codec claims (other video containers, corrupt bytes)
+  * fall back to a deterministic byte-hash STUB so the Spark-side
+  * contract (schema, batch shape, partition-wise execution, null
+  * handling) stays exercised end-to-end either way.
   *
   * Scale design: media rows are processed per partition in bounded
   * batches (the Scala analogue of Arrow-batched pandas UDFs), so

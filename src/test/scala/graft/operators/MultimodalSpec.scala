@@ -130,7 +130,8 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "image", tinyPng()),
       (2L, "audio", tinyWav()),
-      (3L, "video", "fake-bytes".getBytes)).toDF("media_id", "kind", "content")
+      (3L, "video", "fake-bytes".getBytes),
+      (4L, "video", tinyGif(Seq(0, 255)))).toDF("media_id", "kind", "content")
     val f = Multimodal.extractFeatures(rows, dim = 4, batchSize = 2)
       .orderBy("media_id").collect()
     // image features = real luminance means (dim=4 buckets span 1.5 of
@@ -141,8 +142,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgFeats.forall(v => v > 0.2f && v < 0.8f), imgFeats.toString)
     val audFeats = f(1).getSeq[Float](4)
     assert(audFeats.forall(v => v > 0.45f && v < 0.55f), audFeats.toString)
-    // video stays on the deterministic stub
+    // UNDECODABLE video payloads fall back to the deterministic stub
     assert(f(2).getSeq[Float](4).toSeq ==
       Multimodal.decodeStub("fake-bytes".getBytes, 4).toSeq)
+    // a real animated GIF goes through the REAL sequence decoder: two
+    // frames (black, white) land in temporal buckets 0 and 2 exactly
+    assert(f(3).getSeq[Float](4).toSeq == Seq(0.0f, 0.0f, 1.0f, 0.0f))
+  }
+
+  /** A real multi-frame animated GIF: 4x4 solid-gray frames. A solid
+    * frame's mean luminance is exactly g/255 (the integer luminance
+    * formula is exact on r=g=b), which makes round-trip assertions
+    * float-safe. */
+  private def tinyGif(grays: Seq[Int]): Array[Byte] = {
+    val frames = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      img
+    }
+    Multimodal.encodeGif(frames)
+  }
+
+  test("REAL video decode: encodeGif → decodeGifFrames round-trips frames + luminance") {
+    val grays = Seq(0, 64, 128, 255)
+    val Some(lums) = Multimodal.decodeGifFrames(tinyGif(grays))
+    assert(lums.length == 4)
+    lums.zip(grays).foreach { case (l, g) =>
+      assert(math.abs(l - g / 255.0f) < 1e-6f, s"g=$g decoded lum=$l")
+    }
+    // decodeVideo folds the frame luminances into temporal buckets
+    val Some((n, feats)) = Multimodal.decodeVideo(tinyGif(grays), dim = 2)
+    assert(n == 4)
+    assert(math.abs(feats(0) - (0 + 64) / 2.0f / 255.0f) < 1e-6f, feats.toSeq.toString)
+    assert(math.abs(feats(1) - (128 + 255) / 2.0f / 255.0f) < 1e-6f, feats.toSeq.toString)
+    // bytes no ImageIO reader claims -> None (caller falls back to stub)
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+  }
+
+  test("sampleFrames yields GENUINE decoded frames for real GIFs, synthetic refs otherwise") {
+    val media = Seq(
+      (1L, "video", tinyGif(Seq(10, 20, 30, 40, 50)), 3000L),
+      (2L, "video", "fake-bytes".getBytes, 3000L))
+      .toDF("media_id", "kind", "content", "dur")
+      .withColumn("meta", struct(lit("image/gif").as("mime"), lit(4).as("width"),
+        lit(4).as("height"), col("dur").as("duration_ms")))
+      .drop("dur")
+    val out = Multimodal.sampleFrames(media, everyNth = 2)
+      .orderBy("media_id", "frame_no").collect()
+    // real GIF: every 2nd of its 5 ACTUAL frames, decoded=true, with the
+    // decoded frame's true luminance (frame 2 is solid gray 30)
+    val real = out.filter(_.getLong(0) == 1L)
+    assert(real.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(real.forall(_.getBoolean(2)))
+    assert(math.abs(real(1).getFloat(3) - 30 / 255.0f) < 1e-6f)
+    // undecodable payload: duration-based synthetic refs, decoded=false
+    val fake = out.filter(_.getLong(0) == 2L)
+    assert(fake.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(fake.forall(r => !r.getBoolean(2) && r.isNullAt(3)))
   }
 }
