@@ -41,8 +41,8 @@ object SparkEntry {
   /** Operator-pipeline queries assembled here rather than in the per-
     * family query modules. All are hash-checked (oracle twin below) —
     * the rapidfuzz-style indel family included, via the list_reduce DP
-    * twins — except q43 (HLL), which is inherently engine-specific and
-    * gets the driver's rows-only check. */
+    * twins, and q43 (HLL) via its error-bound flag against the exact
+    * count (raw HLL estimates are engine-specific; the bound is not). */
   private val extraDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full resolution pipeline with the custom token_set_ratio /
     // partial_ratio Catalyst expressions + penalties + banding.
@@ -140,10 +140,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     // Approximate distinct counts (HLL) — the at-scale variant of A4.
+    // HLL estimates are engine-specific, so the gated surface is the
+    // ERROR BOUND, not the raw estimate: the query emits the exact
+    // distinct count plus a within-bound flag at 3x the configured rsd
+    // (0.05), and the oracle asserts the flag by emitting literal TRUE
+    // against its own exact count — an out-of-bound sketch hash-fails.
     "q43_approx_distinct" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("within_bound"))
         .orderBy("event_type")
     }),
     // KMV (k-minimum-values) distinct sketch: unlike HLL, deterministic
@@ -256,6 +266,43 @@ object SparkEntry {
     // metadata) -> partition-wise batched feature extraction (decode
     // stub) -> video frame sampling. Output is the float-free projection
     // so it hash-checks; the mapPartitions decode path still executes.
+    // Video frame-sampling gate: per-row deterministic multi-frame
+    // animated GIFs ((doc_id % 5 + 1) solid-gray 4x4 frames, gray
+    // g = (doc_id*37 + frame*11) % 256) decoded back by the REAL JDK
+    // sequence reader inside Multimodal.sampleFrames. The oracle
+    // re-derives frame indices and luminance analytically: a solid-gray
+    // frame's mean luminance is exactly g/255, and round(1000*g/255) is
+    // float-rounding-safe (fractional parts are multiples of 1/51, never
+    // within 0.009 of a .5 boundary).
+    "q67_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 2).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val frames = (0 until (id % 5 + 1).toInt).map { f =>
+          val g = ((id * 37 + f * 11) % 256).toInt
+          val img = new java.awt.image.BufferedImage(4, 4,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          img
+        }
+        (id, graft.operators.Multimodal.encodeGif(frames))
+      }).toDF("media_id", "content")
+        .withColumn("kind", lit("video"))
+        .withColumn("meta", struct(lit("image/gif").as("mime"),
+          lit(4).as("width"), lit(4).as("height"),
+          lit(null).cast("long").as("duration_ms")))
+      graft.operators.Multimodal.sampleFrames(media, everyNth = 2)
+        .withColumn("lum_mills", round(col("mean_lum") * 1000).cast("long"))
+        .drop("mean_lum")
+        .orderBy("media_id", "frame_no")
+    }),
     "q49_multimodal_pipeline" -> ((s, dir) => {
       // null text/n_chars rows are dropped on BOTH sides: the engines'
       // null propagation through octet_length/range differs from the
@@ -731,6 +778,10 @@ object SparkEntry {
            ${assign("a2", "c1")}
            SELECT vec_id, cell FROM a2 ORDER BY vec_id"""
       },
+      "q43_approx_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+           FROM events GROUP BY event_type ORDER BY event_type""",
       "q51_kmv_distinct" ->
         """WITH h AS (
              SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
@@ -814,6 +865,17 @@ object SparkEntry {
              ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 1
            ORDER BY id_a, id_b"""
       },
+      "q67_video_frames" ->
+        """WITH ids AS (
+             SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 2),
+           fr AS (
+             SELECT media_id,
+               unnest(range(0, media_id % 5 + 1, 2)) AS frame_no
+             FROM ids)
+           SELECT media_id, frame_no, TRUE AS decoded,
+             CAST(round(((media_id * 37 + frame_no * 11) % 256) / 255.0 * 1000)
+               AS BIGINT) AS lum_mills
+           FROM fr ORDER BY media_id, frame_no""",
       "q49_multimodal_pipeline" ->
         """WITH m AS (
              SELECT doc_id AS media_id,
@@ -876,10 +938,15 @@ object SparkEntry {
         val stripped = collapse(s"regexp_replace($rewritten, '$punct', '', 'g')")
         val stops = graft.functions.OfferingText.StopWords.toSeq.sorted
           .map(w => s"'$w'").mkString(", ")
-        val capWord = // per word: capitalize each '-'/'.'-separated part
-          """array_to_string(list_transform(string_split(wz[1], '-'), hp ->
-             array_to_string(list_transform(string_split(hp, '.'), dp ->
-               upper(substr(dp, 1, 1)) || lower(substr(dp, 2))), '.')), '-')"""
+        // per word, mirroring smartTitleCase's EXCLUSIVE branches: a
+        // word with '-' splits on '-' only; the '.' split applies just
+        // to hyphen-free words (reference if/elif order).
+        val capWord =
+          """CASE WHEN contains(wz[1], '-')
+             THEN array_to_string(list_transform(string_split(wz[1], '-'), hp ->
+               upper(substr(hp, 1, 1)) || lower(substr(hp, 2))), '-')
+             ELSE array_to_string(list_transform(string_split(wz[1], '.'), dp ->
+               upper(substr(dp, 1, 1)) || lower(substr(dp, 2))), '.') END"""
         val titled =
           s"""array_to_string(list_transform(
                list_zip(string_split(stripped, ' '),
