@@ -35,24 +35,42 @@ object Engine {
       resolved: DataFrame)     // items + ext_id/score/decision/alternatives
 
   /** Ingest + process one submission file (CSV or xlsx) end-to-end
-    * against a canonical dictionary `dict(title, ext_id)`. */
+    * against a canonical dictionary `dict(title, ext_id)`.
+    *
+    * P11 is ENFORCED here, not just offered: the extension whitelist
+    * always applies; when `uploadRoot` is given, `path` is treated as
+    * the submitted filename relative to that root and must resolve
+    * inside it (path-traversal guard) — absolute or `..`-escaping
+    * submissions are rejected with a typed error. */
   def processSubmission(
       spark: SparkSession,
       path: String,
       dict: DataFrame,
       thresholds: EntityResolution.Thresholds = EntityResolution.Thresholds(),
-      blocked: Boolean = false): SubmissionResult = {
+      blocked: Boolean = false,
+      uploadRoot: Option[String] = None): SubmissionResult = {
+    if (!Ingest.allowedFile(path))
+      throw Ingest.UnsupportedFormat(path,
+        s"extension not allowed (expected one of: ${Ingest.AllowedExtensions.toSeq.sorted.mkString(", ")})")
+    val srcPath = uploadRoot match {
+      case Some(root) =>
+        if (!Ingest.isSafeFilename(root, path))
+          throw Ingest.UnsupportedFormat(path,
+            "unsafe submission filename: escapes the upload root")
+        java.nio.file.Paths.get(root).resolve(path).normalize.toString
+      case None => path
+    }
     val raw =
-      if (path.endsWith(".xlsx") || path.endsWith(".xls")) {
+      if (srcPath.endsWith(".xlsx") || srcPath.endsWith(".xls")) {
         // legacy BIFF .xls is an OLE2 compound file, not a zip: reject
         // it with a typed error instead of letting the xlsx container
         // parser fail obscurely (the reference reads both via pandas,
         // app/etl.py:612-632; BIFF has no zero-dependency reader here)
-        if (Ingest.isLegacyBiff(path))
-          throw Ingest.UnsupportedFormat(path,
+        if (Ingest.isLegacyBiff(srcPath))
+          throw Ingest.UnsupportedFormat(srcPath,
             "legacy BIFF .xls workbook — re-export as .xlsx or .csv")
-        ExcelReader.readXlsx(spark, path)
-      } else Ingest.readCsv(spark, path)
+        ExcelReader.readXlsx(spark, srcPath)
+      } else Ingest.readCsv(spark, srcPath)
 
     val mapping = HeaderMapper.mapHeaders(raw.columns.toIndexedSeq)
     require(mapping.missingRequired.isEmpty,

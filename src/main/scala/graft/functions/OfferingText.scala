@@ -88,12 +88,17 @@ object OfferingText {
     * hyphen/dot-separated sub-parts each capitalized. */
   def smartTitleCase(c: Column): Column = {
     // capitalize each -/. separated sub-part (initcap only breaks on
-    // whitespace, so hyphen/dot parts need their own pass).
+    // whitespace, so hyphen/dot parts need their own pass). The
+    // reference's branches are EXCLUSIVE (`app/etl.py` if '-'/elif '.'):
+    // a word containing '-' splits on '-' ONLY — its dot-parts are not
+    // individually capitalized ("b.complex-mix" → "B.complex-Mix") —
+    // and the dot split applies just to hyphen-free words.
     def capPart(p: Column): Column =
       concat(upper(substring(p, 1, 1)), lower(substring(p, 2, Int.MaxValue)))
     def capWord(w: Column): Column =
-      concat_ws("-", transform(split(w, "-"), h =>
-        concat_ws(".", transform(split(h, "\\."), capPart(_)))))
+      when(w.contains("-"),
+        concat_ws("-", transform(split(w, "-"), capPart(_))))
+        .otherwise(concat_ws(".", transform(split(w, "\\."), capPart(_))))
     val words = split(c, " ")
     val cased = transform(words, (w, i) =>
       when(i === 0, capWord(w))

@@ -54,17 +54,27 @@ object Dedup {
     * of `rowsPerBand` hashes; docs sharing any band string are
     * candidates. Output: (id_a, id_b) with id_a < id_b, distinct.
     *
-    * Hot-bucket guard (MMDS ch.3): a degenerate band bucket (boiler-
-    * plate or mass-duplicated docs collapsing onto one signature) makes
-    * the within-bucket join O(|bucket|²) in work AND output. Buckets
-    * larger than `maxBucket` are star-reduced: each member pairs with
-    * the bucket's min id only — O(|bucket|) pairs with the identical
-    * transitive closure (a star and a clique have the same connected
-    * components), so downstream `connectedComponents` grouping is
-    * unaffected; only redundant in-clique candidate edges are elided. */
+    * Hot-bucket guard (MMDS ch.3), OPT-IN via `maxBucket`: a degenerate
+    * band bucket (boilerplate or mass-duplicated docs collapsing onto
+    * one signature) makes the within-bucket join O(|bucket|²) in work
+    * AND output. Buckets larger than `maxBucket` are star-reduced: each
+    * member pairs with the bucket's min id only — O(|bucket|) pairs with
+    * the identical transitive closure (a star and a clique have the same
+    * connected components).
+    *
+    * CONTRACT when the cap binds: the output is closure-equivalent, NOT
+    * pair-complete — in-clique edges of hot buckets are elided. That is
+    * lossless for connected-component consumers (dedup grouping) but
+    * UNSAFE for callers that verify candidate pairs pairwise
+    * (e.g. Jaccard-verify-then-filter): a true near-dup pair inside a
+    * hot bucket may never surface as a candidate. Such callers must keep
+    * the default (uncapped) or verify via the component representative.
+    * The default is uncapped so the cap is a deliberate choice at the
+    * call site (the 100 TB dedup path passes an explicit cap). */
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // one scan: all band signatures in an array, posexploded to
     // (band_no, band_sig) rows — not a per-band union of re-scans.
     val byBand = df.select(

@@ -68,11 +68,26 @@ object SimilaritySearch {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
 
+  /** Hard budget on the inline centroid path: cells × dims literal
+    * nodes. The inline plan embeds one literal per centroid component;
+    * past ~64k nodes Catalyst analysis and Janino codegen degrade
+    * (deep expression trees, oversized generated methods). Configs
+    * beyond the budget must use a broadcast-join assignment (centroids
+    * as a broadcast DataFrame) instead of the inline projection —
+    * rejecting loudly here beats a silent multi-minute planning stall. */
+  val MaxInlineCentroidLits: Int = 65536
+
   /** Centroid set as a literal array<struct<cell_id, centroid>> column. */
-  private def centroidLit(cents: Array[(Long, Seq[Long])]) =
+  private def centroidLit(cents: Array[(Long, Seq[Long])]) = {
+    val lits = cents.iterator.map(_._2.length + 1).sum
+    require(lits <= MaxInlineCentroidLits,
+      s"inline centroid set too large ($lits literal nodes > " +
+        s"$MaxInlineCentroidLits): reduce cells/dims or use a " +
+        "broadcast-join assignment instead of the inline path")
     array(cents.map { case (id, v) =>
       struct(lit(id).as("cell_id"), array(v.map(lit(_)): _*).as("centroid"))
     }.toIndexedSeq: _*)
+  }
 
   /** Argmax-cosine cell assignment against the inlined centroid set
     * (ties to the lowest cell id); keeps the `probes` best cells.
@@ -139,10 +154,16 @@ object SimilaritySearch {
       k: Int = 8, iters: Int = 2): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters > 0, s"iters=$iters must be positive")
-    // each round rescans the (columnar, codegen'd) quantize lineage; a
-    // long-lived production index build would persist `c` across rounds.
-    val c = corpus.select(col(idCol).as("vec_id"),
+    // Multi-round Lloyd fires one action per round (seed collect, each
+    // centroid-update collect, the caller's final assignment action):
+    // without materialization every action rescans + requantizes the
+    // source. Checkpoint the quantized (vec_id, q) projection ONCE —
+    // eager, lineage-truncating — so per-round cost is flat in `iters`
+    // (pinned by the k-means flat-cost spec); a single-round call keeps
+    // the plain one-scan plan.
+    val cBase = corpus.select(col(idCol).as("vec_id"),
       VectorFunctions.quantize(col(vecCol)).as("q"))
+    val c = if (iters > 1) cBase.localCheckpoint(true) else cBase
     var cents = seedCentroids(c, "vec_id", "q", k)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {

@@ -127,13 +127,20 @@ object Ingest {
     * (reference `app/routes.py:2113-2145`). Each report is written via
     * the S7 single-file sink, then its part file streams into the
     * archive — a driver-side post-step over already-reduced report
-    * rows, deliberately not a distributed write. */
+    * rows, deliberately not a distributed write. Local-filesystem sink
+    * by design: part discovery via `Files.list` assumes the CSV write
+    * landed on the local FS (the reference's report-download contract);
+    * an object-store bundle would stream via the Hadoop FS API instead. */
   def zipReports(reports: Map[String, DataFrame], zipPath: String): Unit = {
     val tmp = Files.createTempDirectory("graft-reports")
-    val target = Paths.get(zipPath)
-    // stage next to the target, move into place only on success: a
-    // mid-loop failure must never leave a truncated archive at zipPath
-    val staging = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val target = Paths.get(zipPath).toAbsolutePath
+    // stage UNIQUELY next to the target, move into place only on
+    // success: a mid-loop failure must never leave a truncated archive
+    // at zipPath, and two concurrent bundles targeting the same zipPath
+    // must not clobber each other's staging file (unique temp name; the
+    // last finished move wins the target atomically).
+    val staging = Files.createTempFile(
+      target.getParent, target.getFileName.toString + ".", ".tmp")
     try {
       scala.util.Using.resource(new java.util.zip.ZipOutputStream(
         Files.newOutputStream(staging))) { out =>

@@ -65,6 +65,34 @@ class EngineSpec extends AnyFunSuite {
       s"only $resolvedOrReview of $n corpus titles matched their own dictionary")
   }
 
+  test("P11 is ENFORCED by processSubmission: whitelist + traversal guard") {
+    // disallowed extension -> typed rejection before any read
+    val bad = intercept[graft.sources.Ingest.UnsupportedFormat] {
+      Engine.processSubmission(spark, "/tmp/evil.sh", dict)
+    }
+    assert(bad.getMessage.contains("extension not allowed"))
+    // a submission escaping the upload root -> typed rejection
+    val esc = intercept[graft.sources.Ingest.UnsupportedFormat] {
+      Engine.processSubmission(spark, "../outside.csv", dict,
+        uploadRoot = Some("/tmp/graft-uploads"))
+    }
+    assert(esc.getMessage.contains("unsafe submission filename"))
+    // an absolute path is also outside any root
+    intercept[graft.sources.Ingest.UnsupportedFormat] {
+      Engine.processSubmission(spark, "/etc/passwd.csv", dict,
+        uploadRoot = Some("/tmp/graft-uploads"))
+    }
+    // a safe relative filename under the root still processes
+    val root = Files.createTempDirectory("graft-p11")
+    Files.writeString(root.resolve("ok.csv"),
+      """Company Name,Country,E-Mail,Street Address,City,Products Offered,Ingredient List,About
+        |Acme,USA,a@b.co,1 Main,Springfield,granola,salt,We make food
+        |""".stripMargin)
+    val r = Engine.processSubmission(spark, "ok.csv", dict,
+      uploadRoot = Some(root.toString))
+    assert(r.valid.count() == 1)
+  }
+
   test("reviewQueue + pushPlan derive the downstream sets") {
     val r = Engine.processSubmission(spark, csvPath, dict)
     val (pending, dash) = Engine.reviewQueue(r, "m.csv")

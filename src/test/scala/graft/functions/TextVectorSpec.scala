@@ -54,12 +54,18 @@ class TextVectorSpec extends AnyFunSuite {
   }
 
   test("normalizeOffering: variants, punctuation, title-case, idempotent (F1)") {
-    val rows = Seq("vit c  serum!!", "organic GREEN tea", "b. lactis culture")
+    val rows = Seq("vit c  serum!!", "organic GREEN tea", "b. lactis culture",
+      "b.complex-mix tonic", "d.e.f blend")
       .toDF("t").select(OfferingText.normalizeOffering($"t").as("n"))
       .as[String].collect()
     assert(rows(0) == "Vitamin C Serum")
     assert(rows(1) == "Organic Green Tea")
     assert(rows(2) == "Bifidobacterium Lactis Culture")
+    // reference if/elif: the '-' branch wins — dot-parts inside a
+    // hyphenated word are NOT individually capitalized...
+    assert(rows(3) == "B.complex-Mix Tonic")
+    // ...while hyphen-free words do split on '.'
+    assert(rows(4) == "D.E.F Blend")
     // idempotence
     val again = rows.toSeq.toDF("t")
       .select(OfferingText.normalizeOffering($"t").as("n")).as[String].collect()

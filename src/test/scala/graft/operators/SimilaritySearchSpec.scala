@@ -67,6 +67,44 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(rows.toMap == again.toMap, "assignment not deterministic")
   }
 
+  test("k-means per-round cost is flat: the source is scanned once at any iters") {
+    // accumulator bumps once per partition per SOURCE scan; the
+    // checkpointed quantized corpus must absorb every later action
+    // (seed collect, per-round centroid collects, final assignment), so
+    // a 5-round run reads the source no more often than a 1-round run.
+    val acc = spark.sparkContext.longAccumulator("corpus-scans")
+    val base = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 100).toFloat / 100)))
+    def instrumented = base.toDF("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("vec_id", "embedding")
+    acc.reset()
+    SimilaritySearch.kmeansAssignments(instrumented, "vec_id", "embedding",
+      k = 4, iters = 1).count()
+    val oneRound = acc.value
+    acc.reset()
+    SimilaritySearch.kmeansAssignments(instrumented, "vec_id", "embedding",
+      k = 4, iters = 5).count()
+    val fiveRounds = acc.value
+    assert(fiveRounds <= oneRound,
+      s"iters=5 scanned the source $fiveRounds partition-reads vs $oneRound at iters=1")
+  }
+
+  test("inline centroid path rejects configs past the literal budget") {
+    // 120 cells x 701 literals/cell = 84k nodes > the 64k budget: the
+    // inline projection must refuse loudly (broadcast-join territory)
+    // instead of stalling Catalyst/Janino on a giant expression tree.
+    val wide = (0L until 120L).map(i =>
+      (i, Array.tabulate(700)(d => ((i + d) % 50).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.kmeansAssignments(wide, "vec_id", "embedding",
+        k = 120, iters = 1).count()
+    }
+    assert(e.getMessage.contains("inline centroid set"))
+  }
+
   test("IVF ANN probes cells and preserves exact pair scores") {
     val ivf = SimilaritySearch.ivfTopK(queries, emb, "vec_id", "embedding",
       k = 5, nCells = 4)
