@@ -161,10 +161,23 @@ object Dedup {
     * `blockCols` optionally restricts pairs to the same block (the
     * columns join into the candidate key; shingle document frequency
     * stays global). Returns (id_a, id_b, jac_mills), jac_mills =
-    * floor(1000·J) >= `minJaccardMills`. */
+    * floor(1000·J) >= `minJaccardMills`.
+    *
+    * `maxCandBucket` (opt-in, default uncapped) star-reduces degenerate
+    * candidate buckets through the shared `cappedBucketPairs` kernel: a
+    * mass-duplicated corpus (N identical docs) has a genuinely O(N²)
+    * true-pair set, and the only scalable answer is emitting the
+    * closure-equivalent star per hot prefix-shingle bucket. CONTRACT
+    * when the cap binds: candidates (and therefore verified pairs) are
+    * closure-oriented, not pair-complete — a true pair inside a hot
+    * bucket surfaces only through the bucket-min representative, and
+    * only if BOTH its star edges pass verification. Right for dedup-
+    * group consumers (`connectedComponents` of equivalence-like
+    * near-dup relations); wrong for exhaustive pair enumeration. */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      minJaccardMills: Int = 500, blockCols: Seq[String] = Nil): DataFrame = {
+      minJaccardMills: Int = 500, blockCols: Seq[String] = Nil,
+      maxCandBucket: Int = Int.MaxValue): DataFrame = {
     val d = df.select(col(idCol).as("__id") +: blockCols.map(col) :+
       TextFunctions.tokenSetSorted(col(textCol)).as("toks"): _*)
     val toks = d.select(col("__id") +: blockCols.map(col) :+
@@ -177,11 +190,10 @@ object Dedup {
       .where(col("rnk") <=
         col("sz") - ceil(col("sz") * minJaccardMills / lit(1000.0)) + 1)
       .select(("shingle" +: blockCols :+ "__id").map(col): _*)
-    val candKeys = "shingle" +: blockCols
-    val cand = prefix.select(candKeys.map(col) :+ col("__id").as("id_a"): _*)
-      .join(prefix.select(candKeys.map(col) :+ col("__id").as("id_b"): _*), candKeys)
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidate pairs ride the shared star-cap kernel (uncapped by
+    // default, in which case it reduces to the plain within-bucket join)
+    val cand = cappedBucketPairs(
+      prefix, "shingle" +: blockCols, "__id", maxCandBucket)
     cand
       .join(d.select(col("__id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(d.select(col("__id").as("id_b"), col("toks").as("tb")), "id_b")

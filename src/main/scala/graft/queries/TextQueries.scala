@@ -47,6 +47,11 @@ object TextQueries {
     * verified) at sf0.01, where the hottest bucket holds ~50 docs. */
   private[graft] val LshBucketCap = 32
 
+  /** q68's candidate-bucket cap: small enough that the boilerplate
+    * cluster (~24 identical docs at sf0.01) binds it, so the star path
+    * of the capped PPJoin is oracle-exercised. */
+  private[graft] val CappedJaccardBucket = 8
+
   /** q35's LSH candidate-pair graph (shared with q53's components).
     *
     * Hot-bucket guard (MMDS ch.3): a degenerate band bucket — boiler-
@@ -169,6 +174,23 @@ object TextQueries {
         docsSpread(s, dir).where(col("doc_id") % 3 === 0),
         "text", "doc_id", minJaccardMills = 600, blockCols = Seq("source"))
         .orderBy("id_a", "id_b")),
+
+    // The BINDING star-cap variant of q36 on a deliberately degenerate
+    // corpus: every doc_id ≡ 3 (mod 21) carries identical boilerplate,
+    // so its prefix-shingle buckets blow past `maxCandBucket` and the
+    // capped kernel emits the closure-equivalent star instead of the
+    // O(N²) clique. The DuckDB twin replicates the capped PPJoin
+    // (global-df prefix + bucket star-reduction) exactly, so the cap
+    // semantics — not just the happy path — are hash-gated.
+    "q68_capped_jaccard" -> ((s, dir) => {
+      val d = docsSpread(s, dir).where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("mass duplicated boilerplate row"))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.jaccardPairs(d, "text", "doc_id",
+        minJaccardMills = 600, maxCandBucket = CappedJaccardBucket)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Gopher/C4-style repetition quality filter: most-frequent-bigram
     // share + repeated-trigram mass per document (word-level, with
@@ -346,6 +368,46 @@ object TextQueries {
          WHERE floor(1000 * len(list_intersect(a.toks, b.toks))
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 600
          ORDER BY id_a, id_b""",
+    "q68_capped_jaccard" -> {
+      // full replica of the CAPPED PPJoin: global-df-ordered prefix
+      // (identical ceil arithmetic to Dedup.jaccardPairs), per-shingle
+      // bucket star-reduction at CappedJaccardBucket, then exact
+      // verification — so the star semantics are what's hash-gated.
+      val jm = "floor(1000 * len(list_intersect(a.toks, b.toks)) " +
+        "/ (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))"
+      s"""WITH d0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'mass duplicated boilerplate row'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 7 = 3),
+         d AS (SELECT doc_id, $sqlTokSet AS toks FROM d0),
+         tk AS (SELECT doc_id, unnest(toks) AS shingle FROM d),
+         dfreq AS (SELECT shingle, count(*) AS gdf FROM tk GROUP BY shingle),
+         pre AS (
+           SELECT doc_id, shingle FROM (
+             SELECT t.doc_id, t.shingle,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY f.gdf, t.shingle) AS rnk,
+               count(*) OVER (PARTITION BY t.doc_id) AS sz
+             FROM tk t JOIN dfreq f USING (shingle))
+           WHERE rnk <= sz - ceil(sz * 600 / 1000.0) + 1),
+         bkt AS (SELECT shingle, count(*) AS bsz, min(doc_id) AS bmin
+                 FROM pre GROUP BY shingle),
+         cand AS (
+           SELECT DISTINCT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b USING (shingle) JOIN bkt USING (shingle)
+             WHERE bsz <= $CappedJaccardBucket AND a.doc_id < b.doc_id
+             UNION ALL
+             SELECT bmin AS id_a, doc_id AS id_b
+             FROM pre JOIN bkt USING (shingle)
+             WHERE bsz > $CappedJaccardBucket AND doc_id <> bmin))
+         SELECT c.id_a, c.id_b, CAST($jm AS BIGINT) AS jac_mills
+         FROM cand c JOIN d a ON c.id_a = a.doc_id
+                     JOIN d b ON c.id_b = b.doc_id
+         WHERE $jm >= 600
+         ORDER BY id_a, id_b"""
+    },
     "q65_repetition_stats" -> {
       val triAllSql =
         "[l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] || ' ' || l[CAST(i + 2 AS INT)] FOR i IN range(1, len(l) - 1)]"

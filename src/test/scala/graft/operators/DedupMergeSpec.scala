@@ -76,6 +76,29 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("star-capped jaccardPairs stays linear on a mass-duplicated corpus " +
+    "with identical dedup groups") {
+    // 40 identical docs (a true O(N²) pair clique) + 10 unrelated docs
+    val texts = Seq.fill(40)("alpha beta gamma delta") ++
+      (0 until 10).map(i => s"unique$i solo$i text$i never$i shared$i")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(df, "text", "doc_id", minJaccardMills = 600)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairs(df, "text", "doc_id", minJaccardMills = 600,
+      maxCandBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncapped: the full 40-clique; capped: the 39-edge star — linear
+    assert(uncapped.size == 40 * 39 / 2, s"uncapped ${uncapped.size}")
+    assert(capped == (1 until 40).map(i => (0L, i.toLong)).toSet,
+      s"capped ${capped.size} edges")
+    // identical dedup groups either way
+    def comps(p: Set[(Long, Long)]) =
+      Dedup.connectedComponents(p.toSeq.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+    assert(comps(capped) == comps(uncapped))
+  }
+
   test("minhash LSH emits identical docs as candidates (dedup#minhash)") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2)
       .as[(Long, Long)].collect().toSet
