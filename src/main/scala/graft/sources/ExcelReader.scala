@@ -38,6 +38,58 @@ object ExcelReader {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
+  /** ECMA-376 builtin numFmtIds that render dates/times (14-22 core
+    * date/time, 45-47 elapsed-time). */
+  private val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+
+  /** A custom format code is a date format when, after dropping quoted
+    * literals, [bracket] sections and escaped chars, it still contains a
+    * y/m/d/h/s token — the same heuristic openpyxl applies. */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val bare = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  /** xf indices (cell style ids) whose number format is a date format,
+    * from `xl/styles.xml`; empty when the part is absent. */
+  private def dateStyleIds(zf: ZipFile): Set[Int] =
+    Option(zf.getEntry("xl/styles.xml")).map { e =>
+      val doc = parseXml(zf.getInputStream(e))
+      val customDate: Set[Int] = elements(doc, "numFmt").collect {
+        case el if isDateFormatCode(el.getAttribute("formatCode")) =>
+          el.getAttribute("numFmtId").toInt
+      }.toSet
+      // cellXfs xf list, in order: the cell `s` attribute indexes it
+      val xfs = elements(doc, "cellXfs").flatMap { cx =>
+        val nl = cx.getElementsByTagNameNS("*", "xf")
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+      }
+      xfs.zipWithIndex.collect {
+        case (xf, i) if {
+          val id = Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
+            .map(_.toInt).getOrElse(0)
+          BuiltinDateFmts.contains(id) || customDate.contains(id)
+        } => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Excel 1900-system serial → the string openpyxl's typed datetime
+    * prints (`str(datetime)`, seconds precision). Serial 60 is the
+    * phantom 1900-02-29 (the Lotus 1-2-3 bug Excel preserves): serials
+    * below 61 sit one day closer to the 1899-12-30 epoch. */
+  private[sources] def excelSerialToString(serial: Double): String = {
+    val adj = if (serial < 61) serial + 1 else serial
+    val days = math.floor(adj).toLong
+    val secs = math.round((adj - days) * 86400)
+    java.time.LocalDate.of(1899, 12, 30).atStartOfDay
+      .plusDays(days).plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** Read the sheet grid as rows of (colIndex → text). */
   private def readGrid(path: String, sheet: Int): Seq[mutable.LinkedHashMap[Int, String]] = {
     val zf = new ZipFile(path)
@@ -50,6 +102,7 @@ object ExcelReader {
       val sheetEntry = Option(zf.getEntry(s"xl/worksheets/sheet$sheet.xml"))
         .getOrElse(throw new IllegalArgumentException(
           s"sheet$sheet.xml not found — not a valid workbook"))
+      val dateStyles = dateStyleIds(zf)
       val doc = parseXml(zf.getInputStream(sheetEntry))
       elements(doc, "row").map { rowEl =>
         val cells = rowEl.getElementsByTagNameNS("*", "c")
@@ -68,7 +121,17 @@ object ExcelReader {
             else if (vNodes.getLength == 0) ""
             else {
               val raw = vNodes.item(0).getTextContent
-              if (t == "s") shared.lift(raw.toInt).getOrElse("") else raw
+              if (t == "s") shared.lift(raw.toInt).getOrElse("")
+              else {
+                // numeric cell with a date style → typed date, like
+                // openpyxl's data_only load (`app/etl.py:971`)
+                val style = c.getAttribute("s")
+                val isNumeric = t.isEmpty || t == "n"
+                if (isNumeric && style.nonEmpty &&
+                    dateStyles.contains(style.toInt))
+                  raw.toDoubleOption.map(excelSerialToString).getOrElse(raw)
+                else raw
+              }
             }
           m(idx) = value
         }

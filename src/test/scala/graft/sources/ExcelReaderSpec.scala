@@ -65,6 +65,55 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(m.mapping.get("country1").contains("country1"))
   }
 
+  test("S2: date-styled numeric cells render as typed dates (openpyxl parity)") {
+    val dir = Files.createTempDirectory("graft-xlsx-dates")
+    val path = dir.resolve("dated.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    // style 0: General; style 1: builtin date 14 (mm-dd-yy); style 2:
+    // custom 164 "yyyy\-mm\-dd"; style 3: custom 165 quoted literal
+    // containing 'd' chars but NO date tokens -> NOT a date format
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/><numFmt numFmtId="165" formatCode="&quot;dddd&quot;0.0"/></numFmts>
+        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    // serial computed FROM the expected date, not hardcoded
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), java.time.LocalDate.of(2024, 1, 15))
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>joined</t></is></c><c r="B1" t="inlineStr"><is><t>seen</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c><c r="D1" t="inlineStr"><is><t>plain</t></is></c></row>
+         |<row r="2"><c r="A2" s="1"><v>$serial</v></c><c r="B2" s="2"><v>${serial + 0.5}</v></c><c r="C2" s="3"><v>42.5</v></c><c r="D2"><v>7</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val row = ExcelReader.readXlsx(spark, path).collect()(0)
+    // builtin date style -> openpyxl's str(datetime) rendering
+    assert(row.getString(0) == "2024-01-15 00:00:00")
+    // custom date format with a time fraction (0.5 = noon)
+    assert(row.getString(1) == "2024-01-15 12:00:00")
+    // quoted 'dddd' is a literal, not a date token: raw number survives
+    assert(row.getString(2) == "42.5")
+    // unstyled numerics stay numeric text
+    assert(row.getString(3) == "7")
+  }
+
+  test("excelSerialToString handles the 1900 leap-year phantom day") {
+    // serial 59 = 1900-02-28, serial 61 = 1900-03-01 (60 never existed)
+    assert(ExcelReader.excelSerialToString(59) == "1900-02-28 00:00:00")
+    assert(ExcelReader.excelSerialToString(61) == "1900-03-01 00:00:00")
+    assert(ExcelReader.isDateFormatCode("yyyy-mm-dd"))
+    assert(ExcelReader.isDateFormatCode("[$-409]h:mm AM/PM"))
+    assert(!ExcelReader.isDateFormatCode("#,##0.00"))
+    assert(!ExcelReader.isDateFormatCode("\"days\"0"))
+  }
+
   test("colIndex decodes A1-style refs") {
     assert(ExcelReader.colIndex("A1") == 0)
     assert(ExcelReader.colIndex("Z9") == 25)
