@@ -164,6 +164,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions == Seq(3L), sessions.toString)
   }
 
+  test("windowed aggregation DROPS beyond-watermark late data, with exact " +
+    "accounting vs the batch twin minus the late set") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    def ev(min: Int, t: String) = (ts(min), t, 1L)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = Incremental.windowedCounts(stream,
+        window_ = "1 hour", slide = "1 hour", watermark = "15 minutes")
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("total_value"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // drain 1: two events in hour 0, one in hour 1, a head event in hour
+    // 5 -> watermark lands at 04:45, hours 0 and 1 close and emit
+    val batch1 = Seq(ev(10, "x"), ev(20, "x"), ev(90, "y"), ev(300, "x"))
+    batch1.toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    drain()
+    // drain 2: two LATE events (00:40, 01:45 — both behind the 04:45
+    // watermark, in already-closed windows) plus a new head at 07:00
+    // that closes hour 5. The late rows must be DROPPED, not merged.
+    val late = Seq(ev(40, "x"), ev(105, "y"))
+    val batch2 = late :+ ev(420, "x")
+    batch2.toDF("ts", "event_type", "value").write.mode("append").parquet(in)
+    drain()
+    val got = spark.read.parquet(out)
+      .select(col("wstart").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    // exact accounting: emitted rows == batch twin over (all - late),
+    // restricted to the closed windows (hours 0, 1, 5)
+    val kept = (batch1 ++ batch2).diff(late)
+    val expected = kept.groupBy(e => (e._1.getTime / 3600000 * 3600, e._2))
+      .map { case ((h, t), es) => (h, t, es.size.toLong) }
+      .filter(_._1 < 6 * 3600).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // and the late set really is absent: a batch twin over ALL events
+    // disagrees on hour 0 (3 events) vs the stream's emitted 2
+    assert(got.contains((0L, "x", 2L)))
+    val batchAll = (batch1 ++ batch2)
+      .count(e => e._1.getTime < 3600000L && e._2 == "x")
+    assert(batchAll == 3)
+  }
+
   test("ops-log daily usage + 24h error summary (A7/A8 on log schema)") {
     val logs = Seq(
       ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "connection timeout", 100L),
