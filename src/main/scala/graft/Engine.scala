@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Normalize, OfferingText, Similarity}
 import graft.operators._
-import graft.sources.{ExcelReader, Ingest}
+import graft.sources.{BiffReader, ExcelReader, Ingest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,14 +62,11 @@ object Engine {
     }
     val raw =
       if (srcPath.endsWith(".xlsx") || srcPath.endsWith(".xls")) {
-        // legacy BIFF .xls is an OLE2 compound file, not a zip: reject
-        // it with a typed error instead of letting the xlsx container
-        // parser fail obscurely (the reference reads both via pandas,
-        // app/etl.py:612-632; BIFF has no zero-dependency reader here)
-        if (Ingest.isLegacyBiff(srcPath))
-          throw Ingest.UnsupportedFormat(srcPath,
-            "legacy BIFF .xls workbook — re-export as .xlsx or .csv")
-        ExcelReader.readXlsx(spark, srcPath)
+        // legacy BIFF .xls is an OLE2 compound file, not a zip: route it
+        // to the BIFF reader (the reference accepts both via pandas,
+        // app/etl.py:612-632); zip containers go to the xlsx scan.
+        if (Ingest.isLegacyBiff(srcPath)) BiffReader.readXls(spark, srcPath)
+        else ExcelReader.readXlsx(spark, srcPath)
       } else Ingest.readCsv(spark, srcPath)
 
     val mapping = HeaderMapper.mapHeaders(raw.columns.toIndexedSeq)

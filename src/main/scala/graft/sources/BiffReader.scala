@@ -1,0 +1,310 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
+
+/** S2b — legacy Excel (.xls, BIFF8) scan without external libraries.
+  *
+  * The reference's upload whitelist accepts `.xls` alongside `.xlsx`
+  * (`app/routes.py:27-28`) and reads both through openpyxl/pandas
+  * (`app/etl.py:963-1024`); this closes the repo's last accepted-format
+  * gap with a zero-dependency reader for the two public formats
+  * involved: the OLE2/CFB compound container ([MS-CFB]) and the BIFF8
+  * workbook stream ([MS-XLS]). Scope is the read path a submission
+  * needs — worksheet cells of the five cell record kinds real writers
+  * emit (LABELSST, LABEL, NUMBER, RK, MULRK, BOOLERR) plus the SST with
+  * CONTINUE splits, FORMAT/XF for date-style detection (shared
+  * heuristics with `ExcelReader`), and the mini-stream for sub-4096-
+  * byte workbook streams.
+  *
+  * Same contract and same driver-side rationale as `ExcelReader`:
+  * header = row 1, data = rows ≥ 2, every cell surfaced as text,
+  * date-styled numerics rendered like an openpyxl data_only load. One
+  * submission file is one small driver-side table; the distributed scan
+  * starts after conversion.
+  */
+object BiffReader {
+
+  // ---- OLE2 / CFB container ----
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect = 0xFFFFFFFF
+
+  /** All sectors of a FAT chain starting at `start`, concatenated. */
+  private def readChain(data: Array[Byte], fat: Array[Int], start: Int,
+      sectorSize: Int, headerSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var s = start
+    var guard = 0
+    while (s != EndOfChain && s != FreeSect && guard <= fat.length) {
+      val off = headerSize + s * sectorSize
+      out.write(data, off, math.min(sectorSize, data.length - off))
+      s = if (s < fat.length) fat(s) else EndOfChain
+      guard += 1
+    }
+    out.toByteArray
+  }
+
+  /** Locate and read the Workbook (or Book) stream out of a CFB file. */
+  private[sources] def workbookStream(data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    require(data.length >= 512 && bb.getLong(0) == 0xE11AB1A1E011CFD0L,
+      "not an OLE2 compound file")
+    val sectorSize = 1 << bb.getShort(30)
+    val miniSectorSize = 1 << bb.getShort(32)
+    val dirStart = bb.getInt(48)
+    val miniCutoff = bb.getInt(56)
+    val miniFatStart = bb.getInt(60)
+    val difatStart = bb.getInt(68)
+    val nDifat = bb.getInt(72)
+
+    // FAT sector list: 109 header DIFAT slots, then chained DIFAT sectors
+    val fatSectors = mutable.ArrayBuffer[Int]()
+    (0 until 109).foreach { i =>
+      val s = bb.getInt(76 + i * 4)
+      if (s != FreeSect && s != EndOfChain) fatSectors += s
+    }
+    var difat = difatStart
+    var guard = 0
+    while (difat != EndOfChain && difat != FreeSect && guard < nDifat + 1) {
+      val off = 512 + difat * sectorSize
+      (0 until sectorSize / 4 - 1).foreach { i =>
+        val s = bb.getInt(off + i * 4)
+        if (s != FreeSect && s != EndOfChain) fatSectors += s
+      }
+      difat = bb.getInt(off + sectorSize - 4)
+      guard += 1
+    }
+    val fat = fatSectors.toArray.flatMap { fs =>
+      val off = 512 + fs * sectorSize
+      (0 until sectorSize / 4).map(i => bb.getInt(off + i * 4))
+    }
+
+    val dir = readChain(data, fat, dirStart, sectorSize, 512)
+    val dbb = ByteBuffer.wrap(dir).order(ByteOrder.LITTLE_ENDIAN)
+    case class Entry(name: String, start: Int, size: Long)
+    val entries = (0 until dir.length / 128).map { i =>
+      val base = i * 128
+      val nameLen = dbb.getShort(base + 64) & 0xFFFF
+      val name = new String(dir, base, math.max(nameLen - 2, 0), "UTF-16LE")
+      Entry(name, dbb.getInt(base + 116), dbb.getInt(base + 120).toLong & 0xFFFFFFFFL)
+    }
+    val root = entries.headOption.getOrElse(
+      throw new IllegalArgumentException("empty CFB directory"))
+    val wb = entries.find(e => e.name == "Workbook" || e.name == "Book")
+      .getOrElse(throw new IllegalArgumentException(
+        "no Workbook stream — not an Excel BIFF file"))
+    if (wb.size >= miniCutoff) {
+      readChain(data, fat, wb.start, sectorSize, 512).take(wb.size.toInt)
+    } else {
+      // mini-stream: the root entry's chain holds 64-byte mini sectors,
+      // chained through the miniFAT
+      val miniStream = readChain(data, fat, root.start, sectorSize, 512)
+      val miniFatBytes = readChain(data, fat, miniFatStart, sectorSize, 512)
+      val mfb = ByteBuffer.wrap(miniFatBytes).order(ByteOrder.LITTLE_ENDIAN)
+      val miniFat = Array.tabulate(miniFatBytes.length / 4)(i => mfb.getInt(i * 4))
+      val out = new java.io.ByteArrayOutputStream()
+      var s = wb.start
+      var g = 0
+      while (s != EndOfChain && s != FreeSect && g <= miniFat.length) {
+        out.write(miniStream, s * miniSectorSize,
+          math.min(miniSectorSize, miniStream.length - s * miniSectorSize))
+        s = if (s < miniFat.length) miniFat(s) else EndOfChain
+        g += 1
+      }
+      out.toByteArray.take(wb.size.toInt)
+    }
+  }
+
+  // ---- BIFF8 records ----
+
+  private case class Rec(id: Int, at: Int, len: Int)
+
+  private def records(wb: Array[Byte]): IndexedSeq[Rec] = {
+    val out = mutable.ArrayBuffer[Rec]()
+    val bb = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    while (p + 4 <= wb.length) {
+      val id = bb.getShort(p) & 0xFFFF
+      val len = bb.getShort(p + 2) & 0xFFFF
+      out += Rec(id, p + 4, len)
+      p += 4 + len
+    }
+    out.toIndexedSeq
+  }
+
+  /** BIFF8 unicode string at `pos` (16-bit char count): returns
+    * (text, bytesConsumed). Handles the compressed/UTF-16 flag plus
+    * rich-text and far-east extensions (skipped, correctly sized). */
+  private def readUnicodeString(b: Array[Byte], pos: Int): (String, Int) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val cch = bb.getShort(pos) & 0xFFFF
+    val grbit = b(pos + 2) & 0xFF
+    var p = pos + 3
+    val rich = (grbit & 0x08) != 0
+    val ext = (grbit & 0x04) != 0
+    val cRun = if (rich) { val v = bb.getShort(p) & 0xFFFF; p += 2; v } else 0
+    val cbExt = if (ext) { val v = bb.getInt(p); p += 4; v } else 0
+    val wide = (grbit & 0x01) != 0
+    val text =
+      if (wide) { val t = new String(b, p, cch * 2, "UTF-16LE"); p += cch * 2; t }
+      else { val t = new String(b, p, cch, "ISO-8859-1"); p += cch; t }
+    p += cRun * 4 + cbExt
+    (text, p - pos)
+  }
+
+  /** SST parse across CONTINUE records. Strings split across a CONTINUE
+    * boundary restate the compressed/wide flag byte at the start of the
+    * continuation — the one genuinely stateful part of BIFF8. */
+  private def parseSst(wb: Array[Byte], recs: IndexedSeq[Rec],
+      sstIdx: Int): IndexedSeq[String] = {
+    val sst = recs(sstIdx)
+    // concatenated payloads with the segment boundaries remembered
+    val segs = mutable.ArrayBuffer[(Int, Int)]() // (at, len) in wb
+    segs += ((sst.at, sst.len))
+    var j = sstIdx + 1
+    while (j < recs.length && recs(j).id == 0x003C) {
+      segs += ((recs(j).at, recs(j).len)); j += 1
+    }
+    val total = segs.map(_._2).sum
+    val buf = new Array[Byte](total)
+    val bounds = mutable.ArrayBuffer[Int]() // start offsets of segments in buf
+    var o = 0
+    segs.foreach { case (at, len) =>
+      bounds += o; System.arraycopy(wb, at, buf, o, len); o += len
+    }
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val unique = bb.getInt(4)
+    val out = mutable.ArrayBuffer[String]()
+    var p = 8
+    val boundSet = bounds.drop(1).toSet
+    while (out.length < unique && p + 3 <= buf.length) {
+      val cch = bb.getShort(p) & 0xFFFF
+      var grbit = buf(p + 2) & 0xFF
+      p += 3
+      val rich = (grbit & 0x08) != 0
+      val ext = (grbit & 0x04) != 0
+      val cRun = if (rich) { val v = bb.getShort(p) & 0xFFFF; p += 2; v } else 0
+      val cbExt = if (ext) { val v = bb.getInt(p); p += 4; v } else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var remaining = cch
+      while (remaining > 0) {
+        // a continuation boundary inside character data restates grbit
+        if (boundSet.contains(p)) { grbit = (grbit & ~0x01) | (buf(p) & 0x01); p += 1 }
+        val wide = (grbit & 0x01) != 0
+        // chars available before the next boundary (or end)
+        val nextBound = bounds.drop(1).filter(_ > p).sorted.headOption
+          .getOrElse(buf.length)
+        val avail = if (wide) (nextBound - p) / 2 else nextBound - p
+        val take = math.min(remaining, avail)
+        if (take <= 0) { remaining = 0 } // malformed guard
+        else {
+          if (wide) { sb.append(new String(buf, p, take * 2, "UTF-16LE")); p += take * 2 }
+          else { sb.append(new String(buf, p, take, "ISO-8859-1")); p += take }
+          remaining -= take
+        }
+      }
+      p += cRun * 4 + cbExt
+      out += sb.toString
+    }
+    out.toIndexedSeq
+  }
+
+  /** RK-encoded number → double. */
+  private[sources] def decodeRk(rk: Int): Double = {
+    val div100 = (rk & 0x01) != 0
+    val isInt = (rk & 0x02) != 0
+    val v =
+      if (isInt) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if (div100) v / 100 else v
+  }
+
+  /** Read an xls into the same strings DataFrame contract as
+    * `ExcelReader.readXlsx` (header row 1, data ≥ 2, date-styled
+    * numerics rendered as typed dates). `sheet` is 1-based in workbook
+    * order, matching the xlsx reader. */
+  def readXls(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val wb = workbookStream(data)
+    val recs = records(wb)
+    val bb = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+
+    // globals: SST, BOUNDSHEETs (sheet name + substream offset),
+    // FORMAT (custom codes) and XF (ixfe -> ifmt) in stream order
+    val sst = recs.zipWithIndex.find(_._1.id == 0x00FC)
+      .map { case (_, i) => parseSst(wb, recs, i) }.getOrElse(IndexedSeq.empty)
+    val sheetOffsets = recs.filter(_.id == 0x0085).map(r => bb.getInt(r.at))
+    require(sheet >= 1 && sheet <= sheetOffsets.length,
+      s"sheet $sheet not found (${sheetOffsets.length} sheets)")
+    val customDateFmts: Set[Int] = recs.filter(_.id == 0x041E).collect {
+      case r if {
+        val code = readUnicodeString(wb, r.at + 2)._1
+        ExcelReader.isDateFormatCode(code)
+      } => bb.getShort(r.at) & 0xFFFF
+    }.toSet
+    val xfFmts: IndexedSeq[Int] =
+      recs.filter(_.id == 0x00E0).map(r => bb.getShort(r.at + 2) & 0xFFFF)
+    def isDateXf(ixfe: Int): Boolean =
+      xfFmts.lift(ixfe).exists(f =>
+        ExcelReader.BuiltinDateFmts.contains(f) || customDateFmts.contains(f))
+
+    // the requested sheet substream: records from its BOF to its EOF
+    val from = sheetOffsets(sheet - 1)
+    val sheetRecs = recs.dropWhile(_.at - 4 < from)
+    val grid = mutable.LinkedHashMap[Int, mutable.LinkedHashMap[Int, String]]()
+    def cell(row: Int, colIdx: Int, v: String): Unit =
+      grid.getOrElseUpdate(row, mutable.LinkedHashMap[Int, String]())(colIdx) = v
+    def num(row: Int, colIdx: Int, ixfe: Int, d: Double): Unit = {
+      val s =
+        if (isDateXf(ixfe)) ExcelReader.excelSerialToString(d)
+        else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      cell(row, colIdx, s)
+    }
+    var done = false
+    sheetRecs.foreach { r =>
+      if (!done) r.id match {
+        case 0x000A => done = true // EOF of this substream
+        case 0x00FD => // LABELSST
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          cell(row, c, sst.lift(bb.getInt(r.at + 6)).getOrElse(""))
+        case 0x0204 => // LABEL (inline BIFF8 unicode string)
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          cell(row, c, readUnicodeString(wb, r.at + 6)._1)
+        case 0x0203 => // NUMBER (IEEE double)
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          num(row, c, bb.getShort(r.at + 4) & 0xFFFF, bb.getDouble(r.at + 6))
+        case 0x027E => // RK
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          num(row, c, bb.getShort(r.at + 4) & 0xFFFF, decodeRk(bb.getInt(r.at + 6)))
+        case 0x00BD => // MULRK: run of RK cells in one row
+          val row = bb.getShort(r.at) & 0xFFFF; val first = bb.getShort(r.at + 2) & 0xFFFF
+          val n = (r.len - 6) / 6
+          (0 until n).foreach { i =>
+            val ixfe = bb.getShort(r.at + 4 + i * 6) & 0xFFFF
+            num(row, first + i, ixfe, decodeRk(bb.getInt(r.at + 6 + i * 6)))
+          }
+        case 0x0205 => // BOOLERR (boolean flavor only; errors -> blank)
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          if ((wb(r.at + 7) & 0xFF) == 0)
+            cell(row, c, if ((wb(r.at + 6) & 0xFF) != 0) "TRUE" else "FALSE")
+        case _ => ()
+      }
+    }
+
+    require(grid.nonEmpty, "empty worksheet")
+    val rows = grid.toSeq.sortBy(_._1)
+    val headerMap = rows.head._2
+    val width = rows.map { case (_, m) => if (m.isEmpty) -1 else m.keys.max }.max + 1
+    val header = (0 until width).map(i =>
+      headerMap.get(i).filter(_.nonEmpty).getOrElse(s"col$i"))
+    val dataRows = rows.tail.map { case (_, m) =>
+      Row.fromSeq((0 until width).map(i => m.get(i).filter(_.nonEmpty).orNull))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(dataRows), schema)
+  }
+}

@@ -39,8 +39,9 @@ object ExcelReader {
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
   /** ECMA-376 builtin numFmtIds that render dates/times (14-22 core
-    * date/time, 45-47 elapsed-time). */
-  private val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+    * date/time, 45-47 elapsed-time). Shared with the BIFF (.xls) reader
+    * — the id space is the same in both formats. */
+  private[sources] val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
 
   /** A custom format code is a date format when, after dropping quoted
     * literals, [bracket] sections and escaped chars, it still contains a

@@ -1,0 +1,221 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+/** Builds a real BIFF8 workbook inside a real OLE2/CFB container from
+  * scratch (independent byte-level writers, not the reader's own code)
+  * and reads it back through the S2b scan. */
+class BiffReaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // ---- independent BIFF8 byte writers ----
+
+  private def le(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+  private def u16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def i32(v: Int) = Array[Byte](
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def f64(v: Double) = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.putDouble(v); b.array()
+  }
+  private def rec(id: Int, payload: Array[Byte]): Array[Byte] =
+    le(u16(id), u16(payload.length), payload)
+  /** BIFF8 16-bit-count unicode string, compressed (Latin-1) flavor. */
+  private def ustr(s: String): Array[Byte] =
+    le(u16(s.length), Array[Byte](0), s.getBytes("ISO-8859-1"))
+  private def cellHead(row: Int, colIdx: Int, ixfe: Int): Array[Byte] =
+    le(u16(row), u16(colIdx), u16(ixfe))
+
+  /** The workbook stream: globals (BOF, FORMAT 164, XFs, SST with a
+    * CONTINUE-split string and a wide string, BOUNDSHEET, EOF) + one
+    * worksheet substream exercising every cell record kind. */
+  private def workbookStream(): Array[Byte] = {
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), java.time.LocalDate.of(2024, 1, 15))
+
+    // SST: 6 strings; s4 is wide UTF-16 ("x✓"), s5 is split mid-string
+    // across a CONTINUE that restates the compressed flag byte
+    val sstPayload = le(
+      i32(6), i32(6),
+      ustr("name"), ustr("when"), ustr("qty"), ustr("café"),
+      le(u16(2), Array[Byte](1), "x✓".getBytes("UTF-16LE")),
+      le(u16(11), Array[Byte](0), "Split".getBytes("ISO-8859-1")))
+    val continuePayload = le(Array[Byte](0), "String".getBytes("ISO-8859-1"))
+
+    def globals(sheetPos: Int): Array[Byte] = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
+      rec(0x041E, le(u16(164), ustr("yyyy\\-mm\\-dd"))),
+      rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),   // XF0: General
+      rec(0x00E0, le(u16(0), u16(14), new Array[Byte](16))),  // XF1: builtin date
+      rec(0x00E0, le(u16(0), u16(164), new Array[Byte](16))), // XF2: custom date
+      rec(0x00FC, sstPayload),
+      rec(0x003C, continuePayload),
+      rec(0x0085, le(i32(sheetPos), u16(0),
+        Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
+      rec(0x000A, Array.empty[Byte]))
+
+    val sheet = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0))),
+      // header row 0: LABELSST ×3, inline LABEL, wide SST, split SST, LABEL
+      rec(0x00FD, le(cellHead(0, 0, 0), i32(0))),
+      rec(0x00FD, le(cellHead(0, 1, 0), i32(1))),
+      rec(0x00FD, le(cellHead(0, 2, 0), i32(2))),
+      rec(0x0204, le(cellHead(0, 3, 0), ustr("city"))),
+      rec(0x00FD, le(cellHead(0, 4, 0), i32(4))),
+      rec(0x00FD, le(cellHead(0, 5, 0), i32(5))),
+      rec(0x0204, le(cellHead(0, 6, 0), ustr("flag"))),
+      // data row 1: shared string, date NUMBER, RK int, RK double,
+      // MULRK (int + ×1/100), BOOLERR
+      rec(0x00FD, le(cellHead(1, 0, 0), i32(3))),
+      rec(0x0203, le(cellHead(1, 1, 1), f64(serial.toDouble))),
+      rec(0x027E, le(cellHead(1, 2, 0), i32((300 << 2) | 2))),
+      rec(0x027E, le(cellHead(1, 3, 0), i32(0x40040000))), // 2.5 as fp RK
+      rec(0x00BD, le(u16(1), u16(4),
+        u16(0), i32((7 << 2) | 2),          // E2: int 7
+        u16(0), i32((250 << 2) | 2 | 1),    // F2: 250/100 = 2.5
+        u16(5))),
+      rec(0x0205, le(cellHead(1, 6, 0), Array[Byte](1, 0))), // TRUE
+      rec(0x000A, Array.empty[Byte]))
+
+    val g = globals(0)
+    globals(g.length) ++ sheet
+  }
+
+  /** A minimal valid CFB container: header + 1 FAT sector + 1 directory
+    * sector + the workbook stream padded to 4096 (regular-FAT sized). */
+  private def buildCfb(wb: Array[Byte]): Array[Byte] = {
+    require(wb.length <= 4096, "test stream must fit 8 sectors")
+    val nWb = 8
+    val buf = ByteBuffer.allocate(512 * (2 + nWb)).order(ByteOrder.LITTLE_ENDIAN)
+    val End = 0xFFFFFFFE; val Free = 0xFFFFFFFF
+    buf.putLong(0, 0xE11AB1A1E011CFD0L)
+    buf.putShort(24, 0x3E.toShort); buf.putShort(26, 3)
+    buf.putShort(28, 0xFFFE.toShort)
+    buf.putShort(30, 9); buf.putShort(32, 6)
+    buf.putInt(44, 1)        // one FAT sector
+    buf.putInt(48, 1)        // directory starts at sector 1
+    buf.putInt(56, 4096)     // mini-stream cutoff
+    buf.putInt(60, End)      // no miniFAT
+    buf.putInt(68, End); buf.putInt(72, 0) // no DIFAT chain
+    buf.putInt(76, 0)        // DIFAT[0]: FAT lives in sector 0
+    (1 until 109).foreach(i => buf.putInt(76 + i * 4, Free))
+    // FAT (sector 0): s0=FATSECT, s1=dir end, s2..s9 workbook chain
+    buf.putInt(512, 0xFFFFFFFD)
+    buf.putInt(516, End)
+    (0 until nWb).foreach(i =>
+      buf.putInt(520 + i * 4, if (i == nWb - 1) End else 3 + i))
+    (2 + nWb until 128).foreach(i => buf.putInt(512 + i * 4, Free))
+    // directory (sector 1): Root Entry + Workbook
+    def dirEntry(slot: Int, name: String, objType: Int, start: Int, size: Int): Unit = {
+      val base = 1024 + slot * 128
+      val nb = name.getBytes("UTF-16LE")
+      (0 until nb.length).foreach(i => buf.put(base + i, nb(i)))
+      buf.putShort(base + 64, ((name.length + 1) * 2).toShort)
+      buf.put(base + 66, objType.toByte)
+      buf.putInt(base + 68, Free); buf.putInt(base + 72, Free)
+      buf.putInt(base + 76, if (slot == 0) 1 else Free)
+      buf.putInt(base + 116, start)
+      buf.putInt(base + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, End, 0)
+    dirEntry(1, "Workbook", 2, 2, 4096)
+    // workbook stream in sectors 2..9
+    (0 until wb.length).foreach(i => buf.put(1024 + 512 + i, wb(i)))
+    buf.array()
+  }
+
+  private def writeXls(): String = {
+    val p = Files.createTempDirectory("graft-biff").resolve("legacy.xls")
+    Files.write(p, buildCfb(workbookStream()))
+    p.toString
+  }
+
+  test("S2b: BIFF8 .xls reads header + every cell record kind as text") {
+    val df = BiffReader.readXls(spark, writeXls())
+    assert(df.columns.toSeq ==
+      Seq("name", "when", "qty", "city", "x✓", "SplitString", "flag"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "café")          // SST Latin-1 high byte
+    assert(r.getString(1) == "2024-01-15 00:00:00") // date-styled NUMBER
+    assert(r.getString(2) == "300")           // RK integer
+    assert(r.getString(3) == "2.5")           // RK floating-point
+    assert(r.getString(4) == "7")             // MULRK int
+    assert(r.getString(5) == "2.5")           // MULRK ×1/100
+    assert(r.getString(6) == "TRUE")          // BOOLERR boolean
+  }
+
+  test("S2b: Engine routes a real .xls through the BIFF reader (P11 + S2b)") {
+    import org.apache.spark.sql.functions.col
+    // the generated workbook's headers are not a member submission, so
+    // route a corrupt-container case for the typed path and assert the
+    // real file at least reaches the BIFF parser via isLegacyBiff
+    val path = writeXls()
+    assert(Ingest.isLegacyBiff(path))
+    val df = BiffReader.readXls(spark, path)
+    assert(df.count() == 1)
+    // Engine-level: a truncated OLE2 magic-only file must fail inside
+    // the BIFF reader with a container error, not the xlsx zip parser
+    val stub = Files.createTempFile("graft", ".xls")
+    Files.write(stub, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
+      0, 0, 0, 0).map(_.toByte))
+    val dict = spark.range(1).select(col("id").cast("string").as("title"),
+      col("id").cast("string").as("ext_id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.Engine.processSubmission(spark, stub.toString, dict)
+    }
+    assert(e.getMessage.contains("OLE2"))
+  }
+
+  test("end-to-end: a legacy .xls member submission flows through Engine") {
+    // minimal globals (no SST needed: all cells are inline LABELs)
+    def labelsSheet(rows: Seq[Seq[String]]): Array[Byte] = {
+      def globals(sheetPos: Int): Array[Byte] = le(
+        rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
+        rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),
+        rec(0x0085, le(i32(sheetPos), u16(0),
+          Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
+        rec(0x000A, Array.empty[Byte]))
+      val cells = rows.zipWithIndex.flatMap { case (cols, r) =>
+        cols.zipWithIndex.map { case (v, c) =>
+          rec(0x0204, le(cellHead(r, c, 0), ustr(v)))
+        }
+      }
+      val sheet = le(
+        (rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0)))
+          +: cells :+ rec(0x000A, Array.empty[Byte])): _*)
+      val g = globals(0)
+      globals(g.length) ++ sheet
+    }
+    val xls = labelsSheet(Seq(
+      Seq("Company Name", "Country", "E-Mail", "Street Address", "City",
+        "Products Offered", "Ingredient List", "About"),
+      Seq("Acme Foods", "USA", "a@b.co", "1 Main", "Springfield",
+        "granola; Almond Milk", "salt", "We make food")))
+    val p = Files.createTempDirectory("graft-biff-e2e").resolve("member.xls")
+    Files.write(p, buildCfb(xls))
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dict = Seq(("Granola", "P-GRAN"), ("Almond Milk", "P-ALM"),
+      ("Salt", "I-SALT")).toDF("title", "ext_id")
+    val r = graft.Engine.processSubmission(spark, p.toString, dict)
+    assert(r.mapping.missingRequired.isEmpty)
+    assert(r.valid.count() == 1)
+    val decisions = r.resolved.select("item_norm", "decision")
+      .as[(String, String)].collect().toMap
+    assert(decisions("Granola") == "resolved")
+    assert(decisions("Almond Milk") == "resolved")
+    assert(decisions("Salt") == "resolved")
+  }
+
+  test("RK decoding covers all four flag combinations") {
+    assert(BiffReader.decodeRk((300 << 2) | 2) == 300.0)
+    assert(BiffReader.decodeRk((250 << 2) | 2 | 1) == 2.5)
+    assert(BiffReader.decodeRk(0x40040000) == 2.5)
+    assert(BiffReader.decodeRk(0x40040000 | 1) == 0.025)
+    assert(BiffReader.decodeRk((-12 << 2) | 2) == -12.0)
+  }
+}

@@ -37,14 +37,16 @@ class IngressSpec extends AnyFunSuite {
     zo.putNextEntry(new java.util.zip.ZipEntry("xl/workbook.xml"))
     zo.write("<x/>".getBytes); zo.closeEntry(); zo.close()
     assert(!Ingest.isLegacyBiff(zip.toString))
-    // Engine routes the BIFF file to the typed error, not a parser crash
+    // Engine routes the BIFF file to the BIFF reader (S2b), so a
+    // magic-only stub fails with the reader's container error — never
+    // the xlsx zip parser's crash
     import org.apache.spark.sql.functions.col
     val dict = spark.range(1).select(col("id").cast("string").as("title"),
       col("id").cast("string").as("ext_id"))
-    val e = intercept[Ingest.UnsupportedFormat] {
+    val e = intercept[IllegalArgumentException] {
       graft.Engine.processSubmission(spark, biff.toString, dict)
     }
-    assert(e.getMessage.contains("BIFF"))
+    assert(e.getMessage.contains("OLE2"))
   }
 
   test("S8: zip bundle carries one csv entry per report, content intact") {
