@@ -78,6 +78,31 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
   }
 
+  test("gram family is a RESCUE pass: token-matched names see only token candidates") {
+    // "almond drink" shares the token 'almond' with "Almond Milk" ->
+    // token-blocked; it also shares the gram 'alm' with "Almond Milk"
+    // AND (via 'ink'-free overlap) nothing else, but crucially a pure
+    // gram neighbor like "almondmilk"-style concatenations must NOT be
+    // re-paired for it. "wholewheat" shares no token with anything ->
+    // rescue set -> gram candidates only.
+    val tricky = Seq(
+      (1L, "almond drink"), // token-matched
+      (2L, "wholewheat")    // zero token candidates -> rescued
+    ).toDF("item_id", "item_name")
+    val cands = EntityResolution.fuzzyCandidates(
+      tricky.select("item_name").distinct(), dict,
+      "item_name", "title", "ext_id", blocked = true)
+      .select("item_name", "cand_title")
+      .as[(String, String)].collect().toSet
+    // token-matched name: candidates are EXACTLY its token-block set
+    assert(cands.filter(_._1 == "almond drink") ==
+      Set(("almond drink", "Almond Milk")))
+    // rescued name: reached through grams ('whe'/'hea'/'eat' ∈ Whole
+    // Wheat Flour), which token blocking alone cannot produce
+    assert(cands.filter(_._1 == "wholewheat") ==
+      Set(("wholewheat", "Whole Wheat Flour")))
+  }
+
   test("penalties never raise a score and floor at 0 (F4)") {
     val df = Seq(
       ("short", "a much longer candidate string with many words"),
