@@ -95,6 +95,15 @@ object Dedup {
     * output. Returns distinct (id_a < id_b). */
   def cappedBucketPairs(byKey: DataFrame, keyCols: Seq[String], idCol: String,
       maxBucket: Int): DataFrame = {
+    // uncapped fast path: no bucket-size windows, just the within-bucket
+    // join — identical output (every bucket is "small"), one less
+    // sort+window pass for callers that opted out of the cap
+    if (maxBucket == Int.MaxValue) {
+      return byKey.select(keyCols.map(col) :+ col(idCol).as("id_a"): _*)
+        .join(byKey.select(keyCols.map(col) :+ col(idCol).as("id_b"): _*), keyCols)
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val bucket = Window.partitionBy(keyCols.map(col): _*)
     val st = byKey
       .withColumn("bsz", count(lit(1)).over(bucket))
