@@ -63,6 +63,33 @@ object TextAnalysis {
           col("dup_trigram_mills") < MaxDupTrigramMills)
   }
 
+  /** Sequence packing — the pretraining "concat then chunk" step:
+    * documents in deterministic `idCol` order are laid head-to-tail on
+    * a token stream per shard; a sequence is one `budgetTokens`-sized
+    * chunk of that stream, and a document belongs to the chunk where it
+    * STARTS (`seq_no`), at `seq_offset` tokens into it. A doc longer
+    * than the budget simply spans into later chunks (standard packing
+    * semantics — the consumer slices by token range).
+    *
+    * Scale shape: the running sum is a window partitioned by
+    * `shardCol`, NOT a global ordered window — a global cumsum would
+    * funnel 100 TB through one sorted partition. Real pipelines pack
+    * per shard (per worker/file-group) for exactly this reason; shard
+    * boundaries waste at most one partial sequence each. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_no", floor(col("cum_before") / budgetTokens).cast("long"))
+      .withColumn("seq_offset", (col("cum_before") % budgetTokens).cast("long"))
+      .drop("cum_before")
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

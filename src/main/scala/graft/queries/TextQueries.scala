@@ -175,6 +175,14 @@ object TextQueries {
         "text", "doc_id", minJaccardMills = 600, blockCols = Seq("source"))
         .orderBy("id_a", "id_b")),
 
+    // Sequence packing (concat-then-chunk): docs per source shard in
+    // doc_id order, 512-token budget; each doc lands in the chunk where
+    // it starts. Partitioned cumsum — no global sort (the 100 TB shape).
+    "q69_sequence_pack" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(
+        docs(s, dir), "text", "doc_id", "source", budgetTokens = 512)
+        .orderBy("doc_id")),
+
     // The BINDING star-cap variant of q36 on a deliberately degenerate
     // corpus: every doc_id ≡ 3 (mod 21) carries identical boilerplate,
     // so its prefix-shingle buckets blow past `maxCandBucket` and the
@@ -269,15 +277,33 @@ object TextQueries {
            WHERE bsz > $LshBucketCap AND doc_id <> bmin))"""
   }
 
+  /** DuckDB twin of `TextFunctions.tokenCount` — shared wherever an
+    * oracle needs the whitespace token count (q30, q69). */
+  private[graft] val sqlTokenCount =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END"""
+
   val oracle: Map[String, String] = Map(
     "q29_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q69_sequence_pack" ->
+      s"""WITH t AS (
+           SELECT source, doc_id, CAST($sqlTokenCount AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_before
+           FROM t)
+         SELECT source, doc_id, n_tokens,
+           CAST(floor(cum_before / 512) AS BIGINT) AS seq_no,
+           CAST(cum_before % 512 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
     "q30_token_stats" ->
       s"""SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-           ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END AS BIGINT) AS n_tokens,
+         CAST($sqlTokenCount AS BIGINT) AS n_tokens,
          CAST(len($sqlTokSet) AS BIGINT) AS n_distinct_tokens,
          CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
          md5(array_to_string($sqlTokSet, ' ')) AS fingerprint

@@ -44,6 +44,27 @@ class MiscSpec extends AnyFunSuite {
     assert(out(2L)._2)
   }
 
+  test("sequence packing: concat-then-chunk invariants per shard") {
+    // shard A: 3+4+5+2 tokens at budget 6 -> chunk stream:
+    //   d1 starts at 0  (seq 0, off 0)
+    //   d2 starts at 3  (seq 0, off 3)
+    //   d3 starts at 7  (seq 1, off 1)
+    //   d4 starts at 12 (seq 2, off 0)
+    // shard B packs independently from offset 0
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f g"), (3L, "A", "h i j k l"),
+      (4L, "A", "m n"), (10L, "B", "x y z w")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, "text", "doc_id", "source", 6)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_no", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L), (3L, 5L, 1L, 1L),
+      (4L, 2L, 2L, 0L), (10L, 4L, 0L, 0L)), out.toString)
+    // invariant: every offset is inside the budget
+    assert(out.forall(_._4 < 6))
+  }
+
   test("pushSink retries transient failures with backoff (F14)") {
     MiscSpec.attempts.set(0)
     val df = Seq(1, 2, 3).toDF("v").coalesce(1)
