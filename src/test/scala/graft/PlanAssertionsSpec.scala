@@ -127,4 +127,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q35_lsh_pairs")
     assert(p.contains("bsz") && p.contains("bmin"), p.take(2000))
   }
+
+  test("q69: the packing cumsum is shard-partitioned — no global sort") {
+    // packSequences' promise is a per-shard window: a global ordered
+    // cumsum would plan an Exchange SinglePartition and funnel the
+    // whole corpus through one task
+    val p = plan("q69_sequence_pack")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("Window"), "expected a windowed cumulative sum")
+  }
+
+  test("q41: the blocked fuzzy path joins on keys — no nested-loop anywhere") {
+    val p = plan("q41_blocked_resolution")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
