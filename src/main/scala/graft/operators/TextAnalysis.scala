@@ -90,6 +90,27 @@ object TextAnalysis {
       .drop("cum_before")
   }
 
+  /** Deterministic stratified sampling — the corpus-mixture step of a
+    * training-data pipeline (e.g. keep 100% of high-quality strata,
+    * 10% of boilerplate): a row survives iff the first 8 hex digits of
+    * md5(id), read as a 32-bit integer, fall under rate·2³². Pure
+    * projection + filter: no RNG (reproducible across engines and
+    * re-runs — the md5 threshold IS the sample), no shuffle, no sort;
+    * sampling composes with partition pruning and pushes to the scan.
+    * Strata absent from `rates` keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    def thresh(rate: Double) = lit((rate * 4294967296.0).toLong)
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(thresh(defaultRate)) { case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, thresh(rate)).otherwise(acc)
+      }
+    df.where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") < rateCol)
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

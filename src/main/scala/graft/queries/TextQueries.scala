@@ -52,6 +52,10 @@ object TextQueries {
     * of the capped PPJoin is oracle-exercised. */
   private[graft] val CappedJaccardBucket = 8
 
+  /** q70's per-stratum keep rates (shared with its oracle SQL). */
+  private[graft] val SampleRates: Map[String, Double] =
+    Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.1)
+
   /** q35's LSH candidate-pair graph (shared with q53's components).
     *
     * Hot-bucket guard (MMDS ch.3): a degenerate band bucket — boiler-
@@ -175,6 +179,19 @@ object TextQueries {
         "text", "doc_id", minJaccardMills = 600, blockCols = Seq("source"))
         .orderBy("id_a", "id_b")),
 
+    // Deterministic stratified sampling (corpus mixture): per-lang keep
+    // rates via an md5 threshold — no RNG, reproducible in any engine,
+    // filter pushes to the scan. Summarized per stratum so the gate
+    // checks both membership determinism and the aggregate counts.
+    "q70_stratified_sample" -> ((s, dir) =>
+      graft.operators.TextAnalysis.stratifiedSample(
+        docs(s, dir), "lang", "doc_id", SampleRates, defaultRate = 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")),
+
     // Sequence packing (concat-then-chunk): docs per source shard in
     // doc_id order, 512-token budget; each doc lands in the chunk where
     // it starts. Partitioned cumsum — no global sort (the 100 TB shape).
@@ -288,6 +305,19 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q70_stratified_sample" -> {
+      // thresholds generated FROM SampleRates — oracle and operator
+      // share one rate table (and one threshold arithmetic)
+      def th(r: Double) = (r * 4294967296.0).toLong
+      val whens = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN ${th(r)}" }.mkString(" ")
+      s"""SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < CASE lang $whens ELSE ${th(0.25)} END
+         GROUP BY lang ORDER BY lang"""
+    },
     "q69_sequence_pack" ->
       s"""WITH t AS (
            SELECT source, doc_id, CAST($sqlTokenCount AS BIGINT) AS n_tokens

@@ -65,6 +65,25 @@ class MiscSpec extends AnyFunSuite {
     assert(out.forall(_._4 < 6))
   }
 
+  test("stratified sampling is deterministic and tracks the stratum rate") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "hi" else "lo")).toDF("doc_id", "lang")
+    def run() = TextAnalysis.stratifiedSample(docs, "lang", "doc_id",
+      Map("hi" -> 1.0, "lo" -> 0.3), defaultRate = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = run()
+    // rate 1.0 keeps the whole stratum; 0.3 lands near 30% (md5 uniform)
+    assert(kept.count(_ % 2 == 0) == 500)
+    val lo = kept.count(_ % 2 == 1)
+    assert(lo > 100 && lo < 200, s"lo stratum kept $lo of 500 at rate 0.3")
+    // no RNG: identical membership on re-run
+    assert(run() == kept)
+    // a stratum not in the table gets the default rate (here: dropped)
+    val none = TextAnalysis.stratifiedSample(docs, "lang", "doc_id",
+      Map("other" -> 1.0), defaultRate = 0.0).count()
+    assert(none == 0)
+  }
+
   test("pushSink retries transient failures with backoff (F14)") {
     MiscSpec.attempts.set(0)
     val df = Seq(1, 2, 3).toDF("v").coalesce(1)
