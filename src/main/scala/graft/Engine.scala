@@ -60,8 +60,11 @@ object Engine {
         java.nio.file.Paths.get(root).resolve(path).normalize.toString
       case None => path
     }
+    // routing must share the whitelist's case folding: an accepted
+    // "DATA.XLS" would otherwise fall through to the CSV reader
+    val extLower = srcPath.toLowerCase
     val raw =
-      if (srcPath.endsWith(".xlsx") || srcPath.endsWith(".xls")) {
+      if (extLower.endsWith(".xlsx") || extLower.endsWith(".xls")) {
         // legacy BIFF .xls is an OLE2 compound file, not a zip: route it
         // to the BIFF reader (the reference accepts both via pandas,
         // app/etl.py:612-632); zip containers go to the xlsx scan.

@@ -226,7 +226,23 @@ object BiffReader {
     * `ExcelReader.readXlsx` (header row 1, data ≥ 2, date-styled
     * numerics rendered as typed dates). `sheet` is 1-based in workbook
     * order, matching the xlsx reader. */
-  def readXls(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+  def readXls(spark: SparkSession, path: String, sheet: Int = 1): DataFrame =
+    // corrupt-but-magic-valid files (bad sector chains, truncated
+    // records, mangled SST offsets) must surface as a TYPED ingest
+    // rejection, not a raw IndexOutOfBounds/BufferUnderflow from deep
+    // inside the parser — the same obscure-crash guarantee the old
+    // typed reject gave. require() messages (not a compound file, no
+    // Workbook stream, sheet missing, empty sheet) stay as-is.
+    try readXlsImpl(spark, path, sheet)
+    catch {
+      case e: IllegalArgumentException => throw e // already typed
+      case e: Ingest.UnsupportedFormat => throw e
+      case e: Exception =>
+        throw Ingest.UnsupportedFormat(path,
+          s"corrupt BIFF workbook: ${e.getClass.getSimpleName}")
+    }
+
+  private def readXlsImpl(spark: SparkSession, path: String, sheet: Int): DataFrame = {
     val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val wb = workbookStream(data)
     val recs = records(wb)

@@ -80,9 +80,12 @@ object ExcelReader {
   /** Excel 1900-system serial → the string openpyxl's typed datetime
     * prints (`str(datetime)`, seconds precision). Serial 60 is the
     * phantom 1900-02-29 (the Lotus 1-2-3 bug Excel preserves): serials
-    * below 61 sit one day closer to the 1899-12-30 epoch. */
+    * BELOW 60 sit one day closer to the 1899-12-30 epoch, and serial
+    * 60 itself — unrepresentable as a real date — collapses onto
+    * 1900-02-28 exactly as openpyxl's `from_excel` does (its `0 <
+    * value < 60` bump leaves 60 unadjusted). */
   private[sources] def excelSerialToString(serial: Double): String = {
-    val adj = if (serial < 61) serial + 1 else serial
+    val adj = if (serial < 60) serial + 1 else serial
     val days = math.floor(adj).toLong
     val secs = math.round((adj - days) * 86400)
     java.time.LocalDate.of(1899, 12, 30).atStartOfDay

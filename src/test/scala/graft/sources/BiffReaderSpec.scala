@@ -211,6 +211,40 @@ class BiffReaderSpec extends AnyFunSuite {
     assert(decisions("Salt") == "resolved")
   }
 
+  test("corrupt-but-magic-valid .xls surfaces a typed rejection, not a parser crash") {
+    // 600 bytes: valid OLE2 magic, garbage everywhere else — sector
+    // chains point nowhere, the directory is noise
+    val junk = new Array[Byte](600)
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+      .copyToArray(junk)
+    (8 until 600).foreach(i => junk(i) = (i * 37 % 251).toByte)
+    val p = Files.createTempDirectory("graft-biff-junk").resolve("junk.xls")
+    Files.write(p, junk)
+    val e = intercept[RuntimeException] {
+      BiffReader.readXls(spark, p.toString)
+    }
+    // either the typed corrupt-workbook wrapper or a typed require
+    // message — never a bare IndexOutOfBounds/BufferUnderflow
+    assert(e.isInstanceOf[Ingest.UnsupportedFormat] ||
+      e.isInstanceOf[IllegalArgumentException], e.toString)
+  }
+
+  test("case-folded routing: an upper-case .XLS submission reaches the BIFF reader") {
+    import org.apache.spark.sql.functions.col
+    val dict = spark.range(1).select(col("id").cast("string").as("title"),
+      col("id").cast("string").as("ext_id"))
+    // magic-only stub named .XLS: the whitelist accepts it case-
+    // insensitively, and routing must hit the BIFF reader (its OLE2
+    // container require), NOT fall through to the CSV parser
+    val stub = Files.createTempDirectory("graft-ucase").resolve("DATA.XLS")
+    Files.write(stub, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
+      0, 0, 0, 0).map(_.toByte))
+    val e = intercept[IllegalArgumentException] {
+      graft.Engine.processSubmission(spark, stub.toString, dict)
+    }
+    assert(e.getMessage.contains("OLE2"), e.toString)
+  }
+
   test("RK decoding covers all four flag combinations") {
     assert(BiffReader.decodeRk((300 << 2) | 2) == 300.0)
     assert(BiffReader.decodeRk((250 << 2) | 2 | 1) == 2.5)

@@ -105,8 +105,11 @@ class ExcelReaderSpec extends AnyFunSuite {
   }
 
   test("excelSerialToString handles the 1900 leap-year phantom day") {
-    // serial 59 = 1900-02-28, serial 61 = 1900-03-01 (60 never existed)
+    // serial 59 = 1900-02-28, serial 61 = 1900-03-01; the phantom
+    // serial 60 (Excel's fake 1900-02-29) collapses onto 02-28, the
+    // same mapping openpyxl's from_excel produces
     assert(ExcelReader.excelSerialToString(59) == "1900-02-28 00:00:00")
+    assert(ExcelReader.excelSerialToString(60) == "1900-02-28 00:00:00")
     assert(ExcelReader.excelSerialToString(61) == "1900-03-01 00:00:00")
     assert(ExcelReader.isDateFormatCode("yyyy-mm-dd"))
     assert(ExcelReader.isDateFormatCode("[$-409]h:mm AM/PM"))
