@@ -13,9 +13,11 @@ import scala.collection.mutable
   * gap with a zero-dependency reader for the two public formats
   * involved: the OLE2/CFB compound container ([MS-CFB]) and the BIFF8
   * workbook stream ([MS-XLS]). Scope is the read path a submission
-  * needs — worksheet cells of the five cell record kinds real writers
-  * emit (LABELSST, LABEL, NUMBER, RK, MULRK, BOOLERR) plus the SST with
-  * CONTINUE splits, FORMAT/XF for date-style detection (shared
+  * needs — worksheet cells of the record kinds real writers emit
+  * (LABELSST, LABEL, NUMBER, RK, MULRK, BOOLERR, and FORMULA cached
+  * results with their trailing STRING records — openpyxl surfaces the
+  * cached value of formula cells, so must this reader) plus the SST
+  * with CONTINUE splits, FORMAT/XF for date-style detection (shared
   * heuristics with `ExcelReader`), and the mini-stream for sub-4096-
   * byte workbook streams.
   *
@@ -52,6 +54,13 @@ object BiffReader {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     require(data.length >= 512 && bb.getLong(0) == 0xE11AB1A1E011CFD0L,
       "not an OLE2 compound file")
+    // all offsets below assume 512-byte sectors with sector 0 at byte
+    // 512 — true only for CFB major version 3. A version-4 file
+    // (4096-byte sectors) would misparse silently, so reject it typed.
+    require((bb.getShort(26) & 0xFFFF) == 3 && bb.getShort(30) == 9,
+      s"unsupported CFB version ${bb.getShort(26) & 0xFFFF} " +
+        s"(sector shift ${bb.getShort(30)}) — only version 3 with " +
+        "512-byte sectors is supported")
     val sectorSize = 1 << bb.getShort(30)
     val miniSectorSize = 1 << bb.getShort(32)
     val dirStart = bb.getInt(48)
@@ -281,6 +290,9 @@ object BiffReader {
       cell(row, colIdx, s)
     }
     var done = false
+    // a string-valued FORMULA's cached text arrives in the NEXT STRING
+    // (0x0207) record — possibly after a SHRFMLA/ARRAY/TABLE record
+    var pendingFormulaCell: Option[(Int, Int)] = None
     sheetRecs.foreach { r =>
       if (!done) r.id match {
         case 0x000A => done = true // EOF of this substream
@@ -303,6 +315,25 @@ object BiffReader {
             val ixfe = bb.getShort(r.at + 4 + i * 6) & 0xFFFF
             num(row, first + i, ixfe, decodeRk(bb.getInt(r.at + 6 + i * 6)))
           }
+        case 0x0006 => // FORMULA: openpyxl-style cached result
+          val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          val ixfe = bb.getShort(r.at + 4) & 0xFFFF
+          if ((bb.getShort(r.at + 12) & 0xFFFF) == 0xFFFF) {
+            // tagged non-numeric result: byte 0 of the value field is the
+            // kind — 0 string (text follows in STRING), 1 boolean (byte 2),
+            // 2 error, 3 empty string ([MS-XLS] 2.5.133 FormulaValue)
+            (wb(r.at + 6) & 0xFF) match {
+              case 0 => pendingFormulaCell = Some((row, c))
+              case 1 =>
+                cell(row, c, if ((wb(r.at + 8) & 0xFF) != 0) "TRUE" else "FALSE")
+              case _ => () // error / empty-string results -> blank, like BOOLERR
+            }
+          } else num(row, c, ixfe, bb.getDouble(r.at + 6))
+        case 0x0207 => // STRING: cached text of the preceding string FORMULA
+          pendingFormulaCell.foreach { case (row, c) =>
+            cell(row, c, readUnicodeString(wb, r.at)._1)
+          }
+          pendingFormulaCell = None
         case 0x0205 => // BOOLERR (boolean flavor only; errors -> blank)
           val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
           if ((wb(r.at + 7) & 0xFF) == 0)

@@ -29,6 +29,12 @@ class BiffReaderSpec extends AnyFunSuite {
     le(u16(s.length), Array[Byte](0), s.getBytes("ISO-8859-1"))
   private def cellHead(row: Int, colIdx: Int, ixfe: Int): Array[Byte] =
     le(u16(row), u16(colIdx), u16(ixfe))
+  /** FORMULA record: cached value + flags + chn + empty rgce. */
+  private def formulaRec(row: Int, c: Int, ixfe: Int, value: Array[Byte]): Array[Byte] =
+    rec(0x0006, le(cellHead(row, c, ixfe), value, u16(0), i32(0), u16(0)))
+  /** Tagged non-numeric FormulaValue: tag byte, value at byte 2, 0xFFFF tail. */
+  private def fval(tag: Int, v: Int): Array[Byte] =
+    le(Array[Byte](tag.toByte, 0, v.toByte, 0, 0, 0), u16(0xFFFF))
 
   /** The workbook stream: globals (BOF, FORMAT 164, XFs, SST with a
     * CONTINUE-split string and a wide string, BOUNDSHEET, EOF) + one
@@ -68,6 +74,10 @@ class BiffReaderSpec extends AnyFunSuite {
       rec(0x00FD, le(cellHead(0, 4, 0), i32(4))),
       rec(0x00FD, le(cellHead(0, 5, 0), i32(5))),
       rec(0x0204, le(cellHead(0, 6, 0), ustr("flag"))),
+      rec(0x0204, le(cellHead(0, 7, 0), ustr("fnum"))),
+      rec(0x0204, le(cellHead(0, 8, 0), ustr("fstr"))),
+      rec(0x0204, le(cellHead(0, 9, 0), ustr("fbool"))),
+      rec(0x0204, le(cellHead(0, 10, 0), ustr("ferr"))),
       // data row 1: shared string, date NUMBER, RK int, RK double,
       // MULRK (int + ×1/100), BOOLERR
       rec(0x00FD, le(cellHead(1, 0, 0), i32(3))),
@@ -79,6 +89,15 @@ class BiffReaderSpec extends AnyFunSuite {
         u16(0), i32((250 << 2) | 2 | 1),    // F2: 250/100 = 2.5
         u16(5))),
       rec(0x0205, le(cellHead(1, 6, 0), Array[Byte](1, 0))), // TRUE
+      // FORMULA cached results: numeric inline; string via the trailing
+      // STRING record (with an unrelated record between, as real writers
+      // emit SHRFMLA there); boolean; error (-> blank)
+      formulaRec(1, 7, 0, f64(42.5)),
+      formulaRec(1, 8, 0, fval(0, 0)),
+      rec(0x04BC, new Array[Byte](8)),        // SHRFMLA stand-in, skipped
+      rec(0x0207, ustr("calc")),
+      formulaRec(1, 9, 0, fval(1, 1)),
+      formulaRec(1, 10, 0, fval(2, 0x07)),    // #DIV/0! -> blank
       rec(0x000A, Array.empty[Byte]))
 
     val g = globals(0)
@@ -137,7 +156,8 @@ class BiffReaderSpec extends AnyFunSuite {
   test("S2b: BIFF8 .xls reads header + every cell record kind as text") {
     val df = BiffReader.readXls(spark, writeXls())
     assert(df.columns.toSeq ==
-      Seq("name", "when", "qty", "city", "x✓", "SplitString", "flag"))
+      Seq("name", "when", "qty", "city", "x✓", "SplitString", "flag",
+        "fnum", "fstr", "fbool", "ferr"))
     val r = df.collect()(0)
     assert(r.getString(0) == "café")          // SST Latin-1 high byte
     assert(r.getString(1) == "2024-01-15 00:00:00") // date-styled NUMBER
@@ -146,6 +166,10 @@ class BiffReaderSpec extends AnyFunSuite {
     assert(r.getString(4) == "7")             // MULRK int
     assert(r.getString(5) == "2.5")           // MULRK ×1/100
     assert(r.getString(6) == "TRUE")          // BOOLERR boolean
+    assert(r.getString(7) == "42.5")          // FORMULA numeric cached
+    assert(r.getString(8) == "calc")          // FORMULA string via STRING
+    assert(r.getString(9) == "TRUE")          // FORMULA boolean cached
+    assert(r.isNullAt(10))                    // FORMULA error -> blank
   }
 
   test("S2b: Engine routes a real .xls through the BIFF reader (P11 + S2b)") {
@@ -203,6 +227,43 @@ class BiffReaderSpec extends AnyFunSuite {
       ("Salt", "I-SALT")).toDF("title", "ext_id")
     val r = graft.Engine.processSubmission(spark, p.toString, dict)
     assert(r.mapping.missingRequired.isEmpty)
+    assert(r.valid.count() == 1)
+    val decisions = r.resolved.select("item_norm", "decision")
+      .as[(String, String)].collect().toMap
+    assert(decisions("Granola") == "resolved")
+    assert(decisions("Almond Milk") == "resolved")
+    assert(decisions("Salt") == "resolved")
+  }
+
+  test("end-to-end: formula-bearing .xls cells reach Engine with cached values") {
+    // same member submission shape, but the products cell is a string
+    // FORMULA (e.g. =TRIM(...)-cleaned column) — the cached value must
+    // flow into resolution, not an empty cell
+    def globals(sheetPos: Int): Array[Byte] = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
+      rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),
+      rec(0x0085, le(i32(sheetPos), u16(0),
+        Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
+      rec(0x000A, Array.empty[Byte]))
+    val header = Seq("Company Name", "Country", "E-Mail", "Street Address",
+      "City", "Products Offered", "Ingredient List", "About")
+    val plain = Seq("Acme Foods", "USA", "a@b.co", "1 Main", "Springfield")
+    val sheet = le((Seq(
+      rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0)))) ++
+      header.zipWithIndex.map { case (v, c) => rec(0x0204, le(cellHead(0, c, 0), ustr(v))) } ++
+      plain.zipWithIndex.map { case (v, c) => rec(0x0204, le(cellHead(1, c, 0), ustr(v))) } ++ Seq(
+      formulaRec(1, 5, 0, fval(0, 0)),         // Products Offered = string formula
+      rec(0x0207, ustr("granola; Almond Milk")),
+      rec(0x0204, le(cellHead(1, 6, 0), ustr("salt"))),
+      rec(0x0204, le(cellHead(1, 7, 0), ustr("We make food"))),
+      rec(0x000A, Array.empty[Byte]))): _*)
+    val g = globals(0)
+    val p = Files.createTempDirectory("graft-biff-formula").resolve("member.xls")
+    Files.write(p, buildCfb(globals(g.length) ++ sheet))
+    import spark.implicits._
+    val dict = Seq(("Granola", "P-GRAN"), ("Almond Milk", "P-ALM"),
+      ("Salt", "I-SALT")).toDF("title", "ext_id")
+    val r = graft.Engine.processSubmission(spark, p.toString, dict)
     assert(r.valid.count() == 1)
     val decisions = r.resolved.select("item_norm", "decision")
       .as[(String, String)].collect().toMap
