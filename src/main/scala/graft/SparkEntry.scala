@@ -188,26 +188,24 @@ object SparkEntry {
     // hash-checked against a batch DuckDB twin of that emission rule.
     "q44_streaming_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
+      // drain inside an ISOLATED session clone (own SQLConf + temp-view
+      // catalog, shared SparkContext): the state-store sizing below must
+      // not leak to concurrent queries on the caller's session, and the
+      // memory-sink table dies with the clone instead of piling up
+      // across bench reruns.
+      val s2 = s.newSession()
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val stream = s2.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // one live memory-sink table at a time: drop leftovers from prior
-      // invocations (bench runs this 4x per session) before registering
-      // the next — the returned DataFrame still reads the new one lazily.
-      s.catalog.listTables().collect()
-        .filter(_.name.startsWith("q44_out_"))
-        .foreach(t => s.catalog.dropTempView(t.name))
       val qname = s"q44_out_${System.nanoTime()}"
       val cp = java.nio.file.Files.createTempDirectory("graft-q44-cp").toString
       // State keyspace is tiny (hours × event types): 32 state-store
       // partitions would mean 32 stores + 32 tasks per micro-batch of
-      // pure overhead. Sized at query start from the session conf;
-      // restored after the drain (at 100 TB this knob instead scales UP
-      // with the key cardinality).
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // pure overhead. Set on the discarded clone only (at 100 TB this
+      // knob instead scales UP with the key cardinality).
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = stream
           .withWatermark("ts", "1 hour")
@@ -220,7 +218,6 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         // the drained result lives in the memory sink; the checkpoint is
         // single-use scratch — reclaim it (walk streams hold directory
         // handles open until closed)
@@ -231,7 +228,7 @@ object SparkEntry {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
-      s.table(qname)
+      s2.table(qname)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"))
@@ -583,16 +580,57 @@ object SparkEntry {
     def shareTok(n: String, t: String) =
       s"""len(list_filter(${blockToks(n)},
          bt -> len(bt) > 1 AND list_contains(${blockToks(t)}, bt))) > 0"""
-    // mirrors EntityResolution.fuzzyCandidates: token pairs, plus the
-    // char-3-gram family ONLY for names sharing no token with ANY
-    // dictionary title (the rescue set).
-    val blockedFilter =
-      if (!blocked) ""
-      else s"""WHERE ${shareTok("n.item_name", "d.title")}
-           OR (NOT EXISTS (SELECT 1 FROM dict d2
-                 WHERE ${shareTok("n.item_name", "d2.title")})
-               AND len(list_filter(${blockGrams("n.item_name")},
-                 gg -> list_contains(${blockGrams("d.title")}, gg))) > 0)"""
+    // the raw token_set_ratio scoring chain over a pair CTE — the
+    // blocked path needs it twice (token phase for the rescue gate,
+    // then the final union), so it is factored with a CTE-name prefix.
+    def rawChain(src: String, pfx: String) =
+      s"""${pfx}prepped AS (SELECT *, ${sqlPrep("item_name")} AS pa,
+           ${sqlPrep("cand_title")} AS pb FROM $src),
+       ${pfx}toksets AS (SELECT *, ${tokset("pa")} AS ta, ${tokset("pb")} AS tb
+         FROM ${pfx}prepped),
+       ${pfx}tparts AS (SELECT *,
+           list_filter(ta, tt -> list_contains(tb, tt)) AS inter,
+           list_filter(ta, tt -> NOT list_contains(tb, tt)) AS da,
+           list_filter(tb, tt -> NOT list_contains(ta, tt)) AS db
+         FROM ${pfx}toksets),
+       ${pfx}strs AS (SELECT *,
+           array_to_string(inter, ' ') AS s0,
+           array_to_string(list_concat(inter, da), ' ') AS s1,
+           array_to_string(list_concat(inter, db), ' ') AS s2
+         FROM ${pfx}tparts),
+       ${pfx}raw AS (SELECT item_name, cand_title, cand_ext_id, pa, pb,
+           CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 100.0
+                WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+                WHEN len(da) = 0 AND len(db) = 0 THEN 100.0
+                WHEN len(inter) > 0 THEN greatest(${sqlRatio("s0", "s1")},
+                  ${sqlRatio("s0", "s2")}, ${sqlRatio("s1", "s2")})
+                ELSE ${sqlRatio("s1", "s2")} END AS raw_score
+         FROM ${pfx}strs)"""
+    // mirrors EntityResolution.fuzzyCandidates: token pairs raw-scored
+    // first; the char-3-gram family then runs ONLY for names whose best
+    // token-blocked candidate falls below the accept floor (subsumes
+    // names with zero token candidates); union deduped.
+    val candsSql =
+      if (!blocked)
+        s"""cands AS (
+         SELECT n.item_name, d.title AS cand_title, d.ext_id AS cand_ext_id
+         FROM names n CROSS JOIN dict d)"""
+      else
+        s"""tokp AS (
+         SELECT n.item_name, d.title AS cand_title, d.ext_id AS cand_ext_id
+         FROM names n CROSS JOIN dict d
+         WHERE ${shareTok("n.item_name", "d.title")}),
+       ${rawChain("tokp", "tk")},
+       strong AS (SELECT DISTINCT item_name FROM tkraw WHERE raw_score >= 97),
+       rescue AS (SELECT item_name FROM names
+         EXCEPT SELECT item_name FROM strong),
+       gramp AS (
+         SELECT n.item_name, d.title AS cand_title, d.ext_id AS cand_ext_id
+         FROM rescue n CROSS JOIN dict d
+         WHERE len(list_filter(${blockGrams("n.item_name")},
+           gg -> list_contains(${blockGrams("d.title")}, gg))) > 0),
+       cands AS (SELECT DISTINCT * FROM
+         (SELECT * FROM tokp UNION ALL SELECT * FROM gramp) u)"""
     val diet = Seq("gluten-free", "organic", "natural", "raw", "extra virgin",
       "whole grain")
     def dietHit(x: String) =
@@ -616,31 +654,8 @@ object SparkEntry {
          FROM exact WHERE exact_ext_id IS NOT NULL),
        misses AS (SELECT item_id, item_name FROM exact WHERE exact_ext_id IS NULL),
        names AS (SELECT DISTINCT item_name FROM misses),
-       cands AS (
-         SELECT n.item_name, d.title AS cand_title, d.ext_id AS cand_ext_id
-         FROM names n CROSS JOIN dict d $blockedFilter),
-       prepped AS (SELECT *, ${sqlPrep("item_name")} AS pa,
-           ${sqlPrep("cand_title")} AS pb FROM cands),
-       toksets AS (SELECT *, ${tokset("pa")} AS ta, ${tokset("pb")} AS tb
-         FROM prepped),
-       tparts AS (SELECT *,
-           list_filter(ta, tt -> list_contains(tb, tt)) AS inter,
-           list_filter(ta, tt -> NOT list_contains(tb, tt)) AS da,
-           list_filter(tb, tt -> NOT list_contains(ta, tt)) AS db
-         FROM toksets),
-       strs AS (SELECT *,
-           array_to_string(inter, ' ') AS s0,
-           array_to_string(list_concat(inter, da), ' ') AS s1,
-           array_to_string(list_concat(inter, db), ' ') AS s2
-         FROM tparts),
-       raw AS (SELECT item_name, cand_title, cand_ext_id, pa, pb,
-           CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 100.0
-                WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
-                WHEN len(da) = 0 AND len(db) = 0 THEN 100.0
-                WHEN len(inter) > 0 THEN greatest(${sqlRatio("s0", "s1")},
-                  ${sqlRatio("s0", "s2")}, ${sqlRatio("s1", "s2")})
-                ELSE ${sqlRatio("s1", "s2")} END AS raw_score
-         FROM strs),
+       $candsSql,
+       ${rawChain("cands", "")},
        ranked AS (SELECT *, row_number() OVER (PARTITION BY item_name
            ORDER BY raw_score DESC, cand_ext_id, cand_title) AS raw_rn FROM raw),
        pen AS (SELECT *, greatest(raw_score

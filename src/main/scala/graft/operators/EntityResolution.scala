@@ -65,40 +65,48 @@ object EntityResolution {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Candidate generation for the fuzzy phase.
+  /** Candidate generation for the fuzzy phase; every candidate carries
+    * its RAW `token_set_ratio` in `raw_score` (computed once here —
+    * the blocked path needs it for the rescue gate, `resolve` for
+    * ranking).
     * blocked=false → broadcast cross join (small dict);
-    * blocked=true  → token blocking, plus a char-3-gram RESCUE pass that
-    * runs only for names with zero token-blocked candidates. Each family
-    * is an explode + shuffle equi-join — no O(N·D) cross product — which
-    * is the 100 TB path.
+    * blocked=true  → token blocking, plus a two-phase char-3-gram
+    * RESCUE pass. Each family is an explode + shuffle equi-join — no
+    * O(N·D) cross product — which is the 100 TB path.
     *
     * Token blocking alone misses high-similarity pairs that share NO
     * whitespace token (`"ap ple"` vs `"apple"`, concatenations,
     * single-token typos) because indel-based scores do not imply a shared
-    * token. The char-3-gram family closes exactly that hole, so it is
-    * GATED to that set (the rescue set): running it for every miss would
-    * re-pair items token blocking already paired AND pay a quadratic
-    * blowup on hot grams — a gram appearing in fraction f of both sides
-    * emits f²·N·D join rows, and common trigrams ("ing", "ate") make that
-    * a constant fraction of the full cross product regardless of the
-    * bounded 36³ key space (AQE can split the partitions but cannot
-    * shrink the output). The rescue set is small by construction (names
-    * so mangled they share no token with anything), so hot grams multiply
-    * a small N. Contract: a name WITH token-blocked candidates sees only
-    * those candidates; the gram family is recall rescue, not a general
-    * candidate widener. The token-match name set is computed via a
-    * semi-join (bounded by distinct names, no pair fan-out); the token
-    * explode feeds both it and the pair join — cheap relative to the
-    * all-misses gram join it replaces. */
+    * token. The char-3-gram family closes that hole, but running it for
+    * every miss would re-pair items token blocking already paired AND pay
+    * a quadratic blowup on hot grams — a gram appearing in fraction f of
+    * both sides emits f²·N·D join rows, and common trigrams ("ing",
+    * "ate") make that a constant fraction of the full cross product
+    * regardless of the bounded 36³ key space (AQE can split the
+    * partitions but cannot shrink the output). So the gram family is
+    * GATED, two-phase: token candidates are raw-scored first, and grams
+    * run only for names whose BEST token-blocked candidate raw-scores
+    * below `rescueFloor` (names with zero token candidates included).
+    * A name token-paired only with weak candidates ("green apple" vs
+    * dict "green tea") therefore still reaches a gram-only true match
+    * ("greenapple inc") — gating on zero-candidates alone would not pair
+    * it. Names with a confident token candidate see only their token
+    * candidates, so the rescue set stays small (mangled or genuinely
+    * unmatched names) and hot grams multiply a small N. A rescued name
+    * keeps its weak token candidates too — the families can overlap for
+    * it, hence the dedupe after the union. */
   def fuzzyCandidates(
       misses: DataFrame,
       dict: DataFrame,
       itemCol: String,
       titleCol: String,
       idCol: String,
-      blocked: Boolean): DataFrame = {
+      blocked: Boolean,
+      rescueFloor: Double = 97.0): DataFrame = {
     val d = dict.select(col(titleCol).as("cand_title"), col(idCol).as("cand_ext_id"))
-    if (!blocked) misses.crossJoin(broadcast(d))
+    def rawScored(pairs: DataFrame) = pairs.withColumn("raw_score",
+      Similarity.token_set_ratio(col(itemCol), col("cand_title")))
+    if (!blocked) rawScored(misses.crossJoin(broadcast(d)))
     else {
       val itemTok = misses.withColumn(
         "__tok", explode(array_distinct(split(lower(trim(col(itemCol))), "[^a-z0-9]+"))))
@@ -106,21 +114,21 @@ object EntityResolution {
       val dictTok = d.withColumn(
         "__tok", explode(array_distinct(split(lower(trim(col("cand_title"))), "[^a-z0-9]+"))))
         .where(length(col("__tok")) > 1)
-      val tokenPairs = itemTok.join(dictTok, "__tok").drop("__tok")
-        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
-      // rescue set: misses whose name shares no (len>1) token with any
-      // dictionary title — the only names token blocking cannot reach.
-      val matchedNames = itemTok
-        .join(dictTok.select("__tok").distinct(), Seq("__tok"), "left_semi")
+      val tokenPairs = rawScored(itemTok.join(dictTok, "__tok").drop("__tok")
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id")))
+      // phase 2 — rescue set: misses with no token-blocked candidate at
+      // or above the accept floor (subsumes names with zero candidates).
+      val strongNames = tokenPairs.where(col("raw_score") >= rescueFloor)
         .select(col(itemCol)).distinct()
-      val rescued = misses.join(matchedNames, Seq(itemCol), "left_anti")
+      val rescued = misses.join(strongNames, Seq(itemCol), "left_anti")
       val itemGram = rescued.withColumn("__gram", explode(charGrams(col(itemCol))))
       val dictGram = d.withColumn("__gram", explode(charGrams(col("cand_title"))))
-      val gramPairs = itemGram.join(dictGram, "__gram").drop("__gram")
-        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
-      // the families are disjoint by name (gram pairs exist only for
-      // names with zero token pairs), so the union needs no re-dedupe.
+      val gramPairs = rawScored(itemGram.join(dictGram, "__gram").drop("__gram")
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id")))
+      // a rescued name can reach the same candidate through both
+      // families; duplicate rows carry equal raw_score, so key-dedupe.
       tokenPairs.unionByName(gramPairs)
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id"))
     }
   }
 
@@ -187,9 +195,8 @@ object EntityResolution {
     // raw-best candidate; the final match is the argmax of the adjusted
     // score, ties broken by raw rank (the reference's strict `>` keeps
     // the earlier candidate).
-    val scored = fuzzyCandidates(names, dict, itemCol, titleCol, idCol, blocked)
-      .withColumn("raw_score",
-        Similarity.token_set_ratio(col(itemCol), col("cand_title")))
+    val scored = fuzzyCandidates(names, dict, itemCol, titleCol, idCol, blocked,
+      rescueFloor = t.autoResolve)
 
     // cand_title completes a TOTAL order: two dict rows can share an
     // ext_id (case-variant titles), and a non-total tiebreak would make

@@ -78,29 +78,59 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
   }
 
-  test("gram family is a RESCUE pass: token-matched names see only token candidates") {
-    // "almond drink" shares the token 'almond' with "Almond Milk" ->
-    // token-blocked; it also shares the gram 'alm' with "Almond Milk"
-    // AND (via 'ink'-free overlap) nothing else, but crucially a pure
-    // gram neighbor like "almondmilk"-style concatenations must NOT be
-    // re-paired for it. "wholewheat" shares no token with anything ->
-    // rescue set -> gram candidates only.
+  test("gram family is a gated RESCUE pass: strong token matches see only token candidates") {
+    // "salty almond milk" token-blocks to "Almond Milk" with raw
+    // token_set_ratio 100 (its token set contains the match's) ->
+    // strong -> NOT rescued, even though it shares grams 'sal'/'alt'
+    // with "Sea Salt"; were the gram family ungated, Sea Salt would be
+    // paired. "wholewheat" shares no token with anything -> rescued ->
+    // gram candidates only.
     val tricky = Seq(
-      (1L, "almond drink"), // token-matched
-      (2L, "wholewheat")    // zero token candidates -> rescued
+      (1L, "salty almond milk"), // strong token match
+      (2L, "wholewheat")         // zero token candidates -> rescued
     ).toDF("item_id", "item_name")
     val cands = EntityResolution.fuzzyCandidates(
       tricky.select("item_name").distinct(), dict,
       "item_name", "title", "ext_id", blocked = true)
       .select("item_name", "cand_title")
       .as[(String, String)].collect().toSet
-    // token-matched name: candidates are EXACTLY its token-block set
-    assert(cands.filter(_._1 == "almond drink") ==
-      Set(("almond drink", "Almond Milk")))
+    // strong name: candidates are EXACTLY its token-block set
+    assert(cands.filter(_._1 == "salty almond milk") ==
+      Set(("salty almond milk", "Almond Milk")))
     // rescued name: reached through grams ('whe'/'hea'/'eat' ∈ Whole
     // Wheat Flour), which token blocking alone cannot produce
     assert(cands.filter(_._1 == "wholewheat") ==
       Set(("wholewheat", "Whole Wheat Flour")))
+  }
+
+  test("rescue is two-phase: a weak token-blocked name gets gram candidates too") {
+    // 'almondmilk co' token-blocks only to 'Tea Co' (shared 'co'), a
+    // weak candidate that lands below the reject floor; its true match
+    // 'Almond Milk' shares NO whitespace token and is reachable only
+    // through grams. Zero-candidate gating would never pair it (the
+    // round-5 ADVICE recall finding) and the blocked path would reject
+    // where the unblocked/reference path reviews; the two-phase gate
+    // must generate it and agree with the unblocked ground truth.
+    val d2 = Seq(("Tea Co", "T1"), ("Almond Milk", "A1"))
+      .toDF("title", "ext_id")
+    val t2 = Seq((1L, "almondmilk co")).toDF("item_id", "item_name")
+    val cands = EntityResolution.fuzzyCandidates(
+      t2.select("item_name").distinct(), d2,
+      "item_name", "title", "ext_id", blocked = true)
+      .select("item_name", "cand_title")
+      .as[(String, String)].collect().toSet
+    assert(cands == Set(
+      ("almondmilk co", "Tea Co"),
+      ("almondmilk co", "Almond Milk")))
+    // and resolution lands on the gram-only candidate, matching the
+    // unblocked (full cross join) ground truth
+    val un = EntityResolution.resolve(t2, d2, Seq("item_id"))
+      .select("item_id", "ext_id", "score", "decision").collect()
+    val bl = EntityResolution.resolve(t2, d2, Seq("item_id"), blocked = true)
+      .select("item_id", "ext_id", "score", "decision").collect()
+    assert(un.map(_.toString).toSeq == bl.map(_.toString).toSeq)
+    assert(bl(0).getAs[String]("ext_id") == "A1", bl(0).toString)
+    assert(bl(0).getAs[String]("decision") != "rejected", bl(0).toString)
   }
 
   test("penalties never raise a score and floor at 0 (F4)") {
