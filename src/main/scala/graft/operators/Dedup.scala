@@ -67,14 +67,16 @@ object Dedup {
     * lossless for connected-component consumers (dedup grouping) but
     * UNSAFE for callers that verify candidate pairs pairwise
     * (e.g. Jaccard-verify-then-filter): a true near-dup pair inside a
-    * hot bucket may never surface as a candidate. Such callers must keep
-    * the default (uncapped) or verify via the component representative.
-    * The default is uncapped so the cap is a deliberate choice at the
-    * call site (the 100 TB dedup path passes an explicit cap). */
+    * hot bucket may never surface as a candidate. Such callers must pass
+    * `Int.MaxValue` (uncapped) or verify via the component
+    * representative. There is deliberately NO default: capped
+    * (closure-equivalent, linear on degenerate corpora — the 100 TB
+    * dedup path) vs uncapped (pair-complete, O(|bucket|²) on degenerate
+    * corpora) is a semantic choice the call site must make visibly. */
   def minhashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 2,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int): DataFrame = {
     // one scan: all band signatures in an array, posexploded to
     // (band_no, band_sig) rows — not a per-band union of re-scans.
     val byBand = df.select(

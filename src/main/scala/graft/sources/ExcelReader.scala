@@ -85,7 +85,10 @@ object ExcelReader {
     * 1900-02-28 exactly as openpyxl's `from_excel` does (its `0 <
     * value < 60` bump leaves 60 unadjusted). */
   private[sources] def excelSerialToString(serial: Double): String = {
-    val adj = if (serial < 60) serial + 1 else serial
+    // the 1900-leap-year bug bump applies to 0 < serial < 60 ONLY:
+    // openpyxl's from_excel leaves serial 0 (and negatives) unbumped,
+    // rendering 1899-12-30 — parity requires the same two-sided guard.
+    val adj = if (serial > 0 && serial < 60) serial + 1 else serial
     val days = math.floor(adj).toLong
     val secs = math.round((adj - days) * 86400)
     java.time.LocalDate.of(1899, 12, 30).atStartOfDay

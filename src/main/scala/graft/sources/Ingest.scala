@@ -159,6 +159,13 @@ object Ingest {
       }
       Files.move(staging, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // createTempFile stages at 0600 and move preserves it; the
+      // delivered bundle must be readable like any normally-created
+      // file (the reference serves it to other principals), so restore
+      // umask-default permissions on the final artifact.
+      try Files.setPosixFilePermissions(target,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+      catch { case _: UnsupportedOperationException => () } // non-POSIX FS
     } finally {
       Files.deleteIfExists(staging)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)

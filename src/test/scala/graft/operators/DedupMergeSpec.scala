@@ -100,7 +100,8 @@ class DedupMergeSpec extends AnyFunSuite {
   }
 
   test("minhash LSH emits identical docs as candidates (dedup#minhash)") {
-    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2)
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2,
+      maxBucket = Int.MaxValue)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 3L)))
   }

@@ -111,6 +111,11 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(ExcelReader.excelSerialToString(59) == "1900-02-28 00:00:00")
     assert(ExcelReader.excelSerialToString(60) == "1900-02-28 00:00:00")
     assert(ExcelReader.excelSerialToString(61) == "1900-03-01 00:00:00")
+    // the bump is two-sided: serial 0 stays 1899-12-30 (openpyxl's
+    // from_excel bumps only 0 < value < 60), as do negatives
+    assert(ExcelReader.excelSerialToString(0) == "1899-12-30 00:00:00")
+    assert(ExcelReader.excelSerialToString(-1) == "1899-12-29 00:00:00")
+    assert(ExcelReader.excelSerialToString(1) == "1900-01-01 00:00:00")
     assert(ExcelReader.isDateFormatCode("yyyy-mm-dd"))
     assert(ExcelReader.isDateFormatCode("[$-409]h:mm AM/PM"))
     assert(!ExcelReader.isDateFormatCode("#,##0.00"))

@@ -64,5 +64,10 @@ class IngressSpec extends AnyFunSuite {
         zf.getInputStream(zf.getEntry("errors.csv"))).mkString
       assert(body.contains("bad row") && body.startsWith("id,msg"))
     } finally zf.close()
+    // the delivered bundle must not keep the 0600 staging permissions —
+    // group/other readers (the reference's download consumers) need it
+    val perms = Files.getPosixFilePermissions(zipPath)
+    import java.nio.file.attribute.PosixFilePermission._
+    assert(perms.contains(GROUP_READ) && perms.contains(OTHERS_READ), perms)
   }
 }
