@@ -50,21 +50,32 @@ object Bench {
         }
       }
       // all-runs-failed -> explicit -1 sentinel, not a bogus duration
-      name -> (if (times.min.isFinite) times.min else -1.0)
+      (name, if (times.min.isFinite) times.min else -1.0, warmSec)
     }
-    // The driver captures only a bounded TAIL of stdout: the summary
-    // line must stay well under ~1.9 KB or its head gets truncated and
-    // the round's bench goes unparsed (this happened twice). Hence
-    // centisecond precision, a basename-only sf, and nothing nested.
+    // The driver captures only a bounded 2000-byte TAIL of stdout: the
+    // summary line must stay well under that or its head gets truncated
+    // and the round's bench goes unparsed (this happened twice). Hence
+    // centisecond precision, a basename-only sf, qNN-prefix query keys
+    // (the full names live in SparkEntry.queries; prefixes are unique),
+    // and nothing nested.
     def cs(v: Double): String = // locale-pinned: "0.50", never "0,50"
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel in the per-query map but must
     // not SUBTRACT from the total (a broken query must never look fast)
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // load gauge: q01's single warmed run and the all-query warmup-pass
+    // total. Both ride the same plans every round, so a noisy window is
+    // self-evident from the artifact (quiet q01 warm ≈ 0.3-0.4 s at
+    // sf0.1; r4/r5 each recorded ~2x totals that were pure co-tenant
+    // load and needed a judge re-run to adjudicate).
+    val gaugeWarm = results.collectFirst {
+      case (n, _, w) if n.startsWith("q01") => w }.getOrElse(-1.0)
+    val warmTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"sf":"$sfName","gauge_q01_warm":${cs(gaugeWarm)},"warm_total":${cs(warmTotal)}}""")
     spark.stop()
   }
 }
