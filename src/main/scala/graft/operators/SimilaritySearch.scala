@@ -68,42 +68,71 @@ object SimilaritySearch {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
 
-  /** Hard budget on the inline centroid path: cells × dims literal
-    * nodes. The inline plan embeds one literal per centroid component;
-    * past ~64k nodes Catalyst analysis and Janino codegen degrade
-    * (deep expression trees, oversized generated methods). Configs
-    * beyond the budget must use a broadcast-join assignment (centroids
-    * as a broadcast DataFrame) instead of the inline projection —
-    * rejecting loudly here beats a silent multi-minute planning stall. */
+  /** Budget on the inline centroid path: cells × dims literal nodes.
+    * The inline plan embeds one literal per centroid component; past
+    * ~64k nodes Catalyst analysis and Janino codegen degrade (deep
+    * expression trees, oversized generated methods). Configs beyond the
+    * budget dispatch to the broadcast-join assignment (centroids as a
+    * one-row broadcast relation) — same kernel, data instead of plan. */
   val MaxInlineCentroidLits: Int = 65536
 
   /** Centroid set as a literal array<struct<cell_id, centroid>> column. */
-  private def centroidLit(cents: Array[(Long, Seq[Long])]) = {
-    val lits = cents.iterator.map(_._2.length + 1).sum
-    require(lits <= MaxInlineCentroidLits,
-      s"inline centroid set too large ($lits literal nodes > " +
-        s"$MaxInlineCentroidLits): reduce cells/dims or use a " +
-        "broadcast-join assignment instead of the inline path")
+  private def centroidLit(cents: Array[(Long, Seq[Long])]) =
     array(cents.map { case (id, v) =>
       struct(lit(id).as("cell_id"), array(v.map(lit(_)): _*).as("centroid"))
     }.toIndexedSeq: _*)
-  }
 
-  /** Argmax-cosine cell assignment against the inlined centroid set
-    * (ties to the lowest cell id); keeps the `probes` best cells.
-    * A pure projection: per row, score the k literal centroids, sort the
-    * k-element struct array (sim desc, cell asc), keep the head — no
-    * join, no shuffle, no window; the whole assignment stays inside
-    * whole-stage codegen alongside the scan. */
-  private def assignCells(df: DataFrame, vec: String, cents: Array[(Long, Seq[Long])],
-      outCol: String, probes: Int): DataFrame = {
-    val cands = sort_array(transform(centroidLit(cents), c =>
+  /** The shared assignment kernel over a centroid-array column: per
+    * row, score the k centroids, sort the k-element struct array (sim
+    * desc, cell asc — sort_array on (neg_sim, cell_id)), keep the
+    * `probes` head. Insensitive to the array's element order, so the
+    * inline (literal-ordered) and broadcast (collect_list-ordered)
+    * deliveries produce identical assignments by construction. */
+  private def explodeBestCells(df: DataFrame, vec: String,
+      centsCol: org.apache.spark.sql.Column, outCol: String, probes: Int): DataFrame = {
+    val cands = sort_array(transform(centsCol, c =>
       struct(
         (-VectorFunctions.cosineSqScaledQ(col(vec), c.getField("centroid"))).as("neg_sim"),
         c.getField("cell_id").as("cell_id"))))
     df.withColumn("__c", explode(slice(cands, 1, probes)))
       .withColumn(outCol, col("__c").getField("cell_id"))
       .drop("__c")
+  }
+
+  /** Inline delivery: the centroid set rides into every task as plan
+    * literals — no join, no shuffle, whole-stage codegen alongside the
+    * scan. Only valid under the literal budget. */
+  private[operators] def assignCellsInline(df: DataFrame, vec: String,
+      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int): DataFrame =
+    explodeBestCells(df, vec, centroidLit(cents), outCol, probes)
+
+  /** Broadcast delivery (the past-budget path): the centroid set is ONE
+    * row of data — array<struct<cell_id, centroid>> — broadcast-joined
+    * onto every input row (a 1-row broadcast nested loop: no fan-out,
+    * no shuffle of the corpus). The plan stays k-independent (a single
+    * attribute reference instead of k·dim literal nodes), so Catalyst /
+    * Janino cost no longer grows with the centroid count; the array
+    * itself ships once per executor via the broadcast. */
+  private[operators] def assignCellsBroadcast(df: DataFrame, vec: String,
+      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRow = cents.toSeq.toDF("cell_id", "centroid")
+      .agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cents"))
+    explodeBestCells(df.crossJoin(broadcast(centRow)), vec, col("__cents"),
+      outCol, probes)
+      .drop("__cents")
+  }
+
+  /** Argmax-cosine cell assignment (ties to the lowest cell id); keeps
+    * the `probes` best cells. Dispatches on the literal budget: small
+    * centroid sets inline into the plan, large ones broadcast as data —
+    * identical assignments either way (same kernel, order-insensitive). */
+  private def assignCells(df: DataFrame, vec: String, cents: Array[(Long, Seq[Long])],
+      outCol: String, probes: Int): DataFrame = {
+    val lits = cents.iterator.map(_._2.length + 1).sum
+    if (lits <= MaxInlineCentroidLits) assignCellsInline(df, vec, cents, outCol, probes)
+    else assignCellsBroadcast(df, vec, cents, outCol, probes)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids

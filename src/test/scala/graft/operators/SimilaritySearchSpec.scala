@@ -91,18 +91,44 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"iters=5 scanned the source $fiveRounds partition-reads vs $oneRound at iters=1")
   }
 
-  test("inline centroid path rejects configs past the literal budget") {
-    // 120 cells x 701 literals/cell = 84k nodes > the 64k budget: the
-    // inline projection must refuse loudly (broadcast-join territory)
-    // instead of stalling Catalyst/Janino on a giant expression tree.
-    val wide = (0L until 120L).map(i =>
+  test("broadcast and inline centroid deliveries produce identical assignments") {
+    // same seeds, same kernel, different delivery (plan literals vs a
+    // one-row broadcast relation): the (vec_id, cell) maps must be
+    // equal on a shared sub-budget config — the contract that makes the
+    // automatic past-budget dispatch safe.
+    val cents = Array(
+      (3L, Seq(90L, 10L, 5L, 0L)), (7L, Seq(0L, 80L, 40L, 2L)),
+      (11L, Seq(50L, 50L, 50L, 50L)))
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i * 13 + d * 29) % 100): Long)))
+      .toDF("vec_id", "q")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val inline = asMap(SimilaritySearch.assignCellsInline(
+      vecs, "q", cents, "cell", probes = 1))
+    val bcast = asMap(SimilaritySearch.assignCellsBroadcast(
+      vecs, "q", cents, "cell", probes = 1))
+    assert(inline.size == 200 && inline == bcast)
+    // multi-probe agrees too (probe sets, not just the argmax)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(
+      asSet(SimilaritySearch.assignCellsInline(vecs, "q", cents, "cell", 2)) ==
+      asSet(SimilaritySearch.assignCellsBroadcast(vecs, "q", cents, "cell", 2)))
+  }
+
+  test("configs past the literal budget dispatch to the broadcast path and complete") {
+    // 120 cells x 701 literals/cell = 84k nodes > the 64k inline budget:
+    // previously a loud reject, now an automatic broadcast-join
+    // assignment — k-independent plan size, no Catalyst/Janino stall.
+    val wide = (0L until 240L).map(i =>
       (i, Array.tabulate(700)(d => ((i + d) % 50).toFloat)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      SimilaritySearch.kmeansAssignments(wide, "vec_id", "embedding",
-        k = 120, iters = 1).count()
-    }
-    assert(e.getMessage.contains("inline centroid set"))
+    val a = SimilaritySearch.kmeansAssignments(wide, "vec_id", "embedding",
+      k = 120, iters = 1)
+    val rows = a.select("vec_id", "cell").as[(Long, Long)].collect()
+    assert(rows.length == 240)
+    assert(rows.map(_._1).distinct.length == 240, "duplicate assignment")
   }
 
   test("IVF ANN probes cells and preserves exact pair scores") {
@@ -130,5 +156,42 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(r1 <= r2 && r2 <= rAll, s"recall not monotone: $r1, $r2, $rAll")
     // probing every cell = scoring the whole corpus = exact top-5
     assert(rAll == bf.count(), s"exhaustive probe missed: $rAll of ${bf.count()}")
+  }
+
+  test("IVF recall floors at nCells=16, nProbe=4 on the sf0.01 corpus") {
+    // NUMERIC floors, not just monotonicity: quantizer or assignment
+    // regressions that silently gut recall must fail loudly. The sf0.01
+    // embeddings are uniform on the sphere (no planted clusters), which
+    // BOUNDS achievable recall: probing 4 of 16 cells covers ~25% of
+    // the corpus, own-cell locality lifts measured recall@10 to a
+    // deterministic 0.50 (every input is RNG-free) — so the floor is
+    // 0.45: a broken assignment kernel degrades to the ~0.25 uniform
+    // draw and fails, while legitimate centroid tweaks keep headroom.
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q01 = e01.where($"vec_id" % 25 === 0)
+    val bf = SimilaritySearch.bruteForceTopK(q01, e01, "vec_id", "embedding", 10)
+    val ivf = SimilaritySearch.ivfTopK(q01, e01, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+    val hits = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val truth = bf.count()
+    val recall = hits.toDouble / truth
+    assert(recall >= 0.45, f"recall@10 = $recall%.3f ($hits of $truth) < 0.45 floor")
+
+    // the sharp gate: exact-twin queries (corpus vectors re-identified)
+    // quantize identically, so any sane coarse quantizer assigns query
+    // and original to the SAME cell — recall@1 must be 1.0 even at
+    // nProbe=1. This is the exact regression a mis-assigned query vs
+    // corpus split (e.g. diverging quantize/assign paths) breaks first.
+    val twins = e01.where($"vec_id" % 25 === 3)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val nTwins = twins.count()
+    val bf1 = SimilaritySearch.bruteForceTopK(twins, e01, "vec_id", "embedding", 1)
+    // every twin's true top-1 is its original at cos² = 1.0 (the kernel
+    // computes in IEEE doubles, so the floor can land on 999999)
+    assert(bf1.where($"cos_sq_scaled" >= 999999L).count() == nTwins)
+    val ivf1 = SimilaritySearch.ivfTopK(twins, e01, "vec_id", "embedding",
+      k = 1, nCells = 16, nProbe = 1)
+    val found = bf1.join(ivf1, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(found == nTwins, s"twin recall@1: $found of $nTwins at nProbe=1")
   }
 }
