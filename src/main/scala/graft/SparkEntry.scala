@@ -187,7 +187,6 @@ object SparkEntry {
     // final watermark (max event time − 1h) — deterministic, so this IS
     // hash-checked against a batch DuckDB twin of that emission rule.
     "q44_streaming_window" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       // drain inside an ISOLATED session clone (own SQLConf + temp-view
       // catalog, shared SparkContext): the state-store sizing below must
       // not leak to concurrent queries on the caller's session, and the
@@ -199,40 +198,51 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val qname = s"q44_out_${System.nanoTime()}"
-      val cp = java.nio.file.Files.createTempDirectory("graft-q44-cp").toString
       // State keyspace is tiny (hours × event types): 32 state-store
       // partitions would mean 32 stores + 32 tasks per micro-batch of
       // pure overhead. Set on the discarded clone only (at 100 TB this
       // knob instead scales UP with the key cardinality).
       s2.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream
+      drainAvailableNow(s2,
+        stream
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(qname)
-          .option("checkpointLocation", cp)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        // the drained result lives in the memory sink; the checkpoint is
-        // single-use scratch — reclaim it (walk streams hold directory
-        // handles open until closed)
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(
-          java.nio.file.Files.walk(java.nio.file.Paths.get(cp))) { walk =>
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
-      s2.table(qname)
+          .agg(count(lit(1)).as("n")),
+        s"q44_out_${System.nanoTime()}")
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"))
         .orderBy("hour", "event_type")
+    }),
+    // ST2/streaming sessionization through the REAL engine: the custom
+    // flatMapGroupsWithState gap-sessionizer (Incremental.sessionize)
+    // drained with AvailableNow. Append mode emits exactly (a) sessions
+    // split by a > gap jump inside the data and (b) sessions whose
+    // event-time timer (last event + gap) fired under the final
+    // watermark (max event time − gap); a user's trailing session
+    // within 2×gap of the stream head stays open and is NOT emitted.
+    // That emission rule is deterministic, so this IS hash-checked
+    // against a batch DuckDB twin of the same rule (q23 gates the
+    // batch-window sessionizer; this gates the streaming state path).
+    "q71_stream_sessions" -> ((s, dir) => {
+      val s2 = s.newSession()
+      import s2.implicits._
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val events = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"))
+        .as[graft.streaming.Incremental.Event]
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      drainAvailableNow(s2,
+        graft.streaming.Incremental.sessionize(events, gapSeconds = 1800).toDF(),
+        s"q71_out_${System.nanoTime()}")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("closed_sessions"),
+          sum(col("n_events")).as("events_in_closed"))
+        .orderBy("user_id")
     }),
     // The spark.sql textual surface: temp views + ANSI SQL (oracle twin
     // in oracleSql — this one IS hash-checked).
@@ -544,6 +554,33 @@ object SparkEntry {
         ELSE list_max(list_transform(range(0, len($t) - len($s) + 1),
                wi -> ${sqlRatio(s, s"substr($t, wi + 1, len($s))")})) END"""
     s"CASE WHEN len($sa) <= len($sb) THEN (${wins(sa, sb)}) ELSE (${wins(sb, sa)}) END"
+  }
+
+  /** Drain a streaming DataFrame into a memory sink with AvailableNow
+    * on a throwaway checkpoint and return the sink table (the shared
+    * q44/q71 real-engine harness). The checkpoint is single-use scratch
+    * — reclaimed after the drain (walk streams hold directory handles
+    * open until closed). */
+  private def drainAvailableNow(s2: SparkSession,
+      out: DataFrame, qname: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cp = java.nio.file.Files.createTempDirectory("graft-drain-cp").toString
+    try {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(cp))) { walk =>
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    s2.table(qname)
   }
 
   /** Deterministic digest of the alternatives array — structs of doubles
@@ -922,6 +959,39 @@ object SparkEntry {
              count(*) AS n
            FROM e, wm WHERE wstart + INTERVAL 1 HOUR <= wm.w
            GROUP BY 1, 2 ORDER BY hour, event_type""",
+      // the streaming gap-sessionizer's emission rule, recomputed in
+      // batch: ms epochs (Spark state keeps Timestamp.getTime), gap
+      // splits strictly > 30 min, plus the event-time-timer rule for
+      // each user's trailing session — closed iff its timer
+      // (last event + gap) fired strictly under the final watermark
+      // (max event time − gap). Sessions still open stay unemitted.
+      "q71_stream_sessions" ->
+        """WITH e AS (
+             SELECT user_id, event_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+           wm AS (SELECT max(ms) - 1800000 AS w FROM e),
+           g AS (
+             SELECT user_id, event_id, ms,
+               lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+             FROM e),
+           s AS (
+             SELECT user_id, ms,
+               sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+             FROM g),
+           sess AS (
+             SELECT user_id, sid, count(*) AS n_events, max(ms) AS last_ms
+             FROM s GROUP BY user_id, sid),
+           sess2 AS (
+             SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess),
+           closed AS (
+             SELECT user_id, n_events FROM sess2, wm
+             WHERE sid < max_sid OR last_ms + 1800000 < wm.w)
+           SELECT user_id, count(*) AS closed_sessions,
+             CAST(sum(n_events) AS BIGINT) AS events_in_closed
+           FROM closed GROUP BY user_id ORDER BY user_id""",
       "q45_sql_surface" ->
         """SELECT o_orderpriority, count(*) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
