@@ -47,6 +47,33 @@ class MatchQualitySpec extends AnyFunSuite {
     assert(exact.count() == n, s"${n - exact.count()} of $n titles missed exact")
   }
 
+  test("S2 and S2b surface the same seed-sheet rows (xlsx ↔ xls interchangeability)") {
+    // labeled pairs from the REAL Products sheet, re-serialized as a
+    // genuine BIFF8 .xls (independent byte-level writer) and read back
+    // through S2b: the two readers must surface the identical row set —
+    // the proof that a legacy-.xls submission of the reference's own
+    // seed data flows like its .xlsx twin.
+    val raw = graft.sources.ExcelReader.readXlsx(spark, corpusPath, sheet = 1)
+    val Seq(titleCol, uidCol) = raw.columns.take(2).toSeq
+    val viaXlsx = raw
+      .select(col(s"`$titleCol`").as("t"), col(s"`$uidCol`").as("u"))
+      .where(col("t").isNotNull && col("u").isNotNull)
+      .limit(150).as[(String, String)].collect().toSeq
+    assert(viaXlsx.size == 150)
+    val wb = graft.sources.BiffTestWriter.labelsWorkbook(
+      Seq(titleCol, uidCol) +: viaXlsx.map { case (t, u) => Seq(t, u) })
+    val p = java.nio.file.Files.createTempDirectory("graft-xls-roundtrip")
+      .resolve("seed.xls")
+    java.nio.file.Files.write(p, graft.sources.BiffTestWriter.buildCfb(wb))
+    val viaXls = graft.sources.BiffReader.readXls(spark, p.toString)
+    assert(viaXls.columns.take(2).toSeq == Seq(titleCol, uidCol))
+    val back = viaXls
+      .select(col(s"`$titleCol`").as("t"), col(s"`$uidCol`").as("u"))
+      .as[(String, String)].collect().toSeq
+    assert(back.size == viaXlsx.size)
+    assert(back.toSet == viaXlsx.toSet)
+  }
+
   test("case-perturbed titles resolve exactly; reordered tokens stay >= review floor") {
     val sample = products.limit(100)
       .withColumn("item_id", monotonically_increasing_id())

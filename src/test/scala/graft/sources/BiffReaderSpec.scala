@@ -11,30 +11,9 @@ import java.nio.file.Files
 class BiffReaderSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  // ---- independent BIFF8 byte writers ----
-
-  private def le(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-  private def u16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-  private def i32(v: Int) = Array[Byte](
-    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
-  private def f64(v: Double) = {
-    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    b.putDouble(v); b.array()
-  }
-  private def rec(id: Int, payload: Array[Byte]): Array[Byte] =
-    le(u16(id), u16(payload.length), payload)
-  /** BIFF8 16-bit-count unicode string, compressed (Latin-1) flavor. */
-  private def ustr(s: String): Array[Byte] =
-    le(u16(s.length), Array[Byte](0), s.getBytes("ISO-8859-1"))
-  private def cellHead(row: Int, colIdx: Int, ixfe: Int): Array[Byte] =
-    le(u16(row), u16(colIdx), u16(ixfe))
-  /** FORMULA record: cached value + flags + chn + empty rgce. */
-  private def formulaRec(row: Int, c: Int, ixfe: Int, value: Array[Byte]): Array[Byte] =
-    rec(0x0006, le(cellHead(row, c, ixfe), value, u16(0), i32(0), u16(0)))
-  /** Tagged non-numeric FormulaValue: tag byte, value at byte 2, 0xFFFF tail. */
-  private def fval(tag: Int, v: Int): Array[Byte] =
-    le(Array[Byte](tag.toByte, 0, v.toByte, 0, 0, 0), u16(0xFFFF))
+  // independent BIFF8 byte writers (shared with MatchQualitySpec's
+  // xlsx↔xls interchangeability round-trip)
+  import BiffTestWriter._
 
   /** The workbook stream: globals (BOF, FORMAT 164, XFs, SST with a
     * CONTINUE-split string and a wide string, BOUNDSHEET, EOF) + one
@@ -104,49 +83,6 @@ class BiffReaderSpec extends AnyFunSuite {
     globals(g.length) ++ sheet
   }
 
-  /** A minimal valid CFB container: header + 1 FAT sector + 1 directory
-    * sector + the workbook stream padded to 4096 (regular-FAT sized). */
-  private def buildCfb(wb: Array[Byte]): Array[Byte] = {
-    require(wb.length <= 4096, "test stream must fit 8 sectors")
-    val nWb = 8
-    val buf = ByteBuffer.allocate(512 * (2 + nWb)).order(ByteOrder.LITTLE_ENDIAN)
-    val End = 0xFFFFFFFE; val Free = 0xFFFFFFFF
-    buf.putLong(0, 0xE11AB1A1E011CFD0L)
-    buf.putShort(24, 0x3E.toShort); buf.putShort(26, 3)
-    buf.putShort(28, 0xFFFE.toShort)
-    buf.putShort(30, 9); buf.putShort(32, 6)
-    buf.putInt(44, 1)        // one FAT sector
-    buf.putInt(48, 1)        // directory starts at sector 1
-    buf.putInt(56, 4096)     // mini-stream cutoff
-    buf.putInt(60, End)      // no miniFAT
-    buf.putInt(68, End); buf.putInt(72, 0) // no DIFAT chain
-    buf.putInt(76, 0)        // DIFAT[0]: FAT lives in sector 0
-    (1 until 109).foreach(i => buf.putInt(76 + i * 4, Free))
-    // FAT (sector 0): s0=FATSECT, s1=dir end, s2..s9 workbook chain
-    buf.putInt(512, 0xFFFFFFFD)
-    buf.putInt(516, End)
-    (0 until nWb).foreach(i =>
-      buf.putInt(520 + i * 4, if (i == nWb - 1) End else 3 + i))
-    (2 + nWb until 128).foreach(i => buf.putInt(512 + i * 4, Free))
-    // directory (sector 1): Root Entry + Workbook
-    def dirEntry(slot: Int, name: String, objType: Int, start: Int, size: Int): Unit = {
-      val base = 1024 + slot * 128
-      val nb = name.getBytes("UTF-16LE")
-      (0 until nb.length).foreach(i => buf.put(base + i, nb(i)))
-      buf.putShort(base + 64, ((name.length + 1) * 2).toShort)
-      buf.put(base + 66, objType.toByte)
-      buf.putInt(base + 68, Free); buf.putInt(base + 72, Free)
-      buf.putInt(base + 76, if (slot == 0) 1 else Free)
-      buf.putInt(base + 116, start)
-      buf.putInt(base + 120, size)
-    }
-    dirEntry(0, "Root Entry", 5, End, 0)
-    dirEntry(1, "Workbook", 2, 2, 4096)
-    // workbook stream in sectors 2..9
-    (0 until wb.length).foreach(i => buf.put(1024 + 512 + i, wb(i)))
-    buf.array()
-  }
-
   private def writeXls(): String = {
     val p = Files.createTempDirectory("graft-biff").resolve("legacy.xls")
     Files.write(p, buildCfb(workbookStream()))
@@ -195,26 +131,7 @@ class BiffReaderSpec extends AnyFunSuite {
   }
 
   test("end-to-end: a legacy .xls member submission flows through Engine") {
-    // minimal globals (no SST needed: all cells are inline LABELs)
-    def labelsSheet(rows: Seq[Seq[String]]): Array[Byte] = {
-      def globals(sheetPos: Int): Array[Byte] = le(
-        rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
-        rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),
-        rec(0x0085, le(i32(sheetPos), u16(0),
-          Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
-        rec(0x000A, Array.empty[Byte]))
-      val cells = rows.zipWithIndex.flatMap { case (cols, r) =>
-        cols.zipWithIndex.map { case (v, c) =>
-          rec(0x0204, le(cellHead(r, c, 0), ustr(v)))
-        }
-      }
-      val sheet = le(
-        (rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0)))
-          +: cells :+ rec(0x000A, Array.empty[Byte])): _*)
-      val g = globals(0)
-      globals(g.length) ++ sheet
-    }
-    val xls = labelsSheet(Seq(
+    val xls = labelsWorkbook(Seq(
       Seq("Company Name", "Country", "E-Mail", "Street Address", "City",
         "Products Offered", "Ingredient List", "About"),
       Seq("Acme Foods", "USA", "a@b.co", "1 Main", "Springfield",
