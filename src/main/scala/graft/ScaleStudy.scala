@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-dominant scale study for the heavy document-pipeline family.
+  *
+  * The shipped testdata tops out at sf0.1 (5k documents), where the
+  * round-5 exponent study showed the suite is still overhead-bound —
+  * the heavy queries (q36/q48/q53/q65, exponents +0.19..+0.48 over
+  * sf0.01→sf0.1) had never run at a size where data dominates fixed
+  * job/shuffle cost. This main closes that gap:
+  *
+  *  1. Synthesizes a 10× corpus ("synth sf1", 50k docs) from sf0.1
+  *     documents and persists it to parquet under `target/synth-sf1/`.
+  *     Replica k > 0 remaps `doc_id` by k·[[IdOffset]] and applies the
+  *     token bijection t → "t_rk" to `text`. A bijection on tokens
+  *     preserves every intra-replica shingle-set relation EXACTLY
+  *     (Jaccard, bigram/trigram repetition mass, token counts), while
+  *     making cross-replica token spaces disjoint — so true near-dup
+  *     MASS scales linearly with the corpus, the shape a real 10×
+  *     crawl has. Naive replication would instead make every doc a
+  *     member of a 10-clique of exact duplicates and force the pair
+  *     output quadratic by construction, measuring nothing real.
+  *  2. Runs the heavy queries at sf0.1 and synth-sf1 (one warmup pass
+  *     + best-of-3, the `Bench` protocol) and prints ONE JSON line
+  *     with both times and the per-query scale exponent
+  *     log10(t_sf1 / t_sf0.1) — 1.0 = linear in the 10× step.
+  *
+  * The q01 warm gauge from `Bench` rides along (on sf0.1, whose dir
+  * has the full table set) so a noisy window is self-evident.
+  */
+object ScaleStudy {
+
+  /** doc_id remap stride between replicas. Divisible by 420 =
+    * lcm(3, 4, 5, 7) — every `doc_id % m` residue filter used by the
+    * gated queries (m ∈ {3,4,5,7,21}, all dividing 420 evenly in the
+    * modulus sense: 420 ≡ 0 mod each) selects the SAME rows in every
+    * replica, so the studied input is exactly 10× the sf0.1 input. */
+  val IdOffset: Long = 10000200L
+  require(IdOffset % 420 == 0)
+
+  val Replicas = 10
+
+  val HeavyQueries: Seq[String] = Seq(
+    "q36_jaccard_pairs", "q48_simhash_neardup",
+    "q53_dedup_components", "q65_repetition_stats")
+
+  /** One replica of `documents`: identity for k = 0, else id-shifted and
+    * token-salted. Exposed for the spec that pins the bijection
+    * contract (intra-replica similarity preserved, replicas disjoint). */
+  def replica(docs: DataFrame, k: Int): DataFrame =
+    if (k == 0) docs
+    else {
+      // token bijection: append a replica tag to every \S+ run
+      val salted = regexp_replace(col("text"), "(\\S+)", "$1_r" + k)
+      docs.select(
+        (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
+        salted.as("text"),
+        col("lang"), col("source"),
+        length(salted).cast("long").as("n_chars"))
+    }
+
+  /** Builds `outDir/documents.parquet` (10× sf0.1) if not present. */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val d = spark.read.parquet(s"$srcDir/documents.parquet")
+    val full = (0 until Replicas).map(replica(d, _)).reduce(_ unionByName _)
+      // spread across files so the scan parallelizes like a real
+      // many-file corpus (the sf0.1 fixture is a single row group)
+      .repartition(spark.sparkContext.defaultParallelism)
+    full.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def bestOf(runs: Int)(body: => Unit): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val synthDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "target/synth-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, sfDir, synthDir)
+    val n01 = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val n1 = spark.read.parquet(s"$synthDir/documents.parquet").count()
+    require(n1 == n01 * Replicas, s"synth corpus $n1 != $Replicas x $n01")
+
+    // load gauge on the full-table sf0.1 dir (the Bench convention)
+    val q01 = SparkEntry.queries("q01_pricing_summary")
+    q01(spark, sfDir).count()
+    val gauge = bestOf(3)(q01(spark, sfDir).count())
+
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val rows = HeavyQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // warm: codegen + planning
+      val t01 = bestOf(3)(fn(spark, sfDir).count())
+      fn(spark, synthDir).count()
+      val t1 = bestOf(3)(fn(spark, synthDir).count())
+      val exp = math.log10(t1 / t01)
+      s""""${name.takeWhile(_ != '_')}":{"sf01":${cs(t01)},"sf1":${cs(t1)},"exp":${cs(exp)}}"""
+    }
+    println(s"""{"study":"sf0.1->synth-sf1","docs_sf1":$n1,"gauge_q01":${cs(gauge)},"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the synthetic-sf1 replication contract `ScaleStudy.replica`
+  * relies on: a token bijection preserves intra-replica near-dup
+  * structure EXACTLY and makes replicas mutually invisible, so the
+  * studied 10× corpus has linearly-scaled near-dup mass (a real crawl's
+  * shape) rather than replication-clique artifacts.
+  */
+class ScaleStudySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toy = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (420L, "the quick brown fox jumps over the lazy cat"),
+    (840L, "completely unrelated text about spark plans"))
+    .toDF("doc_id", "text")
+    .withColumn("lang", lit("en"))
+    .withColumn("source", lit("s1"))
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("replica preserves intra-replica Jaccard pairs exactly") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.jaccardPairs(df, "text", "doc_id", minJaccardMills = 600)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = pairs(toy)
+    assert(base.nonEmpty, "toy corpus must contain a near-dup pair")
+    val off = 3 * ScaleStudy.IdOffset
+    val shifted = base.map { case (a, b, j) => (a + off, b + off, j) }
+    assert(pairs(ScaleStudy.replica(toy, 3)) == shifted,
+      "token bijection must preserve jac_mills and pair set")
+  }
+
+  test("replicas are mutually invisible (no cross-replica near-dups)") {
+    val both = ScaleStudy.replica(toy, 0).unionByName(ScaleStudy.replica(toy, 1))
+    val cross = operators.Dedup
+      .jaccardPairs(both, "text", "doc_id", minJaccardMills = 100)
+      .where(col("id_b") >= ScaleStudy.IdOffset && col("id_a") < ScaleStudy.IdOffset)
+    assert(cross.count() == 0, "salted replicas must share no shingles")
+  }
+
+  test("doc_id residues survive the remap (sample filters stay 10x)") {
+    // every modulus used by a gated query's doc_id sample filter
+    Seq(3, 4, 5, 7, 21).foreach { m =>
+      assert(ScaleStudy.IdOffset % m == 0,
+        s"IdOffset must preserve doc_id % $m residues")
+    }
+  }
+
+  test("replica keeps schema and recomputes n_chars") {
+    val r = ScaleStudy.replica(toy, 2)
+    assert(r.columns.toSeq == toy.columns.toSeq)
+    val row = r.where(col("doc_id") === 2 * ScaleStudy.IdOffset).head()
+    assert(row.getAs[String]("text").endsWith("_r2"))
+    assert(row.getAs[Long]("n_chars") == row.getAs[String]("text").length)
+  }
+}
