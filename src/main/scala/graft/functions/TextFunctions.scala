@@ -104,6 +104,37 @@ object TextFunctions {
     floor((lenScore + alphaScore + tokScore) / 3).cast("long")
   }
 
+  /** PII patterns (shared with q73's oracle SQL — interpolate THESE,
+    * never hand-copy). RE2-safe (no lookaround, no backreference) so
+    * the DuckDB twin matches Spark's Java regex exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\- ]{6,}\\d"
+
+  /** PII scrub for training text — replace emails, then IPv4s, then
+    * phone-number runs with typed placeholder tokens. Order is part of
+    * the contract: an email's local part can contain digits and an
+    * IPv4 is a digit run, so each later pattern sees the earlier
+    * replacements. Pure codegen'd projection (no UDF). Placeholders
+    * carry no digits/@, so no pattern can re-match a replacement. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match counts for each PII class, in scrub order (the number of
+    * replacements `scrubPii` performs). Group 0 = whole match. */
+  def piiCounts(c: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    Seq(
+      size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long"))
+  }
+
   /** Language-ID heuristic: score per language by marker-token hits,
     * highest wins (ties broken by language code). Works on any corpus as
     * a deterministic n-gram/stopword heuristic; marker lists are

@@ -111,6 +111,94 @@ object TextAnalysis {
       .cast("long") < rateCol)
   }
 
+  /** Corpus-level line deduplication — the C4/RefinedWeb-style
+    * boilerplate-removal step of a pretraining pipeline: a LINE
+    * (newline-delimited) whose trimmed content occurs in more than
+    * `maxDocFreq` distinct documents is dropped from EVERY document
+    * (nav bars, cookie banners, license footers); blank lines are
+    * structural and always kept. Returns one row per input document:
+    * the cleaned text (surviving lines rejoined in original order),
+    * the total and kept line counts.
+    *
+    * Scale shape: explode to (doc, line_no, line) is shuffle-free; the
+    * document frequency is ONE hash-agg shuffle on the trimmed-line
+    * key; the join back is equi-keyed against a frame with one row per
+    * DISTINCT line, so a hyper-frequent boilerplate line is a single
+    * row there — no hot key, join output exactly the line count; the
+    * reassembly is one per-doc rollup. No sort, no pair space. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lk", md5(trim(col("line"))))
+    val freq = lines.where(trim(col("line")) =!= "")
+      .groupBy("lk").agg(countDistinct(col("__id")).as("ndocs"))
+    // left join: blank lines never enter freq -> null ndocs -> kept
+    val kept = lines.join(freq, Seq("lk"), "left")
+      .where(col("ndocs").isNull || col("ndocs") <= maxDocFreq)
+    val rebuilt = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("clean_text"))
+    // docs whose every line was boilerplate still come back (empty text)
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Token-budget corpus selection under a quality ordering — the data
+    * mixing step that fills a per-stratum token budget with the best
+    * documents: walk each stratum in (quality DESC, id ASC) order and
+    * keep documents while the running token total stays within
+    * `budgetTokens`; the first document that would overflow (and
+    * everything after it in that order) is dropped. Prefix-greedy and
+    * deterministic — rerunning on the same corpus picks the same set.
+    *
+    * Scale shape (the histogram trick, same as the q57 exact median):
+    * a direct per-stratum ordered window would sort each stratum's
+    * full document set through one partition. Instead phase 1
+    * aggregates token totals per (stratum, quality) bin — a frame
+    * bounded by strata × quality levels (mills: ≤ 1001 rows per
+    * stratum) — and runs the cumulative sum over THAT; phase 2 joins
+    * the bin boundaries back and only the single BOUNDARY bin per
+    * stratum (where the budget line lands) needs a within-bin
+    * document-order cumsum, so the expensive window touches one
+    * quality-tie group per stratum, never the corpus. Row-identical to
+    * the naive per-stratum window. */
+  def budgetSelect(df: DataFrame, strataCol: String, qualityCol: String,
+      tokensCol: String, idCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(strataCol), col(qualityCol))
+      .agg(sum(col(tokensCol)).as("__qt"))
+    val wq = Window.partitionBy(col(strataCol)).orderBy(col(qualityCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = hist
+      .withColumn("__cum_incl", sum(col("__qt")).over(wq))
+      .withColumn("__cum_before", col("__cum_incl") - col("__qt"))
+      .drop("__qt")
+    val j = df.join(bins, Seq(strataCol, qualityCol))
+    val fullKeep = j.where(col("__cum_incl") <= budgetTokens)
+    val wd = Window.partitionBy(col(strataCol), col(qualityCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // <= (not <) on cum_before: a zero-token doc heading a bin that
+    // starts exactly ON the budget line is kept, as the naive order does
+    val boundary = j
+      .where(col("__cum_before") <= budgetTokens && col("__cum_incl") > budgetTokens)
+      .withColumn("__cum_doc", col("__cum_before") + sum(col(tokensCol)).over(wd))
+      .where(col("__cum_doc") <= budgetTokens)
+      .drop("__cum_doc")
+    fullKeep.unionByName(boundary).drop("__cum_incl", "__cum_before")
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

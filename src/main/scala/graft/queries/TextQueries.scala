@@ -56,6 +56,43 @@ object TextQueries {
   private[graft] val SampleRates: Map[String, Double] =
     Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.1)
 
+  /** q72's boilerplate threshold: a line in more distinct docs than
+    * this is dropped everywhere. 30 sits between the unique marker
+    * lines (df = 1, kept), the exact-dup content clusters (df ≈ 24 at
+    * 500 docs — kept; ≈ 240 at sf0.1 — dropped) and the synthetic
+    * footers (df ≈ N/4, dropped at every SF), so the gate exercises
+    * both outcomes, and the cluster lines flip with scale. */
+  private[graft] val LineDedupMaxDf = 30
+
+  /** q72's synthetic multi-line corpus: the fixture text is single-line,
+    * so the gated query appends a per-residue boilerplate footer (shared
+    * by ~N/4 docs — the drop path) and a unique marker line (the keep
+    * path). The SAME construction is interpolated into the oracle. */
+  private def lineDedupText = concat(
+    col("text"),
+    lit("\nshared footer variant "), (col("doc_id") % 4).cast("string"),
+    lit("\ndoc marker "), col("doc_id").cast("string"))
+
+  /** q73's synthetic PII corpus: every doc gains an email, every third
+    * an IPv4, every fifth a phone — all derived from doc_id so the
+    * oracle rebuilds the identical text. */
+  private def piiText = concat(
+    col("text"),
+    lit(" contact user"), (col("doc_id") % 50).cast("string"),
+    lit("@example.com"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".7")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 1,
+      concat(lit(" call +1-555-"), ((col("doc_id") % 9000) + 1000).cast("string")))
+      .otherwise(lit("")))
+
+  /** q74's per-stratum token budget (shared with its oracle SQL).
+    * 2000 binds every stratum of the 500-doc fixtures (strata carry
+    * ~2k-7k tokens), so the boundary-bin path runs at every SF; the
+    * everything-fits path is pinned separately in the spec. */
+  private[graft] val BudgetSelectTokens = 2000L
+
   /** q35's LSH candidate-pair graph (shared with q53's components).
     *
     * Hot-bucket guard (MMDS ch.3): a degenerate band bucket — boiler-
@@ -253,6 +290,51 @@ object TextQueries {
         .where(col("jac_mills") >= 60)
         .select("id_a", "id_b", "jac_mills")
         .orderBy("id_a", "id_b")
+    }),
+
+    // C4/RefinedWeb-style corpus-level line dedup (boilerplate removal):
+    // lines in more than LineDedupMaxDf distinct docs are dropped from
+    // every doc. The fixture is single-line, so the gate synthesizes a
+    // 3-line corpus (content + shared footer + unique marker) from
+    // doc_id — see lineDedupText. Hashed on the rebuilt clean text.
+    "q72_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), lineDedupText.as("text"))
+      graft.operators.TextAnalysis.dedupLines(d, "text", "doc_id", LineDedupMaxDf)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_key"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
+    // per-class replacement counts; gated on the scrubbed-text digest.
+    // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    "q73_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
+      val counts = TextFunctions.piiCounts(col("text"))
+      d.select(col("doc_id"),
+          counts(0).as("n_emails"), counts(1).as("n_ips"),
+          counts(2).as("n_phones"),
+          md5(TextFunctions.scrubPii(col("text"))).as("scrub_key"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget quality selection (data mixing): per lang, keep docs
+    // in (quality DESC, doc_id) order while the running token total
+    // stays within BudgetSelectTokens. Engine side is the two-phase
+    // histogram design; the oracle is the naive per-stratum window —
+    // row-identical by construction, which is exactly the claim gated.
+    "q74_budget_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScoreMills(col("text")).as("q_mills"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.TextAnalysis.budgetSelect(
+        d, "lang", "q_mills", "n_tokens", "doc_id", BudgetSelectTokens)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("q_mills")).as("min_quality"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
     }))
 
   /** DuckDB twin of the canonical token set — the single shared parity
@@ -305,6 +387,80 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q72_line_dedup" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             text || chr(10) || 'shared footer variant ' || CAST(doc_id % 4 AS VARCHAR)
+                  || chr(10) || 'doc marker ' || CAST(doc_id AS VARCHAR) AS t2
+           FROM documents),
+         lx AS (SELECT doc_id, string_split(t2, chr(10)) AS l FROM base),
+         flat AS (
+           SELECT doc_id, CAST(struct_extract(s, 'i') AS BIGINT) AS line_no,
+             struct_extract(s, 'ln') AS line
+           FROM (SELECT doc_id,
+               unnest([{'i': i, 'ln': l[CAST(i AS INT)]} FOR i IN range(1, len(l) + 1)]) AS s
+             FROM lx)),
+         freq AS (
+           SELECT md5(trim(line)) AS lk, count(DISTINCT doc_id) AS ndocs
+           FROM flat WHERE trim(line) <> '' GROUP BY 1),
+         kept AS (
+           SELECT f.doc_id, f.line_no, f.line
+           FROM flat f LEFT JOIN freq ON md5(trim(f.line)) = freq.lk
+           WHERE freq.ndocs IS NULL OR freq.ndocs <= $LineDedupMaxDf),
+         reb AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY line_no)) AS ck
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
+         FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q73_pii_scrub" -> {
+      import graft.functions.TextFunctions.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH base AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com'
+               || CASE WHEN doc_id % 3 = 0
+                    THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 1
+                    THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                    ELSE '' END AS t
+           FROM documents),
+         p1 AS (SELECT doc_id, t,
+             regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM base),
+         p2 AS (SELECT doc_id, t, t1,
+             regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM p1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS scrub_key
+         FROM p2 ORDER BY doc_id"""
+    },
+    "q74_budget_select" ->
+      // naive per-stratum ordered window — the semantic definition the
+      // engine's two-phase histogram design must reproduce row-for-row.
+      // Quality formula copied the q31 contract (same CTE shape).
+      s"""WITH m AS (
+           SELECT doc_id, lang, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CAST($sqlTokenCount AS BIGINT) AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang,
+             CAST(floor((least(len, 400) * 1000 / 400
+               + CASE WHEN len > 0 THEN alpha * 1000 / len ELSE 0 END
+               + least(toks, 50) * 1000 / 50) / 3) AS BIGINT) AS q_mills,
+             toks AS n_tokens
+           FROM m),
+         c AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY q_mills DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           min(q_mills) AS min_quality, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM c WHERE cum <= $BudgetSelectTokens GROUP BY lang ORDER BY lang""",
     "q70_stratified_sample" -> {
       // thresholds generated FROM SampleRates — oracle and operator
       // share one rate table (and one threshold arithmetic)

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level training-data operators: line dedup (boilerplate
+  * removal), PII scrubbing, token-budget quality selection.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dedupLines drops frequent lines, keeps unique and blank lines in order") {
+    val docs = Seq(
+      (1L, "alpha one\nCOOKIE BANNER\n\nbody text 1"),
+      (2L, "beta two\nCOOKIE BANNER\nbody text 2"),
+      (3L, "gamma three\n  COOKIE BANNER  \nbody text 3"), // trimmed key matches
+      (4L, "COOKIE BANNER")) // every line boilerplate -> empty doc survives
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "text", "doc_id", maxDocFreq = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 4L, 3L, "alpha one\n\nbody text 1"))) // blank kept
+    assert(out(1) == ((2L, 3L, 2L, "beta two\nbody text 2")))
+    assert(out(2) == ((3L, 3L, 2L, "gamma three\nbody text 3")))
+    assert(out(3) == ((4L, 1L, 0L, ""))) // fully-boilerplate doc still present
+  }
+
+  test("dedupLines at df <= threshold keeps repeated lines") {
+    val docs = Seq((1L, "shared\nown1"), (2L, "shared\nown2"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "text", "doc_id", maxDocFreq = 2)
+    assert(out.agg(sum("n_kept")).head.getLong(0) == 4L)
+  }
+
+  test("scrubPii replaces emails, IPs, phones and counts match") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org then 192.168.0.1 and +1-555-0100 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io one ip 10.1.2.3"))
+      .toDF("id", "t")
+    val counts = TextFunctions.piiCounts(col("t"))
+    val got = df.select(col("id"), counts(0).as("e"), counts(1).as("i"),
+        counts(2).as("p"), TextFunctions.scrubPii(col("t")).as("s"))
+      .orderBy("id").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((1L, 1L, 1L)))
+    assert(got(0).getString(4) == "mail <EMAIL> then <IP> and <PHONE> end")
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((0L, 0L, 0L)))
+    assert(got(1).getString(4) == "no pii here at all")
+    assert((got(2).getLong(1), got(2).getLong(2), got(2).getLong(3)) == ((2L, 1L, 0L)))
+  }
+
+  test("budgetSelect is row-identical to the naive per-stratum window") {
+    // deterministic pseudo-random corpus with heavy quality ties, so the
+    // boundary bin holds many docs and the within-bin path is exercised
+    val docs = (1L to 300L).map { i =>
+      (i, s"s${i % 3}", (i * 7919 % 5) * 100L, i * 104729 % 40 + 1)
+    }.toDF("id", "stratum", "q", "toks")
+    val budget = 900L
+    val got = TextAnalysis.budgetSelect(docs, "stratum", "q", "toks", "id", budget)
+      .select("id").as[Long].collect().toSet
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.withColumn("cum", sum("toks").over(w))
+      .where(col("cum") <= budget)
+      .select("id").as[Long].collect().toSet
+    assert(naive.nonEmpty && naive.size < 300, "budget must bind")
+    assert(got == naive)
+  }
+
+  test("budgetSelect keeps everything when the budget doesn't bind") {
+    val docs = Seq((1L, "a", 900L, 10L), (2L, "a", 100L, 10L))
+      .toDF("id", "stratum", "q", "toks")
+    assert(TextAnalysis.budgetSelect(docs, "stratum", "q", "toks", "id", 1000L)
+      .count() == 2)
+  }
+
+  test("budgetSelect keeps a zero-token doc sitting exactly on the budget line") {
+    // bin q=500 starts exactly at the budget: its zero-token doc is a
+    // legal keep in (quality DESC, id) order; the first positive doc is not
+    val docs = Seq(
+      (1L, "a", 900L, 100L), // cum 100 <= 100 keep
+      (2L, "a", 500L, 0L),   // cum 100 <= 100 keep (zero-token edge)
+      (3L, "a", 500L, 5L))   // cum 105 > 100 drop
+      .toDF("id", "stratum", "q", "toks")
+    val kept = TextAnalysis.budgetSelect(docs, "stratum", "q", "toks", "id", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+}
