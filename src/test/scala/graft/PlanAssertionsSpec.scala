@@ -142,4 +142,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("q72: line dedup meets the frequency table via an equi-join — no funnel") {
+    // dedupLines' promise: the doc-frequency side has one row per
+    // DISTINCT line, joined back on the line key — never a nested loop,
+    // and no stage collapses to a single partition
+    val p = plan("q72_line_dedup")
+    assert(p.contains("Join"), "expected the freq equi-join")
+    assert(!p.contains("NestedLoop") && !p.contains("SinglePartition"),
+      p.take(2000))
+  }
+
+  test("q74: budget selection windows bins, never a stratum through one task") {
+    // budgetSelect's promise: the cumulative sums run over the
+    // (stratum × quality) histogram and the single boundary bin — a
+    // naive global/per-stratum ordered cumsum would plan an Exchange
+    // SinglePartition at corpus width
+    val p = plan("q74_budget_select")
+    assert(p.contains("Window"), "expected the histogram cumsum windows")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
 }
