@@ -87,6 +87,11 @@ object TextQueries {
       concat(lit(" call +1-555-"), ((col("doc_id") % 9000) + 1000).cast("string")))
       .otherwise(lit("")))
 
+  /** q75's vocabulary size (shared with its oracle SQL) — below the
+    * fixture's ~31-token vocabulary so the top-k actually BINDS and the
+    * (cnt DESC, tok) tie-break is oracle-exercised at every SF. */
+  private[graft] val VocabTopK = 20
+
   /** q74's per-stratum token budget (shared with its oracle SQL).
     * 2000 binds every stratum of the 500-doc fixtures (strata carry
     * ~2k-7k tokens), so the boundary-bin path runs at every SF; the
@@ -335,7 +340,21 @@ object TextQueries {
           min(col("q_mills")).as("min_quality"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")
-    }))
+    }),
+
+    // Frequency-based vocabulary building: the top-K corpus tokens by
+    // occurrence count (with multiplicity — a vocab reflects token
+    // MASS, not document frequency), ties broken by token. ONE counting
+    // shuffle + a partial top-k (plans as TakeOrderedAndProject: each
+    // partition ships only its K best rows — the 100 TB shape; a global
+    // sort here would be the classic vocab-building bottleneck).
+    "q75_vocab_topk" -> ((s, dir) =>
+      docsSpread(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(VocabTopK)))
 
   /** DuckDB twin of the canonical token set — the single shared parity
     * contract with `TextHash.tokensOf`; every oracle over token sets
@@ -437,6 +456,15 @@ object TextQueries {
            md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS scrub_key
          FROM p2 ORDER BY doc_id"""
     },
+    "q75_vocab_topk" ->
+      // deterministic despite the LIMIT: the tie-break (cnt DESC, tok)
+      // is a total order because tok is unique after the group-by
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents)
+         WHERE tok <> ''
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
     "q74_budget_select" ->
       // naive per-stratum ordered window — the semantic definition the
       // engine's two-phase histogram design must reproduce row-for-row.

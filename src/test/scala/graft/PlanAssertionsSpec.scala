@@ -153,6 +153,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q75: vocab top-k is a partial TakeOrdered — no global token sort") {
+    val p = plan("q75_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a
