@@ -139,6 +139,15 @@ object SparkEntry {
       SimilaritySearch.kmeansAssignments(e, "vec_id", "embedding", k = 8, iters = 2)
         .orderBy("vec_id")
     }),
+    // SemDeDup: semantic dedup blocked by the q58 k-means cells — every
+    // vector with a >= threshold cosine neighbor of smaller id in its
+    // cell is marked dropped. Pairwise work never leaves a cell.
+    "q76_semantic_dedup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+        k = 8, iters = 2, minCosSqScaled = SemDedupThreshold)
+        .orderBy("vec_id")
+    }),
     // Approximate distinct counts (HLL) — the at-scale variant of A4.
     // HLL estimates are engine-specific, so the gated surface is the
     // ERROR BOUND, not the raw estimate: the query emits the exact
@@ -742,6 +751,43 @@ object SparkEntry {
        SELECT * FROM hits UNION ALL SELECT * FROM fuzzy ORDER BY item_id"""
   }
 
+  /** q76's drop threshold on the engine-wide quantized-cosine scale
+    * (sign(cos)·cos²·10⁶). Production SemDeDup uses cos ≥ 0.9 (810000
+    * on this scale) on real embeddings; the synthetic fixture's
+    * vectors are near-uniform (within-cell pair cosine tops out at
+    * ~0.49), so the GATE runs at 150000 (cos ≈ 0.39) — above the 90th
+    * percentile of within-cell pairs, below the max — so both the
+    * drop and keep outcomes are oracle-exercised at every SF. Shared
+    * with the oracle SQL. */
+  private[graft] val SemDedupThreshold = 150000L
+
+  /** DuckDB twin of the q58 2-round Lloyd chain (seed by k-smallest
+    * md5, assign by quantized cosine argmax, integer centroid means) —
+    * ends at `a2` = (vec_id, q, cell). Shared by q58 and q76: the two
+    * oracles must never drift apart on the quantizer. */
+  private def kmeansCtes: String = {
+    val quant = graft.queries.VectorQueries.quant
+    def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         SELECT * FROM (
+           SELECT e.vec_id, e.q, $cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               ${cossq("e.q", s"$cents.centroid")} DESC, $cents.cell) AS r
+           FROM e CROSS JOIN $cents) WHERE r = 1)"""
+    s"""e AS (SELECT vec_id, $quant AS q FROM embeddings),
+       c0 AS (SELECT vec_id AS cell, q AS centroid FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       ${assign("a1", "c0")},
+       c1 AS (
+         SELECT cell, list(m ORDER BY d) AS centroid FROM (
+           SELECT a1.cell, dd.range AS d,
+             CAST(floor(sum(a1.q[CAST(dd.range + 1 AS INT)]) / count(*)) AS BIGINT) AS m
+           FROM a1, range(0, 64) dd GROUP BY a1.cell, dd.range)
+         GROUP BY cell),
+       ${assign("a2", "c1")}"""
+  }
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
       "q42_lsh_ann" -> {
@@ -807,29 +853,21 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos_sq_scaled, rank
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
-      "q58_kmeans_assign" -> {
-        val quant = graft.queries.VectorQueries.quant
-        def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
-        def assign(name: String, cents: String) =
-          s"""$name AS (
-             SELECT * FROM (
-               SELECT e.vec_id, e.q, $cents.cell,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   ${cossq("e.q", s"$cents.centroid")} DESC, $cents.cell) AS r
-               FROM e CROSS JOIN $cents) WHERE r = 1)"""
-        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
-           c0 AS (SELECT vec_id AS cell, q AS centroid FROM e
-                  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
-           ${assign("a1", "c0")},
-           c1 AS (
-             SELECT cell, list(m ORDER BY d) AS centroid FROM (
-               SELECT a1.cell, dd.range AS d,
-                 CAST(floor(sum(a1.q[CAST(dd.range + 1 AS INT)]) / count(*)) AS BIGINT) AS m
-               FROM a1, range(0, 64) dd GROUP BY a1.cell, dd.range)
-             GROUP BY cell),
-           ${assign("a2", "c1")}
-           SELECT vec_id, cell FROM a2 ORDER BY vec_id"""
-      },
+      "q58_kmeans_assign" ->
+        s"""WITH $kmeansCtes
+           SELECT vec_id, cell FROM a2 ORDER BY vec_id""",
+      "q76_semantic_dedup" ->
+        // same Lloyd chain as q58, then the within-cell drop decision
+        s"""WITH $kmeansCtes,
+           d AS (
+             SELECT DISTINCT b.vec_id
+             FROM a2 a JOIN a2 b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE ${graft.queries.VectorQueries.cossq("a.q", "b.q")}
+               >= $SemDedupThreshold)
+           SELECT a2.vec_id, a2.cell, (d.vec_id IS NOT NULL) AS dropped
+           FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id
+           ORDER BY a2.vec_id""",
       "q43_approx_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            TRUE AS within_bound

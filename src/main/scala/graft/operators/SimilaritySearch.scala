@@ -265,4 +265,36 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * k-means quantizer, then mark every vector that has a cosine
+    * neighbor at or above `minCosSqScaled` (sign(cos)·cos²·10⁶, the
+    * engine-wide quantized-cosine scale) with a SMALLER id inside its
+    * own cell. Returns (vec_id, cell, dropped) for every corpus row —
+    * keep the `dropped = false` set.
+    *
+    * Scale shape: the pairwise pass is blocked by the learned cells —
+    * an equi-join on `cell`, never corpus×corpus — and SemDeDup's k
+    * grows with the corpus precisely to keep |cell| bounded, so the
+    * within-cell pair space stays O(N·|cell|). The assignment frame is
+    * checkpointed once so the self-join doesn't re-run Lloyd twice. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCosSqScaled: Long): DataFrame = {
+    val q = corpus.select(col(idCol).as("vec_id"),
+      VectorFunctions.quantize(col(vecCol)).as("q"))
+    val v = kmeansAssignments(corpus, idCol, vecCol, k, iters)
+      .join(q, "vec_id")
+      .localCheckpoint(true)
+    val drops = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(VectorFunctions.cosineSqScaledQ(col("a.q"), col("b.q"))
+        >= minCosSqScaled)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    v.select("vec_id", "cell")
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
 }

@@ -115,7 +115,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // the centroid seeds are the k smallest md5(id) rows via
     // TakeOrderedAndProject — a global Window.orderBy would instead
     // funnel the whole corpus through one task (Exchange SinglePartition)
-    Seq("q52_ivf_ann", "q58_kmeans_assign").foreach { q =>
+    Seq("q52_ivf_ann", "q58_kmeans_assign", "q76_semantic_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SinglePartition"), s"$q plans a single-partition exchange")
     }

@@ -194,4 +194,23 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val found = bf1.join(ivf1, Seq("query_id", "neighbor_id"), "left_semi").count()
     assert(found == nTwins, s"twin recall@1: $found of $nTwins at nProbe=1")
   }
+
+  test("semanticDedup drops exact duplicates, keeps originals, covers every row") {
+    // exact duplicates quantize identically -> same cell, cos² = 1 ->
+    // the higher ids must be dropped and the lowest kept, regardless of
+    // where the learned cells land
+    val twins = emb.where($"vec_id" % 25 === 3)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(twins)
+    val out = SimilaritySearch.semanticDedup(
+      corpus, "vec_id", "embedding", k = 4, iters = 2,
+      minCosSqScaled = 999999L).cache()
+    assert(out.count() == corpus.count(), "every corpus row must be decided")
+    val twinIds = twins.select("vec_id").as[Long].collect().toSet
+    val droppedIds = out.where($"dropped").select("vec_id").as[Long].collect().toSet
+    assert(twinIds.subsetOf(droppedIds), "exact twins must be dropped")
+    assert(!droppedIds.exists(id => twinIds.contains(id - 100000)),
+      "originals (smaller ids) must survive their twins")
+    out.unpersist()
+  }
 }
