@@ -61,16 +61,38 @@ object ScaleStudy {
         length(salted).cast("long").as("n_chars"))
     }
 
-  /** Builds `outDir/documents.parquet` (10× sf0.1) if not present. */
+  /** Builds `outDir/documents.parquet` (10× the source) unless a synth
+    * corpus built from the SAME source is already there. The reuse key
+    * is (srcDir, source row count) stamped in a sidecar — a bare
+    * _SUCCESS check would silently reuse a stale corpus after the
+    * source dir is swapped for a different same-size fixture. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
-    if (marker.exists()) return
     val d = spark.read.parquet(s"$srcDir/documents.parquet")
+    val stamp = s"""{"src":"$srcDir","rows":${d.count()}}"""
+    val sidecar = java.nio.file.Paths.get(s"$outDir/source.json")
+    val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+    if (marker.exists() && java.nio.file.Files.exists(sidecar) &&
+        new String(java.nio.file.Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8) == stamp) return
+    // the bijection/disjointness contract holds only if the SOURCE has
+    // no replica-tagged tokens and no ids at or past the remap stride —
+    // srcDir is caller-overridable, so check the corpus, not just the
+    // shipped fixture (ScaleStudySpec pins the toy-level contract)
+    val guard = d.agg(
+      max(col("doc_id")).as("max_id"),
+      sum(when(col("text").rlike("_r\\d+(\\s|$)"), 1L).otherwise(0L))
+        .as("tagged")).head()
+    require(guard.getAs[Long]("max_id") < IdOffset,
+      s"source doc_id ${guard.getAs[Long]("max_id")} >= IdOffset $IdOffset: replica id ranges would collide")
+    require(guard.getAs[Long]("tagged") == 0L,
+      "source text contains replica-tagged tokens (…_r<k>): cross-replica disjointness would break")
     val full = (0 until Replicas).map(replica(d, _)).reduce(_ unionByName _)
       // spread across files so the scan parallelizes like a real
       // many-file corpus (the sf0.1 fixture is a single row group)
       .repartition(spark.sparkContext.defaultParallelism)
     full.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.write(sidecar,
+      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def bestOf(runs: Int)(body: => Unit): Double =

@@ -180,7 +180,17 @@ object SimilaritySearch {
     * `iters` assignment rounds (centroids update between rounds). */
   def kmeansAssignments(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
+      k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignmentsWithVec(corpus, idCol, vecCol, k, iters)
+      .select("vec_id", "cell")
+
+  /** As `kmeansAssignments`, but keeps the quantized vector: returns
+    * (vec_id, q, cell). For consumers that need the vectors alongside
+    * the cells (semanticDedup's pairwise pass) — reusing this avoids a
+    * second full-corpus scan + re-quantize + reattach join. */
+  private[operators] def kmeansAssignmentsWithVec(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters > 0, s"iters=$iters must be positive")
     // Multi-round Lloyd fires one action per round (seed collect, each
@@ -213,7 +223,7 @@ object SimilaritySearch {
           .sortBy(_._1)
       }
     }
-    assigned.select("vec_id", "cell")
+    assigned
   }
 
   /** LSH-bucketed ANN over QUANTIZED vectors with Rademacher (±1)
@@ -282,10 +292,9 @@ object SimilaritySearch {
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minCosSqScaled: Long): DataFrame = {
-    val q = corpus.select(col(idCol).as("vec_id"),
-      VectorFunctions.quantize(col(vecCol)).as("q"))
-    val v = kmeansAssignments(corpus, idCol, vecCol, k, iters)
-      .join(q, "vec_id")
+    // the WithVec variant keeps q from the Lloyd run — no second corpus
+    // scan / re-quantize / reattach join
+    val v = kmeansAssignmentsWithVec(corpus, idCol, vecCol, k, iters)
       .localCheckpoint(true)
     val drops = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

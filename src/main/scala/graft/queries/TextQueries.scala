@@ -92,6 +92,15 @@ object TextQueries {
     * (cnt DESC, tok) tie-break is oracle-exercised at every SF. */
   private[graft] val VocabTopK = 20
 
+  /** DuckDB twin of `TextFunctions.qualityScoreMills`, over the alias
+    * triple (len, alpha, toks) — THE shared parity contract for every
+    * quality-scored oracle (q31, q74): interpolate this, never
+    * hand-copy the formula. */
+  private[graft] val sqlQualityMills =
+    """CAST(floor((least(len, 400) * 1000 / 400
+       + CASE WHEN len > 0 THEN alpha * 1000 / len ELSE 0 END
+       + least(toks, 50) * 1000 / 50) / 3) AS BIGINT)"""
+
   /** q74's per-stratum token budget (shared with its oracle SQL).
     * 2000 binds every stratum of the 500-doc fixtures (strata carry
     * ~2k-7k tokens), so the boundary-bin path runs at every SF; the
@@ -475,10 +484,7 @@ object TextQueries {
              CAST($sqlTokenCount AS BIGINT) AS toks
            FROM documents),
          t AS (
-           SELECT doc_id, lang,
-             CAST(floor((least(len, 400) * 1000 / 400
-               + CASE WHEN len > 0 THEN alpha * 1000 / len ELSE 0 END
-               + least(toks, 50) * 1000 / 50) / 3) AS BIGINT) AS q_mills,
+           SELECT doc_id, lang, $sqlQualityMills AS q_mills,
              toks AS n_tokens
            FROM m),
          c AS (
@@ -523,7 +529,7 @@ object TextQueries {
          md5(array_to_string($sqlTokSet, ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
     "q31_quality_score" ->
-      """WITH m AS (
+      ("""WITH m AS (
            SELECT doc_id, length(text) AS len,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -537,11 +543,9 @@ object TextQueries {
                  FROM documents) u
            GROUP BY doc_id)
          SELECT m.doc_id,
-           CAST(floor((least(len, 400) * 1000 / 400
-             + CASE WHEN len > 0 THEN alpha * 1000 / len ELSE 0 END
-             + least(toks, 50) * 1000 / 50) / 3) AS BIGINT) AS quality_mills,
+           """ + sqlQualityMills + """ AS quality_mills,
            coalesce(sw.hits, 0) AS stopword_hits
-         FROM m LEFT JOIN sw USING (doc_id) ORDER BY doc_id""",
+         FROM m LEFT JOIN sw USING (doc_id) ORDER BY doc_id"""),
     "q32_lang_id" ->
       """WITH toks AS (
            SELECT doc_id, lang,

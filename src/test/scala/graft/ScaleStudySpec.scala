@@ -50,6 +50,28 @@ class ScaleStudySpec extends AnyFunSuite {
     }
   }
 
+  test("synthesize rejects sources that would break the replication contract") {
+    val out = java.nio.file.Files.createTempDirectory("graft-synth").toString
+    try {
+      val tagged = toy.withColumn("text",
+        concat(col("text"), lit(" leftover_r3")))
+      val e1 = intercept[IllegalArgumentException] {
+        val dir = s"$out/tagged"
+        tagged.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        ScaleStudy.synthesize(spark, dir, s"$out/o1")
+      }
+      assert(e1.getMessage.contains("replica-tagged"))
+      val bigId = toy.withColumn("doc_id", col("doc_id") + ScaleStudy.IdOffset)
+      val e2 = intercept[IllegalArgumentException] {
+        val dir = s"$out/bigid"
+        bigId.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        ScaleStudy.synthesize(spark, dir, s"$out/o2")
+      }
+      assert(e2.getMessage.contains("collide"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("replica keeps schema and recomputes n_chars") {
     val r = ScaleStudy.replica(toy, 2)
     assert(r.columns.toSeq == toy.columns.toSeq)

@@ -79,6 +79,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("budgetSelect ranks NULL-quality rows last, identically to the naive window") {
+    // NULL quality is a legal bin: desc ordering puts it last in both
+    // the histogram cumsum and the naive window — a plain (non-null-safe)
+    // join back would instead silently drop the row
+    val docs = Seq(
+      (1L, "a", Some(900L), 50L),
+      (2L, "a", None, 30L),      // NULL quality — ranked last
+      (3L, "a", Some(100L), 40L))
+      .toDF("id", "stratum", "q", "toks")
+    def kept(budget: Long) = TextAnalysis
+      .budgetSelect(docs, "stratum", "q", "toks", "id", budget)
+      .select("id").as[Long].collect().toSet
+    assert(kept(120L) == Set(1L, 2L, 3L), "NULL bin fits inside 120")
+    assert(kept(100L) == Set(1L, 3L), "NULL bin overflows 100 and is cut")
+  }
+
   test("budgetSelect keeps a zero-token doc sitting exactly on the budget line") {
     // bin q=500 starts exactly at the budget: its zero-token doc is a
     // legal keep in (quality DESC, id) order; the first positive doc is not

@@ -209,7 +209,9 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val twinIds = twins.select("vec_id").as[Long].collect().toSet
     val droppedIds = out.where($"dropped").select("vec_id").as[Long].collect().toSet
     assert(twinIds.subsetOf(droppedIds), "exact twins must be dropped")
-    assert(!droppedIds.exists(id => twinIds.contains(id - 100000)),
+    // a dropped ORIGINAL would have its twin at id + 100000 — this is
+    // the assert that catches a regression dropping BOTH pair members
+    assert(!droppedIds.exists(id => twinIds.contains(id + 100000)),
       "originals (smaller ids) must survive their twins")
     out.unpersist()
   }
