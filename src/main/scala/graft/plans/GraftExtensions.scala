@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Similarity, TextHash, VectorFunctions}
+import graft.functions.{Similarity, TextHash, UnicodeNorm, VectorFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -69,5 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint", "rolling_fingerprint(text) - Rabin-Karp rolling hash of the trimmed text as bigint"),
       (es: Seq[Expression]) => TextHash.RollingFingerprint(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (same semantics as DuckDB's nfc_normalize)"),
+      (es: Seq[Expression]) => UnicodeNorm.NfcNormalize(es.head)))
   }
 }

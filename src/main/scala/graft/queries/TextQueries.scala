@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, UnicodeNorm}
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -86,6 +86,17 @@ object TextQueries {
     when(col("doc_id") % 5 === 1,
       concat(lit(" call +1-555-"), ((col("doc_id") % 9000) + 1000).cast("string")))
       .otherwise(lit("")))
+
+  /** q77's synthetic unicode-messy corpus: every doc gains decomposed
+    * accent runs (base letter + combining mark — NFC composes them),
+    * every second a zero-width joiner (Cf — stripped), every third a
+    * BEL control (Cc — stripped). Codepoints via \u escapes here and
+    * chr() in the oracle, same construction. */
+  private def unicodeMessyText = concat(
+    col("text"),
+    lit(" cafe\u0301 no\u0308el"), // decomposed: combining acute / diaeresis
+    when(col("doc_id") % 2 === 0, lit(" zero\u200Dwidth")).otherwise(lit("")), // ZWJ (Cf)
+    when(col("doc_id") % 3 === 0, lit(" bell\u0007tone")).otherwise(lit(""))) // BEL (Cc)
 
   /** q75's vocabulary size (shared with its oracle SQL) — below the
     * fixture's ~31-token vocabulary so the top-k actually BINDS and the
@@ -351,6 +362,21 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Unicode canonicalization: NFC (native Catalyst expression — the
+    // codegen'd twin of DuckDB's nfc_normalize) + Cc/Cf strip +
+    // whitespace collapse, the cleaning step that must run before
+    // hash-based dedup (byte-different composed/decomposed equals hash
+    // apart). The fixture is ASCII, so the gate synthesizes decomposed
+    // accents, a ZWJ, and a BEL from doc_id — see unicodeMessyText.
+    "q77_unicode_clean" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), unicodeMessyText.as("t"))
+      d.select(col("doc_id"),
+          length(col("t")).cast("long").as("n_raw"),
+          length(UnicodeNorm.nfc_normalize(col("t"))).cast("long").as("n_nfc"),
+          md5(UnicodeNorm.cleanText(col("t"))).as("clean_key"))
+        .orderBy("doc_id")
+    }),
+
     // Frequency-based vocabulary building: the top-K corpus tokens by
     // occurrence count (with multiplicity — a vocab reflects token
     // MASS, not document frequency), ties broken by token. ONE counting
@@ -465,6 +491,25 @@ object TextQueries {
            md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS scrub_key
          FROM p2 ORDER BY doc_id"""
     },
+    "q77_unicode_clean" ->
+      // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+      // diaeresis, chr(8205)=U+200D ZWJ (Cf), chr(7)=BEL (Cc); DuckDB's
+      // nfc_normalize is utf8proc NFC — same canonical composition the
+      // engine's java.text.Normalizer NFC expression performs
+      s"""WITH base AS (
+           SELECT doc_id,
+             text || ' cafe' || chr(769) || ' no' || chr(776) || 'el'
+               || CASE WHEN doc_id % 2 = 0
+                    THEN ' zero' || chr(8205) || 'width' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                    THEN ' bell' || chr(7) || 'tone' ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
+           md5(trim(regexp_replace(regexp_replace(nfc_normalize(t),
+             '${UnicodeNorm.StripRe}', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_key
+         FROM base ORDER BY doc_id""",
     "q75_vocab_topk" ->
       // deterministic despite the LIMIT: the tie-break (cnt DESC, tok)
       // is a total order because tok is unique after the group-by

@@ -40,6 +40,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[(Long, Int, Int, Boolean)].head()
       assert(r2._1 >= 0L && r2._1 < (1L << 24))
       assert(r2._2 == 8 && r2._3 == 4 && r2._4)
+      // NFC from SQL text: decomposed e+U+0301 composes to U+00E9
+      val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+        .as[String].head()
+      assert(nfc == "caf\u00e9")
       // the minhash_sig SQL surface must agree with the column API
       val sqlSig = spark.sql("SELECT minhash_sig('green tea', 4) AS s")
         .as[Seq[String]].head()
