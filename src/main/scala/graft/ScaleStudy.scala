@@ -68,12 +68,25 @@ object ScaleStudy {
     * source dir is swapped for a different same-size fixture. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val d = spark.read.parquet(s"$srcDir/documents.parquet")
-    val stamp = s"""{"src":"$srcDir","rows":${d.count()}}"""
+    val nSrc = d.count()
+    require(nSrc > 0, s"$srcDir/documents.parquet is empty — nothing to replicate")
+    // content-sensitive reuse key: row count alone can't see a fixture
+    // regenerated in place, so fold in the source files' (size, mtime)
+    val srcFile = new java.io.File(s"$srcDir/documents.parquet")
+    val parts =
+      if (srcFile.isDirectory) srcFile.listFiles().sortBy(_.getName).toSeq
+      else Seq(srcFile)
+    val sig = parts.map(f => s"${f.length()}:${f.lastModified()}").mkString(",")
+    val stamp = s"""{"src":"$srcDir","rows":$nSrc,"sig":"$sig"}"""
     val sidecar = java.nio.file.Paths.get(s"$outDir/source.json")
     val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
     if (marker.exists() && java.nio.file.Files.exists(sidecar) &&
         new String(java.nio.file.Files.readAllBytes(sidecar),
           java.nio.charset.StandardCharsets.UTF_8) == stamp) return
+    // drop any stale stamp FIRST: a rebuild killed between the corpus
+    // write and the sidecar write must never leave the old stamp paired
+    // with the new corpus
+    java.nio.file.Files.deleteIfExists(sidecar)
     // the bijection/disjointness contract holds only if the SOURCE has
     // no replica-tagged tokens and no ids at or past the remap stride —
     // srcDir is caller-overridable, so check the corpus, not just the

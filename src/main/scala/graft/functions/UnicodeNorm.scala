@@ -28,8 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UnicodeNorm {
 
-  /** Static kernel the generated code calls. */
+  /** Static kernel the generated code calls. ASCII (the dominant case)
+    * short-circuits on a byte-level check — numBytes == numChars holds
+    * exactly for all-ASCII UTF-8 — so the hot path never decodes to a
+    * java String; only genuinely multi-byte rows pay the Normalizer. */
   def nfcU(s: UTF8String): UTF8String = {
+    if (s.numBytes() == s.numChars()) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

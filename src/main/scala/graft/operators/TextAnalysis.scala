@@ -189,9 +189,9 @@ object TextAnalysis {
     // place the cumsum puts its bin); a plain equi-join would silently
     // drop those rows and break the row-identical contract
     val j = df.as("__d").join(bins.as("__h"),
-        col(s"__d.$strataCol") <=> col(s"__h.$strataCol") &&
-          col(s"__d.$qualityCol") <=> col(s"__h.$qualityCol"))
-      .select((df.columns.map(c => col(s"__d.$c")) :+
+        col(s"__d.`$strataCol`") <=> col(s"__h.`$strataCol`") &&
+          col(s"__d.`$qualityCol`") <=> col(s"__h.`$qualityCol`"))
+      .select((df.columns.map(c => col(s"__d.`$c`")) :+
         col("__h.__cum_incl") :+ col("__h.__cum_before")): _*)
     val fullKeep = j.where(col("__cum_incl") <= budgetTokens)
     val wd = Window.partitionBy(col(strataCol), col(qualityCol))
