@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EntityResolution, SimilaritySearch}
+import graft.operators.{EntityResolution, SimilaritySearch, TextAnalysis}
 import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -387,6 +387,28 @@ object SparkEntry {
         .groupBy("train_id", "val_id").agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 5)
         .orderBy("train_id", "val_id")
+    }),
+    // Bloom-prefiltered decontamination — the 100 TB shape of q56: the
+    // val split's bigrams fold into a Bloom bitset (driver sees only
+    // m/64 longs), each train doc is tested by a codegen'd exists()
+    // over its gram array — no explode/shuffle/join for the unflagged
+    // bulk — and only the flagged sliver is exact-confirmed against
+    // the broadcast val gram set, so the output is exact (false
+    // positives die in the confirm join; Bloom has no false negatives)
+    // and hash-checked.
+    "q78_bloom_decontam" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("split", mdSplit)
+        .select(col("doc_id"), col("split"),
+          graft.queries.TextQueries.wordBigrams.as("grams"))
+      val tr = d.where(col("split") === "train").select("doc_id", "grams")
+      val va = d.where(col("split") === "val").select("doc_id", "grams")
+      TextAnalysis.bloomDecontam(tr, va, "doc_id", "grams",
+          minShared = graft.queries.TextQueries.DecontamMinShared,
+          mBits = graft.queries.TextQueries.DecontamBloomBits,
+          seeds = graft.queries.TextQueries.DecontamBloomSeeds)
+        .orderBy("doc_id")
     }),
     // Supplier-side multiway rollup (J6/J9 shape on the one remaining
     // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
@@ -918,6 +940,22 @@ object SparkEntry {
              AND a.split = 'train' AND b.split = 'val'
            GROUP BY 1, 2 HAVING count(*) >= 5
            ORDER BY train_id, val_id""",
+      "q78_bloom_decontam" ->
+        s"""WITH t AS (
+             SELECT doc_id,
+               ${graft.queries.TextQueries.tokenListSql} AS l,
+               $mdSplitSql AS split
+             FROM documents),
+           d AS (
+             SELECT doc_id, split,
+               unnest(${graft.queries.TextQueries.wordBigramsSql}) AS g
+             FROM t),
+           v AS (SELECT DISTINCT g FROM d WHERE split = 'val')
+           SELECT a.doc_id, count(*) AS n_shared
+           FROM d a JOIN v USING (g)
+           WHERE a.split = 'train'
+           GROUP BY 1 HAVING count(*) >= ${graft.queries.TextQueries.DecontamMinShared}
+           ORDER BY doc_id""",
       "q54_det_split" ->
         s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis: token counting, quality scoring,
@@ -205,6 +205,76 @@ object TextAnalysis {
       .where(col("__cum_doc") <= budgetTokens)
       .drop("__cum_doc")
     fullKeep.unionByName(boundary).drop("__cum_incl", "__cum_before")
+  }
+
+  /** Bit-length cap for [[bloomDecontam]]'s inline bitset: 2²⁴ bits =
+    * 256 KiB as an array<bigint> literal — safely inside plan-size /
+    * task-serialization budgets (same reasoning as the IVF inline
+    * centroid budget). A benchmark suite needing a larger filter should
+    * shard the eval set and union the per-shard outputs. */
+  val MaxBloomBits: Int = 1 << 24
+
+  /** Bloom-prefiltered n-gram decontamination — the corpus-scale shape
+    * of the exact shingle-join (q56): find training documents sharing
+    * at least `minShared` distinct `gramsCol` shingles with a small
+    * eval/benchmark corpus, WITHOUT exploding or shuffling the training
+    * side.
+    *
+    * Phase 1 folds the eval corpus's distinct grams into an `mBits`-bit
+    * Bloom bitset, built distributively (one eval-sized dedup plus a
+    * ≤ mBits/64-row bit_or rollup; only the packed longs reach the
+    * driver). Phase 2 tests every training document with a codegen'd
+    * `exists()` over its gram array against the bitset literal — a pure
+    * scan-side projection+filter: zero shuffle, zero join, zero explode
+    * for the unflagged bulk of a 100 TB corpus. Phase 3 exact-confirms
+    * ONLY the flagged sliver via an equi-join against the broadcast
+    * eval gram set, which removes every Bloom false positive (the
+    * filter has no false negatives, so no contaminated doc is lost) —
+    * the output is therefore EXACT, independent of `mBits`/`seeds`:
+    * (idCol, n_shared) for train docs with n_shared >= minShared.
+    *
+    * Reference behavior: app/etl.py's validation joins are exact; the
+    * Bloom prefilter is the added 100 TB path (Gopher/GPT-3-style
+    * benchmark decontamination). An undersized `mBits` degrades only
+    * the prefilter selectivity (more rows exact-confirmed), never the
+    * result. */
+  def bloomDecontam(train: DataFrame, eval: DataFrame, idCol: String,
+      gramsCol: String, minShared: Int, mBits: Int,
+      seeds: Seq[Long]): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    require(mBits <= MaxBloomBits,
+      s"mBits=$mBits exceeds MaxBloomBits=$MaxBloomBits (inline bitset " +
+        "literal budget); shard the eval corpus instead")
+    require(seeds.nonEmpty, "at least one hash seed is required")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val m = lit(mBits.toLong)
+    // per-doc dedup before any explode: grams are set-semantics
+    val evalGrams = eval
+      .select(explode(array_distinct(col(gramsCol))).as("__g")).distinct()
+    // distributed bitset build; the driver sees only mBits/64 longs
+    val masks = evalGrams
+      .select(explode(array(
+        seeds.map(sd => pmod(xxhash64(col("__g"), lit(sd)), m)): _*)).as("__i"))
+      .select(shiftright(col("__i"), 6).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__i").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy("__w").agg(call_function("bit_or", col("__m")).as("__m"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    masks.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bitsLit = typedLit(bits.toIndexedSeq)
+    def mightContain(g: Column): Column = seeds.map { sd =>
+      val idx = pmod(xxhash64(g, lit(sd)), m)
+      call_function("getbit",
+        element_at(bitsLit, shiftright(idx, 6).cast("int") + 1),
+        idx.bitwiseAND(lit(63L)).cast("int")) === 1
+    }.reduce(_ && _)
+    val flagged = train.where(exists(col(gramsCol), mightContain))
+    flagged.select(col(idCol), explode(array_distinct(col(gramsCol))).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** Full per-document analysis projection. */

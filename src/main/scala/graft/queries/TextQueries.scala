@@ -56,6 +56,21 @@ object TextQueries {
   private[graft] val SampleRates: Map[String, Double] =
     Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.1)
 
+  /** q78's contamination threshold (distinct shared bigrams with the
+    * val corpus) — interpolated into BOTH the Spark query and the
+    * oracle SQL; edit HERE. */
+  private[graft] val DecontamMinShared = 5
+
+  /** q78's Bloom geometry: 2²⁰ bits holds the sf0.1 val corpus's
+    * ~200k distinct bigrams at ~5 bits/elem (k=3 → ~9% FPP — the
+    * prefilter stays selective), and the 128 KiB bitset literal is
+    * well inside [[graft.operators.TextAnalysis.MaxBloomBits]]. The
+    * seeds are arbitrary distinct odd constants; they tune only the
+    * false-positive rate, never the (exact) output. */
+  private[graft] val DecontamBloomBits = 1 << 20
+  private[graft] val DecontamBloomSeeds: Seq[Long] =
+    Seq(0x9747b28cL, 0x41c64e6dL, 0x2545f491L)
+
   /** q72's boilerplate threshold: a line in more distinct docs than
     * this is dropped everywhere. 30 sits between the unique marker
     * lines (df = 1, kept), the exact-dup content clusters (df ≈ 24 at

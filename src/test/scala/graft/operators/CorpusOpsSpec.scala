@@ -53,6 +53,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((got(2).getLong(1), got(2).getLong(2), got(2).getLong(3)) == ((2L, 1L, 0L)))
   }
 
+  test("bloomDecontam matches the exact shingle join incl. threshold edges") {
+    // doc 1 shares exactly 3 grams (= minShared: kept), doc 2 exactly
+    // 2 (= minShared-1: dropped), doc 3 none (clean), doc 4 shares 4
+    // via a different eval doc (kept)
+    val train = Seq(
+      (1L, Seq("a b", "b c", "c d", "zz zz")),
+      (2L, Seq("a b", "b c", "own gram")),
+      (3L, Seq("p q", "q r")),
+      (4L, Seq("w x", "x y", "y z", "z w")))
+      .toDF("doc_id", "grams")
+    val eval = Seq(
+      (100L, Seq("a b", "b c", "c d")),
+      (101L, Seq("w x", "x y", "y z", "z w", "extra gram")))
+      .toDF("doc_id", "grams")
+    val got = TextAnalysis.bloomDecontam(train, eval, "doc_id", "grams",
+        minShared = 3, mBits = 1 << 10, seeds = Seq(1L, 2L, 3L))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (4L, 4L)))
+  }
+
+  test("bloomDecontam output is exact even with a saturated 64-bit filter") {
+    // mBits=64 with 3 seeds over ~30 grams saturates the bitset, so
+    // nearly every train doc is flagged — the exact-confirm join must
+    // still kill every false positive: output identical to a roomy
+    // filter and to the direct exact join
+    val train = (1L to 40L)
+      .map(i => (i, Seq(s"t$i a", s"t$i b", s"shared ${i % 4}")))
+      .toDF("doc_id", "grams")
+    val eval = Seq((0L, Seq("shared 0", "shared 1", "other x")))
+      .toDF("doc_id", "grams")
+    def run(m: Int) = TextAnalysis.bloomDecontam(train, eval, "doc_id",
+        "grams", minShared = 1, mBits = m, seeds = Seq(7L, 11L, 13L))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = train.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(eval.select(explode(col("grams")).as("g")).distinct(), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(64) == exact)
+    assert(run(1 << 16) == exact)
+  }
+
+  test("bloomDecontam rejects bad geometry loudly") {
+    val df = Seq((1L, Seq("a b"))).toDF("doc_id", "grams")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bloomDecontam(df, df, "doc_id", "grams", 1, 100, Seq(1L))
+    } // not a power of two
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bloomDecontam(df, df, "doc_id", "grams", 1,
+        TextAnalysis.MaxBloomBits * 2, Seq(1L))
+    } // past the inline literal budget
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bloomDecontam(df, df, "doc_id", "grams", 1, 64, Seq.empty)
+    } // no seeds
+  }
+
   test("budgetSelect is row-identical to the naive per-stratum window") {
     // deterministic pseudo-random corpus with heavy quality ties, so the
     // boundary bin holds many docs and the within-bin path is exercised
