@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval over a document corpus — the BM25
+  * complement to the embedding ANN family (q37/q42/q52): score
+  * documents against multi-term keyword queries, keep the top `k` per
+  * query.
+  *
+  * Scoring is the BM25 term-frequency saturation curve with a RATIONAL
+  * idf, `(N - df + 0.5) / (df + 0.5)`, i.e. without the usual log
+  * wrap: `ln` is the one op in classic BM25 that is NOT bit-portable
+  * across engines (libm implementations differ in the last ulps, and a
+  * last-ulp flip moves a floored mills value at bin boundaries), while
+  * IEEE `+ * /` on integer-derived operands are correctly rounded and
+  * engine-identical. Per-term contributions are floored to integer
+  * mills and integer-summed (order-free), so scores and ranks are
+  * bit-identical on any engine — the same determinism discipline as
+  * the quantized cosine kernels. The rational idf preserves the
+  * more-common-term-weighs-less ordering per term; it is a documented
+  * scoring VARIANT, not a drop-in for classic BM25 scores.
+  *
+  * Scale shape: documents explode to postings once and are immediately
+  * semi-joined (broadcast) against the query vocabulary, so the tf
+  * counting shuffle carries only postings of queried terms — work is
+  * proportional to the matched postings, never corpus x vocabulary.
+  * Document frequencies (one row per queried term), corpus stats (ONE
+  * row), and the query-term list all broadcast; ranking is a per-query
+  * row_number window that the planner executes as a partial top-k
+  * (WindowGroupLimit), never a global sort.
+  */
+object Retrieval {
+
+  /** Top-k BM25 (rational-idf) matches per query.
+    *
+    * @param docs    corpus with `idCol` (unique) and `textCol`
+    * @param queries query set with `qidCol` (unique) and `qTextCol`
+    *                (whitespace-separated keywords); assumed
+    *                broadcast-small (a query workload, not a corpus)
+    * @return (qidCol, rank, idCol, score_mills), rank 1..k per query in
+    *         (score desc, doc id asc) order; queries whose terms all
+    *         miss the corpus produce no rows
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qidCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1=$k1 must be >= 0, b=$b in [0,1]")
+    val base = docs.select(col(idCol).as("__doc"),
+      TextFunctions.tokens(col(textCol)).as("__toks"),
+      TextFunctions.tokenCount(col(textCol)).as("__dl"))
+    // corpus stats: ONE row, broadcast; avgdl is one IEEE int/int divide
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val qTerms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(TextFunctions.tokens(col(qTextCol)))).as("__term"))
+    val termSet = qTerms.select("__term").distinct()
+    // postings restricted to the query vocabulary BEFORE the tf shuffle
+    val postings = base
+      .select(col("__doc"), col("__dl"), explode(col("__toks")).as("__term"))
+      .join(broadcast(termSet), "__term")
+      .groupBy(col("__term"), col("__doc"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    // postings are unique per (term, doc): plain count IS the doc freq
+    val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+    // operand order below is FROZEN (left-assoc, parens as written) —
+    // the DuckDB oracle spells the identical sequence; IEEE ops are
+    // correctly rounded, so same order => same bits => same floor
+    val contrib = postings
+      .join(broadcast(dfreq), "__term")
+      .join(broadcast(qTerms), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col("__qid"), col("__doc"),
+        floor(
+          lit(1000.0) *
+            ((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+            (col("__tf") * lit(k1 + 1.0)) /
+            (col("__tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+        ).as("__mills"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__score_mills").desc, col("__doc").asc)
+    contrib.groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__mills")).as("__score_mills"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("rank"),
+        col("__doc").as(idCol), col("__score_mills").as("score_mills"))
+  }
+}

@@ -71,6 +71,22 @@ object TextQueries {
   private[graft] val DecontamBloomSeeds: Seq[Long] =
     Seq(0x9747b28cL, 0x41c64e6dL, 0x2545f491L)
 
+  /** q79's BM25 parameters and keyword workload — interpolated into
+    * BOTH the Spark query and the oracle SQL (constants via
+    * Double.toString, whose shortest round-trip repr parses to the
+    * identical double in any correctly-rounding reader); edit HERE.
+    * Query 5 mixes a corpus term with two absent ones; absent terms
+    * have no postings and contribute nothing in either engine. */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25K = 10
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark merge stream"),
+    (2L, "vector hash join"),
+    (3L, "customer window filter"),
+    (4L, "big table scan slow"),
+    (5L, "query nosuchterm zebra"))
+
   /** q72's boilerplate threshold: a line in more distinct docs than
     * this is dropped everywhere. 30 sits between the unique marker
     * lines (df = 1, kept), the exact-dup content clusters (df ≈ 24 at
@@ -176,6 +192,17 @@ object TextQueries {
           length(trim(col("text"))).cast("long").as("n_chars_trim"),
           TextFunctions.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 (rational-idf) keyword retrieval: top-10 docs per query over
+    // the document corpus — the lexical twin of the ANN top-k family.
+    "q79_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25Queries.toDF("qid", "qtext")
+      graft.operators.Retrieval.bm25TopK(
+          docsSpread(s, dir), qs, "doc_id", "text", "qid", "qtext",
+          k = Bm25K, k1 = Bm25K1, b = Bm25B)
+        .orderBy("qid", "rank")
     }),
 
     // Quality scoring in integer mills + stopword hits.
@@ -456,6 +483,47 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q79_bm25_topk" -> {
+      // constants via Double.toString: the shortest round-trip repr
+      // parses back to the IDENTICAL double under DuckDB's correctly-
+      // rounding reader, so both engines compute on the same bits
+      val k1 = Bm25K1.toString
+      val k1p1 = (Bm25K1 + 1.0).toString
+      val b = Bm25B.toString
+      val oneMinusB = (1.0 - Bm25B).toString
+      val vals = Bm25Queries
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(", ")
+      s"""WITH d0 AS (
+           SELECT doc_id, $tokenListSql AS l,
+             CAST($sqlTokenCount AS BIGINT) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
+         q AS (SELECT * FROM (VALUES $vals) AS t(qid, qtext)),
+         qt AS (SELECT DISTINCT qid, term FROM
+                 (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)),
+         vocab AS (SELECT DISTINCT term FROM qt),
+         post AS (
+           SELECT term, doc_id, dl, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(l) AS term FROM d0)
+           JOIN vocab USING (term)
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         sc AS (
+           SELECT qid, doc_id,
+             CAST(sum(CAST(floor(
+               1000.0 * ((n - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
+               (tf + $k1 * ($oneMinusB + $b * (dl / avgdl)))) AS BIGINT))
+               AS BIGINT) AS score_mills
+           FROM post JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT qid, doc_id, score_mills,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score_mills DESC, doc_id) AS rank FROM sc)
+         SELECT qid, rank, doc_id, score_mills FROM r WHERE rank <= $Bm25K
+         ORDER BY qid, rank"""
+    },
     "q72_line_dedup" ->
       s"""WITH base AS (
            SELECT doc_id,
