@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EntityResolution, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsofJoin, EntityResolution, SimilaritySearch, TextAnalysis}
 import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -409,6 +409,33 @@ object SparkEntry {
           mBits = graft.queries.TextQueries.DecontamBloomBits,
           seeds = graft.queries.TextQueries.DecontamBloomSeeds)
         .orderBy("doc_id")
+    }),
+    // Backward as-of join: each purchase event attributed to the same
+    // user's most recent at-or-before click — one union shuffle on
+    // user_id + an ordered window, never an inequality join (Spark
+    // would nested-loop it). Raw epoch-nanos longs keep ts parity
+    // exact; money floor-scales to cents. DuckDB oracles this with its
+    // native ASOF LEFT JOIN.
+    "q80_asof_attribution" -> ((s, dir) => {
+      // raw read (NOT Tables): parquet nanos long, cut to exact micros
+      // (integer div) — DuckDB stores the same file at micro precision,
+      // so micros is the shared exact ordering domain
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("cents").as("click_cents"))
+      AsofJoin.asofBackward(purch, clicks, Seq("user_id"), "ts_us",
+          Seq("click_id", "click_cents"), "m_")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("cents"),
+          // -1 sentinel: the hash harness can't represent null ints
+          coalesce(col("m_click_id"), lit(-1L)).as("m_click_id"),
+          coalesce(col("m_click_cents"), lit(-1L)).as("m_click_cents"))
+        .orderBy("event_id")
     }),
     // Supplier-side multiway rollup (J6/J9 shape on the one remaining
     // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
@@ -956,6 +983,23 @@ object SparkEntry {
            WHERE a.split = 'train'
            GROUP BY 1 HAVING count(*) >= ${graft.queries.TextQueries.DecontamMinShared}
            ORDER BY doc_id""",
+      "q80_asof_attribution" ->
+        """WITH e AS (
+             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           p AS (SELECT event_id, user_id, ts_us, cents FROM e
+                 WHERE event_type = 'purchase'),
+           c0 AS (SELECT user_id, ts_us,
+                    arg_max(event_id, event_id) AS click_id,
+                    arg_max(cents, event_id) AS click_cents
+                  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+           SELECT p.event_id, p.user_id, p.ts_us, p.cents,
+             coalesce(c0.click_id, -1) AS m_click_id,
+             coalesce(c0.click_cents, -1) AS m_click_cents
+           FROM p ASOF LEFT JOIN c0
+             ON p.user_id = c0.user_id AND p.ts_us >= c0.ts_us
+           ORDER BY p.event_id""",
       "q54_det_split" ->
         s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the single right row with
+  * the greatest `tsCol` <= the left row's, per join key (time-series
+  * enrichment / attribution; an operator Spark has no native form of,
+  * while DuckDB's ASOF JOIN oracles it directly).
+  *
+  * Shape: ONE shuffle of both sides together on `keys`, then a per-key
+  * ordered window carrying the last non-null right payload forward —
+  * never a per-row range probe, never an inequality join (Spark plans
+  * those as broadcast-nested-loop), never a cross product. Right rows
+  * sort before left rows at equal timestamps, so "<=" matches ties.
+  * Cost is the sort behind the window: O(n log n) within each key's
+  * partition slice, the same price as any windowed rollup; a hot key
+  * concentrates its own events, nothing else.
+  *
+  * Determinism: the right side is first reduced to one row per
+  * (keys, ts) — the lexicographically greatest payload struct wins
+  * (field order = `payloadCols` order), so callers wanting argmax-by-id
+  * semantics put the id first. With that reduction the window order
+  * (ts, side) is a total order over rows that can affect a result, and
+  * the output is engine-reproducible.
+  */
+object AsofJoin {
+
+  /** @param left        rows to enrich (all its columns pass through)
+    * @param right       rows supplying the payload
+    * @param keys        equi-join key columns (present on both sides)
+    * @param tsCol       ordering column (present on both sides; any
+    *                    orderable type — raw epoch-nanos longs keep
+    *                    cross-engine parity exact)
+    * @param payloadCols right columns to attach
+    * @param outPrefix   prefix for attached columns (null when no
+    *                    right row is at-or-before the left row)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "at least one join key is required")
+    require(payloadCols.nonEmpty, "at least one payload column is required")
+    val keyCols = keys.map(col)
+    val r1 = right.groupBy((keyCols :+ col(tsCol)): _*)
+      .agg(max(struct(payloadCols.map(col): _*)).as("__pay"))
+    val payType = r1.schema("__pay").dataType
+    val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l2 = left.select(keyCols ++ Seq(col(tsCol), lit(1).as("__side"),
+      lit(null).cast(payType).as("__pay"),
+      struct(left.columns.map(col): _*).as("__lrow")): _*)
+    val r2 = r1.select(keyCols ++ Seq(col(tsCol), lit(0).as("__side"),
+      col("__pay"),
+      lit(null).cast(lrowType).as("__lrow")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__lrow.`$c`").as(c)) ++
+        payloadCols.map(c => col(s"__m.`$c`").as(s"$outPrefix$c")): _*)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backward as-of join semantics: latest at-or-before match per key,
+  * tie inclusion, deterministic right-side dedup, null on no-match —
+  * each checked against a naive driver-side recomputation.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asofBackward picks the greatest right ts <= left ts per key") {
+    val left = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L),
+      (2L, 400L, 13L), (3L, 999L, 14L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 100L, 900L), (1L, 200L, 901L), (1L, 300L, 902L),
+      (2L, 60L, 903L), (2L, 400L, 904L))
+      .toDF("k", "ts", "rid")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // lid 10: tie at ts=100 matches (<=); lid 12: right@60 > 50 -> none;
+    // lid 13: tie at 400; lid 14: key 3 has no right rows at all
+    assert(got.toSeq == Seq((10L, 900L), (11L, 901L), (12L, -1L),
+      (13L, 904L), (14L, -1L)))
+  }
+
+  test("asofBackward dedups right (key, ts) rows to the greatest payload struct") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 90L, 5L, "a"), (1L, 90L, 9L, "b"), (1L, 90L, 7L, "c"))
+      .toDF("k", "ts", "rid", "tag")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts",
+      Seq("rid", "tag")).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 9L && got(0).getString(3) == "b")
+  }
+
+  test("asofBackward matches a naive recompute on a pseudo-random workload") {
+    val left = (1L to 200L).map(i => (i % 7, i * 13 % 500, i)).toDF("k", "ts", "lid")
+    val rightRows = (1L to 150L).map(i => (i % 5, i * 29 % 500, 1000L + i))
+    val right = rightRows.toDF("k", "ts", "rid")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val want = (1L to 200L).map { i =>
+      val (k, ts) = (i % 7, i * 13 % 500)
+      val cand = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      if (cand.isEmpty) (i, -1L)
+      else {
+        val best = cand.map(_._2).max
+        (i, cand.filter(_._2 == best).map(_._3).max) // greatest rid at tied ts
+      }
+    }
+    assert(got == want)
+  }
+}
