@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * semantics put the id first. With that reduction the window order
   * (ts, side) is a total order over rows that can affect a result, and
   * the output is engine-reproducible.
+  *
+  * Nulls: right rows with a null `tsCol` are dropped (they can never
+  * be "at or before" anything); left rows with a null `tsCol` pass
+  * through with null payload — exactly DuckDB's `ASOF LEFT JOIN`
+  * behavior, where a null comparison matches nothing but the LEFT
+  * side keeps the row.
   */
 object AsofJoin {
 
@@ -43,7 +49,11 @@ object AsofJoin {
     require(keys.nonEmpty, "at least one join key is required")
     require(payloadCols.nonEmpty, "at least one payload column is required")
     val keyCols = keys.map(col)
-    val r1 = right.groupBy((keyCols :+ col(tsCol)): _*)
+    // null-ts right rows can never match; left null-ts rows need no
+    // filter — ascending order sorts them before every right row, so
+    // the carried payload is naturally null (ASOF LEFT semantics)
+    val r1 = right.where(col(tsCol).isNotNull)
+      .groupBy((keyCols :+ col(tsCol)): _*)
       .agg(max(struct(payloadCols.map(col): _*)).as("__pay"))
     val payType = r1.schema("__pay").dataType
     val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)

@@ -207,12 +207,13 @@ object TextAnalysis {
     fullKeep.unionByName(boundary).drop("__cum_incl", "__cum_before")
   }
 
-  /** Bit-length cap for [[bloomDecontam]]'s inline bitset: 2²⁴ bits =
-    * 256 KiB as an array<bigint> literal — safely inside plan-size /
-    * task-serialization budgets (same reasoning as the IVF inline
-    * centroid budget). A benchmark suite needing a larger filter should
+  /** Bit-length cap for [[bloomDecontam]]'s inline bitset: 2²² bits =
+    * 2²²/64 longs × 8 B = 512 KiB as ONE array<bigint> literal (the
+    * per-seed probes reference the same buffer) — inside plan-size /
+    * task-serialization budgets, same reasoning as the IVF inline
+    * centroid budget. A benchmark suite needing a larger filter should
     * shard the eval set and union the per-shard outputs. */
-  val MaxBloomBits: Int = 1 << 24
+  val MaxBloomBits: Int = 1 << 22
 
   /** Bloom-prefiltered n-gram decontamination — the corpus-scale shape
     * of the exact shingle-join (q56): find training documents sharing
@@ -249,9 +250,15 @@ object TextAnalysis {
     require(seeds.nonEmpty, "at least one hash seed is required")
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     val m = lit(mBits.toLong)
-    // per-doc dedup before any explode: grams are set-semantics
+    // per-doc dedup before any explode: grams are set-semantics.
+    // EAGER localCheckpoint: the gram set feeds BOTH the bitset build
+    // (an immediate collect) and the confirm join — without it the
+    // whole eval lineage (scan + explode + distinct) runs twice; the
+    // checkpointed blocks are reclaimed by the ContextCleaner once the
+    // result frame is unreachable
     val evalGrams = eval
       .select(explode(array_distinct(col(gramsCol))).as("__g")).distinct()
+      .localCheckpoint(true)
     // distributed bitset build; the driver sees only mBits/64 longs
     val masks = evalGrams
       .select(explode(array(

@@ -486,11 +486,15 @@ object TextQueries {
     "q79_bm25_topk" -> {
       // constants via Double.toString: the shortest round-trip repr
       // parses back to the IDENTICAL double under DuckDB's correctly-
-      // rounding reader, so both engines compute on the same bits
-      val k1 = Bm25K1.toString
-      val k1p1 = (Bm25K1 + 1.0).toString
-      val b = Bm25B.toString
-      val oneMinusB = (1.0 - Bm25B).toString
+      // rounding reader. EVERY numeric literal is CAST to DOUBLE —
+      // DuckDB types bare decimal literals as DECIMAL and computes
+      // mixed BIGINT*DECIMAL exactly in decimal, a different double
+      // than Spark's double multiply (1-ulp flips at floor bins)
+      val k1 = s"CAST(${Bm25K1} AS DOUBLE)"
+      val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
+      val b = s"CAST(${Bm25B} AS DOUBLE)"
+      val oneMinusB = s"CAST(${1.0 - Bm25B} AS DOUBLE)"
+      val half = "CAST(0.5 AS DOUBLE)"
       val vals = Bm25Queries
         .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
         .mkString(", ")
@@ -502,7 +506,8 @@ object TextQueries {
                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
          q AS (SELECT * FROM (VALUES $vals) AS t(qid, qtext)),
          qt AS (SELECT DISTINCT qid, term FROM
-                 (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)),
+                 (SELECT qid, unnest(string_split(regexp_replace(trim(qtext),
+                    '\\s+', ' ', 'g'), ' ')) AS term FROM q)),
          vocab AS (SELECT DISTINCT term FROM qt),
          post AS (
            SELECT term, doc_id, dl, count(*) AS tf
@@ -513,7 +518,8 @@ object TextQueries {
          sc AS (
            SELECT qid, doc_id,
              CAST(sum(CAST(floor(
-               1000.0 * ((n - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
+               CAST(1000.0 AS DOUBLE) * ((n - df + $half) / (df + $half))
+                 * (tf * $k1p1) /
                (tf + $k1 * ($oneMinusB + $b * (dl / avgdl)))) AS BIGINT))
                AS BIGINT) AS score_mills
            FROM post JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st

@@ -36,6 +36,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 9L && got(0).getString(3) == "b")
   }
 
+  test("asofBackward handles null timestamps like ASOF LEFT JOIN") {
+    val left = Seq((1L, Some(100L), 10L), (1L, None, 11L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, None: Option[Long], 900L), (1L, Some(50L), 901L))
+      .toDF("k", "ts", "rid")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // null-ts right row never matches; null-ts left row kept, unmatched
+    assert(got.toSeq == Seq((10L, 901L), (11L, -1L)))
+  }
+
   test("asofBackward matches a naive recompute on a pseudo-random workload") {
     val left = (1L to 200L).map(i => (i % 7, i * 13 % 500, i)).toDF("k", "ts", "lid")
     val rightRows = (1L to 150L).map(i => (i % 5, i * 29 % 500, 1000L + i))
