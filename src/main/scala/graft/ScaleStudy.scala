@@ -42,9 +42,19 @@ object ScaleStudy {
 
   val Replicas = 10
 
+  /** The heavy document-family queries. Notes on the two round-6
+    * additions: q78's eval gram set grows 10× past the Bloom bitset's
+    * capacity, so its synth-sf1 point measures the saturated-prefilter
+    * worst case (everything exact-confirmed) — the confirm equi-join's
+    * collision mass is linear by replica disjointness, which is
+    * exactly the claim worth measuring. q79's fixed keyword workload
+    * matches only replica 0 (salted tokens are disjoint), so its
+    * exponent isolates the corpus-proportional scan/explode/semi-join
+    * stage; the postings-proportional stages are workload-bound. */
   val HeavyQueries: Seq[String] = Seq(
     "q36_jaccard_pairs", "q48_simhash_neardup",
-    "q53_dedup_components", "q65_repetition_stats")
+    "q53_dedup_components", "q65_repetition_stats",
+    "q78_bloom_decontam", "q79_bm25_topk")
 
   /** One replica of `documents`: identity for k = 0, else id-shifted and
     * token-salted. Exposed for the spec that pins the bijection
