@@ -38,6 +38,11 @@ object SparkEntry {
   private val mdSplitSql: String =
     "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train' ELSE 'val' END"
 
+  /** q80's attribution window: 3 days in micros, shared with the
+    * oracle SQL. Binds at every SF (per-user click gaps average ~4-5
+    * days), so both the matched and the nulled-out paths are gated. */
+  private val AsofMaxGapUs = 259200000000L
+
   /** Operator-pipeline queries assembled here rather than in the per-
     * family query modules. All are hash-checked (oracle twin below) —
     * the rapidfuzz-style indel family included, via the list_reduce DP
@@ -429,7 +434,7 @@ object SparkEntry {
         .select(col("user_id"), col("ts_us"),
           col("event_id").as("click_id"), col("cents").as("click_cents"))
       AsofJoin.asofBackward(purch, clicks, Seq("user_id"), "ts_us",
-          Seq("click_id", "click_cents"), "m_")
+          Seq("click_id", "click_cents"), "m_", maxGap = Some(AsofMaxGapUs))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("cents"),
           // -1 sentinel: the hash harness can't represent null ints
@@ -984,7 +989,7 @@ object SparkEntry {
            GROUP BY 1 HAVING count(*) >= ${graft.queries.TextQueries.DecontamMinShared}
            ORDER BY doc_id""",
       "q80_asof_attribution" ->
-        """WITH e AS (
+        s"""WITH e AS (
              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
                CAST(floor(value * 100) AS BIGINT) AS cents
              FROM events),
@@ -995,8 +1000,10 @@ object SparkEntry {
                     arg_max(cents, event_id) AS click_cents
                   FROM e WHERE event_type = 'click' GROUP BY 1, 2)
            SELECT p.event_id, p.user_id, p.ts_us, p.cents,
-             coalesce(c0.click_id, -1) AS m_click_id,
-             coalesce(c0.click_cents, -1) AS m_click_cents
+             coalesce(CASE WHEN p.ts_us - c0.ts_us <= $AsofMaxGapUs
+               THEN c0.click_id END, -1) AS m_click_id,
+             coalesce(CASE WHEN p.ts_us - c0.ts_us <= $AsofMaxGapUs
+               THEN c0.click_cents END, -1) AS m_click_cents
            FROM p ASOF LEFT JOIN c0
              ON p.user_id = c0.user_id AND p.ts_us >= c0.ts_us
            ORDER BY p.event_id""",

@@ -42,19 +42,31 @@ object AsofJoin {
     * @param payloadCols right columns to attach
     * @param outPrefix   prefix for attached columns (null when no
     *                    right row is at-or-before the left row)
+    * @param maxGap      attribution window: a match additionally needs
+    *                    left.ts - right.ts <= maxGap (requires a
+    *                    numeric `tsCol`). The latest at-or-before row
+    *                    is the closest one, so if IT fails the gap no
+    *                    earlier row can pass — the backward scan stays
+    *                    correct, the stale match just nulls out.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame = {
+      outPrefix: String = "asof_", maxGap: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one join key is required")
     require(payloadCols.nonEmpty, "at least one payload column is required")
+    require(maxGap.forall(_ >= 0), s"maxGap=$maxGap must be >= 0")
+    require(!payloadCols.contains("__rts"), "__rts is reserved")
     val keyCols = keys.map(col)
     // null-ts right rows can never match; left null-ts rows need no
     // filter — ascending order sorts them before every right row, so
     // the carried payload is naturally null (ASOF LEFT semantics)
+    // __rts rides first in the payload struct (needed for the gap
+    // check); it is constant within a (keys, ts) group, so the
+    // lexicographic max still reduces by payload order
     val r1 = right.where(col(tsCol).isNotNull)
       .groupBy((keyCols :+ col(tsCol)): _*)
-      .agg(max(struct(payloadCols.map(col): _*)).as("__pay"))
+      .agg(max(struct(col(tsCol).as("__rts") +: payloadCols.map(col): _*))
+        .as("__pay"))
     val payType = r1.schema("__pay").dataType
     val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val l2 = left.select(keyCols ++ Seq(col(tsCol), lit(1).as("__side"),
@@ -66,10 +78,15 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val matched = l2.unionByName(r2)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__lrow.`$c`").as(c)) ++
-        payloadCols.map(c => col(s"__m.`$c`").as(s"$outPrefix$c")): _*)
+    val inWindow = maxGap match {
+      case Some(g) => col(tsCol) - col("__m.__rts") <= g
+      case None => col("__m").isNotNull
+    }
+    matched.select(left.columns.map(c => col(s"__lrow.`$c`").as(c)) ++
+      payloadCols.map(c =>
+        when(inWindow, col(s"__m.`$c`")).as(s"$outPrefix$c")): _*)
   }
 }

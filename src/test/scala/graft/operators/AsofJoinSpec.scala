@@ -48,6 +48,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 901L), (11L, -1L)))
   }
 
+  test("asofBackward maxGap nulls out stale matches, keeps fresh ones") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 95L, 900L)).toDF("k", "ts", "rid")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"),
+        maxGap = Some(10L))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // lid 10: gap 5 <= 10 matches; lid 11: gap 105 > 10 -> nulled
+    assert(got.toSeq == Seq((10L, 900L), (11L, -1L)))
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"),
+        maxGap = Some(-1L))
+    }
+  }
+
   test("asofBackward matches a naive recompute on a pseudo-random workload") {
     val left = (1L to 200L).map(i => (i % 7, i * 13 % 500, i)).toDF("k", "ts", "lid")
     val rightRows = (1L to 150L).map(i => (i % 5, i * 29 % 500, 1000L + i))
