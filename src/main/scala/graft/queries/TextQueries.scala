@@ -194,6 +194,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Quantile sketch gate: exact DISCRETE p50/p90/p99 of n_chars per
+    // lang from ONE histogram pass (the q57 selection generalized to
+    // rank ceil(p*n), all-integer arithmetic), plus percentile_approx
+    // — the at-scale sketch — gated the q43 way: the sketch value's
+    // rank interval must overlap [rank±2n/accuracy]; the oracle emits
+    // literal TRUE, so an out-of-bound sketch hash-fails. Raw sketch
+    // values are NOT emitted (GK merge order is engine/run-specific);
+    // the bound is the portable surface.
+    "q81_quantile_sketch" -> ((s, dir) => {
+      val d = docsSpread(s, dir).select(col("lang"), col("n_chars"))
+      val h = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = h.withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      // ceil(p*n) = (n*num + den-1) div den — integer-exact both engines
+      def rk(num: Int, den: Int) =
+        expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)")
+      val ps = Seq((500L, 1, 2), (900L, 9, 10), (990L, 99, 100))
+      val exAggs = ps.map { case (pm, num, den) =>
+        min(when(col("cum") >= rk(num, den), col("n_chars"))).as(s"e$pm")
+      }
+      val ex = r.groupBy("lang").agg(exAggs.head, exAggs.tail: _*)
+      val exactRows = ps.map { case (pm, _, _) =>
+        ex.select(col("lang"), lit(pm).as("p_mills"),
+          col(s"e$pm").as("exact_val"))
+      }.reduce(_ unionByName _)
+      val apAggs = ps.map { case (pm, num, den) =>
+        percentile_approx(col("n_chars"), lit(num.toDouble / den),
+          lit(100)).as(s"a$pm")
+      } :+ count(lit(1)).as("n")
+      val ap = d.groupBy("lang").agg(apAggs.head, apAggs.tail: _*)
+      val apRows = ps.map { case (pm, num, den) =>
+        ap.select(col("lang"), lit(pm).as("p_mills"), col(s"a$pm").as("av"),
+          rk(num, den).as("rk"),
+          expr("CAST(2 * n DIV 100 + 1 AS BIGINT)").as("max_err"))
+      }.reduce(_ unionByName _)
+      // a sketch value's true rank interval is (cum-cnt, cum]
+      exactRows.join(
+          apRows.join(r.select(col("lang"), col("n_chars").as("av"),
+              col("cum"), col("cnt")), Seq("lang", "av"))
+            .select(col("lang"), col("p_mills"),
+              (col("cum") - col("cnt") < col("rk") + col("max_err") &&
+                col("cum") >= col("rk") - col("max_err"))
+                .as("sketch_in_bound")),
+          Seq("lang", "p_mills"))
+        .orderBy("lang", "p_mills")
+    }),
+
     // BM25 (rational-idf) keyword retrieval: top-10 docs per query over
     // the document corpus — the lexical twin of the ANN top-k family.
     "q79_bm25_topk" -> ((s, dir) => {
@@ -483,6 +532,26 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q81_quantile_sketch" -> {
+      val per = Seq((500, 1, 2), (900, 9, 10), (990, 99, 100)).map {
+        case (pm, num, den) =>
+          s"""SELECT lang, CAST($pm AS BIGINT) AS p_mills,
+             CAST(min(CASE WHEN cum >= (n * $num + ${den - 1}) // $den
+               THEN n_chars END) AS BIGINT) AS exact_val,
+             TRUE AS sketch_in_bound
+             FROM r GROUP BY lang"""
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (
+           SELECT lang, n_chars, count(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+         r AS (
+           SELECT lang, n_chars, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+           FROM h)
+         $per ORDER BY lang, p_mills"""
+    },
     "q79_bm25_topk" -> {
       // constants via Double.toString: the shortest round-trip repr
       // parses back to the IDENTICAL double under DuckDB's correctly-

@@ -14,6 +14,26 @@ class MiscSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("q81 exact discrete percentiles match a naive sort; sketch in bound") {
+    val dir = graft.SparkTestSession.sfDir
+    val out = graft.SparkEntry.queries("q81_quantile_sketch")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val byLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sorted.toIndexedSeq }
+    assert(out.size == byLang.size * 3)
+    for ((lang, vals) <- byLang;
+         (pm, num, den) <- Seq((500L, 1, 2), (900L, 9, 10), (990L, 99, 100))) {
+      val rank = (vals.size.toLong * num + den - 1) / den // ceil(p*n), 1-based
+      val (exactVal, inBound) = out((lang, pm))
+      assert(exactVal == vals((rank - 1).toInt), s"$lang p$pm")
+      assert(inBound, s"$lang p$pm sketch out of bound")
+    }
+  }
+
   test("stateful sessionization emits gap-closed sessions (event-time state)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
