@@ -60,13 +60,16 @@ object AsofJoin {
     // null-ts right rows can never match; left null-ts rows need no
     // filter — ascending order sorts them before every right row, so
     // the carried payload is naturally null (ASOF LEFT semantics)
-    // __rts rides first in the payload struct (needed for the gap
-    // check); it is constant within a (keys, ts) group, so the
+    // __rts (the right ts, read by the gap check) rides first in the
+    // payload struct only when maxGap is set, so the None path shuffles
+    // no extra bytes; it is constant within a (keys, ts) group, so the
     // lexicographic max still reduces by payload order
+    val payFields =
+      if (maxGap.isDefined) col(tsCol).as("__rts") +: payloadCols.map(col)
+      else payloadCols.map(col)
     val r1 = right.where(col(tsCol).isNotNull)
       .groupBy((keyCols :+ col(tsCol)): _*)
-      .agg(max(struct(col(tsCol).as("__rts") +: payloadCols.map(col): _*))
-        .as("__pay"))
+      .agg(max(struct(payFields: _*)).as("__pay"))
     val payType = r1.schema("__pay").dataType
     val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val l2 = left.select(keyCols ++ Seq(col(tsCol), lit(1).as("__side"),

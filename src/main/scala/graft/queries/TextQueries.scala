@@ -61,6 +61,15 @@ object TextQueries {
     * oracle SQL; edit HERE. */
   private[graft] val DecontamMinShared = 5
 
+  /** q81's percentile spec as (p-mills, numerator, denominator) with
+    * p = num/den, plus the percentile_approx accuracy (rank error
+    * <= n/accuracy; the gate allows 2n/accuracy + 1) — interpolated
+    * into the Spark query, the oracle SQL, and MiscSpec's naive
+    * recompute; edit HERE. */
+  private[graft] val QuantilePercentiles =
+    Seq((500, 1, 2), (900, 9, 10), (990, 99, 100))
+  private[graft] val QuantileSketchAccuracy = 100
+
   /** q78's Bloom geometry: 2²⁰ bits holds the sf0.1 val corpus's
     * ~200k distinct bigrams at ~5 bits/elem (k=3 → ~9% FPP — the
     * prefilter stays selective), and the 128 KiB bitset literal is
@@ -212,7 +221,9 @@ object TextQueries {
       // ceil(p*n) = (n*num + den-1) div den — integer-exact both engines
       def rk(num: Int, den: Int) =
         expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)")
-      val ps = Seq((500L, 1, 2), (900L, 9, 10), (990L, 99, 100))
+      val ps = QuantilePercentiles.map { case (pm, num, den) =>
+        (pm.toLong, num, den)
+      }
       val exAggs = ps.map { case (pm, num, den) =>
         min(when(col("cum") >= rk(num, den), col("n_chars"))).as(s"e$pm")
       }
@@ -223,13 +234,14 @@ object TextQueries {
       }.reduce(_ unionByName _)
       val apAggs = ps.map { case (pm, num, den) =>
         percentile_approx(col("n_chars"), lit(num.toDouble / den),
-          lit(100)).as(s"a$pm")
+          lit(QuantileSketchAccuracy)).as(s"a$pm")
       } :+ count(lit(1)).as("n")
       val ap = d.groupBy("lang").agg(apAggs.head, apAggs.tail: _*)
       val apRows = ps.map { case (pm, num, den) =>
         ap.select(col("lang"), lit(pm).as("p_mills"), col(s"a$pm").as("av"),
           rk(num, den).as("rk"),
-          expr("CAST(2 * n DIV 100 + 1 AS BIGINT)").as("max_err"))
+          expr(s"CAST(2 * n DIV $QuantileSketchAccuracy + 1 AS BIGINT)")
+            .as("max_err"))
       }.reduce(_ unionByName _)
       // a sketch value's true rank interval is (cum-cnt, cum]
       exactRows.join(
@@ -533,7 +545,7 @@ object TextQueries {
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_id""",
     "q81_quantile_sketch" -> {
-      val per = Seq((500, 1, 2), (900, 9, 10), (990, 99, 100)).map {
+      val per = QuantilePercentiles.map {
         case (pm, num, den) =>
           s"""SELECT lang, CAST($pm AS BIGINT) AS p_mills,
              CAST(min(CASE WHEN cum >= (n * $num + ${den - 1}) // $den

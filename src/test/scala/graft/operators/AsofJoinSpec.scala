@@ -81,4 +81,27 @@ class AsofJoinSpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  test("asofBackward maxGap matches a naive recompute on the same workload") {
+    val gap = 37L
+    val left = (1L to 200L).map(i => (i % 7, i * 13 % 500, i)).toDF("k", "ts", "lid")
+    val rightRows = (1L to 150L).map(i => (i % 5, i * 29 % 500, 1000L + i))
+    val right = rightRows.toDF("k", "ts", "rid")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rid"),
+        maxGap = Some(gap))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val want = (1L to 200L).map { i =>
+      val (k, ts) = (i % 7, i * 13 % 500)
+      // the backward match is unchanged; the gap gate only nulls it
+      val cand = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      if (cand.isEmpty) (i, -1L)
+      else {
+        val best = cand.map(_._2).max
+        if (ts - best > gap) (i, -1L)
+        else (i, cand.filter(_._2 == best).map(_._3).max)
+      }
+    }
+    assert(got == want)
+  }
 }

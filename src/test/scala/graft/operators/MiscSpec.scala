@@ -26,7 +26,8 @@ class MiscSpec extends AnyFunSuite {
       .map { case (l, xs) => l -> xs.map(_._2).sorted.toIndexedSeq }
     assert(out.size == byLang.size * 3)
     for ((lang, vals) <- byLang;
-         (pm, num, den) <- Seq((500L, 1, 2), (900L, 9, 10), (990L, 99, 100))) {
+         (p, num, den) <- graft.queries.TextQueries.QuantilePercentiles) {
+      val pm = p.toLong
       val rank = (vals.size.toLong * num + den - 1) / den // ceil(p*n), 1-based
       val (exactVal, inBound) = out((lang, pm))
       assert(exactVal == vals((rank - 1).toInt), s"$lang p$pm")
