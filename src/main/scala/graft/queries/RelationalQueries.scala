@@ -351,6 +351,21 @@ object RelationalQueries {
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_suppliers"))
+    }),
+
+    // SCD2 history build: each user's event_type change log collapsed
+    // into validity-interval versions (Scd2.buildHistory — one shuffle
+    // on user_id; lag/collapse/lead all reuse it). valid_* as exact
+    // epoch micros; nullable valid_to coalesced to the -1 sentinel.
+    "q82_scd2_history" -> ((s, dir) => {
+      graft.operators.Scd2.buildHistory(t(s, dir, "events"),
+          keys = Seq("user_id"), attrs = Seq("event_type"),
+          tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("version_no"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          coalesce(unix_micros(col("valid_to")), lit(-1L)).as("to_us"),
+          col("is_current"), col("n_rows"))
+        .orderBy("user_id", "version_no")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -559,5 +574,35 @@ object RelationalQueries {
       """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_suppliers
-         FROM lineitem""")
+         FROM lineitem""",
+    // DuckDB reads events.ts at MICRO precision, so epoch_us(ts) is the
+    // exact twin of Spark's `ts div 1000` (Tables) + unix_micros.
+    // change = IS DISTINCT FROM (null-safe, like Spark's <=> negation);
+    // valid_to is ordered by version_no so same-ts boundaries stay
+    // deterministic; grouping by event_type directly is safe because
+    // the attribute is constant within a version.
+    "q82_scd2_history" ->
+      """WITH g AS (
+           SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+               THEN 1 ELSE 0 END AS chg
+           FROM events),
+         v AS (
+           SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS ver
+           FROM g),
+         c AS (
+           SELECT user_id, CAST(ver AS BIGINT) AS version_no, event_type,
+             min(ts) AS vf, count(*) AS n_rows
+           FROM v GROUP BY 1, 2, 3)
+         SELECT user_id, version_no, event_type,
+           epoch_us(vf) AS from_us,
+           coalesce(epoch_us(lead(vf) OVER
+             (PARTITION BY user_id ORDER BY version_no)), -1) AS to_us,
+           lead(vf) OVER (PARTITION BY user_id ORDER BY version_no)
+             IS NULL AS is_current,
+           n_rows
+         FROM c ORDER BY user_id, version_no""")
 }

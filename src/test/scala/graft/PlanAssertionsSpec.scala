@@ -158,6 +158,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q82: the SCD2 build reuses ONE key exchange across lag, collapse, and lead") {
+    // buildHistory's promise: the change-detection window, the
+    // per-version collapse (clustering on keys :+ __ver is satisfied by
+    // the keys partitioning), and the valid_to lead window all share the
+    // single hash exchange on the dimension keys
+    val e = graft.Tables(spark, dir, "events")
+    val df = graft.operators.Scd2.buildHistory(e, Seq("user_id"),
+      Seq("event_type"), "ts", Seq("event_id"))
+    val p = df.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one hash exchange, got $n:\n" + p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a
