@@ -143,6 +143,22 @@ object TextQueries {
     * (cnt DESC, tok) tie-break is oracle-exercised at every SF. */
   private[graft] val VocabTopK = 20
 
+  /** q83's Space-Saving budget (counters per partition). 32 sits just
+    * above the fixture's 31-token vocabulary, so the provability bound
+    * cnt_k > N/32 binds TIGHT (~5% margin at every SF — the near-uniform
+    * fixture frequencies put cnt_20 ≈ N/30.5) while still passing;
+    * eviction itself is exercised by HeavyHittersSpec's skewed stream,
+    * where distinct items exceed the budget. Edit HERE. */
+  private[graft] val HhCounters = 32
+
+  /** DuckDB token-MULTISET subquery (one row per token occurrence) —
+    * the parity twin of `explode(TextFunctions.tokens(lower(text)))`,
+    * shared by the q75 and q83 oracles. */
+  private[graft] val sqlTokRows: String =
+    s"""(SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents)"""
+
   /** DuckDB twin of `TextFunctions.qualityScoreMills`, over the alias
     * triple (len, alpha, toks) — THE shared parity contract for every
     * quality-scored oracle (q31, q74): interpolate this, never
@@ -486,13 +502,33 @@ object TextQueries {
     // shuffle + a partial top-k (plans as TakeOrderedAndProject: each
     // partition ships only its K best rows — the 100 TB shape; a global
     // sort here would be the classic vocab-building bottleneck).
+    // Exact top-k vocabulary via the two-pass heavy-hitter path — the
+    // same rows as q75's full groupBy, but candidates come from bounded
+    // per-partition Space-Saving summaries and only THEY are recounted
+    // (no full-cardinality shuffle); the provably_exact flag
+    // (cnt_k > N/m) is pinned TRUE by the oracle, so an undersized
+    // budget fails loud.
+    "q83_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.HeavyHitters
+        .topKExact(tokStream(s, dir).as[String], VocabTopK, HhCounters)
+        .withColumnRenamed("item", "tok")
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     "q75_vocab_topk" -> ((s, dir) =>
-      docsSpread(s, dir)
-        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-        .where(col("tok") =!= "")
+      tokStream(s, dir)
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
         .limit(VocabTopK)))
+
+  /** The corpus token MULTISET (one `tok` row per occurrence, empties
+    * dropped) — the Spark side of the `sqlTokRows` parity contract,
+    * shared by q75 and q83. Edit both together or neither. */
+  private def tokStream(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
 
   /** DuckDB twin of the canonical token set — the single shared parity
     * contract with `TextHash.tokensOf`; every oracle over token sets
@@ -684,9 +720,15 @@ object TextQueries {
       // deterministic despite the LIMIT: the tie-break (cnt DESC, tok)
       // is a total order because tok is unique after the group-by
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-         FROM (SELECT unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
-           FROM documents)
+         FROM $sqlTokRows
+         WHERE tok <> ''
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
+    "q83_heavy_hitters" ->
+      // the semantic definition is q75's exact top-k; the pinned-TRUE
+      // flag makes an unprovable (or broken) two-pass run hash-fail
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+         TRUE AS provably_exact
+         FROM $sqlTokRows
          WHERE tok <> ''
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
     "q74_budget_select" ->

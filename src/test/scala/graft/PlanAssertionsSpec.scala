@@ -171,6 +171,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(n == 1, s"expected one hash exchange, got $n:\n" + p.take(2000))
   }
 
+  test("q83: recount joins broadcast candidates; top-k is a partial TakeOrdered") {
+    // topKExact's promise: pass B touches only candidate rows via a
+    // broadcast equi-join (the corpus side never shuffles for the
+    // filter) and the k-cut is TakeOrderedAndProject, not a global sort
+    val p = plan("q83_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a
