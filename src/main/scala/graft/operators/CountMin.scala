@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications", J. Algorithms
+  * 2005) as a fully declarative DataFrame pipeline — the mergeable
+  * frequency-sketch complement to [[HeavyHitters]]: where topKExact
+  * answers "which items are frequent", the CMS answers "how frequent is
+  * THIS item" for any later probe, from `depth × width` counters
+  * regardless of corpus size.
+  *
+  * Scale shape (the reason this is a table, not a driver-side array):
+  *  - building = ONE counting shuffle whose key space is at most
+  *    `depth × width` (map-side partial agg crushes the exploded rows
+  *    long before the exchange);
+  *  - the sketch is ADDITIVE — sketches of disjoint corpus slices merge
+  *    by `groupBy(row, bucket).sum(cnt)`, so at 100 TB each executor
+  *    region builds its own and a tiny final agg combines them (that is
+  *    literally what the partial/final hash aggregate already does);
+  *  - probing broadcasts the sketch (≤ depth×width rows), never the
+  *    corpus: estimates for a billion probe rows stay embarrassingly
+  *    parallel.
+  *
+  * Determinism: buckets come from the repo's cross-engine hash contract
+  * (md5 of the item salted with `#cms<row>`, first 15 hex chars parsed
+  * as a 60-bit integer, mod width — reproducible bit-for-bit in DuckDB
+  * via `CAST('0x'||substr(md5(..)) AS BIGINT)`), so the sketch and every
+  * estimate hash-compare across engines. The structural guarantee
+  * `estimate >= true count` (counters only ever overcount) is exposed
+  * by callers as a pinnable flag.
+  */
+object CountMin {
+
+  /** Bucket of `item` in sketch row `row` — the shared hash contract;
+    * the DuckDB twin is [[graft.queries.TextQueries.sqlCmsBucket]]. */
+  def bucket(item: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(item, lit(s"#cms$row"))), 1, 15), 16, 10)
+      .cast("long") % width
+
+  private def rowBuckets(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r => bucket(item, r, width)): _*)
+
+  /** Builds the sketch table `(row int, bucket long, cnt long)` from an
+    * item stream (one input row per occurrence). At most depth × width
+    * output rows; absent (row, bucket) pairs mean zero. */
+  def sketch(items: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth=$depth must be >= 1")
+    require(width >= 1, s"width=$width must be >= 1")
+    items
+      .select(posexplode(rowBuckets(col(itemCol), depth, width)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for `probes(itemCol)`: min over the sketch
+    * rows of the probe's bucket counts (missing bucket = 0). The sketch
+    * side broadcasts; `depth`/`width` MUST match the build call (the
+    * hash contract has no way to detect a mismatch — estimates would
+    * silently read wrong buckets). */
+  def estimate(sketchDf: DataFrame, probes: DataFrame, itemCol: String,
+               depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth=$depth must be >= 1")
+    require(width >= 1, s"width=$width must be >= 1")
+    val probeCols = probes.columns
+    require(probeCols.contains(itemCol), s"probes has no column '$itemCol'")
+    Seq("row", "bucket", "cms_est", "__cms_cnt").foreach(r =>
+      require(!probeCols.contains(r), s"probe column '$r' is reserved"))
+    // the sketch's count gets an internal alias so a probe-side `cnt`
+    // (the natural name for an exact-count column) never collides
+    val sk = sketchDf.select(
+      col("row"), col("bucket"), col("cnt").as("__cms_cnt"))
+    probes
+      .select(probeCols.map(col) :+
+        posexplode(rowBuckets(col(itemCol), depth, width)).as(Seq("row", "bucket")): _*)
+      .join(broadcast(sk), Seq("row", "bucket"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -153,11 +153,23 @@ object TextQueries {
 
   /** DuckDB token-MULTISET subquery (one row per token occurrence) —
     * the parity twin of `explode(TextFunctions.tokens(lower(text)))`,
-    * shared by the q75 and q83 oracles. */
+    * shared by the q75, q83 and q84 oracles. */
   private[graft] val sqlTokRows: String =
     s"""(SELECT unnest(string_split(
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
            FROM documents)"""
+
+  /** q84's Count-Min geometry. Width 512 over the fixture's ~31-token
+    * vocab keeps collisions possible-but-rare (the estimates are gated
+    * bit-for-bit either way); depth 4 is the textbook δ=e⁻⁴ row count. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 512
+
+  /** DuckDB twin of `CountMin.bucket` — THE shared hash contract:
+    * md5(item || '#cms' || row), first 15 hex chars as a 60-bit int,
+    * mod width. `row` is a SQL expression (column or literal). */
+  private[graft] def sqlCmsBucket(tokExpr: String, rowExpr: String): String =
+    s"CAST(('0x' || substr(md5($tokExpr || '#cms' || CAST($rowExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsWidth"
 
   /** DuckDB twin of `TextFunctions.qualityScoreMills`, over the alias
     * triple (len, alpha, toks) — THE shared parity contract for every
@@ -516,19 +528,39 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
-    "q75_vocab_topk" -> ((s, dir) =>
-      tokStream(s, dir)
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    "q75_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)),
+
+    // Count-Min sketch point queries: build the depth×width sketch in
+    // one bounded-key-space counting shuffle, then estimate the exact
+    // top-K tokens' counts from the BROADCAST sketch. Both the sketch
+    // and the estimates are bit-deterministic (shared md5 bucket
+    // contract), so the oracle recomputes them exactly; over_ok pins
+    // the structural estimate>=exact guarantee.
+    "q84_cms_counts" -> ((s, dir) => {
+      val sk = graft.operators.CountMin.sketch(
+        tokStream(s, dir), "tok", CmsDepth, CmsWidth)
+      graft.operators.CountMin
+        .estimate(sk, vocabTopK(s, dir), "tok", CmsDepth, CmsWidth)
+        .withColumn("over_ok", col("cms_est") >= col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
-        .limit(VocabTopK)))
+    }))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
-    * shared by q75 and q83. Edit both together or neither. */
+    * shared by q75, q83 and q84. Edit both together or neither. */
   private def tokStream(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir)
       .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
       .where(col("tok") =!= "")
+
+  /** The exact top-K vocabulary (tie-break cnt DESC, tok ASC) — q75's
+    * result AND q84's probe set; one definition so the two can never
+    * drift. */
+  private def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    tokStream(s, dir)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(VocabTopK)
 
   /** DuckDB twin of the canonical token set — the single shared parity
     * contract with `TextHash.tokensOf`; every oracle over token sets
@@ -731,6 +763,29 @@ object TextQueries {
          FROM $sqlTokRows
          WHERE tok <> ''
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
+    "q84_cms_counts" ->
+      // full bit-for-bit recompute of the sketch AND the estimates via
+      // the shared sqlCmsBucket hash contract — an engine-side bucket
+      // drift, count drift, or min-row mistake all hash-fail; over_ok
+      // additionally pins the structural overcount guarantee
+      s"""WITH tokrows AS (SELECT tok FROM $sqlTokRows WHERE tok <> ''),
+         rows_d AS (SELECT CAST(unnest(range($CmsDepth)) AS INT) AS r),
+         sk AS (
+           SELECT r, ${sqlCmsBucket("tok", "r")} AS bucket,
+             CAST(count(*) AS BIGINT) AS bcnt
+           FROM tokrows, rows_d GROUP BY 1, 2),
+         exact AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tokrows GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK),
+         probes AS (
+           SELECT e.tok, e.cnt, r, ${sqlCmsBucket("e.tok", "r")} AS bucket
+           FROM exact e, rows_d)
+         SELECT p.tok, p.cnt,
+           min(coalesce(sk.bcnt, 0)) AS cms_est,
+           min(coalesce(sk.bcnt, 0)) >= p.cnt AS over_ok
+         FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+         GROUP BY p.tok, p.cnt
+         ORDER BY p.cnt DESC, p.tok""",
     "q74_budget_select" ->
       // naive per-stratum ordered window — the semantic definition the
       // engine's two-phase histogram design must reproduce row-for-row.

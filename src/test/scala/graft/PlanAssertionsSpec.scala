@@ -181,6 +181,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q84: estimates read a broadcast sketch, never shuffle the probes") {
+    // CountMin.estimate's promise: the depth×width sketch is the side
+    // that moves (broadcast), so probing scales with the probe set;
+    // nothing in the sketch/estimate pipeline may degenerate to a
+    // cartesian
+    val p = plan("q84_cms_counts")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-Min sketch: bit-for-bit parity of buckets and estimates
+  * against a driver-side recompute of the md5 hash contract, the
+  * structural overcount guarantee, sketch additivity (the 100 TB merge
+  * story), and the degenerate-geometry edges.
+  */
+class CountMinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Depth = 4
+  private val Width = 64
+
+  /** The hash contract, recomputed independently of Spark. */
+  private def refBucket(item: String, row: Int, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$item#cms$row".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % width
+  }
+
+  private def refEstimate(corpus: Seq[String], probe: String,
+                          depth: Int, width: Int): Long =
+    (0 until depth).map { r =>
+      val b = refBucket(probe, r, width)
+      corpus.count(t => refBucket(t, r, width) == b).toLong
+    }.min
+
+  private val corpus: Seq[String] =
+    (1 to 50).flatMap(i => Seq.fill(100 / i)(s"w$i"))
+
+  test("estimates match a driver-side recompute bit-for-bit") {
+    val items = spark.createDataset(corpus).toDF("tok").repartition(8)
+    val sk = CountMin.sketch(items, "tok", Depth, Width)
+    val probes = corpus.distinct.sorted.toDF("tok")
+    val got = CountMin.estimate(sk, probes, "tok", Depth, Width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == corpus.distinct.size)
+    corpus.distinct.foreach { t =>
+      assert(got(t) == refEstimate(corpus, t, Depth, Width),
+        s"estimate drift for $t")
+    }
+  }
+
+  test("estimate >= true count for every item, always") {
+    val items = spark.createDataset(corpus).toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, Width)
+    val exact = corpus.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val got = CountMin.estimate(sk, exact.keys.toSeq.toDF("tok"), "tok", Depth, Width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) => assert(got(t) >= c, s"undercount for $t") }
+  }
+
+  test("sketches are additive: union's sketch == summed slice sketches") {
+    val (a, b) = corpus.splitAt(corpus.size / 3)
+    def skOf(xs: Seq[String]) =
+      CountMin.sketch(spark.createDataset(xs).toDF("tok"), "tok", Depth, Width)
+    val merged = skOf(a).unionByName(skOf(b))
+      .groupBy("row", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = skOf(corpus)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("width 1 collapses every estimate to N; unseen probes included") {
+    val items = spark.createDataset(corpus).toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, 1)
+    val got = CountMin.estimate(sk, Seq("w1", "never-seen").toDF("tok"), "tok", Depth, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("w1") == corpus.size.toLong)
+    assert(got("never-seen") == corpus.size.toLong)
+  }
+
+  test("guards: geometry, reserved probe columns, missing item column") {
+    val items = Seq("a").toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, Width)
+    intercept[IllegalArgumentException] { CountMin.sketch(items, "tok", 0, 8) }
+    intercept[IllegalArgumentException] { CountMin.sketch(items, "tok", 2, 0) }
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, Seq(("a", 1L)).toDF("tok", "bucket"), "tok", Depth, Width)
+    }
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, Seq(("a", 1L)).toDF("tok", "__cms_cnt"), "tok", Depth, Width)
+    }
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, Seq("a").toDF("other"), "tok", Depth, Width)
+    }
+  }
+}
