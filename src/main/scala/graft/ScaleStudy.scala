@@ -56,11 +56,16 @@ object ScaleStudy {
     * bijection grows the vocab 10× past the counter budget, so
     * provably_exact flips false there (the honest answer; q83's oracle
     * pins the provable regime at the real SFs) — while the scan/
-    * recount cost being measured is unaffected by the flag. */
+    * recount cost being measured is unaffected by the flag.
+    * q84 (Count-Min) also scans the corpus twice — sketch build plus
+    * the exact top-K probe agg — but both shuffles have bounded key
+    * spaces (depth×width buckets; vocab capped by the probe LIMIT), so
+    * its exponent isolates pure scan/explode growth. */
   val HeavyQueries: Seq[String] = Seq(
     "q36_jaccard_pairs", "q48_simhash_neardup",
     "q53_dedup_components", "q65_repetition_stats",
-    "q78_bloom_decontam", "q79_bm25_topk", "q83_heavy_hitters")
+    "q78_bloom_decontam", "q79_bm25_topk", "q83_heavy_hitters",
+    "q84_cms_counts")
 
   /** One replica of `documents`: identity for k = 0, else id-shifted and
     * token-salted. Exposed for the spec that pins the bijection
