@@ -54,9 +54,12 @@ object CountMin {
   }
 
   /** Point-query estimates for `probes(itemCol)`: min over the sketch
-    * rows of the probe's bucket counts (missing bucket = 0). The sketch
-    * side broadcasts; `depth`/`width` MUST match the build call (the
-    * hash contract has no way to detect a mismatch — estimates would
+    * rows of the probe's bucket counts (missing bucket = 0). Output is
+    * ROW-PRESERVING — one result row per probe row, duplicates
+    * included (an internal per-row id keeps identical probe rows
+    * apart through the depth-explode/re-group). The sketch side
+    * broadcasts; `depth`/`width` MUST match the build call (the hash
+    * contract has no way to detect a mismatch — estimates would
     * silently read wrong buckets). */
   def estimate(sketchDf: DataFrame, probes: DataFrame, itemCol: String,
                depth: Int, width: Int): DataFrame = {
@@ -64,17 +67,21 @@ object CountMin {
     require(width >= 1, s"width=$width must be >= 1")
     val probeCols = probes.columns
     require(probeCols.contains(itemCol), s"probes has no column '$itemCol'")
-    Seq("row", "bucket", "cms_est", "__cms_cnt").foreach(r =>
+    Seq("row", "bucket", "cms_est", "__cms_cnt", "__cms_pid").foreach(r =>
       require(!probeCols.contains(r), s"probe column '$r' is reserved"))
     // the sketch's count gets an internal alias so a probe-side `cnt`
     // (the natural name for an exact-count column) never collides
     val sk = sketchDf.select(
       col("row"), col("bucket"), col("cnt").as("__cms_cnt"))
     probes
-      .select(probeCols.map(col) :+
+      // per-probe-row id: grouping by the probe columns alone would
+      // silently collapse duplicate probe rows into one estimate
+      .withColumn("__cms_pid", monotonically_increasing_id())
+      .select((col("__cms_pid") +: probeCols.map(col)) :+
         posexplode(rowBuckets(col(itemCol), depth, width)).as(Seq("row", "bucket")): _*)
       .join(broadcast(sk), Seq("row", "bucket"), "left")
-      .groupBy(probeCols.map(col): _*)
+      .groupBy((col("__cms_pid") +: probeCols.map(col)): _*)
       .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
+      .drop("__cms_pid")
   }
 }

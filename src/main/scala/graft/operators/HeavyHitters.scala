@@ -89,10 +89,14 @@ object HeavyHitters {
       ss.keys.map(t => (t, 0L)) ++ Iterator(("", ss.n))
     }.toDF("item", "part_n")
       // cut lineage so summaries (feeding both N and the candidate
-      // join) run pass A's corpus scan once, not twice; LAZY so merely
-      // constructing the plan (e.g. for .explain) runs no job — the
-      // first broadcast-subquery job materializes it
-      .localCheckpoint(false)
+      // join) run pass A's corpus scan ONCE — EAGER, because the two
+      // broadcast subqueries downstream materialize on independent
+      // threads and a lazy checkpoint only caches partitions as the
+      // first job completes them, so concurrent jobs could each rerun
+      // the full scan. The checkpointed blocks are tiny (at most
+      // (m+1) x partitions rows) and are freed by the context cleaner
+      // once the returned plan is dropped
+      .localCheckpoint(true)
     val total = summaries.agg(sum(col("part_n")).as("n_items"))
     val candidates = summaries.where(col("part_n") === 0L)
       .select(col("item")).distinct()

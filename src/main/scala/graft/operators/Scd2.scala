@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * attributes into versions, each with `valid_from` (first row's ts),
   * `valid_to` (the NEXT version's `valid_from`; null while current —
   * half-open intervals), `version_no` (1-based), `n_rows` (rows
-  * collapsed), and `is_current`. The warehouse twin of the reference's
+  * collapsed), and `is_current` (structurally the key's LAST version —
+  * null `tsCol` values sort first and can make an interior version's
+  * `valid_from`/the predecessor's `valid_to` null, so nullness of
+  * `valid_to` is not what marks currency). The warehouse twin of the reference's
   * upsert MERGE sink (app/etl.py snapshot reconcile): MERGE keeps the
   * latest state, SCD2 keeps every state with its validity interval.
   *
@@ -52,10 +55,13 @@ object Scd2 {
     val changed = attrs
       .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
       .reduce(_ || _)
-    // first row per key: every lag is null -> <=> is false -> changed,
-    // so the running sum of __chg is a 1-based version number
+    // the first row per key must open version 1 unconditionally: when
+    // its attrs are all null, null <=> lag(=null) is TRUE and the
+    // change predicate alone would leave it versionless (a 0-based
+    // history) — detect it structurally, not through the attrs
+    val firstRow = lag(lit(1), 1).over(w).isNull
     val versioned = df
-      .withColumn("__chg", when(changed, 1L).otherwise(0L))
+      .withColumn("__chg", when(firstRow || changed, 1L).otherwise(0L))
       .withColumn("__ver", sum(col("__chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // attrs are constant within a version (change is null-safe), so
@@ -67,10 +73,16 @@ object Scd2 {
         (attrs.map(a => min(col(a)).as(a)) :+
           count(lit(1)).as("n_rows")): _*)
     val wv = Window.partitionBy(keyCols: _*).orderBy(col("__ver").asc)
+    // is_current is STRUCTURAL (the key's last version), not
+    // valid_to.isNull: a null tsCol makes the next version's
+    // valid_from — and so this version's valid_to — null without this
+    // being the current version, and two "current" versions per key
+    // would break the SCD2 invariant
     collapsed
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", lead(lit(1), 1).over(wv).isNull)
       .select((keyCols :+ col("__ver").as("version_no")) ++
         attrs.map(col) ++ Seq(col("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"), col("n_rows")): _*)
+          col("is_current"), col("n_rows")): _*)
   }
 }

@@ -577,14 +577,20 @@ object RelationalQueries {
          FROM lineitem""",
     // DuckDB reads events.ts at MICRO precision, so epoch_us(ts) is the
     // exact twin of Spark's `ts div 1000` (Tables) + unix_micros.
-    // change = IS DISTINCT FROM (null-safe, like Spark's <=> negation);
+    // change = IS DISTINCT FROM (null-safe, like Spark's <=> negation)
+    // OR first-row-of-key (lag(1) IS NULL — a first row with a null
+    // attribute must still open version 1, matching Scd2.buildHistory);
     // valid_to is ordered by version_no so same-ts boundaries stay
     // deterministic; grouping by event_type directly is safe because
-    // the attribute is constant within a version.
+    // the attribute is constant within a version; is_current is the
+    // structural last version (lead(1) IS NULL), not valid_to IS NULL,
+    // matching the operator's null-ts contract.
     "q82_scd2_history" ->
       """WITH g AS (
            SELECT user_id, event_type, ts, event_id,
-             CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+             CASE WHEN lag(1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id)
                THEN 1 ELSE 0 END AS chg
            FROM events),
@@ -601,7 +607,7 @@ object RelationalQueries {
            epoch_us(vf) AS from_us,
            coalesce(epoch_us(lead(vf) OVER
              (PARTITION BY user_id ORDER BY version_no)), -1) AS to_us,
-           lead(vf) OVER (PARTITION BY user_id ORDER BY version_no)
+           lead(1) OVER (PARTITION BY user_id ORDER BY version_no)
              IS NULL AS is_current,
            n_rows
          FROM c ORDER BY user_id, version_no""")

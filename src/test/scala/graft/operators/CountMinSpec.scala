@@ -76,6 +76,17 @@ class CountMinSpec extends AnyFunSuite {
     assert(got("never-seen") == corpus.size.toLong)
   }
 
+  test("estimate is row-preserving: duplicate probe rows each get a row") {
+    val items = spark.createDataset(corpus).toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, Width)
+    val probes = Seq("w1", "w1", "w2").toDF("tok")
+    val got = CountMin.estimate(sk, probes, "tok", Depth, Width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(got.size == 3)
+    assert(got.count(_._1 == "w1") == 2)
+    assert(got.filter(_._1 == "w1").map(_._2).distinct.size == 1)
+  }
+
   test("guards: geometry, reserved probe columns, missing item column") {
     val items = Seq("a").toDF("tok")
     val sk = CountMin.sketch(items, "tok", Depth, Width)

@@ -43,6 +43,33 @@ class Scd2Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", 10L, 10L, false), (2L, "b", 10L, -1L, true)))
   }
 
+  test("a first row with all-null attrs still opens version 1") {
+    // null <=> lag(=null) is TRUE, so attr-change detection alone
+    // would leave the first row versionless (0-based history) — the
+    // structural first-row term must open the version
+    val log = Seq((1L, 10L, 1L, None: Option[String]),
+      (1L, 20L, 2L, Some("a"))).toDF("k", "ts", "id", "attr")
+    val got = Scd2.buildHistory(log, Seq("k"), Seq("attr"), "ts", Seq("id"))
+      .orderBy("version_no").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, None, 10L), (2L, Some("a"), 20L)))
+  }
+
+  test("null timestamps: is_current marks only the structural last version") {
+    // null ts sorts first, making interior valid_from (and the
+    // predecessor's valid_to) null — nullness of valid_to must NOT be
+    // what marks currency, or this key would have two current versions
+    val log = Seq(
+      (1L, None: Option[Long], 1L, "a"), (1L, None: Option[Long], 2L, "b"),
+      (1L, Some(10L), 3L, "c")).toDF("k", "ts", "id", "attr")
+    val got = Scd2.buildHistory(log, Seq("k"), Seq("attr"), "ts", Seq("id"))
+      .orderBy("version_no").collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, "a", -1L, false), (2L, "b", 10L, false), (3L, "c", -1L, true)))
+  }
+
   test("buildHistory rejects reserved column names and empty specs") {
     val df = Seq((1L, 1L, "a")).toDF("k", "ts", "valid_from")
     intercept[IllegalArgumentException] {
