@@ -90,6 +90,51 @@ object TextAnalysis {
       .drop("cum_before")
   }
 
+  /** Sliding-window document chunking — the context-window step of a
+    * pretraining pipeline (and the retrieval-index unit of a RAG one):
+    * each document's token list is cut into windows of `chunkTokens`
+    * tokens advancing by `chunkTokens - overlap` (so consecutive
+    * windows share `overlap` tokens); the final window may be shorter
+    * (it is the tail, never re-aligned), and a document shorter than
+    * one window yields exactly one chunk. Documents with no tokens
+    * yield no chunks. Output per chunk: `chunk_no` (0-based),
+    * `start_tok`, `n_toks`, and `chunk_md5` (md5 of the space-joined
+    * window — the cross-engine digest of the chunk's content).
+    *
+    * Complements [[packSequences]]: packing lays documents head-to-
+    * tail into fixed budgets; chunking cuts EACH document into
+    * overlapping windows. Scale shape: a pure per-row projection +
+    * explode — no join, no aggregate, no window function, so the scan
+    * is the only cost and the operator composes with partition
+    * pruning. Chunk count per doc is ceil((n - overlap) / stride), so
+    * output token mass is at most n · chunkTokens/stride — a fixed
+    * small multiple chosen by the caller, linear in corpus size. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap=$overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    // integer ceil((n - overlap) / stride) — via floor on the shifted
+    // numerator (Spark's `/` on ints is double division; floor makes
+    // the intended integer semantics explicit and exact). The lower
+    // bound of 1 covers n <= overlap (a sub-window doc is one chunk)
+    val nChunks = greatest(lit(1L),
+      floor((size(col("__toks")) - overlap + (stride - 1))
+        .cast("double") / stride).cast("long"))
+    df.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_no"))
+      .withColumn("start_tok", col("chunk_no") * stride)
+      .withColumn("__win",
+        slice(col("__toks"), col("start_tok").cast("int") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_no"), col("start_tok"),
+        size(col("__win")).cast("long").as("n_toks"),
+        md5(array_join(col("__win"), " ")).as("chunk_md5"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

@@ -159,6 +159,12 @@ object TextQueries {
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
            FROM documents)"""
 
+  /** q85's window geometry: 32-token windows sharing 8 tokens — over
+    * the fixture's 10-99-token docs this exercises the single-chunk
+    * (n <= 32), multi-chunk, and short-tail edges in one run. */
+  private[graft] val ChunkTokens = 32
+  private[graft] val ChunkOverlap = 8
+
   /** q84's Count-Min geometry. Width 512 over the fixture's ~31-token
     * vocab keeps collisions possible-but-rare (the estimates are gated
     * bit-for-bit either way); depth 4 is the textbook δ=e⁻⁴ row count. */
@@ -543,7 +549,17 @@ object TextQueries {
         .estimate(sk, vocabTopK(s, dir), "tok", CmsDepth, CmsWidth)
         .withColumn("over_ok", col("cms_est") >= col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
-    }))
+    }),
+
+    // Sliding-window chunking: every document cut into ChunkTokens-token
+    // windows advancing by ChunkTokens - ChunkOverlap; pure projection +
+    // explode (no join/agg — pinned as a plan contract), digest-gated
+    // bit-for-bit per window. Case-preserving (the digest is content-
+    // faithful), so the oracle tokenizes WITHOUT lower().
+    "q85_chunk_windows" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunkDocs(
+          docsSpread(s, dir), "text", "doc_id", ChunkTokens, ChunkOverlap)
+        .orderBy("doc_id", "chunk_no")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -786,6 +802,34 @@ object TextQueries {
          FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
          GROUP BY p.tok, p.cnt
          ORDER BY p.cnt DESC, p.tok""",
+    "q85_chunk_windows" ->
+      // full window recompute: same whitespace tokenization as
+      // sqlTokRows but WITHOUT lower() (chunk digests are content-
+      // faithful); integer ceil via the shifted-numerator floor
+      // division, list_slice clamps the tail exactly like Spark's slice
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(string_split(
+               regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks,
+             greatest(1, (len(toks) - $ChunkOverlap + ${ChunkTokens - ChunkOverlap} - 1)
+               // ${ChunkTokens - ChunkOverlap}) AS nchunks
+           FROM t WHERE len(toks) > 0),
+         c AS (
+           SELECT doc_id, toks,
+             CAST(unnest(range(nchunks)) AS BIGINT) AS chunk_no
+           FROM n)
+         SELECT doc_id, chunk_no,
+           chunk_no * ${ChunkTokens - ChunkOverlap} AS start_tok,
+           CAST(len(list_slice(toks,
+             chunk_no * ${ChunkTokens - ChunkOverlap} + 1,
+             chunk_no * ${ChunkTokens - ChunkOverlap} + $ChunkTokens)) AS BIGINT) AS n_toks,
+           md5(array_to_string(list_slice(toks,
+             chunk_no * ${ChunkTokens - ChunkOverlap} + 1,
+             chunk_no * ${ChunkTokens - ChunkOverlap} + $ChunkTokens), ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_no""",
     "q74_budget_select" ->
       // naive per-stratum ordered window — the semantic definition the
       // engine's two-phase histogram design must reproduce row-for-row.

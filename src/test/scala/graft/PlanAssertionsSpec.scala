@@ -191,6 +191,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q85: chunking is a pure projection — no join, no aggregate") {
+    // chunkDocs' promise: scan -> project -> explode (+ the oracle's
+    // deterministic sort); any join or aggregation appearing here means
+    // the operator stopped composing with partition pruning
+    val p = plan("q85_chunk_windows")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Aggregate"), p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a

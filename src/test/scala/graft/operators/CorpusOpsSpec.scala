@@ -13,6 +13,49 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("chunkDocs windows match a driver-side recompute on every edge") {
+    // 7-token doc (single chunk), 10-token (two chunks, short tail),
+    // 13-token (second window lands exactly on the end — full-width
+    // tail, and NO redundant third window), empty, whitespace
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"u$i").mkString(" ")),
+      (3L, (1 to 13).map(i => s"v$i").mkString("  ")),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "text", "doc_id", 8, 3)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def win(toks: Seq[String], from: Int) = toks.slice(from, from + 8)
+    val t7 = (1 to 7).map(i => s"t$i"); val u10 = (1 to 10).map(i => s"u$i")
+    val v13 = (1 to 13).map(i => s"v$i")
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 7L, md5Of(t7.mkString(" "))),
+      (2L, 0L, 0L, 8L, md5Of(win(u10, 0).mkString(" "))),
+      (2L, 1L, 5L, 5L, md5Of(win(u10, 5).mkString(" "))),
+      (3L, 0L, 0L, 8L, md5Of(win(v13, 0).mkString(" "))),
+      (3L, 1L, 5L, 8L, md5Of(win(v13, 5).mkString(" ")))))
+  }
+
+  test("chunkDocs guards geometry; zero overlap tiles exactly") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(Seq((1L, "a")).toDF("doc_id", "text"),
+        "text", "doc_id", 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(Seq((1L, "a")).toDF("doc_id", "text"),
+        "text", "doc_id", 4, 4)
+    }
+    val docs = Seq((1L, (1 to 9).map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "text", "doc_id", 3, 0)
+      .orderBy("chunk_no").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 3L), (1L, 3L, 3L), (2L, 6L, 3L)))
+  }
+
   test("dedupLines drops frequent lines, keeps unique and blank lines in order") {
     val docs = Seq(
       (1L, "alpha one\nCOOKIE BANNER\n\nbody text 1"),
