@@ -60,12 +60,18 @@ object ScaleStudy {
     * q84 (Count-Min) also scans the corpus twice — sketch build plus
     * the exact top-K probe agg — but both shuffles have bounded key
     * spaces (depth×width buckets; vocab capped by the probe LIMIT), so
-    * its exponent isolates pure scan/explode growth. */
+    * its exponent isolates pure scan/explode growth.
+    * q85 (chunking) is the shuffle-free floor: pure projection +
+    * explode + the oracle sort — its exponent is the output-mass
+    * growth itself. q86 (dup passages) adds the window-frequency
+    * countDistinct shuffle and the hash-keyed join back; the token
+    * bijection keeps replicas' window spaces disjoint, so the distinct-
+    * window key space grows 10× and the dup mass stays linear. */
   val HeavyQueries: Seq[String] = Seq(
     "q36_jaccard_pairs", "q48_simhash_neardup",
     "q53_dedup_components", "q65_repetition_stats",
     "q78_bloom_decontam", "q79_bm25_topk", "q83_heavy_hitters",
-    "q84_cms_counts")
+    "q84_cms_counts", "q85_chunk_windows", "q86_dup_passages")
 
   /** One replica of `documents`: identity for k = 0, else id-shifted and
     * token-salted. Exposed for the spec that pins the bijection

@@ -135,6 +135,57 @@ object TextAnalysis {
         md5(array_join(col("__win"), " ")).as("chunk_md5"))
   }
 
+  /** Cross-document duplicated-passage detection — the exact-substring
+    * dedup signal of a pretraining pipeline (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, at token-
+    * window granularity): a document's window is "duplicated" when the
+    * SAME `windowTokens`-token run (window md5) occurs in at least one
+    * OTHER document. Windows advance by `stride`; only full-width
+    * windows count (a doc shorter than one window emits no row —
+    * it has no passage that could be shared at this granularity).
+    * Output per emitted doc: `n_windows`, `n_dup_windows`, and
+    * `dup_mills` (= floor(1000·dup/total), the fraction of the doc's
+    * passages that exist elsewhere — the filter/trim signal).
+    *
+    * Intra-document repetition deliberately does NOT count (the window
+    * frequency is a countDistinct over doc ids): that signal is
+    * [[repetitionStats]]'s job; this operator isolates CROSS-doc
+    * contamination.
+    *
+    * Scale shape: window explode mass is ~(windowTokens/stride)× the
+    * corpus token mass — a caller-chosen small multiple, linear; the
+    * window-frequency table has ONE row per distinct window hash, so
+    * the join back is equi-keyed with no hot key (a boilerplate
+    * passage shared by millions of docs is still one frequency row);
+    * the final rollup is one per-doc shuffle. No pair space anywhere —
+    * the operator never materializes doc×doc. */
+  def dupPassageStats(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
+    require(stride >= 1 && stride <= windowTokens,
+      s"stride=$stride must be in [1, windowTokens] (a larger stride " +
+        "would skip tokens and miss duplicated passages)")
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val nWin = (floor((size(col("__toks")) - windowTokens)
+      .cast("double") / stride) + 1).cast("long")
+    val windows = df.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) >= windowTokens)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nWin - 1)).as("__wi"))
+      .select(col(idCol),
+        md5(array_join(
+          slice(col("__toks"), (col("__wi") * stride).cast("int") + 1,
+            lit(windowTokens)), " ")).as("__h"))
+    val freq = windows.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    windows.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_mills",
+        floor(lit(1000) * col("n_dup_windows") / col("n_windows")).cast("long"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

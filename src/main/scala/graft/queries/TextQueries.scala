@@ -165,6 +165,12 @@ object TextQueries {
   private[graft] val ChunkTokens = 32
   private[graft] val ChunkOverlap = 8
 
+  /** q86's passage-window geometry: 16-token windows at stride 8. On
+    * the sf0.01 fixture this yields 112 of 2,558 distinct windows
+    * shared across docs (the near-dup cliques) — a non-trivial gate. */
+  private[graft] val DupWindowTokens = 16
+  private[graft] val DupWindowStride = 8
+
   /** q84's Count-Min geometry. Width 512 over the fixture's ~31-token
     * vocab keeps collisions possible-but-rare (the estimates are gated
     * bit-for-bit either way); depth 4 is the textbook δ=e⁻⁴ row count. */
@@ -559,7 +565,19 @@ object TextQueries {
     "q85_chunk_windows" -> ((s, dir) =>
       graft.operators.TextAnalysis.chunkDocs(
           docsSpread(s, dir), "text", "doc_id", ChunkTokens, ChunkOverlap)
-        .orderBy("doc_id", "chunk_no")))
+        .orderBy("doc_id", "chunk_no")),
+
+    // Cross-doc duplicated-passage stats: which fraction of each doc's
+    // 16-token windows exists verbatim in another document. Text is
+    // lowered UPSTREAM of the operator (passage matching is case-
+    // insensitive; the operator itself is content-faithful). Docs
+    // shorter than one window emit no row by contract.
+    "q86_dup_passages" -> ((s, dir) =>
+      graft.operators.TextAnalysis.dupPassageStats(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          "text", "doc_id", DupWindowTokens, DupWindowStride)
+        .orderBy("doc_id")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -830,6 +848,37 @@ object TextQueries {
              chunk_no * ${ChunkTokens - ChunkOverlap} + 1,
              chunk_no * ${ChunkTokens - ChunkOverlap} + $ChunkTokens), ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_no""",
+    "q86_dup_passages" ->
+      // full recompute: lowered tokenization (case-insensitive passage
+      // matching), full-width windows only, window doc-frequency via
+      // countDistinct, dup = frequency > 1. The mills division runs the
+      // same integer pair through double division in both engines.
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks,
+             (len(toks) - $DupWindowTokens) // $DupWindowStride + 1 AS nw
+           FROM t WHERE len(toks) >= $DupWindowTokens),
+         wi AS (
+           SELECT doc_id, toks,
+             CAST(unnest(range(nw)) AS BIGINT) AS i
+           FROM n),
+         w AS (
+           SELECT doc_id, md5(array_to_string(list_slice(toks,
+             i * $DupWindowStride + 1,
+             i * $DupWindowStride + $DupWindowTokens), ' ')) AS h
+           FROM wi),
+         f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+         SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (f.nd > 1) AS BIGINT) AS n_dup_windows,
+           CAST(floor(CAST(1000 AS DOUBLE) * count(*) FILTER (f.nd > 1)
+             / count(*)) AS BIGINT) AS dup_mills
+         FROM w JOIN f USING (h)
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
     "q74_budget_select" ->
       // naive per-stratum ordered window — the semantic definition the
       // engine's two-phase histogram design must reproduce row-for-row.

@@ -200,6 +200,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Aggregate"), p.take(2000))
   }
 
+  test("q86: passage windows meet their frequency via an equi-join") {
+    // dupPassageStats' promise: the window-frequency table (one row per
+    // DISTINCT window hash) joins back on the hash key — never a pair
+    // space, never a nested loop over windows
+    val p = plan("q86_dup_passages")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q74: budget selection windows bins, never a stratum through one task") {
     // budgetSelect's promise: the cumulative sums run over the
     // (stratum × quality) histogram and the single boundary bin — a

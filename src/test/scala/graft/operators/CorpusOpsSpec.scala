@@ -56,6 +56,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L, 3L), (1L, 3L, 3L), (2L, 6L, 3L)))
   }
 
+  test("dupPassageStats counts cross-doc windows only, vs driver recompute") {
+    // W=4, stride=2. A and B share the window "a b c d"; C repeats it
+    // intra-doc AND shares it cross-doc (both its copies count as dup);
+    // D repeats a window intra-doc ONLY (must NOT count); E is shorter
+    // than one window (no output row)
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z w"),
+      (3L, "a b c d a b c d"),
+      (4L, "p q r s p q r s"),
+      (5L, "m n o")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupPassageStats(docs, "text", "doc_id", 4, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500L),
+      (2L, 3L, 1L, 333L),
+      (3L, 3L, 2L, 666L),
+      (4L, 3L, 0L, 0L)))
+  }
+
+  test("dupPassageStats rejects degenerate window geometry") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dupPassageStats(df, "text", "doc_id", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dupPassageStats(df, "text", "doc_id", 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dupPassageStats(df, "text", "doc_id", 4, 5)
+    }
+  }
+
   test("dedupLines drops frequent lines, keeps unique and blank lines in order") {
     val docs = Seq(
       (1L, "alpha one\nCOOKIE BANNER\n\nbody text 1"),
