@@ -114,6 +114,10 @@ object TextAnalysis {
     require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap=$overlap must be in [0, chunkTokens)")
+    val reserved = Seq("chunk_no", "start_tok", "n_toks", "chunk_md5",
+      "__toks", "__win")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
     val stride = chunkTokens - overlap
     val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
     // integer ceil((n - overlap) / stride) — via floor on the shifted
@@ -140,48 +144,74 @@ object TextAnalysis {
     * Training Data Makes Language Models Better", ACL 2022, at token-
     * window granularity): a document's window is "duplicated" when the
     * SAME `windowTokens`-token run (window md5) occurs in at least one
-    * OTHER document. Windows advance by `stride`; only full-width
-    * windows count (a doc shorter than one window emits no row —
-    * it has no passage that could be shared at this granularity).
-    * Output per emitted doc: `n_windows`, `n_dup_windows`, and
-    * `dup_mills` (= floor(1000·dup/total), the fraction of the doc's
-    * passages that exist elsewhere — the filter/trim signal).
+    * OTHER document.
     *
-    * Intra-document repetition deliberately does NOT count (the window
-    * frequency is a countDistinct over doc ids): that signal is
-    * [[repetitionStats]]'s job; this operator isolates CROSS-doc
-    * contamination.
+    * Window starts are CONTENT-DEFINED (winnowing-style, Schleimer,
+    * Wilkerson, Aiken, "Winnowing: local algorithms for document
+    * fingerprinting", SIGMOD 2003): position i starts a window iff the
+    * md5 bucket of token i is ≡ 0 mod `anchorMod` (and a full-width
+    * window fits). Because the anchor depends on the TOKEN, not the
+    * offset, two copies of the same run anchor at the same content
+    * positions regardless of where each copy sits in its document —
+    * a fixed-stride grid would miss copies at different alignments
+    * (only ~1/stride of independently-placed pairs line up).
+    * `anchorMod = 1` anchors every position: exhaustive stride-1
+    * detection, window mass × windowTokens. `anchorMod = p` samples
+    * ~1/p of positions: a shared run of R ≥ windowTokens tokens is
+    * detected unless NONE of its first R − windowTokens + 1 tokens
+    * anchor (miss probability ≈ (1 − 1/p)^(R−windowTokens+1), and
+    * identical docs are always detected in full).
     *
-    * Scale shape: window explode mass is ~(windowTokens/stride)× the
-    * corpus token mass — a caller-chosen small multiple, linear; the
-    * window-frequency table has ONE row per distinct window hash, so
-    * the join back is equi-keyed with no hot key (a boilerplate
-    * passage shared by millions of docs is still one frequency row);
-    * the final rollup is one per-doc shuffle. No pair space anywhere —
-    * the operator never materializes doc×doc. */
+    * Docs shorter than one window, or with no anchored full-width
+    * window, emit no row. Output per emitted doc: `n_windows`
+    * (anchored windows), `n_dup_windows`, `dup_mills` =
+    * floor(1000·dup/total) — the passage-contamination signal.
+    * Intra-document repetition deliberately does NOT count (frequency
+    * is per distinct doc): that signal is [[repetitionStats]]'s job.
+    *
+    * Scale shape — ONE corpus scan: the scan/tokenize/anchor/md5
+    * lineage reduces to the per-(window, doc) index (one row per
+    * distinct window hash per doc, intra-doc repeats crushed by the
+    * map-side partial agg) which is EAGERLY localCheckpoint'ed — the
+    * materialized index is the price of not rescanning the corpus for
+    * the two consumers (the same trade [[bloomDecontam]] documents).
+    * The window doc-frequency is an agg over THAT index (one row per
+    * distinct hash), and the join back is equi-keyed — AQE skew
+    * handling applies to a boilerplate passage shared by millions of
+    * docs, where an unsplittable count-over-window partition would
+    * not. No doc×doc pair space anywhere. */
   def dupPassageStats(df: DataFrame, textCol: String, idCol: String,
-      windowTokens: Int, stride: Int): DataFrame = {
+      windowTokens: Int, anchorMod: Int): DataFrame = {
     require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
-    require(stride >= 1 && stride <= windowTokens,
-      s"stride=$stride must be in [1, windowTokens] (a larger stride " +
-        "would skip tokens and miss duplicated passages)")
+    require(anchorMod >= 1, s"anchorMod=$anchorMod must be >= 1")
+    val reserved = Seq("n_windows", "n_dup_windows", "dup_mills",
+      "__toks", "__pos", "__tok", "__h", "__c", "__nd")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
     val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
-    val nWin = (floor((size(col("__toks")) - windowTokens)
-      .cast("double") / stride) + 1).cast("long")
-    val windows = df.select(col(idCol), toks.as("__toks"))
+    // anchor contract: md5(token), first 15 hex chars as a 60-bit int,
+    // mod anchorMod — the UNSALTED sibling of CountMin.bucket, and the
+    // DuckDB twin in TextQueries.oracle(q86) recomputes it verbatim
+    val anchored = df.select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) >= windowTokens)
       .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0L), nWin - 1)).as("__wi"))
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .where(col("__pos") <= size(col("__toks")) - windowTokens &&
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10)
+          .cast("long") % anchorMod === 0)
       .select(col(idCol),
         md5(array_join(
-          slice(col("__toks"), (col("__wi") * stride).cast("int") + 1,
-            lit(windowTokens)), " ")).as("__h"))
-    val freq = windows.groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-    windows.join(freq, Seq("__h"))
+          slice(col("__toks"), col("__pos") + 1, lit(windowTokens)),
+          " ")).as("__h"))
+    val index = anchored
+      .groupBy(col("__h"), col(idCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val freq = index.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nd"))
+    index.join(freq, Seq("__h"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum(col("__c")).as("n_windows"),
+        sum(when(col("__nd") > 1, col("__c")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_mills",
         floor(lit(1000) * col("n_dup_windows") / col("n_windows")).cast("long"))
   }

@@ -165,11 +165,13 @@ object TextQueries {
   private[graft] val ChunkTokens = 32
   private[graft] val ChunkOverlap = 8
 
-  /** q86's passage-window geometry: 16-token windows at stride 8. On
-    * the sf0.01 fixture this yields 112 of 2,558 distinct windows
-    * shared across docs (the near-dup cliques) — a non-trivial gate. */
+  /** q86's passage-window geometry: 16-token windows anchored at
+    * positions whose token md5-buckets to 0 mod 4 (content-defined
+    * starts — alignment-invariant detection). On the sf0.01 fixture
+    * this yields 190 of 4,432 distinct anchored windows shared across
+    * docs (the near-dup cliques) — a non-trivial gate. */
   private[graft] val DupWindowTokens = 16
-  private[graft] val DupWindowStride = 8
+  private[graft] val DupAnchorMod = 4
 
   /** q84's Count-Min geometry. Width 512 over the fixture's ~31-token
     * vocab keeps collisions possible-but-rare (the estimates are gated
@@ -568,15 +570,16 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")),
 
     // Cross-doc duplicated-passage stats: which fraction of each doc's
-    // 16-token windows exists verbatim in another document. Text is
-    // lowered UPSTREAM of the operator (passage matching is case-
-    // insensitive; the operator itself is content-faithful). Docs
-    // shorter than one window emit no row by contract.
+    // anchored 16-token windows exists verbatim in another document
+    // (content-defined anchors — copies at different offsets still
+    // collide). Text is lowered UPSTREAM of the operator (passage
+    // matching is case-insensitive; the operator itself is content-
+    // faithful). Docs with no anchored full window emit no row.
     "q86_dup_passages" -> ((s, dir) =>
       graft.operators.TextAnalysis.dupPassageStats(
           docsSpread(s, dir)
             .select(col("doc_id"), lower(col("text")).as("text")),
-          "text", "doc_id", DupWindowTokens, DupWindowStride)
+          "text", "doc_id", DupWindowTokens, DupAnchorMod)
         .orderBy("doc_id")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
@@ -850,27 +853,30 @@ object TextQueries {
          FROM c ORDER BY doc_id, chunk_no""",
     "q86_dup_passages" ->
       // full recompute: lowered tokenization (case-insensitive passage
-      // matching), full-width windows only, window doc-frequency via
-      // countDistinct, dup = frequency > 1. The mills division runs the
-      // same integer pair through double division in both engines.
+      // matching), content-defined anchors (md5(token) first 15 hex as
+      // a 60-bit int, ≡ 0 mod anchorMod — the unsalted sibling of
+      // sqlCmsBucket), full-width windows only, window doc-frequency
+      // over distinct docs, dup = frequency > 1. The mills division
+      // runs the same integer pair through double division in both
+      // engines.
       s"""WITH t AS (
            SELECT doc_id, list_filter(string_split(
                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
              x -> x <> '') AS toks
            FROM documents),
          n AS (
-           SELECT doc_id, toks,
-             (len(toks) - $DupWindowTokens) // $DupWindowStride + 1 AS nw
+           SELECT doc_id, toks, len(toks) AS n
            FROM t WHERE len(toks) >= $DupWindowTokens),
-         wi AS (
+         pos AS (
            SELECT doc_id, toks,
-             CAST(unnest(range(nw)) AS BIGINT) AS i
+             CAST(unnest(range(n - $DupWindowTokens + 1)) AS BIGINT) AS i
            FROM n),
          w AS (
            SELECT doc_id, md5(array_to_string(list_slice(toks,
-             i * $DupWindowStride + 1,
-             i * $DupWindowStride + $DupWindowTokens), ' ')) AS h
-           FROM wi),
+             i + 1, i + $DupWindowTokens), ' ')) AS h
+           FROM pos
+           WHERE CAST(('0x' || substr(md5(toks[i + 1]), 1, 15)) AS BIGINT)
+             % $DupAnchorMod = 0),
          f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
          SELECT w.doc_id,
            CAST(count(*) AS BIGINT) AS n_windows,

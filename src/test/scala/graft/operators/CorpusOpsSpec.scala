@@ -57,8 +57,9 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("dupPassageStats counts cross-doc windows only, vs driver recompute") {
-    // W=4, stride=2. A and B share the window "a b c d"; C repeats it
-    // intra-doc AND shares it cross-doc (both its copies count as dup);
+    // W=4, anchorMod=1 (every position anchors — exhaustive stride-1
+    // semantics). A, B and C share the window "a b c d"; C repeats it
+    // intra-doc AND shares it cross-doc (both copies count as dup);
     // D repeats a window intra-doc ONLY (must NOT count); E is shorter
     // than one window (no output row)
     val docs = Seq(
@@ -67,17 +68,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "a b c d a b c d"),
       (4L, "p q r s p q r s"),
       (5L, "m n o")).toDF("doc_id", "text")
-    val got = TextAnalysis.dupPassageStats(docs, "text", "doc_id", 4, 2)
+    val got = TextAnalysis.dupPassageStats(docs, "text", "doc_id", 4, 1)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
-      (1L, 2L, 1L, 500L),
-      (2L, 3L, 1L, 333L),
-      (3L, 3L, 2L, 666L),
-      (4L, 3L, 0L, 0L)))
+      (1L, 3L, 1L, 333L),
+      (2L, 5L, 1L, 200L),
+      (3L, 5L, 2L, 400L),
+      (4L, 5L, 0L, 0L)))
   }
 
-  test("dupPassageStats rejects degenerate window geometry") {
+  test("dupPassageStats detects copies at DIFFERENT offsets (content anchors)") {
+    // the fixed-stride failure mode this operator's anchoring exists
+    // to prevent: the same 16-token run at offset 0 in A and offset 1
+    // in B. A positional stride-8 grid would never hash the run in B;
+    // content-defined anchors hash it in both. anchorMod=2 with tokens
+    // CHOSEN so exactly the run's first token anchors — the detection
+    // below is the anchoring at work, not exhaustive enumeration
+    def bucket2(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    val pool = (1 to 200).map(i => s"z$i")
+    val anchorTok = pool.find(bucket2(_) == 0).get
+    val rest = pool.filter(bucket2(_) != 0)
+    val run = anchorTok +: rest.take(15)
+    val pad = rest(15)
+    val docs = Seq(
+      (1L, run.mkString(" ")),
+      (2L, (pad +: run).mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.dupPassageStats(docs, "text", "doc_id", 16, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 1000L), (2L, 1L, 1L, 1000L)))
+  }
+
+  test("new operators reject degenerate geometry and reserved columns") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       TextAnalysis.dupPassageStats(df, "text", "doc_id", 0, 1)
@@ -86,7 +113,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       TextAnalysis.dupPassageStats(df, "text", "doc_id", 4, 0)
     }
     intercept[IllegalArgumentException] {
-      TextAnalysis.dupPassageStats(df, "text", "doc_id", 4, 5)
+      TextAnalysis.dupPassageStats(
+        Seq((1L, "a")).toDF("__h", "text"), "text", "__h", 4, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(
+        Seq((1L, "a")).toDF("chunk_no", "text"), "text", "chunk_no", 4, 0)
     }
   }
 
