@@ -208,10 +208,10 @@ object SparkEntry {
       // across bench reruns.
       val s2 = s.newSession()
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
-      val stream = s2.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.Tables.eventsTs(
+        s2.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet") // file source needs a dir
+          .parquet(dir))
       // State keyspace is tiny (hours × event types): 32 state-store
       // partitions would mean 32 stores + 32 tasks per micro-batch of
       // pure overhead. Set on the discarded clone only (at 100 TB this
@@ -242,12 +242,11 @@ object SparkEntry {
       val s2 = s.newSession()
       import s2.implicits._
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
-      val events = s2.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(dir)
-        .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("event_type"))
+      val events = graft.Tables.eventsTs(
+          s2.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet") // file source needs a dir
+            .parquet(dir))
+        .select(col("user_id"), col("ts"), col("event_type"))
         .as[graft.streaming.Incremental.Event]
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       drainAvailableNow(s2,
@@ -418,15 +417,12 @@ object SparkEntry {
     // Backward as-of join: each purchase event attributed to the same
     // user's most recent at-or-before click — one union shuffle on
     // user_id + an ordered window, never an inequality join (Spark
-    // would nested-loop it). Raw epoch-nanos longs keep ts parity
-    // exact; money floor-scales to cents. DuckDB oracles this with its
-    // native ASOF LEFT JOIN.
+    // would nested-loop it). Exact epoch-micros longs keep ts parity
+    // bit-for-bit with DuckDB's epoch_us; money floor-scales to cents.
+    // DuckDB oracles this with its native ASOF LEFT JOIN.
     "q80_asof_attribution" -> ((s, dir) => {
-      // raw read (NOT Tables): parquet nanos long, cut to exact micros
-      // (integer div) — DuckDB stores the same file at micro precision,
-      // so micros is the shared exact ordering domain
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
         .withColumn("cents", floor(col("value") * 100).cast("long"))
       val purch = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"))

@@ -2,23 +2,46 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Testdata table loaders.
   *
-  * `events.parquet` carries TIMESTAMP(NANOS) which Spark only reads via
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-  * builder here); the loader converts the raw nanos to a microsecond
-  * TimestampType with exact integer division (`div`, not `/` — an epoch
-  * in nanos exceeds 2^53 so double math would corrupt it).
+  * `events.parquet` has shipped with two physical `ts` types across
+  * fixture generations: TIMESTAMP(NANOS), which Spark only reads as a
+  * raw nanos long via `spark.sql.legacy.parquet.nanosAsLong=true` (set
+  * in every session builder here), and TIMESTAMP(MICROS) without a
+  * timezone, which Spark reads as TIMESTAMP_NTZ. `eventsTs` normalizes
+  * either to a session-zone (UTC) TimestampType at exact micro
+  * precision — integer `div`, never double math (an epoch in nanos
+  * exceeds 2^53, so `/` would corrupt it). DuckDB reads both physical
+  * types as micro-precision TIMESTAMP, so this is the shared exact
+  * domain the oracles compare in.
   */
 object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") eventsTs(df) else df
   }
+
+  /** Normalize the events `ts` column (raw nanos long OR TIMESTAMP_NTZ)
+    * to TimestampType in the UTC session zone. Works on batch and
+    * streaming DataFrames alike (schema-driven, no action). */
+  def eventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** The events `ts` as an exact epoch-micros BIGINT column `ts_us` —
+    * the integer ordering domain shared bit-for-bit with DuckDB's
+    * `epoch_us(ts)` (q80's as-of join compares in it). */
+  def eventsTsMicros(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts_us", expr("ts div 1000"))
+      case _ => df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    }
 
   /** Session config every graft entry point applies. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
