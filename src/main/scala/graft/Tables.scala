@@ -30,7 +30,9 @@ object Tables {
   def eventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        requireUtc(df.sparkSession)
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 
@@ -40,8 +42,21 @@ object Tables {
   def eventsTsMicros(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts_us", expr("ts div 1000"))
-      case _ => df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      case _ =>
+        requireUtc(df.sparkSession)
+        df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     }
+
+  /** The NTZ→timestamp cast interprets the wall clock in the session
+    * zone; any zone other than UTC would silently shift every epoch and
+    * break oracle parity. Fail loudly instead of drifting. */
+  private def requireUtc(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"Tables: events NTZ normalization requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'); build the session via Tables.configure")
+  }
 
   /** Session config every graft entry point applies. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =

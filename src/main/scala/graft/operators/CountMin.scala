@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
+  /** Rational over-approximation of Euler's e (2.718282 > e), kept as a
+    * BIGINT fraction so the ε bound below is exact integer arithmetic —
+    * bit-identical in Spark and DuckDB at any corpus size (double math
+    * would drift past 2^53 tokens). */
+  val EpsNum = 2718282L
+  val EpsDen = 1000000L
+
+  /** The CMS accuracy guarantee as a pinnable bound: with width w, each
+    * estimate exceeds the true count by more than ⌈(e/w)·N⌉ only with
+    * probability ≤ e^(-depth) (Cormode & Muthukrishnan, Thm 1). Integer
+    * ceil via shifted-numerator floor division; `nTokCol` is the total
+    * occurrence count N. Callers pin `est <= cnt + bound` TRUE so a
+    * geometry regression (shrunk width, build/probe mismatch, a min
+    * that stopped being a min) hash-fails instead of silently degrading. */
+  def epsBound(nTokCol: String, width: Int): Column = {
+    val den = EpsDen * width
+    // DECIMAL(38,0), not long: EpsNum · N overflows int64 past N ≈ 3.4e12
+    // tokens, a size a 100 TB corpus actually reaches
+    expr(s"CAST((CAST(${EpsNum} AS DECIMAL(38,0)) * $nTokCol + ${den - 1}) div ${den} AS BIGINT)")
+  }
+
   /** Bucket of `item` in sketch row `row` — the shared hash contract;
     * the DuckDB twin is [[graft.queries.TextQueries.sqlCmsBucket]]. */
   def bucket(item: Column, row: Int, width: Int): Column =

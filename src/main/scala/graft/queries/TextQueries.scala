@@ -551,11 +551,20 @@ object TextQueries {
     // contract), so the oracle recomputes them exactly; over_ok pins
     // the structural estimate>=exact guarantee.
     "q84_cms_counts" -> ((s, dir) => {
-      val sk = graft.operators.CountMin.sketch(
-        tokStream(s, dir), "tok", CmsDepth, CmsWidth)
+      val toks = tokStream(s, dir)
+      val sk = graft.operators.CountMin.sketch(toks, "tok", CmsDepth, CmsWidth)
+      // 1-row total-occurrence count N for the ε bound; broadcast, never
+      // a corpus-side shuffle on the probe path
+      val totals = toks.agg(count(lit(1)).as("n_tok"))
       graft.operators.CountMin
         .estimate(sk, vocabTopK(s, dir), "tok", CmsDepth, CmsWidth)
+        .crossJoin(broadcast(totals))
+        .withColumn("eps_bound",
+          graft.operators.CountMin.epsBound("n_tok", CmsWidth))
         .withColumn("over_ok", col("cms_est") >= col("cnt"))
+        .withColumn("within_eps",
+          col("cms_est") <= col("cnt") + col("eps_bound"))
+        .drop("n_tok")
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
@@ -804,9 +813,15 @@ object TextQueries {
       // full bit-for-bit recompute of the sketch AND the estimates via
       // the shared sqlCmsBucket hash contract — an engine-side bucket
       // drift, count drift, or min-row mistake all hash-fail; over_ok
-      // additionally pins the structural overcount guarantee
+      // additionally pins the structural overcount guarantee, and
+      // within_eps is pinned LITERALLY TRUE: the oracle recomputes
+      // eps_bound (same rational-e integer math as CountMin.epsBound)
+      // but asserts the guarantee rather than recomputing the flag, so
+      // an engine-side geometry regression that inflates an estimate
+      // past ceil((e/width)·N) hash-fails loudly
       s"""WITH tokrows AS (SELECT tok FROM $sqlTokRows WHERE tok <> ''),
          rows_d AS (SELECT CAST(unnest(range($CmsDepth)) AS INT) AS r),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tokrows),
          sk AS (
            SELECT r, ${sqlCmsBucket("tok", "r")} AS bucket,
              CAST(count(*) AS BIGINT) AS bcnt
@@ -819,9 +834,14 @@ object TextQueries {
            FROM exact e, rows_d)
          SELECT p.tok, p.cnt,
            min(coalesce(sk.bcnt, 0)) AS cms_est,
-           min(coalesce(sk.bcnt, 0)) >= p.cnt AS over_ok
+           CAST((${graft.operators.CountMin.EpsNum} * tot.n_tok
+                 + ${graft.operators.CountMin.EpsDen * CmsWidth - 1})
+                // ${graft.operators.CountMin.EpsDen * CmsWidth} AS BIGINT) AS eps_bound,
+           min(coalesce(sk.bcnt, 0)) >= p.cnt AS over_ok,
+           TRUE AS within_eps
          FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
-         GROUP BY p.tok, p.cnt
+         CROSS JOIN tot
+         GROUP BY p.tok, p.cnt, tot.n_tok
          ORDER BY p.cnt DESC, p.tok""",
     "q85_chunk_windows" ->
       // full window recompute: same whitespace tokenization as

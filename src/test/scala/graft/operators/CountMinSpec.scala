@@ -87,6 +87,51 @@ class CountMinSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "w1").map(_._2).distinct.size == 1)
   }
 
+  /** Driver-side twin of CountMin.epsBound: ceil((EpsNum/EpsDen/w)·n)
+    * in exact BigInt arithmetic. */
+  private def refEpsBound(n: Long, width: Int): Long = {
+    val den = BigInt(CountMin.EpsDen) * width
+    ((BigInt(CountMin.EpsNum) * n + den - 1) / den).toLong
+  }
+
+  test("epsBound is exact integer ceil of (e/width)·N, even past 2^53") {
+    val ns = Seq(0L, 1L, 63L, 64L, 382L, 1L << 40, (1L << 60) + 7L)
+    val got = spark.createDataset(ns).toDF("n")
+      .select(CountMin.epsBound("n", Width).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ns.map(refEpsBound(_, Width)))
+  }
+
+  test("correct geometry honors the eps bound for every probe") {
+    val n = corpus.size.toLong
+    val bound = refEpsBound(n, Width)
+    val items = spark.createDataset(corpus).toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, Width)
+    val exact = corpus.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val got = CountMin.estimate(sk, exact.keys.toSeq.toDF("tok"), "tok", Depth, Width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(got(t) <= c + bound, s"eps violation for $t: est=${got(t)} cnt=$c bound=$bound")
+    }
+  }
+
+  test("a deliberately undersized sketch fails the pinned-geometry gate loudly") {
+    // the q84 regression this gate exists for: someone shrinks the
+    // sketch (or build/probe geometry drifts) while the gate's bound
+    // stays pinned at the production width — within_eps must flip FALSE
+    val shrunkWidth = 4
+    val n = corpus.size.toLong
+    val pinnedBound = refEpsBound(n, Width) // bound at the ORIGINAL width
+    val items = spark.createDataset(corpus).toDF("tok")
+    val sk = CountMin.sketch(items, "tok", Depth, shrunkWidth)
+    val exact = corpus.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val got = CountMin.estimate(sk, exact.keys.toSeq.toDF("tok"), "tok", Depth, shrunkWidth)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val violations = exact.count { case (t, c) => got(t) > c + pinnedBound }
+    assert(violations > 0,
+      s"shrunk width $shrunkWidth produced no estimate past cnt + $pinnedBound — gate is vacuous")
+  }
+
   test("guards: geometry, reserved probe columns, missing item column") {
     val items = Seq("a").toDF("tok")
     val sk = CountMin.sketch(items, "tok", Depth, Width)
