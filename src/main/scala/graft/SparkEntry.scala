@@ -43,6 +43,60 @@ object SparkEntry {
     * days), so both the matched and the nulled-out paths are gated. */
   private val AsofMaxGapUs = 259200000000L
 
+  /** The shared purchase⋈click attribution frame for q80/q87/q88: exact
+    * epoch-micros longs keep ts parity bit-for-bit with DuckDB's
+    * epoch_us; money floor-scales to cents; -1 sentinels because the
+    * hash harness can't represent null ints. `join` plugs in the as-of
+    * direction (one union shuffle + ordered window(s), never an
+    * inequality join — Spark would nested-loop it). */
+  private def asofAttribution(s: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val ev = graft.Tables.eventsTsMicros(
+        s.read.parquet(s"$dir/events.parquet"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("click_id"), col("cents").as("click_cents"))
+    join(purch, clicks)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"),
+        coalesce(col("m_click_id"), lit(-1L)).as("m_click_id"),
+        coalesce(col("m_click_cents"), lit(-1L)).as("m_click_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Shared DuckDB CTE prefix of the q80/q87/q88 as-of oracles: the
+    * cents-scaled event frame, the purchase probe side, the per-
+    * (user, ts) deterministically-reduced click side `c0` (arg_max by
+    * click_id — the twin of the engine's max-payload-struct reduction),
+    * and its negated-ts mirror `cn` for the forward direction. */
+  private lazy val asofOracleCtes: String =
+    s"""e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events),
+       p AS (SELECT event_id, user_id, ts_us, cents FROM e
+             WHERE event_type = 'purchase'),
+       c0 AS (SELECT user_id, ts_us,
+                arg_max(event_id, event_id) AS click_id,
+                arg_max(cents, event_id) AS click_cents
+              FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+       cn AS (SELECT user_id, -ts_us AS nts, ts_us, click_id, click_cents
+              FROM c0)"""
+
+  /** q88's closer-of-the-two pick for one payload column: backward
+    * wins valid ties (db <= df), a side is valid only when present and
+    * within the gap, -1 sentinel when neither is. */
+  private def asofNearestPick(payload: String): String = {
+    val bOk = s"(b.m_ts IS NOT NULL AND p.ts_us - b.m_ts <= $AsofMaxGapUs)"
+    val fOk = s"(f.m_ts IS NOT NULL AND f.m_ts - p.ts_us <= $AsofMaxGapUs)"
+    s"""coalesce(CASE
+         WHEN $bOk AND (NOT $fOk OR p.ts_us - b.m_ts <= f.m_ts - p.ts_us)
+           THEN b.$payload
+         WHEN $fOk THEN f.$payload END, -1)"""
+  }
+
   /** Operator-pipeline queries assembled here rather than in the per-
     * family query modules. All are hash-checked (oracle twin below) —
     * the rapidfuzz-style indel family included, via the list_reduce DP
@@ -420,24 +474,25 @@ object SparkEntry {
     // would nested-loop it). Exact epoch-micros longs keep ts parity
     // bit-for-bit with DuckDB's epoch_us; money floor-scales to cents.
     // DuckDB oracles this with its native ASOF LEFT JOIN.
-    "q80_asof_attribution" -> ((s, dir) => {
-      val ev = graft.Tables.eventsTsMicros(
-          s.read.parquet(s"$dir/events.parquet"))
-        .withColumn("cents", floor(col("value") * 100).cast("long"))
-      val purch = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("click_id"), col("cents").as("click_cents"))
-      AsofJoin.asofBackward(purch, clicks, Seq("user_id"), "ts_us",
-          Seq("click_id", "click_cents"), "m_", maxGap = Some(AsofMaxGapUs))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("cents"),
-          // -1 sentinel: the hash harness can't represent null ints
-          coalesce(col("m_click_id"), lit(-1L)).as("m_click_id"),
-          coalesce(col("m_click_cents"), lit(-1L)).as("m_click_cents"))
-        .orderBy("event_id")
-    }),
+    "q80_asof_attribution" -> ((s, dir) =>
+      asofAttribution(s, dir)(AsofJoin.asofBackward(_, _, Seq("user_id"),
+        "ts_us", Seq("click_id", "click_cents"), "m_",
+        maxGap = Some(AsofMaxGapUs)))),
+    // Forward as-of twin of q80: each purchase attributed to the same
+    // user's EARLIEST at-or-after click (next-touch) within the same
+    // window. DuckDB has only backward ASOF, so the oracle negates the
+    // timestamps — max(-ts) at-or-before ≡ min(ts) at-or-after.
+    "q87_asof_forward" -> ((s, dir) =>
+      asofAttribution(s, dir)(AsofJoin.asofForward(_, _, Seq("user_id"),
+        "ts_us", Seq("click_id", "click_cents"), "m_",
+        maxGap = Some(AsofMaxGapUs)))),
+    // Nearest as-of: the closer of the two directions, exact ties to
+    // backward, both windows over ONE exchange. Oracled by running both
+    // DuckDB ASOF directions and picking the closer in SQL.
+    "q88_asof_nearest" -> ((s, dir) =>
+      asofAttribution(s, dir)(AsofJoin.asofNearest(_, _, Seq("user_id"),
+        "ts_us", Seq("click_id", "click_cents"), "m_",
+        maxGap = Some(AsofMaxGapUs)))),
     // Supplier-side multiway rollup (J6/J9 shape on the one remaining
     // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
     // dims broadcast.
@@ -985,16 +1040,7 @@ object SparkEntry {
            GROUP BY 1 HAVING count(*) >= ${graft.queries.TextQueries.DecontamMinShared}
            ORDER BY doc_id""",
       "q80_asof_attribution" ->
-        s"""WITH e AS (
-             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
-               CAST(floor(value * 100) AS BIGINT) AS cents
-             FROM events),
-           p AS (SELECT event_id, user_id, ts_us, cents FROM e
-                 WHERE event_type = 'purchase'),
-           c0 AS (SELECT user_id, ts_us,
-                    arg_max(event_id, event_id) AS click_id,
-                    arg_max(cents, event_id) AS click_cents
-                  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        s"""WITH $asofOracleCtes
            SELECT p.event_id, p.user_id, p.ts_us, p.cents,
              coalesce(CASE WHEN p.ts_us - c0.ts_us <= $AsofMaxGapUs
                THEN c0.click_id END, -1) AS m_click_id,
@@ -1002,6 +1048,39 @@ object SparkEntry {
                THEN c0.click_cents END, -1) AS m_click_cents
            FROM p ASOF LEFT JOIN c0
              ON p.user_id = c0.user_id AND p.ts_us >= c0.ts_us
+           ORDER BY p.event_id""",
+      "q87_asof_forward" ->
+        // DuckDB ASOF is backward-only; ASOF on NEGATED ts gives the
+        // forward match (max(-ts) at-or-before ≡ min(ts) at-or-after)
+        s"""WITH $asofOracleCtes
+           SELECT p.event_id, p.user_id, p.ts_us, p.cents,
+             coalesce(CASE WHEN cn.ts_us - p.ts_us <= $AsofMaxGapUs
+               THEN cn.click_id END, -1) AS m_click_id,
+             coalesce(CASE WHEN cn.ts_us - p.ts_us <= $AsofMaxGapUs
+               THEN cn.click_cents END, -1) AS m_click_cents
+           FROM p ASOF LEFT JOIN cn
+             ON p.user_id = cn.user_id AND -p.ts_us >= cn.nts
+           ORDER BY p.event_id""",
+      "q88_asof_nearest" ->
+        // both ASOF directions, then pick the closer (ties to backward)
+        // with the gap applied per side — per-direction candidates are
+        // already each direction's closest, so this equals the engine's
+        // nearest-within-gap semantics exactly
+        s"""WITH $asofOracleCtes,
+           b AS (SELECT p.event_id, c0.ts_us AS m_ts, c0.click_id AS m_id,
+                   c0.click_cents AS m_c
+                 FROM p ASOF LEFT JOIN c0
+                   ON p.user_id = c0.user_id AND p.ts_us >= c0.ts_us),
+           f AS (SELECT p.event_id, cn.ts_us AS m_ts, cn.click_id AS m_id,
+                   cn.click_cents AS m_c
+                 FROM p ASOF LEFT JOIN cn
+                   ON p.user_id = cn.user_id AND -p.ts_us >= cn.nts)
+           SELECT p.event_id, p.user_id, p.ts_us, p.cents,
+             ${asofNearestPick("m_id")} AS m_click_id,
+             ${asofNearestPick("m_c")} AS m_click_cents
+           FROM p
+           LEFT JOIN b ON p.event_id = b.event_id
+           LEFT JOIN f ON p.event_id = f.event_id
            ORDER BY p.event_id""",
       "q54_det_split" ->
         s"""SELECT $mdSplitSql AS split,

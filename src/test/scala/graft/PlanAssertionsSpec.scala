@@ -171,6 +171,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(n == 1, s"expected one hash exchange, got $n:\n" + p.take(2000))
   }
 
+  test("q88: nearest as-of adds NO exchange over the backward plan") {
+    // asofNearest's promise: both direction windows (and the final
+    // projection) run over the SAME key exchange as the single-direction
+    // join — the second direction costs a re-sort, never a re-shuffle;
+    // and no variant plans an inequality nested-loop join
+    def exchanges(q: String): Int = {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        p.take(2000))
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    assert(exchanges("q88_asof_nearest") == exchanges("q80_asof_attribution"),
+      "nearest planned more hash exchanges than backward")
+    assert(exchanges("q87_asof_forward") == exchanges("q80_asof_attribution"),
+      "forward planned more hash exchanges than backward")
+  }
+
   test("q83: recount joins broadcast candidates; top-k is a partial TakeOrdered") {
     // topKExact's promise: pass B touches only candidate rows via a
     // broadcast equi-join (the corpus side never shuffles for the
