@@ -260,7 +260,7 @@ object SparkEntry {
       // not leak to concurrent queries on the caller's session, and the
       // memory-sink table dies with the clone instead of piling up
       // across bench reruns.
-      val s2 = s.newSession()
+      val s2 = streamClone(s)
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
       val stream = graft.Tables.eventsTs(
         s2.readStream.schema(schema)
@@ -293,7 +293,7 @@ object SparkEntry {
     // against a batch DuckDB twin of the same rule (q23 gates the
     // batch-window sessionizer; this gates the streaming state path).
     "q71_stream_sessions" -> ((s, dir) => {
-      val s2 = s.newSession()
+      val s2 = streamClone(s)
       import s2.implicits._
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
       val events = graft.Tables.eventsTs(
@@ -668,6 +668,22 @@ object SparkEntry {
         ELSE list_max(list_transform(range(0, len($t) - len($s) + 1),
                wi -> ${sqlRatio(s, s"substr($t, wi + 1, len($s))")})) END"""
     s"CASE WHEN len($sa) <= len($sb) THEN (${wins(sa, sb)}) ELSE (${wins(sb, sa)}) END"
+  }
+
+  /** The isolated session clone the streaming gates drain in (own
+    * SQLConf + temp-view catalog, shared SparkContext): state-store
+    * sizing must not leak to concurrent queries on the caller's
+    * session, and the memory-sink table dies with the clone instead of
+    * piling up across bench reruns. `newSession` starts from the
+    * CONTEXT defaults, so the one session-level knob callers may
+    * legitimately vary — the state-store provider (memory vs RocksDB,
+    * the 100 TB state backend) — is copied through explicitly; the
+    * RocksDB twin spec drives q44/q71 through this exact path. */
+  private def streamClone(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .foreach(s2.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    s2
   }
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow
