@@ -85,4 +85,65 @@ class RetrievalSpec extends AnyFunSuite {
         workload.toDF("qid", "qtext"), "doc_id", "text", "qid", "qtext", 0)
     }
   }
+
+  test("rational-idf ranking agrees with a classic log-idf twin on the real corpus") {
+    // The documented scoring deviation, QUANTIFIED: the operator's
+    // rational idf (N-df+0.5)/(df+0.5) preserves per-term df ordering
+    // but can reweigh multi-term sums vs classic BM25's
+    // ln(1 + (N-df+0.5)/(df+0.5)) (the Lucene/Robertson form). This
+    // canary runs the real operator on the sf0.01 corpus (5k docs,
+    // near-uniform df plus the rare 'dup' term for maximal idf spread)
+    // against a driver-side log-idf twin and pins the agreement floor —
+    // a change that materially reorders results fails here even though
+    // the bit-parity oracle (q79) would still pass.
+    val k = 10
+    val sfDir = "/root/testdata/sf0.01"
+    val canaryQueries = graft.queries.TextQueries.Bm25Queries ++ Seq(
+      (6L, "dup join"), (7L, "dup the scan"), (8L, "dup hash row batch"))
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val engineTopK: Map[Long, Seq[Long]] =
+      Retrieval.bm25TopK(docsDf, canaryQueries.toDF("qid", "qtext"),
+          "doc_id", "text", "qid", "qtext", k)
+        .orderBy("qid", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // log-idf twin, recomputed driver-side with the same tf curve
+    val corpusRows = docsDf.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim)
+    val toks = corpusRows.map { case (id, t) =>
+      id -> (if (t.isEmpty) Seq.empty[String] else t.split("\\s+").toSeq)
+    }.toMap
+    val n = corpusRows.length.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val logTopK: Map[Long, Seq[Long]] = canaryQueries.map { case (qid, qt) =>
+      val scores = qt.split(" ").distinct.toSeq.flatMap { term =>
+        val postings = toks.collect { case (id, ts) if ts.contains(term) =>
+          id -> ts.count(_ == term).toLong }
+        val df = postings.size.toLong
+        postings.map { case (doc, tf) =>
+          doc -> (math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (toks(doc).size / avgdl))))
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      qid -> scores.sortBy { case (doc, s) => (-s, doc) }.take(k).map(_._1)
+    }.toMap
+    val overlaps = canaryQueries.map(_._1).filter(engineTopK.contains).map { qid =>
+      val o = (engineTopK(qid).toSet & logTopK(qid).toSet).size.toDouble / k
+      (qid, o)
+    }
+    assert(overlaps.size >= 7, s"canary lost queries: $overlaps")
+    // observed on this fixture: mean 0.925; the five uniform-df queries
+    // sit at 1.0 and the three 'dup'-mixed ones at 0.9/0.8/0.7 — the
+    // tail-idf reweighing is real but bounded. Floors leave headroom
+    // for fixture regeneration, not for a scoring change: mean >= 0.8,
+    // every query >= 0.6.
+    val mean = overlaps.map(_._2).sum / overlaps.size
+    info(s"rational-vs-log top-$k overlap: mean=$mean per-query=$overlaps")
+    assert(mean >= 0.8, s"mean top-$k overlap $mean < 0.8: $overlaps")
+    overlaps.foreach { case (qid, o) =>
+      assert(o >= 0.6, s"query $qid top-$k overlap $o < 0.6")
+    }
+  }
 }
