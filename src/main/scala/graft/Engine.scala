@@ -129,6 +129,124 @@ object Engine {
     SubmissionResult(mapping, valid, errors, offerings, items, resolved)
   }
 
+  case class CorpusResult(
+      cleaned: DataFrame,   // id, strata, text (NFC+clean+line-dedup+PII), n_lines, n_kept_lines
+      deduped: DataFrame,   // cleaned minus exact duplicates (and contaminated docs)
+      selected: DataFrame,  // deduped + quality_mills/n_tokens, budget-kept per stratum
+      chunks: DataFrame,    // selected cut into overlapping token windows
+      packed: DataFrame,    // selected laid head-to-tail into fixed token budgets
+      accounting: DataFrame) // (stage_no, stage, n_rows) — counts run when actioned
+
+  /** The LLM-corpus counterpart of [[processSubmission]]: one composed
+    * entry point for the training-data pipeline the extension family
+    * implements piecewise —
+    *
+    *   clean (control-char strip + NFC) → line dedup (boilerplate) →
+    *   PII scrub → drop-empty → exact dedup → [benchmark decontam] →
+    *   quality score → per-stratum token-budget selection →
+    *   chunk + pack
+    *
+    * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
+    * q78/q31/q74/q85/q69 respectively), composed lazily — nothing
+    * executes until an action runs. `accounting` is the per-stage row
+    * ledger (one count job per stage when collected — spec/audit
+    * surface, not a hot path).
+    *
+    * Scale shape: inherits each operator's documented shape (no pair
+    * space, no global sort, bounded key spaces); the only cross-stage
+    * addition is the keep-set semi-join after exact dedup, equi-keyed
+    * on the id.
+    *
+    * @param docs          corpus with `idCol` (unique), `textCol`, `strataCol`
+    * @param decontamEval  held-out benchmark docs (same `idCol`/`textCol`
+    *                      schema); when given, training docs sharing >=
+    *                      `decontamMinShared` word bigrams with ANY eval
+    *                      doc are dropped (Bloom-prefiltered exact check)
+    * @param budgetTokens  per-stratum token budget for quality selection
+    * @param packBudget    tokens per packed training sequence
+    */
+  def processCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      strataCol: String = "lang",
+      maxLineDocFreq: Int = graft.queries.TextQueries.LineDedupMaxDf,
+      decontamEval: Option[DataFrame] = None,
+      decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
+      budgetTokens: Long = 1000000L,
+      chunkTokens: Int = 512,
+      chunkOverlap: Int = 64,
+      packBudget: Int = 2048): CorpusResult = {
+    import graft.functions.{TextFunctions, UnicodeNorm}
+
+    // 1-2. NFC first (so line hashing sees canonical bytes), line dedup
+    // while newlines are still intact, THEN cleanText — its control-
+    // char strip + whitespace collapse would erase the very line
+    // structure dedupLines keys on (NFC is idempotent, so the repeat
+    // inside cleanText is free)
+    val washed = docs.withColumn(textCol,
+      UnicodeNorm.nfc_normalize(col(textCol)))
+    val lineDeduped = TextAnalysis
+      .dedupLines(washed, textCol, idCol, maxLineDocFreq)
+      .withColumnRenamed("n_kept", "n_kept_lines")
+    // dedupLines returns only (id, counts, clean_text): rejoin the
+    // passthrough columns (strata and anything else) by id
+    val passthrough = docs.drop(textCol)
+    val cleaned = passthrough.join(lineDeduped, Seq(idCol))
+      .withColumn(textCol,
+        TextFunctions.scrubPii(UnicodeNorm.cleanText(col("clean_text"))))
+      .drop("clean_text")
+
+    // 3. an all-boilerplate doc has no trainable content — and every
+    // such doc shares the SAME empty content key, so drop before dedup
+    val nonEmpty = cleaned.where(TextFunctions.tokenCount(col(textCol)) > 0)
+
+    // 4. exact dedup: keep the min-id representative of each content key
+    val exactDeduped = Dedup.exact(nonEmpty, textCol, idCol)
+      .drop("content_key", "dup_count")
+
+    // 5. optional benchmark decontamination (exact result, Bloom-
+    // prefiltered so the uncontaminated bulk never shuffles)
+    val deduped = decontamEval match {
+      case None => exactDeduped
+      case Some(ev) =>
+        val grams = (d: DataFrame) => d.select(col(idCol),
+          array_distinct(TextFunctions.wordNGrams(lower(col(textCol)), 2))
+            .as("__grams"))
+        val contaminated = TextAnalysis.bloomDecontam(
+          grams(exactDeduped), grams(ev), idCol, "__grams",
+          minShared = decontamMinShared,
+          mBits = graft.queries.TextQueries.DecontamBloomBits,
+          seeds = graft.queries.TextQueries.DecontamBloomSeeds)
+        exactDeduped.join(contaminated.select(idCol), Seq(idCol), "left_anti")
+    }
+
+    // 6-7. quality score + per-stratum prefix-greedy budget selection
+    val scored = deduped
+      .withColumn("quality_mills", TextFunctions.qualityScoreMills(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+    val selected = TextAnalysis.budgetSelect(
+      scored, strataCol, "quality_mills", "n_tokens", idCol, budgetTokens)
+
+    // 8. training-ready units: overlapping windows AND packed sequences
+    val chunks = TextAnalysis.chunkDocs(
+      selected, textCol, idCol, chunkTokens, chunkOverlap)
+    val packed = TextAnalysis.packSequences(
+      selected, textCol, idCol, strataCol, packBudget)
+
+    val accounting = Seq(
+      (0, "input", docs), (1, "cleaned", cleaned),
+      (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
+      (4, "decontaminated", deduped), (5, "budget_selected", selected),
+      (6, "chunks", chunks), (7, "packed_docs", packed))
+      .map { case (i, name, df) =>
+        df.agg(lit(i).as("stage_no"), lit(name).as("stage"),
+          count(lit(1)).as("n_rows"))
+      }.reduce(_ unionByName _)
+
+    CorpusResult(cleaned, deduped, selected, chunks, packed, accounting)
+  }
+
   /** The review queue (pending band) with dashboard aggregates. */
   def reviewQueue(r: SubmissionResult, submissionName: String): (DataFrame, DataFrame) = {
     val pending = r.resolved.where(col("decision") === "review")

@@ -102,4 +102,61 @@ class EngineSpec extends AnyFunSuite {
     assert(upd.count() == 1 && ins.count() == 0) // Acme exists -> update fork
     assert(newDims.columns.toSeq == Seq("title", "ext_id"))
   }
+
+  test("processCorpus runs the full training-data pipeline with a consistent ledger") {
+    // the sf0.001 fixture has no exact text duplicates, so plant five:
+    // re-id'd copies whose cleaned text stays identical to the source —
+    // exact dedup must collapse exactly these (or more, never fewer)
+    val baseDocs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val planted = baseDocs.where(col("doc_id") % 100 === 3)
+      .limit(5).select(col("doc_id") + 2000000L as "doc_id",
+        col("lang"), col("text"))
+    val docs = baseDocs.unionByName(planted)
+    // "benchmark" eval set drawn FROM the corpus: its survivors (and
+    // every doc sharing >= minShared bigrams) must be decontaminated out
+    val evalDocs = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id") + 1000000L as "doc_id", col("text"))
+    // tiny: the fixture's 31-token vocabulary makes bigram decontam
+    // legitimately aggressive (~35 survivors), so the budget must bind
+    // on strata of a handful of ~50-token docs
+    val budget = 100L
+    val r = Engine.processCorpus(docs, decontamEval = Some(evalDocs),
+      budgetTokens = budget, chunkTokens = 32, chunkOverlap = 8,
+      packBudget = 256)
+    val ledger = r.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    // stage-by-stage row accounting, each count cross-checked against
+    // the stage frame it claims to describe
+    assert(ledger("input") == docs.count())
+    assert(ledger("cleaned") == ledger("input"), "cleaning is row-preserving")
+    assert(r.cleaned.count() == ledger("cleaned"))
+    assert(ledger("non_empty") <= ledger("cleaned"))
+    assert(ledger("exact_deduped") <= ledger("non_empty") - 5,
+      "the five planted exact duplicates must collapse")
+    assert(ledger("decontaminated") < ledger("exact_deduped"),
+      "eval-derived docs must be decontaminated out")
+    assert(r.deduped.count() == ledger("decontaminated"))
+    assert(ledger("budget_selected") < ledger("decontaminated"),
+      s"budget $budget must bind")
+    assert(r.selected.count() == ledger("budget_selected"))
+    assert(ledger("packed_docs") == ledger("budget_selected"),
+      "packing is row-preserving per doc")
+    assert(ledger("chunks") >= ledger("budget_selected"),
+      "every selected doc yields at least one chunk")
+    assert(r.chunks.count() == ledger("chunks"))
+    // semantic spot checks across stage boundaries
+    assert(r.deduped.select("text").distinct().count() == ledger("decontaminated"),
+      "deduped stage must carry no exact text duplicate")
+    val perStratum = r.selected.groupBy("lang")
+      .agg(sum("n_tokens").as("t")).collect()
+    perStratum.foreach(row => assert(row.getLong(1) <= budget,
+      s"stratum ${row.getString(0)} exceeds the token budget"))
+    val badPack = r.packed.where(col("seq_offset") >= 256 || col("seq_offset") < 0)
+    assert(badPack.count() == 0, "pack offsets must sit inside the sequence budget")
+    // PII scrub really ran: the fixture plants emails in some docs
+    assert(r.cleaned.where(col("text").rlike(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0,
+      "emails must be scrubbed")
+  }
 }
