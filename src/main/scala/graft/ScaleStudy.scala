@@ -3,32 +3,43 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Data-dominant scale study for the heavy document-pipeline family.
+/** Data-dominant scale study — now spanning all three heavy families.
   *
-  * The shipped testdata tops out at sf0.1 (5k documents), where the
-  * round-5 exponent study showed the suite is still overhead-bound —
-  * the heavy queries (q36/q48/q53/q65, exponents +0.19..+0.48 over
-  * sf0.01→sf0.1) had never run at a size where data dominates fixed
-  * job/shuffle cost. This main closes that gap:
+  * The shipped testdata tops out at sf0.1 (5k documents / 100k events /
+  * 600k lineitem), where the round-5 exponent study showed the suite is
+  * still overhead-bound. This main measures each family at a
+  * synthesized 10× step where data genuinely dominates:
   *
-  *  1. Synthesizes a 10× corpus ("synth sf1", 50k docs) from sf0.1
-  *     documents and persists it to parquet under `target/synth-sf1/`.
-  *     Replica k > 0 remaps `doc_id` by k·[[IdOffset]] and applies the
-  *     token bijection t → "t_rk" to `text`. A bijection on tokens
-  *     preserves every intra-replica shingle-set relation EXACTLY
-  *     (Jaccard, bigram/trigram repetition mass, token counts), while
-  *     making cross-replica token spaces disjoint — so true near-dup
-  *     MASS scales linearly with the corpus, the shape a real 10×
-  *     crawl has. Naive replication would instead make every doc a
-  *     member of a 10-clique of exact duplicates and force the pair
-  *     output quadratic by construction, measuring nothing real.
-  *  2. Runs the heavy queries at sf0.1 and synth-sf1 (one warmup pass
-  *     + best-of-3, the `Bench` protocol) and prints ONE JSON line
-  *     with both times and the per-query scale exponent
-  *     log10(t_sf1 / t_sf0.1) — 1.0 = linear in the 10× step.
+  *  - `docs`   (round 6): 50k documents via the per-replica TOKEN
+  *    BIJECTION t → "t_rk" — preserves every intra-replica shingle-set
+  *    relation exactly while keeping replica token spaces disjoint, so
+  *    true near-dup mass scales linearly (a real crawl's shape), never
+  *    the quadratic clique artifact of naive copying.
+  *  - `events` (round 7): 1M events via id strides — `user_id` +
+  *    k·[[UserOffset]], `event_id` + k·[[EventOffset]], timestamps and
+  *    types UNTOUCHED. Disjoint user spaces replicate every per-user
+  *    structure exactly: q71's session set, q80's purchase⋈click
+  *    attribution, q82's version history are each 10 identical
+  *    per-replica copies — linear by construction, measured for real.
+  *    q44 keeps the same windows with 10× counts (state keyspace
+  *    constant, state VALUES scale — the windowed-agg shape).
+  *  - `rel`    (round 7): 6M lineitem via `l_orderkey` + k·[[OrderOffset]]
+  *    with dimension keys (l_partkey/l_suppkey) untouched, dims copied
+  *    as-is — the fact-grows-dims-fixed shape of a real warehouse.
+  *    q50's salted join fans 10× facts over the same part keys; q55's
+  *    two broadcast dims stay broadcast.
   *
-  * The q01 warm gauge from `Bench` rides along (on sf0.1, whose dir
-  * has the full table set) so a noisy window is self-evident.
+  * A `deep` run (round 7) adds the SECOND document step — synth sf10,
+  * 500k docs via 100 replicas — for the two checkpoint-write-dominated
+  * plans (q53 components, q86 passage index), confirming the
+  * index/label write growth stays linear at a step where the write
+  * itself dominates.
+  *
+  * Protocol per query: one warmup pass + best-of-3 (`Bench`), at the
+  * base and synth dirs; prints ONE JSON line with per-family times and
+  * scale exponents log10(t_synth / t_base) — 1.0 = linear over a 10×
+  * step. The q01 warm gauge rides along so a noisy window is
+  * self-evident.
   */
 object ScaleStudy {
 
@@ -42,7 +53,18 @@ object ScaleStudy {
 
   val Replicas = 10
 
-  /** The heavy document-family queries. Notes on the two round-6
+  /** events strides: beyond sf0.1's max user_id 1,499 / event_id
+    * 99,999 with headroom for larger fixtures; no gated query filters
+    * either key by residue (verified by grep, enforced by the
+    * max-guard below). */
+  val UserOffset: Long = 1000000L
+  val EventOffset: Long = 10000000L
+
+  /** lineitem stride: beyond sf0.1's max l_orderkey 149,999; ≡ 0 mod
+    * 420 for the same residue-safety as IdOffset. */
+  val OrderOffset: Long = 10000200L
+
+  /** The heavy document-family queries. Notes on the round-6
     * additions: q78's eval gram set grows 10× past the Bloom bitset's
     * capacity, so its synth-sf1 point measures the saturated-prefilter
     * worst case (everything exact-confirmed) — the confirm equi-join's
@@ -73,6 +95,23 @@ object ScaleStudy {
     "q78_bloom_decontam", "q79_bm25_topk", "q83_heavy_hitters",
     "q84_cms_counts", "q85_chunk_windows", "q86_dup_passages")
 
+  /** The events/streaming family: both REAL microbatch drains, the
+    * as-of attribution (backward + the two-window nearest variant) and
+    * the one-exchange SCD2 build. */
+  val EventQueries: Seq[String] = Seq(
+    "q44_streaming_window", "q71_stream_sessions",
+    "q80_asof_attribution", "q88_asof_nearest", "q82_scd2_history")
+
+  /** The relational family: the salted skew join and the two-broadcast-
+    * dim rollup — the shapes every q01-q28 aggregate shares. */
+  val RelQueries: Seq[String] = Seq(
+    "q50_salted_rollup", "q55_supplier_rollup")
+
+  /** The checkpoint-write-dominated plans re-measured at the deep
+    * (sf1 → sf10) step. */
+  val DeepQueries: Seq[String] = Seq(
+    "q53_dedup_components", "q86_dup_passages")
+
   /** One replica of `documents`: identity for k = 0, else id-shifted and
     * token-salted. Exposed for the spec that pins the bijection
     * contract (intra-replica similarity preserved, replicas disjoint). */
@@ -88,87 +127,188 @@ object ScaleStudy {
         length(salted).cast("long").as("n_chars"))
     }
 
-  /** Builds `outDir/documents.parquet` (10× the source) unless a synth
-    * corpus built from the SAME source is already there. The reuse key
-    * is (srcDir, source row count) stamped in a sidecar — a bare
-    * _SUCCESS check would silently reuse a stale corpus after the
-    * source dir is swapped for a different same-size fixture. */
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val d = spark.read.parquet(s"$srcDir/documents.parquet")
-    val nSrc = d.count()
-    require(nSrc > 0, s"$srcDir/documents.parquet is empty — nothing to replicate")
-    // content-sensitive reuse key: row count alone can't see a fixture
-    // regenerated in place, so fold in the source files' (size, mtime)
-    val srcFile = new java.io.File(s"$srcDir/documents.parquet")
-    val parts =
-      if (srcFile.isDirectory) srcFile.listFiles().sortBy(_.getName).toSeq
-      else Seq(srcFile)
-    val sig = parts.map(f => s"${f.length()}:${f.lastModified()}").mkString(",")
-    val stamp = s"""{"src":"$srcDir","rows":$nSrc,"sig":"$sig"}"""
-    val sidecar = java.nio.file.Paths.get(s"$outDir/source.json")
-    val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
-    if (marker.exists() && java.nio.file.Files.exists(sidecar) &&
+  /** One replica of `events`: identity for k = 0, else user/event ids
+    * strided, everything else (ts, type, value, props) untouched —
+    * per-user temporal structure is copied EXACTLY into a disjoint
+    * user space. Column order preserved. */
+  def eventsReplica(ev: DataFrame, k: Int): DataFrame =
+    if (k == 0) ev
+    else ev.select(
+      (col("event_id") + lit(k * EventOffset)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(k * UserOffset)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  /** One replica of `lineitem`: identity for k = 0, else l_orderkey
+    * strided; part/supplier keys untouched so every dim join fans the
+    * new facts over the SAME dimension rows. */
+  def lineitemReplica(li: DataFrame, k: Int): DataFrame =
+    if (k == 0) li
+    else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderOffset))
+
+  /** Stamped build-once: runs `build` unless `outDir` already holds a
+    * product built from the same sources (srcPaths' sizes+mtimes +
+    * `key`), recorded in a sidecar. A bare _SUCCESS check would
+    * silently reuse a stale corpus after the source dir is swapped for
+    * a different same-size fixture; the stamp is dropped FIRST so a
+    * rebuild killed mid-write never leaves the old stamp paired with
+    * the new data. */
+  private def buildOnce(outDir: String, srcPaths: Seq[String], key: String,
+      doneMarker: String)(build: => Unit): Unit = {
+    val parts = srcPaths.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    }
+    val sig = parts.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString(",")
+    val stamp = s"""{"key":"$key","sig":"$sig"}"""
+    val sidecar = java.nio.file.Paths.get(s"$outDir/$key.json")
+    if (new java.io.File(s"$outDir/$doneMarker").exists() &&
+        java.nio.file.Files.exists(sidecar) &&
         new String(java.nio.file.Files.readAllBytes(sidecar),
           java.nio.charset.StandardCharsets.UTF_8) == stamp) return
-    // drop any stale stamp FIRST: a rebuild killed between the corpus
-    // write and the sidecar write must never leave the old stamp paired
-    // with the new corpus
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.deleteIfExists(sidecar)
-    // the bijection/disjointness contract holds only if the SOURCE has
-    // no replica-tagged tokens and no ids at or past the remap stride —
-    // srcDir is caller-overridable, so check the corpus, not just the
-    // shipped fixture (ScaleStudySpec pins the toy-level contract)
-    val guard = d.agg(
-      max(col("doc_id")).as("max_id"),
-      sum(when(col("text").rlike("_r\\d+(\\s|$)"), 1L).otherwise(0L))
-        .as("tagged")).head()
-    require(guard.getAs[Long]("max_id") < IdOffset,
-      s"source doc_id ${guard.getAs[Long]("max_id")} >= IdOffset $IdOffset: replica id ranges would collide")
-    require(guard.getAs[Long]("tagged") == 0L,
-      "source text contains replica-tagged tokens (…_r<k>): cross-replica disjointness would break")
-    val full = (0 until Replicas).map(replica(d, _)).reduce(_ unionByName _)
-      // spread across files so the scan parallelizes like a real
-      // many-file corpus (the sf0.1 fixture is a single row group)
-      .repartition(spark.sparkContext.defaultParallelism)
-    full.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    build
     java.nio.file.Files.write(sidecar,
       stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** Builds `outDir/documents.parquet` (`replicas` × the source). */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int = Replicas): Unit =
+    buildOnce(outDir, Seq(s"$srcDir/documents.parquet"),
+        s"source-x$replicas", "documents.parquet/_SUCCESS") {
+      val d = spark.read.parquet(s"$srcDir/documents.parquet")
+      require(d.count() > 0,
+        s"$srcDir/documents.parquet is empty — nothing to replicate")
+      // the bijection/disjointness contract holds only if the SOURCE has
+      // no replica-tagged tokens and no ids at or past the remap stride —
+      // srcDir is caller-overridable, so check the corpus, not just the
+      // shipped fixture (ScaleStudySpec pins the toy-level contract)
+      val guard = d.agg(
+        max(col("doc_id")).as("max_id"),
+        sum(when(col("text").rlike("_r\\d+(\\s|$)"), 1L).otherwise(0L))
+          .as("tagged")).head()
+      require(guard.getAs[Long]("max_id") < IdOffset,
+        s"source doc_id ${guard.getAs[Long]("max_id")} >= IdOffset $IdOffset: replica id ranges would collide")
+      require(guard.getAs[Long]("tagged") == 0L,
+        "source text contains replica-tagged tokens (…_r<k>): cross-replica disjointness would break")
+      val full = (0 until replicas).map(replica(d, _)).reduce(_ unionByName _)
+        // spread across files so the scan parallelizes like a real
+        // many-file corpus (the sf0.1 fixture is a single row group)
+        .repartition(spark.sparkContext.defaultParallelism)
+      full.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+
+  /** Builds `outDir/events.parquet` as ONE FILE (the q44/q71 streaming
+    * file source globs the literal file name, so a directory would be
+    * invisible to it) — 10× the source events. The source's raw-nanos
+    * `ts` round-trips as BIGINT, which `Tables.eventsTs` normalizes on
+    * read exactly like the fixture's TIMESTAMP(NANOS). */
+  def synthesizeEvents(spark: SparkSession, srcDir: String, outDir: String): Unit =
+    buildOnce(outDir, Seq(s"$srcDir/events.parquet"),
+        s"events-x$Replicas", "events.parquet") {
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      val guard = ev.agg(max(col("event_id")).as("me"),
+        max(col("user_id")).as("mu")).head()
+      require(guard.getAs[Long]("me") < EventOffset,
+        s"source event_id ${guard.getAs[Long]("me")} >= EventOffset $EventOffset")
+      require(guard.getAs[Long]("mu") < UserOffset,
+        s"source user_id ${guard.getAs[Long]("mu")} >= UserOffset $UserOffset")
+      val full = (0 until Replicas).map(eventsReplica(ev, _))
+        .reduce(_ unionByName _)
+      val tmp = s"$outDir/__events_tmp"
+      full.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val dst = java.nio.file.Paths.get(s"$outDir/events.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part.toPath, dst)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+    }
+
+  /** Builds `outDir/lineitem.parquet` (10× facts) and copies the
+    * broadcast dims (part, supplier, nation) verbatim — the
+    * fact-grows-dims-fixed warehouse shape. */
+  def synthesizeRelational(spark: SparkSession, srcDir: String, outDir: String): Unit =
+    buildOnce(outDir, Seq(s"$srcDir/lineitem.parquet"),
+        s"lineitem-x$Replicas", "lineitem.parquet/_SUCCESS") {
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      require(maxOk < OrderOffset,
+        s"source l_orderkey $maxOk >= OrderOffset $OrderOffset")
+      (0 until Replicas).map(lineitemReplica(li, _))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Seq("part", "supplier", "nation").foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   private def bestOf(runs: Int)(body: => Unit): Double =
     (1 to runs).map { _ =>
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }.min
 
+  private def cs(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** warm + best-of-3 at both dirs; returns the JSON fragment. */
+  private def measure(spark: SparkSession, names: Seq[String],
+      baseDir: String, synthDir: String): String =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, baseDir).count() // warm: codegen + planning
+      val t0 = bestOf(3)(fn(spark, baseDir).count())
+      fn(spark, synthDir).count()
+      val t1 = bestOf(3)(fn(spark, synthDir).count())
+      val exp = math.log10(t1 / t0)
+      s""""${name.takeWhile(_ != '_')}":{"base":${cs(t0)},"synth":${cs(t1)},"exp":${cs(exp)}}"""
+    }.mkString(",")
+
   def main(args: Array[String]): Unit = {
+    val families = if (args.isEmpty) Seq("docs", "events", "rel") else args.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "target/synth-sf1")
+    val synthEvDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_EV_DIR", "target/synth-ev1")
+    val synthRelDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_REL_DIR", "target/synth-rel1")
+    val deepDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DEEP_DIR", "target/synth-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    synthesize(spark, sfDir, synthDir)
-    val n01 = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val n1 = spark.read.parquet(s"$synthDir/documents.parquet").count()
-    require(n1 == n01 * Replicas, s"synth corpus $n1 != $Replicas x $n01")
 
     // load gauge on the full-table sf0.1 dir (the Bench convention)
     val q01 = SparkEntry.queries("q01_pricing_summary")
     q01(spark, sfDir).count()
     val gauge = bestOf(3)(q01(spark, sfDir).count())
 
-    def cs(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val rows = HeavyQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm: codegen + planning
-      val t01 = bestOf(3)(fn(spark, sfDir).count())
-      fn(spark, synthDir).count()
-      val t1 = bestOf(3)(fn(spark, synthDir).count())
-      val exp = math.log10(t1 / t01)
-      s""""${name.takeWhile(_ != '_')}":{"sf01":${cs(t01)},"sf1":${cs(t1)},"exp":${cs(exp)}}"""
-    }
-    println(s"""{"study":"sf0.1->synth-sf1","docs_sf1":$n1,"gauge_q01":${cs(gauge)},"queries":{${rows.mkString(",")}}}""")
+    val out = families.map {
+      case "docs" =>
+        synthesize(spark, sfDir, synthDir)
+        s""""docs":{${measure(spark, HeavyQueries, sfDir, synthDir)}}"""
+      case "events" =>
+        synthesizeEvents(spark, sfDir, synthEvDir)
+        s""""events":{${measure(spark, EventQueries, sfDir, synthEvDir)}}"""
+      case "rel" =>
+        synthesizeRelational(spark, sfDir, synthRelDir)
+        s""""rel":{${measure(spark, RelQueries, sfDir, synthRelDir)}}"""
+      case "deep" =>
+        // second document step: sf1 (50k) -> sf10 (500k, 100 replicas),
+        // where the checkpoint/index WRITE dominates q53/q86
+        synthesize(spark, sfDir, synthDir)
+        synthesize(spark, sfDir, deepDir, replicas = 100)
+        s""""deep":{${measure(spark, DeepQueries, synthDir, deepDir)}}"""
+      case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
+    }.mkString(",")
+
+    println(s"""{"study":"10x-data-dominant","gauge_q01":${cs(gauge)},$out}""")
     spark.stop()
   }
 }

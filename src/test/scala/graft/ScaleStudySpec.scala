@@ -79,4 +79,41 @@ class ScaleStudySpec extends AnyFunSuite {
     assert(row.getAs[String]("text").endsWith("_r2"))
     assert(row.getAs[Long]("n_chars") == row.getAs[String]("text").length)
   }
+
+  private def toyEvents = Seq(
+    (1L, 1000L, 10L, "click", 1.5, "{}"),
+    (2L, 2000L, 10L, "purchase", 9.9, "{}"),
+    (3L, 1500L, 11L, "click", 0.5, "{}"))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("eventsReplica strides ids into disjoint spaces, copies time structure verbatim") {
+    assert(ScaleStudy.eventsReplica(toyEvents, 0).collect().toSeq ==
+      toyEvents.collect().toSeq, "k=0 must be the identity")
+    val r = ScaleStudy.eventsReplica(toyEvents, 3)
+    assert(r.columns.toSeq == toyEvents.columns.toSeq, "column order preserved")
+    val rows = r.orderBy("event_id").collect()
+    // ids strided; ts/type/value/props bit-identical — per-user session,
+    // as-of and SCD2 structure is therefore an exact copy per replica
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L).map(_ + 3 * ScaleStudy.EventOffset))
+    assert(rows.map(_.getLong(2)).toSeq ==
+      Seq(10L, 10L, 11L).map(_ + 3 * ScaleStudy.UserOffset))
+    assert(rows.map(r => (r.getLong(1), r.getString(3), r.getDouble(4))).toSeq ==
+      Seq((1000L, "click", 1.5), (2000L, "purchase", 9.9), (1500L, "click", 0.5)))
+    // replica user spaces are disjoint (stride dominates the id range)
+    val u0 = toyEvents.select("user_id").collect().map(_.getLong(0)).toSet
+    val u3 = rows.map(_.getLong(2)).toSet
+    assert(u0.intersect(u3).isEmpty)
+  }
+
+  test("lineitemReplica strides only the order key; dim keys join the same rows") {
+    val li = Seq((1L, 100L, 200L, 5.0), (2L, 101L, 201L, 6.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    assert(ScaleStudy.lineitemReplica(li, 0).collect().toSeq == li.collect().toSeq)
+    val r = ScaleStudy.lineitemReplica(li, 2).orderBy("l_orderkey").collect()
+    assert(r.map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L).map(_ + 2 * ScaleStudy.OrderOffset))
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq ==
+      Seq((100L, 200L, 5.0), (101L, 201L, 6.0)))
+  }
 }
