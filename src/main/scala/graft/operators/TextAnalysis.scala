@@ -216,6 +216,80 @@ object TextAnalysis {
         floor(lit(1000) * col("n_dup_windows") / col("n_windows")).cast("long"))
   }
 
+  /** Cross-document duplicated-passage REMOVAL — [[dupPassageStats]]
+    * actually applied (Lee et al. 2022 §4.2's ExactSubstr dedup, at
+    * the same anchored token-window granularity): every anchored
+    * `windowTokens`-token window that occurs in 2+ documents is CUT
+    * from every document EXCEPT the window's canonical holder (the
+    * minimum `idCol` containing it — so one copy of every passage
+    * survives, deterministically). Coverage is positional: a removed
+    * window blanks its `windowTokens` token positions; overlapping
+    * removed windows union their spans. The cleaned text is the
+    * surviving tokens rejoined with single spaces (the operator works
+    * in token space, like the rest of the q85/q86 family — callers
+    * wanting case-insensitive matching lower the text upstream).
+    *
+    * Row-preserving: one output row per input document —
+    * (idCol, n_toks, n_removed, clean_md5, clean_text); an untouched
+    * doc has n_removed = 0 and clean_text = the space-rejoined tokens.
+    *
+    * Scale shape, mirroring [[dupPassageStats]]: ONE scan builds the
+    * (window, doc, start) anchor index, eagerly checkpointed — it
+    * feeds both the frequency/keeper agg (key space = distinct
+    * windows) and the dup-start join back. Covered positions explode
+    * ×windowTokens from DUP STARTS ONLY (output bounded by true dup
+    * mass, not corpus mass), the kept-token anti-join is equi-keyed on
+    * (doc, position), and the rebuild is one per-doc rollup. No
+    * doc×doc pair space anywhere. */
+  def removeDupPassages(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, anchorMod: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
+    require(anchorMod >= 1, s"anchorMod=$anchorMod must be >= 1")
+    val reserved = Seq("n_toks", "n_removed", "clean_md5", "clean_text",
+      "__toks", "__p", "__tok", "__h", "__nd", "__keep", "__cp", "__kept")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("__toks"))
+    // anchored (window hash, doc, start) index — same md5-bucket anchor
+    // contract as dupPassageStats; checkpointed once, read twice
+    val anchors = base
+      .where(size(col("__toks")) >= windowTokens)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .where(col("__p") <= size(col("__toks")) - windowTokens &&
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10)
+          .cast("long") % anchorMod === 0)
+      .select(col(idCol), col("__p"),
+        md5(array_join(
+          slice(col("__toks"), col("__p") + 1, lit(windowTokens)),
+          " ")).as("__h"))
+      .localCheckpoint(true)
+    val freq = anchors.groupBy(col("__h")).agg(
+      countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__keep"))
+    // starts to cut: duplicated windows in every non-canonical holder
+    val dupStarts = anchors.join(freq, Seq("__h"))
+      .where(col("__nd") > 1 && col(idCol) =!= col("__keep"))
+    val covered = dupStarts
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (windowTokens - 1))).as("__p"))
+      .distinct()
+    val tokRows = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__tok")))
+    val rebuilt = tokRows.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+            s => s.getField("__tok")), " ").as("clean_text"))
+    df.select(col(idCol), size(toks).cast("long").as("n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        (col("n_toks") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

@@ -589,6 +589,19 @@ object TextQueries {
           docsSpread(s, dir)
             .select(col("doc_id"), lower(col("text")).as("text")),
           "text", "doc_id", DupWindowTokens, DupAnchorMod)
+        .orderBy("doc_id")),
+
+    // Duplicated-passage REMOVAL (q86 applied): every cross-doc
+    // duplicated anchored window cut from every doc except its
+    // min-doc_id canonical holder; gated on the full rebuilt-text md5
+    // plus exact token accounting, so a single kept/cut token anywhere
+    // in the corpus hash-fails. Row-preserving (one row per doc).
+    "q89_dup_removal" -> ((s, dir) =>
+      graft.operators.TextAnalysis.removeDupPassages(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          "text", "doc_id", DupWindowTokens, DupAnchorMod)
+        .select("doc_id", "n_toks", "n_removed", "clean_md5")
         .orderBy("doc_id")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
@@ -905,6 +918,51 @@ object TextQueries {
              / count(*)) AS BIGINT) AS dup_mills
          FROM w JOIN f USING (h)
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q89_dup_removal" ->
+      // full removal recompute: same anchored-window CTEs as q86, plus
+      // the keeper rule (min doc_id per window survives), positional
+      // span coverage (union of removed windows), kept-token anti-join
+      // and an order-preserving rebuild — md5 of the rebuilt text must
+      // match the engine's bit-for-bit
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, len(toks) AS n
+           FROM t WHERE len(toks) >= $DupWindowTokens),
+         pos AS (
+           SELECT doc_id, toks,
+             CAST(unnest(range(n - $DupWindowTokens + 1)) AS BIGINT) AS i
+           FROM n),
+         w AS (
+           SELECT doc_id, i, md5(array_to_string(list_slice(toks,
+             i + 1, i + $DupWindowTokens), ' ')) AS h
+           FROM pos
+           WHERE CAST(('0x' || substr(md5(toks[i + 1]), 1, 15)) AS BIGINT)
+             % $DupAnchorMod = 0),
+         f AS (SELECT h, count(DISTINCT doc_id) AS nd,
+                 min(doc_id) AS keeper FROM w GROUP BY h),
+         dup AS (SELECT w.doc_id, w.i FROM w JOIN f USING (h)
+                 WHERE f.nd > 1 AND w.doc_id <> f.keeper),
+         cov AS (SELECT DISTINCT doc_id,
+                   i + CAST(unnest(range($DupWindowTokens)) AS BIGINT) AS cp
+                 FROM dup),
+         ap AS (SELECT doc_id, toks[p + 1] AS tok, p FROM (
+                  SELECT doc_id, toks,
+                    CAST(unnest(range(len(toks))) AS BIGINT) AS p FROM t)),
+         kept AS (SELECT ap.doc_id, ap.p, ap.tok FROM ap
+                  LEFT JOIN cov ON ap.doc_id = cov.doc_id AND ap.p = cov.cp
+                  WHERE cov.doc_id IS NULL),
+         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+                   array_to_string(list(tok ORDER BY p), ' ') AS ct
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+           CAST(len(t.toks) - coalesce(reb.kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(reb.ct, '')) AS clean_md5
+         FROM t LEFT JOIN reb USING (doc_id)
+         ORDER BY t.doc_id""",
     "q74_budget_select" ->
       // naive per-stratum ordered window — the semantic definition the
       // engine's two-phase histogram design must reproduce row-for-row.

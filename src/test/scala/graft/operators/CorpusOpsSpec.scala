@@ -104,6 +104,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L, 1000L), (2L, 1L, 1L, 1000L)))
   }
 
+  test("removeDupPassages cuts every copy except the canonical holder's") {
+    // W=4, anchorMod=1 (every position anchors). Doc 1 is the minimum
+    // holder of "a b c d" — its text survives untouched; docs 2 and 3
+    // lose the shared window (doc 3 loses BOTH intra-doc copies: each
+    // is a duplicated window and doc 3 is not the keeper); doc 4's
+    // intra-doc-only repeat is NOT cross-doc duplicated -> untouched;
+    // doc 5 is shorter than one window -> untouched; doc 6 is empty.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z w"),
+      (3L, "a b c d a b c d"),
+      (4L, "p q r s p q r s"),
+      (5L, "m n o"),
+      (6L, " ")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDupPassages(docs, "text", "doc_id", 4, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    // doc 2: positions of "a b c d" are 2..5 -> "x y z w" survives;
+    // doc 3: windows at 0..4 all duplicated-or-overlapping? anchored
+    // starts are 0..4; dup windows: "a b c d" (cross-doc, starts 0 and
+    // 4), "b c d a"/"c d a b"/"d a b c" (intra-only, nd=1) -> covered
+    // spans from starts {0, 4} = positions 0..7 -> everything removed
+    assert(got.toSeq == Seq(
+      (1L, 6L, 0L, "a b c d e f"),
+      (2L, 8L, 4L, "x y z w"),
+      (3L, 8L, 8L, ""),
+      (4L, 8L, 0L, "p q r s p q r s"),
+      (5L, 3L, 0L, "m n o"),
+      (6L, 0L, 0L, "")))
+  }
+
+  test("removeDupPassages guards geometry and reserved columns") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeDupPassages(df, "text", "doc_id", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeDupPassages(df, "text", "doc_id", 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.removeDupPassages(
+        Seq((1L, "a")).toDF("clean_md5", "text"), "text", "clean_md5", 4, 1)
+    }
+  }
+
   test("anchored sampling recall vs exhaustive detection, measured on the real corpus") {
     // The q86 gate runs with anchorMod = DupAnchorMod (content-defined
     // 1-in-p sampling); its documented miss model is
