@@ -290,6 +290,79 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every source document by how much its hashed-bigram distribution
+    * looks like a TARGET exemplar set versus the source corpus itself —
+    * the data-selection step that upweights target-domain-like raw
+    * data. Features are word bigrams hashed into `buckets` buckets
+    * (md5 salted with '#dsir', first 15 hex chars mod buckets — the
+    * CMS-family cross-engine hash contract), so the model size is
+    * BOUNDED by the caller regardless of corpus vocabulary.
+    *
+    * Scoring is a RATIONAL importance ratio in exact integer mills,
+    * not the paper's log-likelihood ratio: per bucket,
+    *   w = floor(1000 · (tgt+1)(Nsrc+B) / ((src+1)(Ntgt+B)))
+    * (add-one smoothing, totals-normalized). `ln` is the one op that
+    * is not bit-portable across engines (the BM25 rational-idf trade,
+    * documented there); the rational ratio preserves the per-bucket
+    * target-likeness ordering exactly and keeps every score
+    * bit-identical in DuckDB via the same DECIMAL/HUGEINT integer
+    * pipeline.
+    *
+    * The SELECTION key is `dsir_avg_mills` = floor(sum w / n_grams) —
+    * the mean importance ratio per gram. The raw sum (`dsir_mills`,
+    * also emitted, for budget-weighted uses) is length-dominated:
+    * weights center at 1000 (ratio 1), so a sum ranks long documents
+    * first regardless of target-likeness — measured at 0.22 top-50
+    * agreement with the paper's log-ratio ranking on the fixture,
+    * versus 0.96 for the per-gram mean (the spec's rank-agreement
+    * canary pins the floor).
+    *
+    * Scale shape: gram→bucket is a pure projection; both count tables
+    * and the weight table are bounded by `buckets` rows (broadcast);
+    * totals are 1-row broadcasts; the only corpus-sized shuffle is the
+    * per-doc sum. Row-preserving: docs with no bigrams score 0. */
+  def importanceScore(source: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val reserved = Seq("n_grams", "dsir_mills", "__g", "__b", "__sc",
+      "__tc", "__ns", "__nt", "__w")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    def bucketOf(g: Column): Column =
+      conv(substring(md5(concat(g, lit("#dsir"))), 1, 15), 16, 10)
+        .cast("long") % buckets
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+
+          explode(TextFunctions.wordNGrams(col(textCol), 2)).as("__g"): _*)
+        .withColumn("__b", bucketOf(col("__g"))).drop("__g")
+    val sg = gramBuckets(source, Seq(col(idCol)))
+    val tg = gramBuckets(target, Seq.empty)
+    val sc = sg.groupBy("__b").agg(count(lit(1)).as("__sc"))
+    val tc = tg.groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val totals = sg.agg(count(lit(1)).as("__ns"))
+      .crossJoin(tg.agg(count(lit(1)).as("__nt")))
+    // weight table over ALL buckets (absent buckets still carry the
+    // smoothed default weight) — bounded by `buckets`, broadcast
+    val wt = source.sparkSession.range(buckets).toDF("__b")
+      .join(sc, Seq("__b"), "left").join(tc, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), expr(
+        // DECIMAL(38,0) on BOTH sides: int64 products overflow past
+        // ~3e9 grams per side, a size a real corpus reaches
+        s"""CAST((CAST(1000 AS DECIMAL(38,0)) * (coalesce(__tc, 0) + 1) * (__ns + $buckets))
+            div (CAST(coalesce(__sc, 0) + 1 AS DECIMAL(38,0)) * (__nt + $buckets)) AS BIGINT)""").as("__w"))
+    val scored = sg.join(broadcast(wt), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("dsir_mills"))
+    source.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_mills"), lit(0L)).as("dsir_mills"),
+        coalesce(expr("dsir_mills div n_grams"), lit(0L)).as("dsir_avg_mills"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

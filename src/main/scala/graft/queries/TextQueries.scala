@@ -179,6 +179,12 @@ object TextQueries {
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 512
 
+  /** q90's DSIR feature-hash bucket count. 1024 over the fixture's
+    * ~960 distinct bigrams puts a few genuine collisions in play while
+    * keeping most buckets single-gram — both the collided and the
+    * smoothed-empty weight paths are oracle-exercised. */
+  private[graft] val DsirBuckets = 1024
+
   /** DuckDB twin of `CountMin.bucket` — THE shared hash contract:
     * md5(item || '#cms' || row), first 15 hex chars as a 60-bit int,
     * mod width. `row` is a SQL expression (column or literal). */
@@ -591,6 +597,20 @@ object TextQueries {
           "text", "doc_id", DupWindowTokens, DupAnchorMod)
         .orderBy("doc_id")),
 
+    // DSIR-style importance scoring: every doc scored by hashed-bigram
+    // target-vs-source likeness in exact integer mills (rational
+    // ratio, the BM25 determinism trade), target = the doc_id % 7
+    // exemplar slice. Weight table bounded by DsirBuckets and
+    // broadcast; the only corpus-sized shuffle is the per-doc sum.
+    "q90_dsir_score" -> ((s, dir) => {
+      val src = docsSpread(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      graft.operators.TextAnalysis.importanceScore(
+          src, src.where(col("doc_id") % 7 === 0),
+          "text", "doc_id", DsirBuckets)
+        .orderBy("doc_id")
+    }),
+
     // Duplicated-passage REMOVAL (q86 applied): every cross-doc
     // duplicated anchored window cut from every doc except its
     // min-doc_id canonical holder; gated on the full rebuilt-text md5
@@ -918,6 +938,42 @@ object TextQueries {
              / count(*)) AS BIGINT) AS dup_mills
          FROM w JOIN f USING (h)
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q90_dsir_score" ->
+      // full recompute: lowered bigram multiset, the '#dsir' salted
+      // md5 bucket contract, add-one-smoothed totals-normalized
+      // rational weights in HUGEINT (the DECIMAL(38,0) twin), per-doc
+      // occurrence-weighted sums; target grams reuse the source gram
+      // table filtered (target ⊆ source by construction)
+      s"""WITH base AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+           FROM documents),
+         dg AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(g || '#dsir'), 1, 15)) AS BIGINT)
+               % $DsirBuckets AS b
+           FROM (SELECT doc_id, unnest($wordBigramsAllSql) AS g FROM base)),
+         tg AS (SELECT b FROM dg WHERE doc_id % 7 = 0),
+         sc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM dg GROUP BY b),
+         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY b),
+         tot AS (SELECT (SELECT count(*) FROM dg) AS ns,
+                        (SELECT count(*) FROM tg) AS nt),
+         bk AS (SELECT CAST(unnest(range($DsirBuckets)) AS BIGINT) AS b),
+         wt AS (SELECT bk.b,
+                  CAST((CAST(1000 AS HUGEINT) * (coalesce(tc.c, 0) + 1)
+                        * (tot.ns + $DsirBuckets))
+                    // (CAST(coalesce(sc.c, 0) + 1 AS HUGEINT)
+                        * (tot.nt + $DsirBuckets)) AS BIGINT) AS w
+                FROM bk LEFT JOIN sc ON bk.b = sc.b
+                  LEFT JOIN tc ON bk.b = tc.b CROSS JOIN tot),
+         scored AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(wt.w) AS BIGINT) AS dsir_mills
+                    FROM dg JOIN wt ON dg.b = wt.b GROUP BY dg.doc_id)
+         SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.dsir_mills, 0) AS dsir_mills,
+           coalesce(CAST(s.dsir_mills // s.n_grams AS BIGINT), 0) AS dsir_avg_mills
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -149,6 +149,101 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def dsirBucket(g: String, buckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$g#dsir".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % buckets
+  }
+
+  private def bigramsOf(text: String): Seq[String] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (text.trim.isEmpty || toks.size < 2) Seq.empty
+    else toks.sliding(2).map(_.mkString(" ")).toSeq
+  }
+
+  test("importanceScore matches an exact driver-side recompute, scores target-like docs higher") {
+    val B = 64
+    val srcRows = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // pure target-language
+      (2L, "gamma delta gamma delta"),          // pure source-only
+      (3L, "alpha beta gamma delta"),           // mixed
+      (4L, "solo"),                             // no bigrams
+      (5L, ""))                                 // empty
+    val src = srcRows.toDF("doc_id", "text")
+    val tgt = src.where(col("doc_id") === 1L) // exemplar: the alpha-beta doc
+    val got = TextAnalysis.importanceScore(src, tgt, "text", "doc_id", B)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact integer recompute of the rational weight pipeline
+    val sg = srcRows.flatMap { case (_, t) => bigramsOf(t) }.map(dsirBucket(_, B))
+    val tgtGrams = bigramsOf(srcRows.head._2).map(dsirBucket(_, B))
+    val scCnt = sg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tcCnt = tgtGrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ns, nt) = (sg.size.toLong, tgtGrams.size.toLong)
+    def w(b: Long): Long =
+      (BigInt(1000) * (tcCnt.getOrElse(b, 0L) + 1) * (ns + B) /
+        (BigInt(scCnt.getOrElse(b, 0L) + 1) * (nt + B))).toLong
+    val want = srcRows.map { case (id, t) =>
+      val bs = bigramsOf(t).map(dsirBucket(_, B))
+      val s = bs.map(w).sum
+      (id, bs.size.toLong, s, if (bs.isEmpty) 0L else s / bs.size)
+    }
+    assert(got.toSeq == want)
+    // the SELECTION key (per-gram mean) orders by target-likeness,
+    // not length
+    val avgById = got.map(r => r._1 -> r._4).toMap
+    assert(avgById(1L) > avgById(3L) && avgById(3L) > avgById(2L),
+      s"target-likeness ordering violated: $avgById")
+    assert(avgById(4L) == 0L && avgById(5L) == 0L, "gram-less docs must score 0")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceScore(src, tgt, "text", "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceScore(
+        src.withColumnRenamed("doc_id", "__b"), tgt, "text", "__b", B)
+    }
+  }
+
+  test("rational importance ranking agrees with the paper's log-ratio twin on the real corpus") {
+    // the documented deviation (ratio-sum vs log-ratio-sum), quantified
+    // like the BM25 canary: engine top-k selection on the sf0.001
+    // corpus vs a driver-side log-likelihood-ratio twin over the SAME
+    // hashed buckets and smoothing
+    val B = graft.queries.TextQueries.DsirBuckets
+    val k = 50
+    val docsDf = spark.read.parquet(s"${graft.SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val engine = TextAnalysis.importanceScore(
+        docsDf, docsDf.where(col("doc_id") % 7 === 0), "text", "doc_id", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val sg = rows.flatMap { case (_, t) => bigramsOf(t) }.map(dsirBucket(_, B))
+    val tgtGrams = rows.filter(_._1 % 7 == 0)
+      .flatMap { case (_, t) => bigramsOf(t) }.map(dsirBucket(_, B))
+    val scCnt = sg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tcCnt = tgtGrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ns, nt) = (sg.size.toLong, tgtGrams.size.toLong)
+    def lw(b: Long): Double =
+      math.log(((tcCnt.getOrElse(b, 0L) + 1.0) * (ns + B)) /
+        ((scCnt.getOrElse(b, 0L) + 1.0) * (nt + B)))
+    val logTop = rows.map { case (id, t) =>
+      val bs = bigramsOf(t)
+      id -> (if (bs.isEmpty) Double.NegativeInfinity
+             else bs.map(g => lw(dsirBucket(g, B))).sum / bs.size)
+    }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    // rank by the operator's own floored selection key, as a user would
+    val engTop = engine.toSeq.filter(_._2 > 0)
+      .sortBy { case (id, _, a) => (-a, id) }.take(k).map(_._1).toSet
+    val overlap = (logTop & engTop).size.toDouble / k
+    // observed on this fixture: 0.96 with exact per-gram means; the
+    // emitted key is floor-quantized to mills, which can only tie-
+    // shuffle near the cut — floor at 0.7 so a scoring regression
+    // (e.g. reverting to the length-dominated raw sum, observed 0.22)
+    // fails loud while fixture regeneration survives
+    info(s"rational-vs-log DSIR top-$k overlap: $overlap")
+    assert(overlap >= 0.7, s"top-$k overlap $overlap < 0.7")
+  }
+
   test("anchored sampling recall vs exhaustive detection, measured on the real corpus") {
     // The q86 gate runs with anchorMod = DupAnchorMod (content-defined
     // 1-in-p sampling); its documented miss model is
