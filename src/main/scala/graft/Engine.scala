@@ -142,12 +142,12 @@ object Engine {
     * implements piecewise —
     *
     *   clean (control-char strip + NFC) → line dedup (boilerplate) →
-    *   PII scrub → drop-empty → exact dedup → [benchmark decontam] →
-    *   quality score → per-stratum token-budget selection →
-    *   chunk + pack
+    *   PII scrub → drop-empty → exact dedup → [dup-passage removal] →
+    *   [benchmark decontam] → quality score → per-stratum token-budget
+    *   selection → chunk + pack
     *
     * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
-    * q78/q31/q74/q85/q69 respectively), composed lazily — nothing
+    * q89/q78/q31/q74/q85/q69 respectively), composed lazily — nothing
     * executes until an action runs. `accounting` is the per-stage row
     * ledger (one count job per stage when collected — spec/audit
     * surface, not a hot path).
@@ -162,6 +162,11 @@ object Engine {
     *                      schema); when given, training docs sharing >=
     *                      `decontamMinShared` word bigrams with ANY eval
     *                      doc are dropped (Bloom-prefiltered exact check)
+    * @param removeDupWindows when Some((windowTokens, anchorMod)),
+    *                      cross-doc duplicated passages are CUT from
+    *                      every non-canonical holder after exact dedup
+    *                      (TextAnalysis.removeDupPassages — row-
+    *                      preserving, text shrinks)
     * @param budgetTokens  per-stratum token budget for quality selection
     * @param packBudget    tokens per packed training sequence
     */
@@ -173,6 +178,7 @@ object Engine {
       maxLineDocFreq: Int = graft.queries.TextQueries.LineDedupMaxDf,
       decontamEval: Option[DataFrame] = None,
       decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
+      removeDupWindows: Option[(Int, Int)] = None,
       budgetTokens: Long = 1000000L,
       chunkTokens: Int = 512,
       chunkOverlap: Int = 64,
@@ -205,20 +211,34 @@ object Engine {
     val exactDeduped = Dedup.exact(nonEmpty, textCol, idCol)
       .drop("content_key", "dup_count")
 
+    // 4b. optional duplicated-passage surgery: cut cross-doc repeated
+    // windows from every non-canonical holder; a doc whose every token
+    // was a duplicated passage has no trainable content left (same
+    // rule as stage 3) and is dropped here
+    val passageClean = removeDupWindows match {
+      case None => exactDeduped
+      case Some((w, m)) =>
+        exactDeduped.drop(textCol).join(
+          TextAnalysis.removeDupPassages(exactDeduped, textCol, idCol, w, m)
+            .select(col(idCol), col("clean_text").as(textCol)),
+          Seq(idCol))
+          .where(TextFunctions.tokenCount(col(textCol)) > 0)
+    }
+
     // 5. optional benchmark decontamination (exact result, Bloom-
     // prefiltered so the uncontaminated bulk never shuffles)
     val deduped = decontamEval match {
-      case None => exactDeduped
+      case None => passageClean
       case Some(ev) =>
         val grams = (d: DataFrame) => d.select(col(idCol),
           array_distinct(TextFunctions.wordNGrams(lower(col(textCol)), 2))
             .as("__grams"))
         val contaminated = TextAnalysis.bloomDecontam(
-          grams(exactDeduped), grams(ev), idCol, "__grams",
+          grams(passageClean), grams(ev), idCol, "__grams",
           minShared = decontamMinShared,
           mBits = graft.queries.TextQueries.DecontamBloomBits,
           seeds = graft.queries.TextQueries.DecontamBloomSeeds)
-        exactDeduped.join(contaminated.select(idCol), Seq(idCol), "left_anti")
+        passageClean.join(contaminated.select(idCol), Seq(idCol), "left_anti")
     }
 
     // 6-7. quality score + per-stratum prefix-greedy budget selection
@@ -237,8 +257,9 @@ object Engine {
     val accounting = Seq(
       (0, "input", docs), (1, "cleaned", cleaned),
       (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
-      (4, "decontaminated", deduped), (5, "budget_selected", selected),
-      (6, "chunks", chunks), (7, "packed_docs", packed))
+      (4, "passage_cleaned", passageClean),
+      (5, "decontaminated", deduped), (6, "budget_selected", selected),
+      (7, "chunks", chunks), (8, "packed_docs", packed))
       .map { case (i, name, df) =>
         df.agg(lit(i).as("stage_no"), lit(name).as("stage"),
           count(lit(1)).as("n_rows"))

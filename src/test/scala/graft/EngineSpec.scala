@@ -122,6 +122,7 @@ class EngineSpec extends AnyFunSuite {
     // on strata of a handful of ~50-token docs
     val budget = 100L
     val r = Engine.processCorpus(docs, decontamEval = Some(evalDocs),
+      removeDupWindows = Some((8, 1)),
       budgetTokens = budget, chunkTokens = 32, chunkOverlap = 8,
       packBudget = 256)
     val ledger = r.accounting.collect()
@@ -134,8 +135,33 @@ class EngineSpec extends AnyFunSuite {
     assert(ledger("non_empty") <= ledger("cleaned"))
     assert(ledger("exact_deduped") <= ledger("non_empty") - 5,
       "the five planted exact duplicates must collapse")
-    assert(ledger("decontaminated") < ledger("exact_deduped"),
+    assert(ledger("passage_cleaned") <= ledger("exact_deduped"),
+      "passage removal never adds rows (fully-cut docs drop)")
+    assert(ledger("decontaminated") < ledger("passage_cleaned"),
       "eval-derived docs must be decontaminated out")
+    // the passage surgery actually cut text: per doc (same id, same
+    // upstream cleaning) the with-removal token count is <= the
+    // no-removal one, and strictly < somewhere. Compared WITHOUT
+    // decontam: the eval-driven drop removes precisely the dup-heavy
+    // docs the surgery touches, so the decontaminated survivor sets
+    // would hide the effect (and differ between runs anyway, since
+    // removal changes the bigram sets decontam keys on)
+    def tokensById(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("t"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val withR = tokensById(Engine.processCorpus(docs,
+      removeDupWindows = Some((8, 1)), budgetTokens = budget).deduped)
+    val plain = Engine.processCorpus(docs, budgetTokens = budget)
+    assert(plain.deduped.select("text").distinct().count() == plain.deduped.count(),
+      "deduped stage must carry no exact text duplicate")
+    val withoutR = tokensById(plain.deduped)
+    val common = withR.keySet & withoutR.keySet
+    assert(common.nonEmpty)
+    common.foreach(id => assert(withR(id) <= withoutR(id),
+      s"removal grew doc $id: ${withR(id)} > ${withoutR(id)}"))
+    assert(common.exists(id => withR(id) < withoutR(id)),
+      "dup-passage removal must shrink the surviving token mass somewhere")
     assert(r.deduped.count() == ledger("decontaminated"))
     assert(ledger("budget_selected") < ledger("decontaminated"),
       s"budget $budget must bind")
@@ -145,9 +171,12 @@ class EngineSpec extends AnyFunSuite {
     assert(ledger("chunks") >= ledger("budget_selected"),
       "every selected doc yields at least one chunk")
     assert(r.chunks.count() == ledger("chunks"))
-    // semantic spot checks across stage boundaries
-    assert(r.deduped.select("text").distinct().count() == ledger("decontaminated"),
-      "deduped stage must carry no exact text duplicate")
+    // semantic spot checks across stage boundaries. NOTE: exact dedup
+    // runs BEFORE passage removal (removal handles partial overlap,
+    // dedup handles whole-text identity), so the no-duplicate
+    // invariant is asserted on the removal-free run below — surgery
+    // can legitimately collapse two different docs to the same
+    // residual text
     val perStratum = r.selected.groupBy("lang")
       .agg(sum("n_tokens").as("t")).collect()
     perStratum.foreach(row => assert(row.getLong(1) <= budget,
