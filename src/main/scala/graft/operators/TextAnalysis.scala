@@ -363,6 +363,74 @@ object TextAnalysis {
         coalesce(expr("dsir_mills div n_grams"), lit(0L)).as("dsir_avg_mills"))
   }
 
+  /** Gopher quality-rule document flags (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * Appendix A1.1) — the rule-based quality filter every major
+    * pretraining pipeline applies before model-based scoring. Emits
+    * the rule METRICS in exact integer mills plus per-rule booleans
+    * and the conjunction `gopher_ok`:
+    *
+    *  - word count in [50, 100,000];
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-to-word ratio ('#', '...', '…') ≤ 0.1;
+    *  - lines starting with a bullet ('-', '*', '•') ≤ 90%;
+    *  - lines ending in an ellipsis ≤ 30%;
+    *  - words with at least one alphabetic character ≥ 80%;
+    *  - at least `minStopHits` DISTINCT words from `stopwords` present
+    *    (the paper's list is [[GopherStopwords]]; callers gate corpora
+    *    in other languages/domains with their own list).
+    *
+    * All ratios are floor(1000·a/b) integer mills over integer counts
+    * (zero-word/zero-line docs emit 0 and fail the word-count rule),
+    * so every column is bit-identical cross-engine. Scale shape: a
+    * pure per-row projection — no shuffle, no join; composes with
+    * partition pruning like the other scan-side scorers (q30/q31). */
+  def gopherQualityFlags(df: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopHits: Int = 2): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    require(minStopHits >= 0, s"minStopHits=$minStopHits must be >= 0")
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val lines = split(col(textCol), "\n")
+    def mills(num: Column, den: Column): Column =
+      when(den === 0, 0L).otherwise(floor(lit(1000) * num / den)).cast("long")
+    def occurrences(pat: String): Column =
+      ((length(col(textCol)) - length(regexp_replace(col(textCol),
+        java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+    val nW = col("n_words")
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len_mills",
+        mills(length(regexp_replace(col(textCol), "\\s+", "")), nW))
+      .withColumn("symbol_mills",
+        mills(occurrences("#") + occurrences("...") + occurrences("…"), nW))
+      .withColumn("bullet_mills",
+        mills(size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"),
+          size(lines).cast("long")))
+      .withColumn("ellipsis_mills",
+        mills(size(filter(lines,
+            l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"),
+          size(lines).cast("long")))
+      .withColumn("alpha_word_mills",
+        mills(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"), nW))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(transform(toks, lower(_))),
+          typedLit(stopwords.map(_.toLowerCase)))).cast("long"))
+      .withColumn("gopher_ok",
+        nW.between(50L, 100000L) &&
+          col("mean_word_len_mills").between(3000L, 10000L) &&
+          col("symbol_mills") <= 100L &&
+          col("bullet_mills") <= 900L &&
+          col("ellipsis_mills") <= 300L &&
+          col("alpha_word_mills") >= 800L &&
+          col("stop_hits") >= minStopHits)
+      .drop(textCol)
+  }
+
+  /** The Gopher A1.1 required-word list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

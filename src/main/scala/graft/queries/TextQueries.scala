@@ -185,6 +185,12 @@ object TextQueries {
     * smoothed-empty weight paths are oracle-exercised. */
   private[graft] val DsirBuckets = 1024
 
+  /** q91's required-word list. The fixture's vocabulary contains 'the'
+    * and 'a' but only one word from Gopher's English list — gating
+    * with these two exercises BOTH gopher_ok branches for real (the
+    * operator's default stays the paper's list). */
+  private[graft] val GopherQStops = Seq("the", "a")
+
   /** DuckDB twin of `CountMin.bucket` — THE shared hash contract:
     * md5(item || '#cms' || row), first 15 hex chars as a 60-bit int,
     * mod width. `row` is a SQL expression (column or literal). */
@@ -597,6 +603,16 @@ object TextQueries {
           "text", "doc_id", DupWindowTokens, DupAnchorMod)
         .orderBy("doc_id")),
 
+    // Gopher rule-based quality flags: every A1.1 rule metric in exact
+    // integer mills plus the conjunction, a pure scan-side projection.
+    // Stopword gate uses the fixture-exercising list so both
+    // gopher_ok branches are hash-pinned.
+    "q91_gopher_flags" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherQualityFlags(
+          docsSpread(s, dir), "text", "doc_id",
+          stopwords = GopherQStops, minStopHits = 2)
+        .orderBy("doc_id")),
+
     // DSIR-style importance scoring: every doc scored by hashed-bigram
     // target-vs-source likeness in exact integer mills (rational
     // ratio, the BM25 determinism trade), target = the doc_id % 7
@@ -938,6 +954,70 @@ object TextQueries {
              / count(*)) AS BIGINT) AS dup_mills
          FROM w JOIN f USING (h)
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q91_gopher_flags" ->
+      // full rule recompute: same token/line splits, char-count symbol
+      // occurrences (the '...' count divides exactly, so DuckDB's
+      // rounding CAST equals Spark's truncation), mills via the shared
+      // same-double-division trick, distinct-stopword intersection
+      s"""WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split(
+               regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+               x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0 ELSE
+             CAST(floor(CAST(1000 AS DOUBLE)
+               * length(regexp_replace(text, '\\s+', '', 'g'))
+               / len(toks)) AS BIGINT) END AS mean_word_len_mills,
+           CASE WHEN len(toks) = 0 THEN 0 ELSE
+             CAST(floor(CAST(1000 AS DOUBLE) * (
+                 (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + (length(text) - length(replace(text, '…', ''))))
+               / len(toks)) AS BIGINT) END AS symbol_mills,
+           CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(lines,
+               x -> regexp_matches(x, '^\\s*[-*•]')))
+             / len(lines)) AS BIGINT) AS bullet_mills,
+           CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(lines,
+               x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
+             / len(lines)) AS BIGINT) AS ellipsis_mills,
+           CASE WHEN len(toks) = 0 THEN 0 ELSE
+             CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(toks,
+               x -> regexp_matches(x, '[A-Za-z]')))
+             / len(toks)) AS BIGINT) END AS alpha_word_mills,
+           CAST(len(list_intersect(
+             list_distinct(list_transform(toks, x -> lower(x))),
+             [${GopherQStops.map(w => s"'$w'").mkString(", ")}])) AS BIGINT)
+             AS stop_hits,
+           (len(toks) BETWEEN 50 AND 100000)
+             AND (CASE WHEN len(toks) = 0 THEN 0 ELSE
+               CAST(floor(CAST(1000 AS DOUBLE)
+                 * length(regexp_replace(text, '\\s+', '', 'g'))
+                 / len(toks)) AS BIGINT) END BETWEEN 3000 AND 10000)
+             AND (CASE WHEN len(toks) = 0 THEN 0 ELSE
+               CAST(floor(CAST(1000 AS DOUBLE) * (
+                   (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 + (length(text) - length(replace(text, '…', ''))))
+                 / len(toks)) AS BIGINT) END <= 100)
+             AND (CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(lines,
+                 x -> regexp_matches(x, '^\\s*[-*•]')))
+               / len(lines)) AS BIGINT) <= 900)
+             AND (CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(lines,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
+               / len(lines)) AS BIGINT) <= 300)
+             AND (CASE WHEN len(toks) = 0 THEN 0 ELSE
+               CAST(floor(CAST(1000 AS DOUBLE) * len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]')))
+               / len(toks)) AS BIGINT) END >= 800)
+             AND (len(list_intersect(
+               list_distinct(list_transform(toks, x -> lower(x))),
+               [${GopherQStops.map(w => s"'$w'").mkString(", ")}])) >= 2)
+             AS gopher_ok
+         FROM base ORDER BY doc_id""",
     "q90_dsir_score" ->
       // full recompute: lowered bigram multiset, the '#dsir' salted
       // md5 bucket contract, add-one-smoothed totals-normalized

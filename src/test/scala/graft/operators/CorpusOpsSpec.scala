@@ -149,6 +149,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherQualityFlags computes each rule metric and trips each rule") {
+    // one passing doc and one violator per rule, with exact expected
+    // mills recomputed by hand
+    val okText = (("the and " * 30) + ("quality content here " * 10)).trim // 80 words, stops: the+and
+    val docs = Seq(
+      (1L, okText),
+      (2L, "too short with the and"),                       // < 50 words
+      (3L, ("ab " * 60).trim),                              // mean word len 2 < 3
+      (4L, (("the and " * 30) + ("x# " * 20)).trim),        // symbols 20/80 > 0.1
+      (5L, (1 to 4).map(i => s"- the and bullet $i line").mkString("\n")), // bullets 100% > 90%
+      (6L, "the and one two three...\nfour five six...\nseven eight nine\nten eleven twelve"), // ellipsis 2/4 > 30% but words < 50
+      (7L, (("the and " * 30) + ("123 456 " * 10)).trim),   // alpha 60/80 = 75% < 80%
+      (8L, ("lonely words only " * 20).trim))               // 0 stop hits
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityFlags(docs, "text", "doc_id",
+        stopwords = Seq("the", "and"), minStopHits = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_ok"), "doc 1 must pass every rule")
+    assert(!got(2L).getAs[Boolean]("gopher_ok") && got(2L).getAs[Long]("n_words") == 5L)
+    assert(got(3L).getAs[Long]("mean_word_len_mills") == 2000L &&
+      !got(3L).getAs[Boolean]("gopher_ok"))
+    assert(got(4L).getAs[Long]("symbol_mills") == 250L && // 20 hashes / 80 words
+      !got(4L).getAs[Boolean]("gopher_ok"))
+    assert(got(5L).getAs[Long]("bullet_mills") == 1000L &&
+      !got(5L).getAs[Boolean]("gopher_ok"))
+    assert(got(6L).getAs[Long]("ellipsis_mills") == 500L)
+    assert(got(7L).getAs[Long]("alpha_word_mills") == 750L &&
+      !got(7L).getAs[Boolean]("gopher_ok"))
+    assert(got(8L).getAs[Long]("stop_hits") == 0L &&
+      !got(8L).getAs[Boolean]("gopher_ok"))
+    // the default list is the paper's eight words
+    assert(TextAnalysis.GopherStopwords.size == 8)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gopherQualityFlags(docs, "text", "doc_id", Seq.empty)
+    }
+  }
+
   private def dsirBucket(g: String, buckets: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$g#dsir".getBytes("UTF-8")).map("%02x".format(_)).mkString
