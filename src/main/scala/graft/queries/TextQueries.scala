@@ -565,9 +565,11 @@ object TextQueries {
     "q84_cms_counts" -> ((s, dir) => {
       val toks = tokStream(s, dir)
       val sk = graft.operators.CountMin.sketch(toks, "tok", CmsDepth, CmsWidth)
-      // 1-row total-occurrence count N for the ε bound; broadcast, never
-      // a corpus-side shuffle on the probe path
-      val totals = toks.agg(count(lit(1)).as("n_tok"))
+      // 1-row total-occurrence count N for the ε bound, read from the
+      // SKETCH itself (every row's counters sum to N) — no third
+      // corpus scan, no corpus-side shuffle on the probe path
+      val totals = sk.where(col("row") === 0)
+        .agg(sum(col("cnt")).as("n_tok"))
       graft.operators.CountMin
         .estimate(sk, vocabTopK(s, dir), "tok", CmsDepth, CmsWidth)
         .crossJoin(broadcast(totals))

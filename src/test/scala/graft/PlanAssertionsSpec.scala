@@ -206,6 +206,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q84_cms_counts")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the ε-bound total N is read from the sketch itself: its bounded
+    // exchange must be REUSED by the totals branch, not recomputed
+    // from a third corpus scan. Exchange reuse only materializes in
+    // the FINAL adaptive plan, so execute first (the verify-skill
+    // collect-then-inspect rule)
+    val df = SparkEntry.queries("q84_cms_counts")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      "sketch exchange not reused for the eps-bound total:\n" + fp.take(3000))
   }
 
   test("q85: chunking is a pure projection — no join, no aggregate") {
