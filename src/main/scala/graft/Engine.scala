@@ -169,6 +169,15 @@ object Engine {
     *                      preserving, text shrinks)
     * @param budgetTokens  per-stratum token budget for quality selection
     * @param packBudget    tokens per packed training sequence
+    * @param materializeBoundaries when true, EAGERLY localCheckpoints
+    *                      the four stage-boundary frames each consumed
+    *                      by 2+ downstream actions (cleaned, passage-
+    *                      cleaned, decontaminated, selected) — the
+    *                      persist-at-stage-boundaries shape a real run
+    *                      at scale uses (and the ledger then costs one
+    *                      cheap count per stage instead of a full
+    *                      upstream re-execution each). Default false
+    *                      keeps the everything-lazy contract.
     */
   def processCorpus(
       docs: DataFrame,
@@ -182,8 +191,11 @@ object Engine {
       budgetTokens: Long = 1000000L,
       chunkTokens: Int = 512,
       chunkOverlap: Int = 64,
-      packBudget: Int = 2048): CorpusResult = {
+      packBudget: Int = 2048,
+      materializeBoundaries: Boolean = false): CorpusResult = {
     import graft.functions.{TextFunctions, UnicodeNorm}
+    def boundary(df: DataFrame): DataFrame =
+      if (materializeBoundaries) df.localCheckpoint(true) else df
 
     // 1-2. NFC first (so line hashing sees canonical bytes), line dedup
     // while newlines are still intact, THEN cleanText — its control-
@@ -198,10 +210,10 @@ object Engine {
     // dedupLines returns only (id, counts, clean_text): rejoin the
     // passthrough columns (strata and anything else) by id
     val passthrough = docs.drop(textCol)
-    val cleaned = passthrough.join(lineDeduped, Seq(idCol))
+    val cleaned = boundary(passthrough.join(lineDeduped, Seq(idCol))
       .withColumn(textCol,
         TextFunctions.scrubPii(UnicodeNorm.cleanText(col("clean_text"))))
-      .drop("clean_text")
+      .drop("clean_text"))
 
     // 3. an all-boilerplate doc has no trainable content — and every
     // such doc shares the SAME empty content key, so drop before dedup
@@ -218,11 +230,11 @@ object Engine {
     val passageClean = removeDupWindows match {
       case None => exactDeduped
       case Some((w, m)) =>
-        exactDeduped.drop(textCol).join(
+        boundary(exactDeduped.drop(textCol).join(
           TextAnalysis.removeDupPassages(exactDeduped, textCol, idCol, w, m)
             .select(col(idCol), col("clean_text").as(textCol)),
           Seq(idCol))
-          .where(TextFunctions.tokenCount(col(textCol)) > 0)
+          .where(TextFunctions.tokenCount(col(textCol)) > 0))
     }
 
     // 5. optional benchmark decontamination (exact result, Bloom-
@@ -240,13 +252,14 @@ object Engine {
           seeds = graft.queries.TextQueries.DecontamBloomSeeds)
         passageClean.join(contaminated.select(idCol), Seq(idCol), "left_anti")
     }
+    val dedupedB = boundary(deduped)
 
     // 6-7. quality score + per-stratum prefix-greedy budget selection
-    val scored = deduped
+    val scored = dedupedB
       .withColumn("quality_mills", TextFunctions.qualityScoreMills(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-    val selected = TextAnalysis.budgetSelect(
-      scored, strataCol, "quality_mills", "n_tokens", idCol, budgetTokens)
+    val selected = boundary(TextAnalysis.budgetSelect(
+      scored, strataCol, "quality_mills", "n_tokens", idCol, budgetTokens))
 
     // 8. training-ready units: overlapping windows AND packed sequences
     val chunks = TextAnalysis.chunkDocs(
@@ -258,14 +271,14 @@ object Engine {
       (0, "input", docs), (1, "cleaned", cleaned),
       (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
       (4, "passage_cleaned", passageClean),
-      (5, "decontaminated", deduped), (6, "budget_selected", selected),
+      (5, "decontaminated", dedupedB), (6, "budget_selected", selected),
       (7, "chunks", chunks), (8, "packed_docs", packed))
       .map { case (i, name, df) =>
         df.agg(lit(i).as("stage_no"), lit(name).as("stage"),
           count(lit(1)).as("n_rows"))
       }.reduce(_ unionByName _)
 
-    CorpusResult(cleaned, deduped, selected, chunks, packed, accounting)
+    CorpusResult(cleaned, dedupedB, selected, chunks, packed, accounting)
   }
 
   /** The review queue (pending band) with dashboard aggregates. */

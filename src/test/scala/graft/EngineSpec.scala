@@ -152,7 +152,11 @@ class EngineSpec extends AnyFunSuite {
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
     val withR = tokensById(Engine.processCorpus(docs,
       removeDupWindows = Some((8, 1)), budgetTokens = budget).deduped)
-    val plain = Engine.processCorpus(docs, budgetTokens = budget)
+    // the removal-free run exercises materializeBoundaries: eager
+    // stage checkpoints must be semantically invisible (the per-doc
+    // comparison below would catch any divergence)
+    val plain = Engine.processCorpus(docs, budgetTokens = budget,
+      materializeBoundaries = true)
     assert(plain.deduped.select("text").distinct().count() == plain.deduped.count(),
       "deduped stage must carry no exact text duplicate")
     val withoutR = tokensById(plain.deduped)
