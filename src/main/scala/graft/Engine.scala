@@ -143,8 +143,8 @@ object Engine {
     *
     *   clean (control-char strip + NFC) → line dedup (boilerplate) →
     *   PII scrub → drop-empty → exact dedup → [dup-passage removal] →
-    *   [benchmark decontam] → quality score → per-stratum token-budget
-    *   selection → chunk + pack
+    *   [benchmark decontam] → [Gopher rule gate] → quality score →
+    *   per-stratum token-budget selection → chunk + pack
     *
     * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
     * q89/q78/q31/q74/q85/q69 respectively), composed lazily — nothing
@@ -167,6 +167,10 @@ object Engine {
     *                      every non-canonical holder after exact dedup
     *                      (TextAnalysis.removeDupPassages — row-
     *                      preserving, text shrinks)
+    * @param gopherStops   when Some(list), documents failing the
+    *                      Gopher A1.1 rule conjunction (with this
+    *                      required-word list) are dropped between
+    *                      decontamination and quality selection
     * @param budgetTokens  per-stratum token budget for quality selection
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
@@ -188,6 +192,7 @@ object Engine {
       decontamEval: Option[DataFrame] = None,
       decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
       removeDupWindows: Option[(Int, Int)] = None,
+      gopherStops: Option[Seq[String]] = None,
       budgetTokens: Long = 1000000L,
       chunkTokens: Int = 512,
       chunkOverlap: Int = 64,
@@ -254,8 +259,20 @@ object Engine {
     }
     val dedupedB = boundary(deduped)
 
+    // 5b. optional Gopher rule gate: the A1.1 conjunction as a
+    // scan-side semi-filter (q91's operator; equi-join on the id so
+    // the full metric projection never rides downstream)
+    val ruled = gopherStops match {
+      case None => dedupedB
+      case Some(stops) =>
+        dedupedB.join(
+          TextAnalysis.gopherQualityFlags(dedupedB, textCol, idCol, stops)
+            .where(col("gopher_ok")).select(idCol),
+          Seq(idCol), "left_semi")
+    }
+
     // 6-7. quality score + per-stratum prefix-greedy budget selection
-    val scored = dedupedB
+    val scored = ruled
       .withColumn("quality_mills", TextFunctions.qualityScoreMills(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
     val selected = boundary(TextAnalysis.budgetSelect(
@@ -271,8 +288,9 @@ object Engine {
       (0, "input", docs), (1, "cleaned", cleaned),
       (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
       (4, "passage_cleaned", passageClean),
-      (5, "decontaminated", dedupedB), (6, "budget_selected", selected),
-      (7, "chunks", chunks), (8, "packed_docs", packed))
+      (5, "decontaminated", dedupedB), (6, "rule_filtered", ruled),
+      (7, "budget_selected", selected),
+      (8, "chunks", chunks), (9, "packed_docs", packed))
       .map { case (i, name, df) =>
         df.agg(lit(i).as("stage_no"), lit(name).as("stage"),
           count(lit(1)).as("n_rows"))

@@ -152,13 +152,20 @@ class EngineSpec extends AnyFunSuite {
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
     val withR = tokensById(Engine.processCorpus(docs,
       removeDupWindows = Some((8, 1)), budgetTokens = budget).deduped)
-    // the removal-free run exercises materializeBoundaries: eager
-    // stage checkpoints must be semantically invisible (the per-doc
-    // comparison below would catch any divergence)
+    // the removal-free run exercises materializeBoundaries (eager
+    // stage checkpoints must be semantically invisible — the per-doc
+    // comparison below would catch any divergence) and the Gopher
+    // rule gate (fixture-exercising stopword list; both branches real)
     val plain = Engine.processCorpus(docs, budgetTokens = budget,
+      gopherStops = Some(graft.queries.TextQueries.GopherQStops),
       materializeBoundaries = true)
     assert(plain.deduped.select("text").distinct().count() == plain.deduped.count(),
       "deduped stage must carry no exact text duplicate")
+    val plainLedger = plain.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(plainLedger("rule_filtered") > 0 &&
+      plainLedger("rule_filtered") < plainLedger("decontaminated"),
+      s"Gopher gate must bind without emptying the corpus: $plainLedger")
     val withoutR = tokensById(plain.deduped)
     val common = withR.keySet & withoutR.keySet
     assert(common.nonEmpty)
