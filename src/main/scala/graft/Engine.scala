@@ -147,10 +147,13 @@ object Engine {
     *   per-stratum token-budget selection → chunk + pack
     *
     * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
-    * q89/q78/q31/q74/q85/q69 respectively), composed lazily — nothing
-    * executes until an action runs. `accounting` is the per-stage row
-    * ledger (one count job per stage when collected — spec/audit
-    * surface, not a hot path).
+    * q89/q78/q31/q74/q85/q69 respectively), composed lazily EXCEPT two
+    * documented eager points: `decontamEval` builds its Bloom bitset
+    * (driver collect of the eval gram rollup) at call time — the
+    * bloomDecontam contract — and `materializeBoundaries` checkpoints
+    * by design. `accounting` is the per-stage row ledger (one count
+    * job per stage when collected — spec/audit surface, not a hot
+    * path).
     *
     * Scale shape: inherits each operator's documented shape (no pair
     * space, no global sort, bounded key spaces); the only cross-stage
@@ -257,7 +260,12 @@ object Engine {
           seeds = graft.queries.TextQueries.DecontamBloomSeeds)
         passageClean.join(contaminated.select(idCol), Seq(idCol), "left_anti")
     }
-    val dedupedB = boundary(deduped)
+    // when decontam is off but removal ran, `deduped` IS passageClean,
+    // which the match above already boundary-wrapped — a second eager
+    // checkpoint would write a full identical copy for nothing
+    val dedupedB =
+      if (decontamEval.isEmpty && removeDupWindows.isDefined) deduped
+      else boundary(deduped)
 
     // 5b. optional Gopher rule gate: the A1.1 conjunction as a
     // scan-side semi-filter (q91's operator; equi-join on the id so

@@ -234,7 +234,12 @@ object ScaleStudy {
     * broadcast dims (part, supplier, nation) verbatim — the
     * fact-grows-dims-fixed warehouse shape. */
   def synthesizeRelational(spark: SparkSession, srcDir: String, outDir: String): Unit =
-    buildOnce(outDir, Seq(s"$srcDir/lineitem.parquet"),
+    // the stamp covers the DIMS too: a dims-only fixture regeneration
+    // (same lineitem bytes) must invalidate the copied part/supplier/
+    // nation, not silently measure against stale dims
+    buildOnce(outDir,
+        Seq("lineitem", "part", "supplier", "nation")
+          .map(t => s"$srcDir/$t.parquet"),
         s"lineitem-x$Replicas", "lineitem.parquet/_SUCCESS") {
       val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
       val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)

@@ -221,10 +221,16 @@ object TextAnalysis {
     * the same anchored token-window granularity): every anchored
     * `windowTokens`-token window that occurs in 2+ documents is CUT
     * from every document EXCEPT the window's canonical holder (the
-    * minimum `idCol` containing it — so one copy of every passage
-    * survives, deterministically). Coverage is positional: a removed
-    * window blanks its `windowTokens` token positions; overlapping
-    * removed windows union their spans. The cleaned text is the
+    * minimum `idCol` containing it) — deterministic PER-WINDOW keeper
+    * selection. Coverage is positional: a removed window blanks its
+    * `windowTokens` token positions; overlapping removed windows union
+    * their spans. NOTE the survival guarantee is per window, not per
+    * passage: when two duplicated windows with DIFFERENT keepers
+    * overlap inside one document, a keeper's copy can be partially
+    * blanked by the OTHER window's removal, so an intact copy of that
+    * exact run may survive nowhere — the price of positional union
+    * semantics (Lee et al.'s span cutting behaves the same way).
+    * The cleaned text is the
     * surviving tokens rejoined with single spaces (the operator works
     * in token space, like the rest of the q85/q86 family — callers
     * wanting case-insensitive matching lower the text upstream).

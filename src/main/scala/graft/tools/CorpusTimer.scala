@@ -33,13 +33,17 @@ object CorpusTimer {
         graft.queries.TextQueries.DupAnchorMod)),
       budgetTokens = 5000000L,
       materializeBoundaries = true)
-    val ledger = r.accounting.collect()
-      .sortBy(_.getInt(0))
-      .map(row => s""""${row.getString(1)}":${row.getLong(2)}""")
-    val nChunks = r.chunks.count()
-    val nPacked = r.packed.count()
+    // the ledger already ran count jobs for every stage INCLUDING the
+    // two outputs — read them back instead of re-executing the chunk
+    // explode and pack windows a second time (which would double-count
+    // the tail-stage cost in `sec`)
+    val rows = r.accounting.collect().sortBy(_.getInt(0))
+    val ledger = rows.map(row => s""""${row.getString(1)}":${row.getLong(2)}""")
+    val byStage = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"tool":"corpus-timer","dir":"${args(0)}","stages":{${ledger.mkString(",")}},"chunks":$nChunks,"packed":$nPacked,"sec":${f"$sec%.2f"}}""")
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+    println(s"""{"tool":"corpus-timer","dir":"${args(0)}","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"sec":$secS}""")
     spark.stop()
   }
 }
