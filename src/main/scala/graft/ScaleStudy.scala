@@ -93,7 +93,13 @@ object ScaleStudy {
     "q36_jaccard_pairs", "q48_simhash_neardup",
     "q53_dedup_components", "q65_repetition_stats",
     "q78_bloom_decontam", "q79_bm25_topk", "q83_heavy_hitters",
-    "q84_cms_counts", "q85_chunk_windows", "q86_dup_passages")
+    "q84_cms_counts", "q85_chunk_windows", "q86_dup_passages",
+    // round-7 additions: q89 re-reads the anchored index TWICE (dup
+    // starts + kept-token anti-join) plus the per-doc rebuild rollup —
+    // the heaviest new plan; q90's weight table is bounded (only the
+    // gram projection and per-doc sum grow); q91 is the projection
+    // floor like q85
+    "q89_dup_removal", "q90_dsir_score", "q91_gopher_flags")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
