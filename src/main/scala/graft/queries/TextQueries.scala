@@ -185,6 +185,41 @@ object TextQueries {
     * smoothed-empty weight paths are oracle-exercised. */
   private[graft] val DsirBuckets = 1024
 
+  /** q92's per-stratum selection depth — small enough that the k-cut
+    * binds in every lang stratum of the 500-doc fixtures. */
+  private[graft] val DsirSelectK = 10
+
+  /** The shared q90/q92 DuckDB scoring CTEs (ending in `scored`):
+    * lowered bigram multiset → '#dsir' md5 buckets → smoothed rational
+    * HUGEINT weights over all DsirBuckets → per-doc sums. ONE
+    * definition so the score and the selection can never drift. */
+  private lazy val sqlDsirScoredCtes: String =
+    s"""base AS (
+         SELECT doc_id, string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+         FROM documents),
+       dg AS (
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(g || '#dsir'), 1, 15)) AS BIGINT)
+             % $DsirBuckets AS b
+         FROM (SELECT doc_id, unnest($wordBigramsAllSql) AS g FROM base)),
+       tg AS (SELECT b FROM dg WHERE doc_id % 7 = 0),
+       sc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM dg GROUP BY b),
+       tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY b),
+       tot AS (SELECT (SELECT count(*) FROM dg) AS ns,
+                      (SELECT count(*) FROM tg) AS nt),
+       bk AS (SELECT CAST(unnest(range($DsirBuckets)) AS BIGINT) AS b),
+       wt AS (SELECT bk.b,
+                CAST((CAST(1000 AS HUGEINT) * (coalesce(tc.c, 0) + 1)
+                      * (tot.ns + $DsirBuckets))
+                  // (CAST(coalesce(sc.c, 0) + 1 AS HUGEINT)
+                      * (tot.nt + $DsirBuckets)) AS BIGINT) AS w
+              FROM bk LEFT JOIN sc ON bk.b = sc.b
+                LEFT JOIN tc ON bk.b = tc.b CROSS JOIN tot),
+       scored AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                    CAST(sum(wt.w) AS BIGINT) AS dsir_mills
+                  FROM dg JOIN wt ON dg.b = wt.b GROUP BY dg.doc_id)"""
+
   /** q91's required-word list. The fixture's vocabulary contains 'the'
     * and 'a' but only one word from Gopher's English list — gating
     * with these two exercises BOTH gopher_ok branches for real (the
@@ -629,6 +664,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR selection applied (the paper's data-selection step): the
+    // K most target-like docs per stratum by the per-gram-mean key,
+    // rank window with a deterministic (score DESC, doc_id) tie-break
+    // — planner executes the k-cut as a partial WindowGroupLimit.
+    "q92_dsir_select" -> ((s, dir) => {
+      val src = docsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      val scored = graft.operators.TextAnalysis.importanceScore(
+        src.select("doc_id", "text"),
+        src.where(col("doc_id") % 7 === 0).select("doc_id", "text"),
+        "text", "doc_id", DsirBuckets)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("dsir_avg_mills").desc, col("doc_id"))
+      src.select("doc_id", "lang").join(scored, Seq("doc_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= DsirSelectK)
+        .select("lang", "rank", "doc_id", "dsir_avg_mills")
+        .orderBy("lang", "rank")
+    }),
+
     // Duplicated-passage REMOVAL (q86 applied): every cross-doc
     // duplicated anchored window cut from every doc except its
     // min-doc_id canonical holder; gated on the full rebuilt-text md5
@@ -1026,36 +1082,28 @@ object TextQueries {
       // rational weights in HUGEINT (the DECIMAL(38,0) twin), per-doc
       // occurrence-weighted sums; target grams reuse the source gram
       // table filtered (target ⊆ source by construction)
-      s"""WITH base AS (
-           SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
-           FROM documents),
-         dg AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(g || '#dsir'), 1, 15)) AS BIGINT)
-               % $DsirBuckets AS b
-           FROM (SELECT doc_id, unnest($wordBigramsAllSql) AS g FROM base)),
-         tg AS (SELECT b FROM dg WHERE doc_id % 7 = 0),
-         sc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM dg GROUP BY b),
-         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY b),
-         tot AS (SELECT (SELECT count(*) FROM dg) AS ns,
-                        (SELECT count(*) FROM tg) AS nt),
-         bk AS (SELECT CAST(unnest(range($DsirBuckets)) AS BIGINT) AS b),
-         wt AS (SELECT bk.b,
-                  CAST((CAST(1000 AS HUGEINT) * (coalesce(tc.c, 0) + 1)
-                        * (tot.ns + $DsirBuckets))
-                    // (CAST(coalesce(sc.c, 0) + 1 AS HUGEINT)
-                        * (tot.nt + $DsirBuckets)) AS BIGINT) AS w
-                FROM bk LEFT JOIN sc ON bk.b = sc.b
-                  LEFT JOIN tc ON bk.b = tc.b CROSS JOIN tot),
-         scored AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                      CAST(sum(wt.w) AS BIGINT) AS dsir_mills
-                    FROM dg JOIN wt ON dg.b = wt.b GROUP BY dg.doc_id)
+      s"""WITH $sqlDsirScoredCtes
          SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
            coalesce(s.dsir_mills, 0) AS dsir_mills,
            coalesce(CAST(s.dsir_mills // s.n_grams AS BIGINT), 0) AS dsir_avg_mills
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+    "q92_dsir_select" ->
+      // the q90 scoring CTEs + a per-stratum rank window on the
+      // selection key with the same (avg DESC, doc_id) tie-break
+      s"""WITH $sqlDsirScoredCtes,
+         av AS (SELECT d.doc_id, d.lang,
+                  coalesce(CAST(s.dsir_mills // s.n_grams AS BIGINT), 0)
+                    AS dsir_avg_mills
+                FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+         rk AS (SELECT lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY dsir_avg_mills DESC, doc_id) AS BIGINT) AS rank,
+                  doc_id, dsir_avg_mills
+                FROM av)
+         SELECT lang, rank, doc_id, dsir_avg_mills
+         FROM rk WHERE rank <= $DsirSelectK
+         ORDER BY lang, rank""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -188,6 +188,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "forward planned more hash exchanges than backward")
   }
 
+  test("q92: DSIR selection cuts per-stratum rank partially, weights stay broadcast") {
+    val p = plan("q92_dsir_select")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+    assert(p.contains("BroadcastHashJoin"), "weight table should broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q83: recount joins broadcast candidates; top-k is a partial TakeOrdered") {
     // topKExact's promise: pass B touches only candidate rows via a
     // broadcast equi-join (the corpus side never shuffles for the
