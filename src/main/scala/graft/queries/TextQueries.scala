@@ -670,15 +670,19 @@ object TextQueries {
     // — planner executes the k-cut as a partial WindowGroupLimit.
     "q92_dsir_select" -> ((s, dir) => {
       val src = docsSpread(s, dir)
-        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+        .select(col("doc_id"), lower(col("text")).as("text"))
       val scored = graft.operators.TextAnalysis.importanceScore(
-        src.select("doc_id", "text"),
-        src.where(col("doc_id") % 7 === 0).select("doc_id", "text"),
+        src, src.where(col("doc_id") % 7 === 0),
         "text", "doc_id", DsirBuckets)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang")
         .orderBy(col("dsir_avg_mills").desc, col("doc_id"))
-      src.select("doc_id", "lang").join(scored, Seq("doc_id"))
+      // the stratum frame is a PRUNED plain scan (doc_id, lang only) —
+      // going through docsSpread here would shuffle the full text
+      // column just to attach a label; scored is corpus-sized, so the
+      // doc_id join is a correct shuffle join at scale (never a
+      // broadcast of one-row-per-doc data)
+      docs(s, dir).select("doc_id", "lang").join(scored, Seq("doc_id"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= DsirSelectK)
         .select("lang", "rank", "doc_id", "dsir_avg_mills")
