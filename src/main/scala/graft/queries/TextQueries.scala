@@ -454,6 +454,25 @@ object TextQueries {
         docs(s, dir), "text", "doc_id", "source", budgetTokens = 512)
         .orderBy("doc_id")),
 
+    // Packing QA rollup over q69's operator: per shard, the sequence
+    // count the token stream actually needs (integer ceil), the fill
+    // ratio in mills, and how many sequences carry a doc start —
+    // the utilization metrics a training-batch pipeline reports.
+    // Bounded agg over the packing output; no extra corpus pass.
+    "q93_pack_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(
+          docs(s, dir), "text", "doc_id", "source", budgetTokens = 512)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          expr("(sum(n_tokens) + 511) div 512").as("n_seqs"),
+          countDistinct("seq_no").as("n_start_seqs"),
+          max("n_tokens").as("max_doc_tokens"))
+        .withColumn("fill_mills",
+          floor(lit(1000) * col("total_tokens") / (col("n_seqs") * 512))
+            .cast("long"))
+        .orderBy("source")),
+
     // The BINDING star-cap variant of q36 on a deliberately degenerate
     // corpus: every doc_id ≡ 3 (mod 21) carries identical boilerplate,
     // so its prefix-shingle buckets blow past `maxCandBucket` and the
@@ -1200,6 +1219,31 @@ object TextQueries {
            CAST(floor(cum_before / 512) AS BIGINT) AS seq_no,
            CAST(cum_before % 512 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q93_pack_stats" ->
+      // same packing CTE as q69, rolled up: integer-ceil sequence
+      // count, same-double-division fill mills, distinct start chunks
+      s"""WITH t AS (
+           SELECT source, doc_id, CAST($sqlTokenCount AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_before
+           FROM t),
+         g AS (
+           SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+             CAST(count(DISTINCT CAST(floor(cum_before / 512) AS BIGINT))
+               AS BIGINT) AS n_start_seqs,
+             CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+           FROM c GROUP BY source)
+         SELECT source, n_docs, total_tokens, n_seqs, n_start_seqs,
+           max_doc_tokens,
+           CAST(floor(CAST(1000 AS DOUBLE) * total_tokens
+             / (n_seqs * 512)) AS BIGINT) AS fill_mills
+         FROM g ORDER BY source""",
     "q30_token_stats" ->
       s"""SELECT doc_id,
          CAST($sqlTokenCount AS BIGINT) AS n_tokens,
