@@ -189,6 +189,11 @@ object TextQueries {
     * binds in every lang stratum of the 500-doc fixtures. */
   private[graft] val DsirSelectK = 10
 
+  /** q69/q93's packing budget (tokens per sequence) — ONE constant
+    * shared by the Spark entries and the interpolated oracle SQL so
+    * the packing and its QA rollup can never drift. */
+  private[graft] val PackBudget = 512
+
   /** The shared q90/q92 DuckDB scoring CTEs (ending in `scored`):
     * lowered bigram multiset → '#dsir' md5 buckets → smoothed rational
     * HUGEINT weights over all DsirBuckets → per-doc sums. ONE
@@ -451,7 +456,7 @@ object TextQueries {
     // it starts. Partitioned cumsum — no global sort (the 100 TB shape).
     "q69_sequence_pack" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(
-        docs(s, dir), "text", "doc_id", "source", budgetTokens = 512)
+        docs(s, dir), "text", "doc_id", "source", budgetTokens = PackBudget)
         .orderBy("doc_id")),
 
     // Packing QA rollup over q69's operator: per shard, the sequence
@@ -461,15 +466,20 @@ object TextQueries {
     // Bounded agg over the packing output; no extra corpus pass.
     "q93_pack_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(
-          docs(s, dir), "text", "doc_id", "source", budgetTokens = 512)
+          docs(s, dir), "text", "doc_id", "source", budgetTokens = PackBudget)
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
-          expr("(sum(n_tokens) + 511) div 512").as("n_seqs"),
+          expr(s"(sum(n_tokens) + ${PackBudget - 1}) div $PackBudget")
+            .as("n_seqs"),
           countDistinct("seq_no").as("n_start_seqs"),
           max("n_tokens").as("max_doc_tokens"))
+        // zero-token shard => n_seqs 0; guard the 0/0 (Spark floors
+        // NaN to 0, DuckDB errors — the one place the engines differ)
         .withColumn("fill_mills",
-          floor(lit(1000) * col("total_tokens") / (col("n_seqs") * 512))
+          when(col("n_seqs") === 0, 0L)
+            .otherwise(floor(lit(1000) * col("total_tokens")
+              / (col("n_seqs") * PackBudget)))
             .cast("long"))
         .orderBy("source")),
 
@@ -1216,12 +1226,13 @@ object TextQueries {
              0) AS cum_before
            FROM t)
          SELECT source, doc_id, n_tokens,
-           CAST(floor(cum_before / 512) AS BIGINT) AS seq_no,
-           CAST(cum_before % 512 AS BIGINT) AS seq_offset
+           CAST(floor(cum_before / $PackBudget) AS BIGINT) AS seq_no,
+           CAST(cum_before % $PackBudget AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
     "q93_pack_stats" ->
       // same packing CTE as q69, rolled up: integer-ceil sequence
-      // count, same-double-division fill mills, distinct start chunks
+      // count, same-double-division fill mills (zero-token shards
+      // guarded — DuckDB would error on the 0/0), distinct start chunks
       s"""WITH t AS (
            SELECT source, doc_id, CAST($sqlTokenCount AS BIGINT) AS n_tokens
            FROM documents),
@@ -1234,15 +1245,17 @@ object TextQueries {
            SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
-             CAST(count(DISTINCT CAST(floor(cum_before / 512) AS BIGINT))
-               AS BIGINT) AS n_start_seqs,
+             CAST((sum(n_tokens) + ${PackBudget - 1}) // $PackBudget
+               AS BIGINT) AS n_seqs,
+             CAST(count(DISTINCT CAST(floor(cum_before / $PackBudget)
+               AS BIGINT)) AS BIGINT) AS n_start_seqs,
              CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
            FROM c GROUP BY source)
          SELECT source, n_docs, total_tokens, n_seqs, n_start_seqs,
            max_doc_tokens,
-           CAST(floor(CAST(1000 AS DOUBLE) * total_tokens
-             / (n_seqs * 512)) AS BIGINT) AS fill_mills
+           CASE WHEN n_seqs = 0 THEN 0 ELSE
+             CAST(floor(CAST(1000 AS DOUBLE) * total_tokens
+               / (n_seqs * $PackBudget)) AS BIGINT) END AS fill_mills
          FROM g ORDER BY source""",
     "q30_token_stats" ->
       s"""SELECT doc_id,

@@ -40,6 +40,8 @@ object CorpusTimer {
     val rows = r.accounting.collect().sortBy(_.getInt(0))
     val ledger = rows.map(row => s""""${row.getString(1)}":${row.getLong(2)}""")
     val byStage = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
+      .withDefault(k => sys.error(
+        s"accounting stage '$k' missing — Engine.processCorpus stage labels changed?"))
     val sec = (System.nanoTime() - t0) / 1e9
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))

@@ -150,8 +150,20 @@ class EngineSpec extends AnyFunSuite {
       df.select(col("doc_id"),
           graft.functions.TextFunctions.tokenCount(col("text")).as("t"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-    val withR = tokensById(Engine.processCorpus(docs,
-      removeDupWindows = Some((8, 1)), budgetTokens = budget).deduped)
+    // removal-on + decontam-off + materialized: the one config where
+    // the dedupedB checkpoint-skip branch is live — deduped aliases
+    // the boundary-wrapped passage-cleaned frame, so it must STILL be
+    // checkpointed (its plan is a LogicalRDD scan); if a refactor ever
+    // stops boundary-wrapping passageClean, this assertion fails
+    // before the per-stage re-execution regression can return
+    val remOnly = Engine.processCorpus(docs,
+      removeDupWindows = Some((8, 1)), budgetTokens = budget,
+      materializeBoundaries = true)
+    assert(remOnly.deduped.queryExecution.analyzed.getClass.getSimpleName
+      .contains("LogicalRDD"),
+      s"deduped must be checkpoint-backed in the skip config, got " +
+        remOnly.deduped.queryExecution.analyzed.getClass.getSimpleName)
+    val withR = tokensById(remOnly.deduped)
     // the removal-free run exercises materializeBoundaries (eager
     // stage checkpoints must be semantically invisible — the per-doc
     // comparison below would catch any divergence) and the Gopher
