@@ -132,10 +132,46 @@ object Engine {
   case class CorpusResult(
       cleaned: DataFrame,   // id, strata, text (NFC+clean+line-dedup+PII), n_lines, n_kept_lines
       deduped: DataFrame,   // cleaned minus exact duplicates (and contaminated docs)
-      selected: DataFrame,  // deduped + quality_mills/n_tokens, budget-kept per stratum
+      selected: DataFrame,  // deduped + quality_mills/n_tokens, kept per the selection policy
       chunks: DataFrame,    // selected cut into overlapping token windows
       packed: DataFrame,    // selected laid head-to-tail into fixed token budgets
       accounting: DataFrame) // (stage_no, stage, n_rows) — counts run when actioned
+
+  /** Which documents the quality-selection stage of [[processCorpus]]
+    * keeps. Every policy reuses an already-oracle-gated operator —
+    * the facade assembles, never forks, the data plane. */
+  sealed trait SelectionPolicy
+
+  /** Per-stratum token-budget prefix-greedy selection under the
+    * quality ordering ([[operators.TextAnalysis.budgetSelect]], q74's
+    * operator) — the default. */
+  final case class BudgetSelection(budgetTokens: Long) extends SelectionPolicy
+
+  /** DSIR data selection (Xie et al. 2023; q90 scoring + q92's rank
+    * kernel): score every candidate by hashed-bigram target-likeness
+    * against `target` (same `idCol`/`textCol` schema as the corpus;
+    * both sides lowercased for gram statistics, the q90 convention)
+    * and keep the `topK` most target-like documents per stratum with
+    * the deterministic (dsir_avg_mills DESC, id) tie-break. The rank
+    * runs over a slim (id, stratum, score) frame — full-text rows
+    * never ride the rank exchange — and the kept set equi-joins back
+    * (shuffle join: one-row-per-doc scores are never broadcastable at
+    * corpus scale). `selected` gains a `dsir_avg_mills` column. */
+  final case class DsirSelection(
+      target: DataFrame,
+      topK: Int,
+      buckets: Int = graft.queries.TextQueries.DsirBuckets)
+    extends SelectionPolicy
+
+  /** Corpus-mixture selection: drop documents under `minQualityMills`
+    * ([[functions.TextFunctions.qualityScoreMills]], q31's scorer),
+    * then apply the deterministic per-stratum md5-threshold sample
+    * ([[operators.TextAnalysis.stratifiedSample]], q70's operator) at
+    * `rates` (strata absent from the map keep `defaultRate`). */
+  final case class MixtureSelection(
+      minQualityMills: Long,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0) extends SelectionPolicy
 
   /** The LLM-corpus counterpart of [[processSubmission]]: one composed
     * entry point for the training-data pipeline the extension family
@@ -147,13 +183,18 @@ object Engine {
     *   per-stratum token-budget selection → chunk + pack
     *
     * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
-    * q89/q78/q31/q74/q85/q69 respectively), composed lazily EXCEPT two
-    * documented eager points: `decontamEval` builds its Bloom bitset
-    * (driver collect of the eval gram rollup) at call time — the
-    * bloomDecontam contract — and `materializeBoundaries` checkpoints
-    * by design. `accounting` is the per-stage row ledger (one count
-    * job per stage when collected — spec/audit surface, not a hot
-    * path).
+    * q89/q78/q31/q74-q90-q92-q70/q85/q69 respectively), composed lazily
+    * EXCEPT three documented eager points: `decontamEval` builds its
+    * Bloom bitset (driver collect of the eval gram rollup) at call
+    * time — the bloomDecontam contract; `removeDupWindows` eagerly
+    * localCheckpoints its anchor index (TextAnalysis.removeDupPassages
+    * reads it twice — frequency agg + dup-start join), which executes
+    * the FULL upstream pipeline at facade-call time, so pair
+    * `removeDupWindows` with `materializeBoundaries = true` unless a
+    * per-action upstream re-execution is acceptable; and
+    * `materializeBoundaries` checkpoints by design. `accounting` is
+    * the per-stage row ledger (one count job per stage when collected
+    * — spec/audit surface, not a hot path).
     *
     * Scale shape: inherits each operator's documented shape (no pair
     * space, no global sort, bounded key spaces); the only cross-stage
@@ -175,6 +216,15 @@ object Engine {
     *                      required-word list) are dropped between
     *                      decontamination and quality selection
     * @param budgetTokens  per-stratum token budget for quality selection
+    *                      (the default [[BudgetSelection]] policy;
+    *                      ignored when `selection` is given)
+    * @param selection     which documents the quality-selection stage
+    *                      keeps: [[BudgetSelection]] (default, via
+    *                      `budgetTokens`), [[DsirSelection]] (per-
+    *                      stratum DSIR top-K against a target corpus),
+    *                      or [[MixtureSelection]] (quality threshold +
+    *                      stratified mixture rates). The stage-7 ledger
+    *                      label names the policy that ran
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
     *                      the four stage-boundary frames each consumed
@@ -197,6 +247,7 @@ object Engine {
       removeDupWindows: Option[(Int, Int)] = None,
       gopherStops: Option[Seq[String]] = None,
       budgetTokens: Long = 1000000L,
+      selection: Option[SelectionPolicy] = None,
       chunkTokens: Int = 512,
       chunkOverlap: Int = 64,
       packBudget: Int = 2048,
@@ -279,12 +330,37 @@ object Engine {
           Seq(idCol), "left_semi")
     }
 
-    // 6-7. quality score + per-stratum prefix-greedy budget selection
+    // 6-7. quality score + the configured selection policy
     val scored = ruled
       .withColumn("quality_mills", TextFunctions.qualityScoreMills(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-    val selected = boundary(TextAnalysis.budgetSelect(
-      scored, strataCol, "quality_mills", "n_tokens", idCol, budgetTokens))
+    val (selLabel, selectedRaw) =
+      selection.getOrElse(BudgetSelection(budgetTokens)) match {
+        case BudgetSelection(budget) =>
+          ("budget_selected", TextAnalysis.budgetSelect(
+            scored, strataCol, "quality_mills", "n_tokens", idCol, budget))
+        case DsirSelection(target, topK, buckets) =>
+          val forGrams = (d: DataFrame) =>
+            d.select(col(idCol), lower(col(textCol)).as(textCol))
+          val imp = TextAnalysis.importanceScore(
+            forGrams(ruled), forGrams(target), textCol, idCol, buckets)
+          // q92's kernel: rank the SLIM (id, stratum, score) frame —
+          // text must not ride the rank exchange — then join back
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(strataCol))
+            .orderBy(col("dsir_avg_mills").desc, col(idCol))
+          val kept = scored.select(col(idCol), col(strataCol))
+            .join(imp.select(col(idCol), col("dsir_avg_mills")), Seq(idCol))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= topK)
+            .select(col(idCol), col("dsir_avg_mills"))
+          ("dsir_selected", scored.join(kept, Seq(idCol)))
+        case MixtureSelection(minQ, rates, defaultRate) =>
+          ("mixture_selected", TextAnalysis.stratifiedSample(
+            scored.where(col("quality_mills") >= minQ),
+            strataCol, idCol, rates, defaultRate))
+      }
+    val selected = boundary(selectedRaw)
 
     // 8. training-ready units: overlapping windows AND packed sequences
     val chunks = TextAnalysis.chunkDocs(
@@ -297,7 +373,7 @@ object Engine {
       (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
       (4, "passage_cleaned", passageClean),
       (5, "decontaminated", dedupedB), (6, "rule_filtered", ruled),
-      (7, "budget_selected", selected),
+      (7, selLabel, selected),
       (8, "chunks", chunks), (9, "packed_docs", packed))
       .map { case (i, name, df) =>
         df.agg(lit(i).as("stage_no"), lit(name).as("stage"),

@@ -280,8 +280,12 @@ object ScaleStudy {
       val t0 = bestOf(3)(fn(spark, baseDir).count())
       fn(spark, synthDir).count()
       val t1 = bestOf(3)(fn(spark, synthDir).count())
+      // a base time rounding to 0 would format the exponent as
+      // 'Infinity'/'NaN' — invalid JSON; emit null for unmeasurable
       val exp = math.log10(t1 / t0)
-      s""""${name.takeWhile(_ != '_')}":{"base":${cs(t0)},"synth":${cs(t1)},"exp":${cs(exp)}}"""
+      val expS =
+        if (t0 > 0 && java.lang.Double.isFinite(exp)) cs(exp) else "null"
+      s""""${name.takeWhile(_ != '_')}":{"base":${cs(t0)},"synth":${cs(t1)},"exp":$expS}"""
     }.mkString(",")
 
   def main(args: Array[String]): Unit = {

@@ -266,11 +266,13 @@ object SparkEntry {
         s2.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet") // file source needs a dir
           .parquet(dir))
-      // State keyspace is tiny (hours × event types): 32 state-store
-      // partitions would mean 32 stores + 32 tasks per micro-batch of
-      // pure overhead. Set on the discarded clone only (at 100 TB this
-      // knob instead scales UP with the key cardinality).
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // state shuffle width = f(keyspace), not a constant: hours ×
+      // event types bounds the window-count state. Set on the
+      // discarded clone only; at 100 TB the same helper scales the
+      // width UP with the real key cardinality.
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Incremental
+          .statePartitions(s, Q44WindowKeyspace).toString)
       drainAvailableNow(s2,
         stream
           .withWatermark("ts", "1 hour")
@@ -302,7 +304,9 @@ object SparkEntry {
             .parquet(dir))
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[graft.streaming.Incremental.Event]
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.Incremental
+          .statePartitions(s, Q71UserKeyspace).toString)
       drainAvailableNow(s2,
         graft.streaming.Incremental.sessionize(events, gapSeconds = 1800).toDF(),
         s"q71_out_${System.nanoTime()}")
@@ -384,8 +388,15 @@ object SparkEntry {
       // meaningful pipeline input anyway.
       val media = graft.operators.Multimodal.syntheticMediaFromDocs(s, dir)
         .where(col("content").isNotNull && col("meta.duration_ms").isNotNull)
+      // decode_status rides the gate: the synthetic payloads are text
+      // bytes no JDK codec claims, so the oracle pins 'stub' for every
+      // row — an engine-side dispatch regression that starts silently
+      // stubbing (or claiming to decode) flips the column and hash-fails.
+      // The 'decoded' branch is spec-gated on real PNG/WAV/GIF payloads
+      // (MultimodalSpec) and oracle-gated via q67's real frame decode.
       val feats = graft.operators.Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("kind"), col("n_bytes"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("decode_status"))
       val frames = graft.operators.Multimodal.sampleFrames(media)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       feats.join(frames, Seq("media_id"), "left")
@@ -675,14 +686,26 @@ object SparkEntry {
     * sizing must not leak to concurrent queries on the caller's
     * session, and the memory-sink table dies with the clone instead of
     * piling up across bench reruns. `newSession` starts from the
-    * CONTEXT defaults, so the one session-level knob callers may
-    * legitimately vary — the state-store provider (memory vs RocksDB,
-    * the 100 TB state backend) — is copied through explicitly; the
-    * RocksDB twin spec drives q44/q71 through this exact path. */
+    * CONTEXT defaults, so session-level state-store configuration the
+    * caller may legitimately vary — the provider class (memory vs
+    * RocksDB, the 100 TB state backend) AND its tuning knobs
+    * (spark.sql.streaming.stateStore.rocksdb.* etc.) — is copied
+    * through as the whole conf prefix; the RocksDB twin spec drives
+    * q44/q71 through this exact path. */
+  /** Upper-bound state keyspace estimates for the streaming gates'
+    * drain clones, fed to `Incremental.statePartitions` (the testdata
+    * events span days, not years): q44's state key is (hour window ×
+    * event type) — ≤ a few hundred at any fixture sf; q71's is the
+    * user id — ≤ a few thousand. A deployment points the same helper
+    * at its real cardinality estimate instead. */
+  private val Q44WindowKeyspace = 1024L
+  private val Q71UserKeyspace = 16384L
+
   private def streamClone(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
-    s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      .foreach(s2.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql.streaming.stateStore.")) s2.conf.set(k, v)
+    }
     s2
   }
 
@@ -1163,6 +1186,7 @@ object SparkEntry {
                    FROM m WHERE kind = 'video') u
              GROUP BY media_id)
            SELECT m.media_id, m.kind, m.n_bytes,
+             'stub' AS decode_status,
              coalesce(fr.n_frames, 0) AS n_frames
            FROM m LEFT JOIN fr USING (media_id) ORDER BY media_id""",
       "q44_streaming_window" ->

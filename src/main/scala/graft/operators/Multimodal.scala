@@ -43,6 +43,7 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       sha_prefix: String,
+      decode_status: String, // "decoded" (real codec) | "stub" (fallback)
       features: Array[Float])
 
   /** STUB decode (fallback + video): a deterministic feature vector from
@@ -224,15 +225,25 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode dispatch: real codec per kind, hash-stub fallback. */
-  private[graft] def decodeFeatures(kind: String, content: Array[Byte],
-      dim: Int): Array[Float] = kind match {
-    case "image" => decodeImage(content, dim).map(_._3).getOrElse(decodeStub(content, dim))
-    case "audio" => decodeAudio(content, dim).map(_._3).getOrElse(decodeStub(content, dim))
-    // video: animated GIF is the JDK-decodable container; anything the
-    // sequence reader can't claim falls back to the hash stub
-    case _ => decodeVideo(content, dim).map(_._2).getOrElse(decodeStub(content, dim))
+  /** Decode dispatch: real codec per kind, hash-stub fallback — and a
+    * TYPED status saying which branch ran ("decoded" | "stub"), so a
+    * run at scale can report its real decode coverage instead of
+    * silently mixing stub vectors into the feature space. */
+  private[graft] def decodeFeaturesStatus(kind: String, content: Array[Byte],
+      dim: Int): (String, Array[Float]) = {
+    val real = kind match {
+      case "image" => decodeImage(content, dim).map(_._3)
+      case "audio" => decodeAudio(content, dim).map(_._3)
+      // video: animated GIF is the JDK-decodable container; anything
+      // the sequence reader can't claim falls back to the hash stub
+      case _ => decodeVideo(content, dim).map(_._2)
+    }
+    real.map(("decoded", _)).getOrElse(("stub", decodeStub(content, dim)))
   }
+
+  /** Decode dispatch without the status (kept for feature-only callers). */
+  private[graft] def decodeFeatures(kind: String, content: Array[Byte],
+      dim: Int): Array[Float] = decodeFeaturesStatus(kind, content, dim)._2
 
   /** REAL resize for decodable images (Graphics2D bilinear); identity
     * for anything the JDK cannot decode. The output is ALWAYS
@@ -263,7 +274,10 @@ object Multimodal {
 
   /** Feature extraction over a media DataFrame: partition-wise, bounded
     * batches, binary never shuffled. Output: (media_id, kind, n_bytes,
-    * sha_prefix, features). */
+    * sha_prefix, decode_status, features) — `decode_status` is
+    * "decoded" when a real JDK codec claimed the payload, "stub" when
+    * the deterministic hash fallback ran, so decode coverage is a
+    * one-groupBy report at any scale. */
   def extractFeatures(media: DataFrame, dim: Int = 16,
       batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -277,9 +291,9 @@ object Multimodal {
           // amortize model/codec init across the batch here.
           batch.iterator.map { case (id, kind, content) =>
             val bytes = if (content == null) 0L else content.length.toLong
-            val feats = decodeFeatures(kind, content, dim)
+            val (status, feats) = decodeFeaturesStatus(kind, content, dim)
             val sha = feats.take(2).map(f => f"$f%.3f").mkString(",")
-            MediaFeatures(id, kind, bytes, sha, feats)
+            MediaFeatures(id, kind, bytes, sha, status, feats)
           }
         }
       }

@@ -255,7 +255,13 @@ object TextAnalysis {
       "__toks", "__p", "__tok", "__h", "__nd", "__keep", "__cp", "__kept")
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    // null text must read as the empty token list: size(null) = -1
+    // would otherwise emit n_toks = -1 / n_removed = -1 for direct
+    // callers (processCorpus guarantees non-null upstream, but the
+    // operator's own contract is row-preserving over ANY input)
+    val toks = coalesce(
+      filter(TextFunctions.tokens(col(textCol)), t => t =!= ""),
+      typedLit(Seq.empty[String]))
     val base = df.select(col(idCol), toks.as("__toks"))
     // anchored (window hash, doc, start) index — same md5-bucket anchor
     // contract as dupPassageStats; checkpointed once, read twice

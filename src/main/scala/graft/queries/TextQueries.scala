@@ -958,7 +958,15 @@ object TextQueries {
       // eps_bound (same rational-e integer math as CountMin.epsBound)
       // but asserts the guarantee rather than recomputing the flag, so
       // an engine-side geometry regression that inflates an estimate
-      // past ceil((e/width)·N) hash-fails loudly
+      // past ceil((e/width)·N) hash-fails loudly.
+      // FIXTURE SENSITIVITY: the ε bound is probabilistic — violation
+      // probability ≤ e^-depth ≈ 1.8% per probe at CmsDepth=4 — so the
+      // literal TRUE is a property of THIS corpus + CmsSeed geometry
+      // (verified by CountMinSpec's undersized-width canary), not a
+      // universal invariant. If a future fixture or VocabTopK change
+      // flips it, the correct fix is to recompute the flag here as
+      // `min(coalesce(sk.bcnt,0)) - p.cnt <= eps_bound` (matching the
+      // engine's derivation), not to widen the sketch to force TRUE
       s"""WITH tokrows AS (SELECT tok FROM $sqlTokRows WHERE tok <> ''),
          rows_d AS (SELECT CAST(unnest(range($CmsDepth)) AS INT) AS r),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tokrows),

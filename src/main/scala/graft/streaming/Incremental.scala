@@ -130,4 +130,37 @@ object Incremental {
           closed.result().iterator
       }
   }
+
+  /** Session-conf key overriding [[statePartitions]] — lets a caller
+    * (or a spec) pin the stateful shuffle width without editing code;
+    * the partition-count-invariance spec drives the real engine at an
+    * overridden width to prove results don't depend on the knob. */
+  val StatePartitionsOverrideConf = "graft.streaming.statePartitions"
+
+  /** `spark.sql.shuffle.partitions` for a STATEFUL streaming query as a
+    * function of expected key cardinality — for stateful queries this
+    * conf is the number of state stores (each a per-partition store +
+    * task per micro-batch, and on RocksDB a directory of SSTs), so it
+    * must scale with the KEY SPACE, not default to the batch shuffle
+    * width: a tiny keyspace (hours × event types) on 32 partitions is
+    * 32 stores of pure overhead, while a 10⁹-user keyspace on 8 is an
+    * OOM. ~`keysPerPartition` keys per store, clamped to
+    * [1, maxPartitions]. NOTE: for a given checkpoint this is fixed at
+    * first start (state is hash-partitioned by this width); changing it
+    * requires a new checkpoint (or offline state repartitioning). */
+  def partitionsForKeys(expectedKeys: Long, keysPerPartition: Long = 65536L,
+      maxPartitions: Int = 2048): Int = {
+    require(expectedKeys >= 0, s"expectedKeys=$expectedKeys must be >= 0")
+    require(keysPerPartition >= 1,
+      s"keysPerPartition=$keysPerPartition must be >= 1")
+    require(maxPartitions >= 1, s"maxPartitions=$maxPartitions must be >= 1")
+    val want = (expectedKeys + keysPerPartition - 1) / keysPerPartition
+    math.min(math.max(want, 1L), maxPartitions.toLong).toInt
+  }
+
+  /** [[partitionsForKeys]] with the session-conf override applied —
+    * the entry point the streaming gates size their drain clones with. */
+  def statePartitions(s: SparkSession, expectedKeys: Long): Int =
+    s.conf.getOption(StatePartitionsOverrideConf).map(_.trim.toInt)
+      .getOrElse(partitionsForKeys(expectedKeys))
 }

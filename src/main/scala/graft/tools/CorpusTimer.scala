@@ -45,7 +45,15 @@ object CorpusTimer {
     val sec = (System.nanoTime() - t0) / 1e9
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
-    println(s"""{"tool":"corpus-timer","dir":"${args(0)}","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"sec":$secS}""")
+    // JSON-escape the interpolated path (quotes/backslashes in a dir
+    // name must not corrupt the single-line artifact)
+    val dirS = args(0).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    println(s"""{"tool":"corpus-timer","dir":"$dirS","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"sec":$secS}""")
     spark.stop()
   }
 }

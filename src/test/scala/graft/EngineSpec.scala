@@ -211,4 +211,81 @@ class EngineSpec extends AnyFunSuite {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0,
       "emails must be scrubbed")
   }
+
+  test("processCorpus selection policies reuse the gated operators") {
+    import graft.functions.TextFunctions
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val target = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val topK = 5
+
+    // DSIR per-stratum top-K
+    val dsir = Engine.processCorpus(docs,
+      selection = Some(Engine.DsirSelection(target, topK)),
+      materializeBoundaries = true)
+    val dLedger = dsir.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(dLedger.contains("dsir_selected"), s"ledger labels: ${dLedger.keySet}")
+    assert(dsir.selected.count() == dLedger("dsir_selected"))
+    assert(dsir.selected.columns.contains("dsir_avg_mills"))
+    val perStratum = dsir.selected.groupBy("lang").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+    perStratum.foreach { case (l, n) =>
+      assert(n <= topK, s"stratum $l kept $n > topK") }
+    assert(perStratum.exists(_._2 == topK), "topK must bind somewhere")
+    // the facade must agree with the gated operators composed directly
+    // on the same candidate pool (deduped IS the pool: no gopher gate)
+    val lower2 = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("doc_id"), lower(col("text")).as("text"))
+    val imp = TextAnalysis.importanceScore(
+      lower2(dsir.deduped), lower2(target), "text", "doc_id",
+      graft.queries.TextQueries.DsirBuckets)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("dsir_avg_mills").desc, col("doc_id"))
+    val expect = dsir.deduped.select("doc_id", "lang")
+      .join(imp.select("doc_id", "dsir_avg_mills"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = dsir.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, "facade DSIR selection must equal the direct q92 kernel")
+    // downstream stages run on the DSIR-selected set
+    assert(dLedger("packed_docs") == dLedger("dsir_selected"))
+
+    // quality-threshold + stratified mixture
+    val rates = Map("en" -> 1.0, "de" -> 0.5)
+    val minQ = 1L
+    val mix = Engine.processCorpus(docs,
+      selection = Some(Engine.MixtureSelection(minQ, rates)),
+      materializeBoundaries = true)
+    val mLedger = mix.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(mLedger.contains("mixture_selected"))
+    assert(mix.selected.count() == mLedger("mixture_selected"))
+    // defaultRate 0: only strata in the rates map survive
+    assert(mix.selected.where(!col("lang").isin("en", "de")).count() == 0)
+    val pool = mix.deduped
+      .withColumn("quality_mills", TextFunctions.qualityScoreMills(col("text")))
+      .where(col("quality_mills") >= minQ)
+    // en at 1.0 keeps every above-threshold doc; de at 0.5 strictly thins
+    val enPool = pool.where(col("lang") === "en").count()
+    val dePool = pool.where(col("lang") === "de").count()
+    assert(enPool > 0 && dePool > 0, "fixture must exercise both strata")
+    assert(mix.selected.where(col("lang") === "en").count() == enPool)
+    val deKept = mix.selected.where(col("lang") === "de").count()
+    assert(deKept > 0 && deKept < dePool,
+      s"de rate 0.5 must thin without emptying: $deKept of $dePool")
+    // facade must equal the gated operator applied to the same pool
+    val expectMix = TextAnalysis
+      .stratifiedSample(pool, "lang", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotMix = mix.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotMix == expectMix,
+      "facade mixture selection must equal the direct q70 operator")
+  }
 }

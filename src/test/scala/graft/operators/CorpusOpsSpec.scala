@@ -135,6 +135,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       (6L, 0L, 0L, "")))
   }
 
+  test("removeDupPassages treats null text as empty, never n_toks = -1") {
+    val docs = Seq((1L, Some("a b c d e")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeDupPassages(docs, "text", "doc_id", 4, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 0L, 0L, "")))
+  }
+
   test("removeDupPassages guards geometry and reserved columns") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -19,7 +19,8 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.syntheticMediaFromDocs(spark, graft.SparkTestSession.sfDir)
     val f = Multimodal.extractFeatures(m, dim = 8, batchSize = 16)
     assert(f.columns.toSeq ==
-      Seq("media_id", "kind", "n_bytes", "sha_prefix", "features"))
+      Seq("media_id", "kind", "n_bytes", "sha_prefix", "decode_status",
+        "features"))
     val rows = f.orderBy("media_id").limit(3).collect()
     assert(rows.forall(_.getAs[Seq[Float]]("features").length == 8))
     // deterministic: same input -> same features
@@ -134,20 +135,28 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, "video", tinyGif(Seq(0, 255)))).toDF("media_id", "kind", "content")
     val f = Multimodal.extractFeatures(rows, dim = 4, batchSize = 2)
       .orderBy("media_id").collect()
+    def feats(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[Float]]("features")
+    def status(r: org.apache.spark.sql.Row) = r.getAs[String]("decode_status")
     // image features = real luminance means (dim=4 buckets span 1.5 of
     // the half-black/half-white rows, so values alternate ~1/3 and ~2/3
     // and average 0.5) — nothing like the byte-hash stub
-    val imgFeats = f(0).getSeq[Float](4)
+    val imgFeats = feats(f(0))
     assert(math.abs(imgFeats.sum / 4 - 0.5f) < 0.01f, imgFeats.toString)
     assert(imgFeats.forall(v => v > 0.2f && v < 0.8f), imgFeats.toString)
-    val audFeats = f(1).getSeq[Float](4)
+    val audFeats = feats(f(1))
     assert(audFeats.forall(v => v > 0.45f && v < 0.55f), audFeats.toString)
-    // UNDECODABLE video payloads fall back to the deterministic stub
-    assert(f(2).getSeq[Float](4).toSeq ==
+    // UNDECODABLE video payloads fall back to the deterministic stub —
+    // and SAY so via the typed status, never a silent stub vector
+    assert(feats(f(2)).toSeq ==
       Multimodal.decodeStub("fake-bytes".getBytes, 4).toSeq)
+    assert(status(f(2)) == "stub")
     // a real animated GIF goes through the REAL sequence decoder: two
     // frames (black, white) land in temporal buckets 0 and 2 exactly
-    assert(f(3).getSeq[Float](4).toSeq == Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    assert(feats(f(3)).toSeq == Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    // both status branches pinned: real codecs report "decoded"
+    assert(Seq(f(0), f(1), f(3)).map(status) ==
+      Seq("decoded", "decoded", "decoded"))
   }
 
   /** A real multi-frame animated GIF: 4x4 solid-gray frames. A solid

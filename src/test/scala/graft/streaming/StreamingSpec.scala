@@ -228,4 +228,38 @@ class StreamingSpec extends AnyFunSuite {
     // anchored at max ts (01-02 10:30): only the 01-02 error is inside 24h
     assert(errs.map(r => (r.getString(0), r.getLong(1))).toMap == Map("auth" -> 1L))
   }
+
+  test("state shuffle width = f(keyspace); results are width-invariant") {
+    // the sizing math: ceil-divide, clamped to [1, maxPartitions]
+    assert(Incremental.partitionsForKeys(0) == 1)
+    assert(Incremental.partitionsForKeys(500) == 1)
+    assert(Incremental.partitionsForKeys(65536) == 1)
+    assert(Incremental.partitionsForKeys(65537) == 2)
+    assert(Incremental.partitionsForKeys(10L * 65536) == 10)
+    assert(Incremental.partitionsForKeys(Long.MaxValue / 2) == 2048)
+    assert(Incremental.partitionsForKeys(1 << 20, keysPerPartition = 4096,
+      maxPartitions = 64) == 64)
+    intercept[IllegalArgumentException](Incremental.partitionsForKeys(-1))
+    intercept[IllegalArgumentException](
+      Incremental.partitionsForKeys(1, keysPerPartition = 0))
+    // the override conf wins over the computed width
+    spark.conf.set(Incremental.StatePartitionsOverrideConf, "5")
+    try assert(Incremental.statePartitions(spark, 1L << 40) == 5)
+    finally spark.conf.unset(Incremental.StatePartitionsOverrideConf)
+    assert(Incremental.statePartitions(spark, 1L << 40) ==
+      Incremental.partitionsForKeys(1L << 40))
+    // REAL-engine invariance: the q44 drain at the computed width (1 for
+    // the fixture keyspace) and at an overridden width ≠ 8 must be
+    // row-identical — state hash-partitioning never leaks into results
+    val q44 = graft.SparkEntry.queries("q44_streaming_window")
+    val base = q44(spark, graft.SparkTestSession.sfDir)
+      .collect().map(_.toString).toSeq
+    assert(base.nonEmpty)
+    spark.conf.set(Incremental.StatePartitionsOverrideConf, "5")
+    try {
+      val alt = q44(spark, graft.SparkTestSession.sfDir)
+        .collect().map(_.toString).toSeq
+      assert(alt == base, "q44 results must not depend on the state width")
+    } finally spark.conf.unset(Incremental.StatePartitionsOverrideConf)
+  }
 }
