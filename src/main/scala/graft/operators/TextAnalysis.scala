@@ -353,8 +353,11 @@ object TextAnalysis {
     val tg = gramBuckets(target, Seq.empty)
     val sc = sg.groupBy("__b").agg(count(lit(1)).as("__sc"))
     val tc = tg.groupBy("__b").agg(count(lit(1)).as("__tc"))
+    // both sides are 1-row aggs; the explicit hint makes the
+    // bounded-side contract uniform instead of relying on AQE to
+    // notice the 1-row estimate at runtime
     val totals = sg.agg(count(lit(1)).as("__ns"))
-      .crossJoin(tg.agg(count(lit(1)).as("__nt")))
+      .crossJoin(broadcast(tg.agg(count(lit(1)).as("__nt"))))
     // weight table over ALL buckets (absent buckets still carry the
     // smoothed default weight) — bounded by `buckets`, broadcast
     val wt = source.sparkSession.range(buckets).toDF("__b")

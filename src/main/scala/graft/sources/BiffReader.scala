@@ -244,6 +244,11 @@ object BiffReader {
     // Workbook stream, sheet missing, empty sheet) stay as-is.
     try readXlsImpl(spark, path, sheet)
     catch {
+      // NumberFormatException IS an IllegalArgumentException — a raw
+      // parser escape, not one of our typed requires; match it first
+      case e: NumberFormatException =>
+        throw Ingest.UnsupportedFormat(path,
+          s"corrupt BIFF workbook: ${e.getClass.getSimpleName}")
       case e: IllegalArgumentException => throw e // already typed
       case e: Ingest.UnsupportedFormat => throw e
       case e: Exception =>

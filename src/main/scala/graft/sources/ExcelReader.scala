@@ -148,8 +148,26 @@ object ExcelReader {
   }
 
   /** Read an xlsx into a DataFrame of strings (header row 1, data ≥ 2),
-    * after the S3 container pre-flight. */
-  def readXlsx(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    * after the S3 container pre-flight. Corrupt-but-zip-valid
+    * workbooks (mangled XML, non-numeric shared-string indexes, broken
+    * style ids) surface as a TYPED ingest rejection, never a raw
+    * SAX/NumberFormat/IndexOutOfBounds from inside the parser. */
+  def readXlsx(spark: SparkSession, path: String, sheet: Int = 1): DataFrame =
+    try readXlsxImpl(spark, path, sheet)
+    catch {
+      // NumberFormatException IS an IllegalArgumentException — match it
+      // first: it's a raw parser escape, not one of our typed requires
+      case e: NumberFormatException =>
+        throw Ingest.UnsupportedFormat(path,
+          s"corrupt xlsx workbook: ${e.getClass.getSimpleName}")
+      case e: IllegalArgumentException => throw e // typed requires
+      case e: Ingest.UnsupportedFormat => throw e
+      case e: Exception =>
+        throw Ingest.UnsupportedFormat(path,
+          s"corrupt xlsx workbook: ${e.getClass.getSimpleName}")
+    }
+
+  private def readXlsxImpl(spark: SparkSession, path: String, sheet: Int): DataFrame = {
     Ingest.validateXlsxContainer(path) match {
       case Left(err) => throw new IllegalArgumentException(s"S3 pre-flight failed: $err")
       case Right(()) =>

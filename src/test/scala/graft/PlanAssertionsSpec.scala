@@ -195,6 +195,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q90: every join in the DSIR weight-table build stays broadcast") {
+    // the bounded-side contract is explicit hints, not an AQE rescue:
+    // the two 1-row totals and the <= buckets-row weight table must
+    // never plan a SortMergeJoin. The one legal SMJ in the plan is the
+    // final per-doc left join (both sides corpus-sized, one row per
+    // doc — deliberately a shuffle join, never broadcastable at scale),
+    // keyed on the doc id; anything keyed on the __b bucket is a
+    // bounded side that lost its hint.
+    val p = plan("q90_dsir_score")
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(l => l.contains("doc_id") && !l.contains("__b")),
+      s"bounded-side join degraded to sort-merge:\n${smj.mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "totals/weights should join via broadcast")
+  }
+
   test("q83: recount joins broadcast candidates; top-k is a partial TakeOrdered") {
     // topKExact's promise: pass B touches only candidate rows via a
     // broadcast equi-join (the corpus side never shuffles for the
