@@ -320,6 +320,12 @@ object ScaleStudy {
         synthesize(spark, sfDir, synthDir)
         synthesize(spark, sfDir, deepDir, replicas = 100)
         s""""deep":{${measure(spark, DeepQueries, synthDir, deepDir)}}"""
+      case "build" =>
+        // synthesize the document corpora only (no measurements) — the
+        // CorpusTimer sf1/sf10 end-to-end runs consume these directly
+        synthesize(spark, sfDir, synthDir)
+        synthesize(spark, sfDir, deepDir, replicas = 100)
+        s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
       case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
     }.mkString(",")
 
