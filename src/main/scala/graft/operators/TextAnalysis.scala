@@ -446,6 +446,60 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** word2phrase collocation scoring (Mikolov et al., "Distributed
+    * Representations of Words and Phrases and their Compositionality",
+    * NeurIPS 2013, §4) — the phrase-detection pass a training pipeline
+    * runs before tokenization so "new york" becomes one unit. For
+    * every word bigram (a, b) seen at least `minCount` times:
+    *
+    *   phrase_mills = max(0, ⌊1000·(c_ab − discount)·N₁ / (c_a·c_b)⌋)
+    *   dice_mills   = ⌊2000·c_ab / (c_a + c_b)⌋
+    *
+    * both in EXACT integer mills — the phrase score through
+    * DECIMAL(38,0) floor division (c_ab·N₁ reaches 10²⁸ at real corpus
+    * sizes, far past int64; same HUGEINT-twin contract as the DSIR
+    * weights), Dice in plain int64 (2000·c_ab tops out at ~2·10¹⁷).
+    * `discount` is the paper's rare-pair penalty; pairs at or below it
+    * floor to 0 rather than going negative.
+    *
+    * Scale shape: unigram and bigram counting are vocab-bounded hash
+    * aggs with map-side partials; the `minCount` filter prunes the
+    * bigram table BEFORE the two unigram equi-joins (work ∝ surviving
+    * candidates, and the joins are plain equi-shuffles — the unigram
+    * table is vocab-sized, broadcastable only on small corpora, so no
+    * hint is forced); totals are a 1-row broadcast. No pair space, no
+    * global sort — top-K is the caller's orderBy().limit() which plans
+    * as a partial TakeOrdered. */
+  def phraseScores(df: DataFrame, textCol: String,
+      minCount: Long = 5L, discount: Long = 0L): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(discount >= 0, s"discount=$discount must be >= 0")
+    val reserved = Seq("w1", "w2", "n_pair", "n_w1", "n_w2",
+      "phrase_mills", "dice_mills", "__tok", "__bi", "__n", "__n1")
+    require(!reserved.contains(textCol), s"column '$textCol' is reserved")
+    val uniStream = df.select(explode(
+      filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+    val uni = uniStream.groupBy("__tok").agg(count(lit(1)).as("__n"))
+    val n1 = uniStream.agg(count(lit(1)).as("__n1"))
+    val bi = df
+      .select(explode(TextFunctions.wordNGrams(col(textCol), 2)).as("__bi"))
+      .groupBy("__bi").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .select(substring_index(col("__bi"), " ", 1).as("w1"),
+        substring_index(col("__bi"), " ", -1).as("w2"), col("n_pair"))
+    bi
+      .join(uni.select(col("__tok").as("w1"), col("__n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("__tok").as("w2"), col("__n").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        expr(
+          s"""CAST(greatest(
+                (CAST(1000 AS DECIMAL(38,0)) * (n_pair - $discount) * __n1)
+                  div (CAST(n_w1 AS DECIMAL(38,0)) * n_w2),
+                CAST(0 AS DECIMAL(38,0))) AS BIGINT)""").as("phrase_mills"),
+        expr("(2000 * n_pair) div (n_w1 + n_w2)").as("dice_mills"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

@@ -189,6 +189,14 @@ object TextQueries {
     * binds in every lang stratum of the 500-doc fixtures. */
   private[graft] val DsirSelectK = 10
 
+  /** q94's collocation geometry: minCount 5 binds on the fixture's
+    * dense bigram table, discount 2 exercises the rare-pair penalty
+    * (and the floor-to-0 branch on pairs at/below it), top-25 keeps
+    * the gate sensitive to the full (score, w1, w2) ordering. */
+  private[graft] val PhraseMinCount = 5L
+  private[graft] val PhraseDiscount = 2L
+  private[graft] val PhraseTopK = 25
+
   /** q69/q93's packing budget (tokens per sequence) — ONE constant
     * shared by the Spark entries and the interpolated oracle SQL so
     * the packing and its QA rollup can never drift. */
@@ -729,7 +737,19 @@ object TextQueries {
             .select(col("doc_id"), lower(col("text")).as("text")),
           "text", "doc_id", DupWindowTokens, DupAnchorMod)
         .select("doc_id", "n_toks", "n_removed", "clean_md5")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // word2phrase collocations (Mikolov et al. 2013): top-K bigrams by
+    // the discounted phrase score in exact integer mills, Dice along.
+    // orderBy + limit over the unique (phrase_mills, w1, w2) total
+    // order plans as a partial TakeOrdered — no global sort survives.
+    "q94_collocations" -> ((s, dir) =>
+      graft.operators.TextAnalysis.phraseScores(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          "text", minCount = PhraseMinCount, discount = PhraseDiscount)
+        .orderBy(col("phrase_mills").desc, col("w1"), col("w2"))
+        .limit(PhraseTopK)))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1145,6 +1165,41 @@ object TextQueries {
          SELECT lang, rank, doc_id, dsir_avg_mills
          FROM rk WHERE rank <= $DsirSelectK
          ORDER BY lang, rank""",
+    "q94_collocations" ->
+      // full recompute: lowered per-doc token lists, order-aware
+      // bigrams WITH multiplicity (the wordNGrams twin: l[i]||' '||
+      // l[i+1] over 1-based i), minCount prefilter, then the two
+      // exact-integer scores — the phrase score through HUGEINT floor
+      // division (the DECIMAL(38,0) div twin), Dice in int64. The
+      // (phrase_mills DESC, w1, w2) total order is unique, so the
+      // LIMIT is deterministic in both engines.
+      s"""WITH t AS (
+           SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS l
+           FROM documents),
+         unis AS (SELECT unnest(l) AS tok FROM t),
+         u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+               FROM unis GROUP BY tok),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM unis),
+         bis AS (
+           SELECT unnest($wordBigramsAllSql) AS bi FROM t),
+         b AS (
+           SELECT string_split(bi, ' ')[1] AS w1,
+             string_split(bi, ' ')[2] AS w2,
+             CAST(count(*) AS BIGINT) AS n_pair
+           FROM bis GROUP BY 1, 2 HAVING count(*) >= $PhraseMinCount)
+         SELECT b.w1, b.w2, b.n_pair, u1.n AS n_w1, u2.n AS n_w2,
+           CAST(greatest(
+             (CAST(1000 AS HUGEINT) * (b.n_pair - $PhraseDiscount) * n1.c)
+               // (CAST(u1.n AS HUGEINT) * u2.n),
+             CAST(0 AS HUGEINT)) AS BIGINT) AS phrase_mills,
+           (2000 * b.n_pair) // (u1.n + u2.n) AS dice_mills
+         FROM b
+         JOIN u u1 ON b.w1 = u1.tok
+         JOIN u u2 ON b.w2 = u2.tok
+         CROSS JOIN n1
+         ORDER BY phrase_mills DESC, w1, w2 LIMIT $PhraseTopK""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

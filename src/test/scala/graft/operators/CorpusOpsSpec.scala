@@ -135,6 +135,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       (6L, 0L, 0L, "")))
   }
 
+  test("phraseScores matches an exact driver-side recompute") {
+    val texts = Seq(
+      "new york is big new york is old",
+      "new york new jersey and new york",
+      "big apple big apple big apple",
+      "old york was old",
+      " ",
+      "solo")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (minCount, discount) = (2L, 2L)
+    // driver-side ground truth, BigInt floor math
+    val tokLists = texts.map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    val uni = tokLists.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n1 = tokLists.map(_.size).sum.toLong
+    val pairs = tokLists.flatMap(l => l.sliding(2).filter(_.size == 2)
+      .map(p => (p.head, p(1))).toSeq)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= minCount)
+    val expected = pairs.map { case ((a, b), np) =>
+      val phrase = ((BigInt(1000) * (np - discount) * n1) /
+        (BigInt(uni(a)) * uni(b))).max(0).toLong
+      (a, b, np, uni(a), uni(b), phrase, 2000 * np / (uni(a) + uni(b)))
+    }.toSet
+    assert(expected.nonEmpty && expected.exists(_._6 == 0L),
+      s"fixture must exercise the floor-to-0 branch: $expected")
+    assert(expected.exists(_._6 > 0L))
+    val got = TextAnalysis.phraseScores(docs, "text", minCount, discount)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseScores(docs, "text", minCount = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseScores(docs.withColumnRenamed("text", "w1"), "w1")
+    }
+  }
+
   test("removeDupPassages treats null text as empty, never n_toks = -1") {
     val docs = Seq((1L, Some("a b c d e")), (2L, None))
       .toDF("doc_id", "text")
