@@ -90,4 +90,54 @@ object Retrieval {
       .select(col("__qid").as(qidCol), col("rank"),
         col("__doc").as(idCol), col("__score_mills").as("score_mills"))
   }
+
+  /** Top-k tf-idf keyword extraction per document — the
+    * keyword/topic-proxy pass of a corpus-analysis pipeline (Salton &
+    * Buckley's term weighting; Spärck Jones' idf). Scoring is the
+    * RATIONAL idf variant of the module contract: score =
+    * floor(1000·tf·N / df) in exact integers through DECIMAL(38,0)
+    * (tf·N reaches ~10¹⁴ on real corpora; 1000·tf·N would overflow
+    * int64 at 10¹⁷⁺ with heavy terms, so the product goes through the
+    * 38-digit lane — the HUGEINT-twin contract). N/df is monotone in
+    * the classic log(N/df), so per-term document ordering is
+    * preserved; across terms the top-k set can deviate from the
+    * log-idf set (log compresses rare-term dominance) — a documented
+    * variant, spec-quantified against a float log-idf twin, the same
+    * precedent as [[bm25TopK]].
+    *
+    * Scale shape: tf is one hash-agg shuffle on (doc, term); df
+    * aggregates THAT frame (one row per distinct (doc, term)), so the
+    * second shuffle is bounded by distinct pairs; N is a 1-row
+    * broadcast; df joins back by term equi-shuffle (vocab-sized, not
+    * forced broadcast). Ranking is a per-doc row_number the planner
+    * cuts with WindowGroupLimit — no global sort, no pair space.
+    *
+    * @return (idCol, rank, term, tf, df_docs, tfidf_mills), rank 1..k
+    *         per doc in (score desc, term asc) order; docs with no
+    *         tokens produce no rows
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val reserved = Seq("rank", "term", "tf", "df_docs", "tfidf_mills", "__n")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val ndocs = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val tf = docs
+      .select(col(idCol), explode(
+        filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_mills").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(ndocs)
+      .withColumn("tfidf_mills",
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * tf * __n) div df_docs AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        col("df_docs"), col("tfidf_mills"))
+  }
 }

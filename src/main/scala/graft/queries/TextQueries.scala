@@ -197,6 +197,11 @@ object TextQueries {
   private[graft] val PhraseDiscount = 2L
   private[graft] val PhraseTopK = 25
 
+  /** q96's keywords-per-doc depth — below the fixture's ~10-token
+    * minimum doc length so the k-cut and the (score DESC, term ASC)
+    * tie-break bind on every document. */
+  private[graft] val KeywordTopK = 3
+
   /** q69/q93's packing budget (tokens per sequence) — ONE constant
     * shared by the Spark entries and the interpolated oracle SQL so
     * the packing and its QA rollup can never drift. */
@@ -749,7 +754,31 @@ object TextQueries {
             .select(col("doc_id"), lower(col("text")).as("text")),
           "text", minCount = PhraseMinCount, discount = PhraseDiscount)
         .orderBy(col("phrase_mills").desc, col("w1"), col("w2"))
-        .limit(PhraseTopK)))
+        .limit(PhraseTopK)),
+
+    // CCNet-style unigram LM quality scoring (Wenzek et al. 2020) in
+    // exact integer code-length bits: the model trains on the 'en'
+    // stratum, scores EVERY doc (in-target and cross-lang), and the
+    // Laplace-smoothed OOV path is exercised by the non-en strata's
+    // disjoint vocabulary slices. Lower avg_bits_mills = more
+    // target-like.
+    "q95_unigram_ce" -> ((s, dir) => {
+      val lowered = docsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      graft.operators.TextAnalysis.unigramCodeLength(
+          lowered, lowered.where(col("lang") === "en"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // tf-idf keyword extraction (rational idf, exact integer mills):
+    // top-3 terms per doc with the (score DESC, term ASC) tie-break —
+    // the WindowGroupLimit k-cut binds on every doc of the fixture.
+    "q96_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.Retrieval.tfidfKeywords(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          "doc_id", "text", KeywordTopK)
+        .orderBy("doc_id", "rank")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1200,6 +1229,84 @@ object TextQueries {
          JOIN u u2 ON b.w2 = u2.tok
          CROSS JOIN n1
          ORDER BY phrase_mills DESC, w1, w2 LIMIT $PhraseTopK""",
+    "q95_unigram_ce" ->
+      // full recompute: Laplace-smoothed unigram costs over the 'en'
+      // stratum in EXACT integer millibits — Mitchell's log2:
+      // floor_log2 as the length of the base-2 digit string
+      // (printf('%b') here, conv(_,10,2) in the engine; both exact),
+      // 2^e via integer shift, linear fraction via integer floor
+      // division; no float log anywhere, and the same left-join +
+      // coalesce row-preserving shape as the engine
+      s"""WITH t AS (
+           SELECT doc_id, lang, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS l
+           FROM documents),
+         lmtoks AS (SELECT unnest(l) AS tok FROM t WHERE lang = 'en'),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS v
+                 FROM lmtoks),
+         cost AS (
+           SELECT tok,
+             1000 * e + (1000 * (q - p)) // p - 10000 AS cost
+           FROM (
+             SELECT tok, q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+             FROM (
+               SELECT tok, q, length(printf('%b', q)) - 1 AS e
+               FROM (
+                 SELECT tok, (1024 * (tot.n + tot.v)) // (cnt + 1) AS q
+                 FROM (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                       FROM lmtoks GROUP BY tok)
+                 CROSS JOIN tot)))),
+         oov AS (
+           SELECT 1000 * e + (1000 * (q - p)) // p - 10000 AS oov
+           FROM (
+             SELECT q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+             FROM (
+               SELECT q, length(printf('%b', q)) - 1 AS e
+               FROM (SELECT 1024 * (n + v) AS q FROM tot)))),
+         dt AS (SELECT doc_id, unnest(l) AS tok FROM t),
+         sc AS (
+           SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(coalesce(c.cost, oov.oov)) AS BIGINT)
+               AS total_bits_mills
+           FROM dt LEFT JOIN cost c USING (tok) CROSS JOIN oov
+           GROUP BY dt.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
+           coalesce(sc.total_bits_mills, CAST(0 AS BIGINT))
+             AS total_bits_mills,
+           sc.total_bits_mills // sc.n_toks AS avg_bits_mills
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id""",
+    "q96_tfidf_keywords" ->
+      // full recompute: per-doc tf with multiplicity, df over the
+      // distinct (doc, term) frame, rational idf through HUGEINT floor
+      // division (the DECIMAL(38,0) div twin), and the same
+      // (score DESC, term ASC) row_number cut
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS l
+           FROM documents),
+         dt AS (SELECT doc_id, unnest(l) AS term FROM t),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM dt GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                 FROM tf GROUP BY term),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+             CAST((CAST(1000 AS HUGEINT) * tf.tf * nd.n) // dfq.df_docs
+               AS BIGINT) AS tfidf_mills
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         rk AS (
+           SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf_mills DESC, term) AS BIGINT) AS rank,
+             term, tf, df_docs, tfidf_mills
+           FROM sc)
+         SELECT doc_id, rank, term, tf, df_docs, tfidf_mills
+         FROM rk WHERE rank <= $KeywordTopK
+         ORDER BY doc_id, rank""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -268,4 +268,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("Window"), "expected the histogram cumsum windows")
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
+
+  test("q96: rank is a partial top-k and the tf stage feeds df via exchange reuse") {
+    // tfidfKeywords' promise: the (doc, term) tf aggregation is ONE
+    // corpus pass — the df branch consumes the SAME tf frame, so at
+    // runtime AQE must reuse the tf shuffle stage, not re-explode the
+    // corpus (static planning shows two subtrees; reuse only
+    // materializes in the final adaptive plan — execute first). The
+    // per-doc rank must cut with WindowGroupLimit before the final
+    // window, never a global sort.
+    val df = SparkEntry.queries("q96_tfidf_keywords")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("WindowGroupLimit"), fp.take(3000))
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      "tf exchange not reused by the df branch:\n" + fp.take(3000))
+    assert(!fp.contains("CartesianProduct"), fp.take(2000))
+  }
+
+  test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
+    // unigramCodeLength's promise: the only corpus-sized shuffle in
+    // the scoring branch is the per-doc sum — the vocab-bounded cost
+    // table and the 1-row OOV cost reach the token stream without
+    // forcing a corpus re-exchange, and nothing plans a cartesian
+    // (the OOV crossJoin is an explicit 1-row broadcast)
+    val p = plan("q95_unigram_ce")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -537,4 +537,73 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
   }
+
+  test("unigramCodeLength matches hand-computed millibit costs on every edge") {
+    // lm: a×4 b×2 c×1 → N=7 V=3, N+V=10, pre-scale 1024·10 = 10240
+    //   a: q=10240 div 5=2048,  e=11, frac 0              → 1000
+    //   b: q=10240 div 3=3413,  e=11, (1000·1365) div 2048=666 → 1666
+    //   c: q=10240 div 2=5120,  e=12, (1000·1024) div 4096=250 → 2250
+    //   oov: q=10240,           e=13, (1000·2048) div 8192=250 → 3250
+    val lm = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b"),    // in-vocab: 2666, avg 1333
+      (11L, "zz"),     // pure OOV: 3250
+      (12L, "a c zz"), // mixed: 1000+2250+3250=6500, avg 2166
+      (13L, ""),       // empty: n_toks 0, NULL avg
+      (14L, "   "))    // whitespace-only: same as empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCodeLength(corpus, lm, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 2666L, 1333L), (11L, 1L, 3250L, 3250L),
+      (12L, 3L, 6500L, 2166L),
+      (13L, 0L, 0L, -1L), (14L, 0L, 0L, -1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramCodeLength(
+        corpus.withColumnRenamed("text", "n_toks"), lm, "n_toks", "doc_id")
+    }
+  }
+
+  test("integer millibit ranking agrees with float cross-entropy on the real corpus") {
+    // The documented scoring deviation, QUANTIFIED (the BM25
+    // rational-idf / DSIR mean-ratio precedent): Mitchell-log2
+    // millibit costs carry <= 0.086 bits/token interpolation error
+    // plus the 2^-10 pre-scale quantization, so the per-doc mean can
+    // locally reorder docs vs the true float cross-entropy. This
+    // canary runs the real operator on the sf0.001 corpus with the
+    // q95 geometry (lm = 'en' stratum) against a driver-side float
+    // twin and pins the Spearman rank-correlation floor.
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    val engine = TextAnalysis.unigramCodeLength(
+        docsDf, docsDf.where(col("lang") === "en"), "text", "doc_id")
+      .where(col("n_toks") > 0)
+      .select("doc_id", "avg_bits_mills").as[(Long, Long)].collect().toMap
+    val rows = docsDf.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def toks(t: String) =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val lmToks = rows.filter(_._2 == "en").flatMap(r => toks(r._3))
+    val n = lmToks.length.toLong
+    val cnt = lmToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cnt.size.toLong
+    val float = rows.flatMap { case (id, _, t) =>
+      val ts = toks(t)
+      if (ts.isEmpty) None
+      else Some(id -> ts.map(tok => -math.log(
+        (cnt.getOrElse(tok, 0L) + 1.0) / (n + v)) / math.log(2.0)).sum / ts.size)
+    }.toMap
+    assert(engine.keySet == float.keySet)
+    def ranks(score: Map[Long, Double]): Map[Long, Int] =
+      score.toSeq.sortBy { case (id, s) => (s, id) }
+        .zipWithIndex.map { case ((id, _), r) => id -> r }.toMap
+    val re = ranks(engine.map { case (k, s) => k -> s.toDouble })
+    val rf = ranks(float)
+    val m = re.size.toDouble
+    val d2 = re.map { case (id, r) => math.pow(r - rf(id), 2.0) }.sum
+    val spearman = 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
+    assert(spearman >= 0.97, s"rank agreement degraded: spearman=$spearman")
+  }
 }

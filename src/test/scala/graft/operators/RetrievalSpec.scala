@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BM25 (rational-idf) lexical retrieval. The main gate recomputes the
@@ -145,5 +146,66 @@ class RetrievalSpec extends AnyFunSuite {
     overlaps.foreach { case (qid, o) =>
       assert(o >= 0.6, s"query $qid top-$k overlap $o < 0.6")
     }
+  }
+
+  test("tfidfKeywords matches hand-computed scores, ties and edges") {
+    // N=4 (the empty doc COUNTS toward N — idf is over the corpus,
+    // not the tokenized subset); df(a)=df(b)=df(c)=2;
+    // score = 1000·tf·N/df
+    val docs = Seq(
+      (1L, "a a b"),   // a: 4000, b: 2000
+      (2L, "a c"),     // tie at 2000 — term-asc break: a then c
+      (3L, "b b b c"), // b: 6000, c: 2000
+      (4L, ""))        // no tokens: no rows
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfKeywords(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "a", 2L, 2L, 4000L), (1L, 2L, "b", 1L, 2L, 2000L),
+      (2L, 1L, "a", 1L, 2L, 2000L), (2L, 2L, "c", 1L, 2L, 2000L),
+      (3L, 1L, "b", 3L, 2L, 6000L), (3L, 2L, "c", 1L, 2L, 2000L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfKeywords(docs, "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfKeywords(
+        docs.withColumnRenamed("text", "term"), "doc_id", "term", 2)
+    }
+  }
+
+  test("rational-idf keyword sets agree with a log-idf twin on the real corpus") {
+    // The documented deviation, QUANTIFIED (the bm25 canary's sibling):
+    // tf·N/df preserves per-term doc ordering vs tf·ln(N/df) but can
+    // reorder ACROSS terms (the rational idf stretches rare-term
+    // dominance where log compresses it). Top-3 keyword sets per doc on
+    // the sf0.001 corpus vs a driver-side float log-idf twin; floors
+    // pinned from the measured fixture value with regeneration headroom.
+    val k = graft.queries.TextQueries.KeywordTopK
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val engine: Map[Long, Set[String]] =
+      Retrieval.tfidfKeywords(docsDf, "doc_id", "text", k)
+        .select("doc_id", "term").as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = docsDf.as[(Long, String)].collect()
+    val toks = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+    val n = rows.length.toDouble
+    val dfreq = toks.values.flatMap(_.distinct).toSeq
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val logTop: Map[Long, Set[String]] = toks.collect {
+      case (id, ts) if ts.nonEmpty =>
+        id -> ts.groupBy(identity).toSeq
+          .map { case (t, occ) => (t, occ.size * math.log(n / dfreq(t))) }
+          .sortBy { case (t, s) => (-s, t) }.take(k).map(_._1).toSet
+    }.toMap
+    assert(engine.keySet == logTop.keySet)
+    val overlap = engine.keys.toSeq.map(id =>
+      (engine(id) intersect logTop(id)).size.toDouble / k)
+    val mean = overlap.sum / overlap.size
+    info(s"rational-vs-log top-$k keyword overlap: mean=$mean")
+    assert(mean >= 0.7, s"mean keyword overlap $mean < 0.7")
   }
 }
