@@ -366,9 +366,59 @@ object RelationalQueries {
           coalesce(unix_micros(col("valid_to")), lit(-1L)).as("to_us"),
           col("is_current"), col("n_rows"))
         .orderBy("user_id", "version_no")
+    }),
+
+    // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
+    // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
+    // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
+    // the locality contract (each bucket is a 2-D quadrant, both dims
+    // tight) and sum/min/max of the key pin every interleaved bit of
+    // every row. One hash-agg shuffle on the bucket.
+    "q97_zorder_stats" -> ((s, dir) => {
+      val bits = ZOrderBits
+      val q = t(s, dir, "lineitem").select(
+        (col("l_orderkey") % (1L << bits)).as("xq"),
+        (col("l_partkey") % (1L << bits)).as("yq"))
+      q.select(col("xq"), col("yq"),
+          graft.functions.ZOrder.interleave2(col("xq"), col("yq"), bits)
+            .as("zkey"))
+        .groupBy(shiftright(col("zkey"), 2 * bits - 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("xq").as("min_x"), max("xq").as("max_x"),
+          min("yq").as("min_y"), max("yq").as("max_y"),
+          sum("zkey").as("sum_z"), min("zkey").as("min_z"),
+          max("zkey").as("max_z"))
+        .orderBy("bucket")
     }))
 
+  /** q97's z-order quantization width (dims masked to 2^bits) — shared
+    * with the oracle twin; edit HERE. */
+  private[graft] val ZOrderBits = 10
+
+  /** DuckDB twin of [[graft.functions.ZOrder.interleave2]]: the same
+    * static shift/mask/or expansion over pre-masked operands. */
+  private[graft] def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+
   val oracle: Map[String, String] = Map(
+    "q97_zorder_stats" ->
+      // full recompute: identical quantization, the shared static
+      // interleave expansion, identical bucket shift
+      s"""WITH q AS (
+           SELECT CAST(l_orderkey % ${1L << ZOrderBits} AS BIGINT) AS xq,
+             CAST(l_partkey % ${1L << ZOrderBits} AS BIGINT) AS yq
+           FROM lineitem),
+         z AS (SELECT xq, yq, ${zInterleaveSql("xq", "yq", ZOrderBits)} AS zkey
+               FROM q)
+         SELECT zkey >> ${2 * ZOrderBits - 8} AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(xq) AS min_x, max(xq) AS max_x,
+           min(yq) AS min_y, max(yq) AS max_y,
+           CAST(sum(zkey) AS BIGINT) AS sum_z,
+           min(zkey) AS min_z, max(zkey) AS max_z
+         FROM z GROUP BY bucket ORDER BY bucket""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
