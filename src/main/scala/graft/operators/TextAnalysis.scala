@@ -582,6 +582,60 @@ object TextAnalysis {
         expr("total_bits_mills div n_toks").as("avg_bits_mills"))
   }
 
+  /** Token-aligned blocklist phrase matching — the C4/RefinedWeb-style
+    * banned-phrase filter of a pretraining pipeline (Raffel et al.
+    * 2020 §2.2's "bad words" pass; RefinedWeb's URL/phrase blocklists).
+    * A phrase MATCHES a document iff it appears as consecutive whole
+    * tokens (token-aligned, single-space-normalized) — the
+    * linguistically-correct semantics, and the one that makes blocking
+    * lossless. Returns one row per input document: `blocked`,
+    * `n_matched`, and `matched_ids` (sorted, comma-joined — the
+    * hash-stable digest form).
+    *
+    * Scale shape: a naive contains-chain is O(|phrases| · doc length)
+    * per doc — dead at 10⁴ phrases. Here candidates come from an
+    * equi-join between the doc's DISTINCT tokens and the phrases'
+    * FIRST tokens (broadcast — a blocklist is a dimension, bounded,
+    * curated), then only candidates run the padded-contains verify.
+    * Work ∝ docs whose token set intersects phrase heads, never
+    * phrases × corpus. The blocking is lossless FOR the token-aligned
+    * semantics: a consecutive-token match implies the phrase's first
+    * token is one of the doc's tokens. Row-preserving via the final
+    * left join on the id frame. */
+  def blocklistMatches(docs: DataFrame, phrases: DataFrame,
+      textCol: String, idCol: String,
+      phraseIdCol: String, phraseCol: String): DataFrame = {
+    val reserved = Seq("blocked", "n_matched", "matched_ids",
+      "__norm", "__tok", "__head", "__p")
+    Seq(idCol, textCol, phraseIdCol, phraseCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val phraseDim = broadcast(phrases.select(
+      col(phraseIdCol),
+      array_join(filter(TextFunctions.tokens(col(phraseCol)),
+        t => t =!= ""), " ").as("__p"))
+      .where(col("__p") =!= "")
+      .withColumn("__head", substring_index(col("__p"), " ", 1)))
+    val norm = docs.select(col(idCol),
+      array_join(filter(TextFunctions.tokens(col(textCol)), t => t =!= ""),
+        " ").as("__norm"))
+    val hits = norm
+      .select(col(idCol), col("__norm"),
+        explode(array_distinct(split(col("__norm"), " "))).as("__tok"))
+      .join(phraseDim, col("__tok") === col("__head"))
+      .where(contains(concat(lit(" "), col("__norm"), lit(" ")),
+        concat(lit(" "), col("__p"), lit(" "))))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col(phraseIdCol)).as("n_matched"),
+        array_join(array_sort(collect_set(col(phraseIdCol).cast("string"))),
+          ",").as("matched_ids"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("blocked"),
+        coalesce(col("matched_ids"), lit("")).as("matched_ids"))
+  }
+
   /** Deterministic stratified sampling — the corpus-mixture step of a
     * training-data pipeline (e.g. keep 100% of high-quality strata,
     * 10% of boilerplate): a row survives iff the first 8 hex digits of

@@ -202,6 +202,17 @@ object TextQueries {
     * tie-break bind on every document. */
   private[graft] val KeywordTopK = 3
 
+  /** q98's blocklist — interpolated into BOTH the Spark query and the
+    * oracle SQL; edit HERE. Mixes multi-token phrases common in the
+    * fixture (both match branches exercised), one single-token phrase,
+    * and one phrase absent from the corpus. */
+  private[graft] val BlocklistPhrases: Seq[(Long, String)] = Seq(
+    (1L, "batch batch batch"),
+    (2L, "table scan"),
+    (3L, "customer data group"),
+    (4L, "vector"),
+    (5L, "zebra stripes"))
+
   /** q69/q93's packing budget (tokens per sequence) — ONE constant
     * shared by the Spark entries and the interpolated oracle SQL so
     * the packing and its QA rollup can never drift. */
@@ -778,7 +789,21 @@ object TextQueries {
           docsSpread(s, dir)
             .select(col("doc_id"), lower(col("text")).as("text")),
           "doc_id", "text", KeywordTopK)
-        .orderBy("doc_id", "rank")))
+        .orderBy("doc_id", "rank")),
+
+    // Token-aligned blocklist filtering (C4 §2.2 / RefinedWeb): the
+    // engine runs the blocked first-token candidate join; the oracle
+    // runs the NAIVE phrases x docs contains scan — parity proves the
+    // blocking lossless, not just self-consistent.
+    "q98_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalysis.blocklistMatches(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          BlocklistPhrases.toDF("pid", "phrase"),
+          "text", "doc_id", "pid", "phrase")
+        .orderBy("doc_id")
+    }))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1307,6 +1332,33 @@ object TextQueries {
          SELECT doc_id, rank, term, tf, df_docs, tfidf_mills
          FROM rk WHERE rank <= $KeywordTopK
          ORDER BY doc_id, rank""",
+    "q98_blocklist" ->
+      // the NAIVE twin: every phrase against every doc's normalized
+      // text via padded contains — independently proving the engine's
+      // first-token blocking drops no token-aligned match
+      s"""WITH p AS (
+           SELECT * FROM (VALUES ${BlocklistPhrases
+             .map { case (id, ph) => s"(CAST($id AS BIGINT), '$ph')" }
+             .mkString(", ")}) AS v(pid, phrase)),
+         n AS (
+           SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         m AS (
+           SELECT n.doc_id, p.pid
+           FROM n JOIN p
+             ON contains(' ' || n.norm || ' ', ' ' || p.phrase || ' ')),
+         agg AS (
+           SELECT doc_id, CAST(count(DISTINCT pid) AS BIGINT) AS n_matched,
+             array_to_string(list_sort(list(DISTINCT CAST(pid AS VARCHAR))),
+               ',') AS matched_ids
+           FROM m GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+           coalesce(agg.n_matched, 0) > 0 AS blocked,
+           coalesce(agg.matched_ids, '') AS matched_ids
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

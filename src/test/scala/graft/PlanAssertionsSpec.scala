@@ -286,6 +286,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!fp.contains("CartesianProduct"), fp.take(2000))
   }
 
+  test("q98: blocklist candidates come from a broadcast equi-join, never a phrase scan") {
+    // blocklistMatches' promise: the naive phrases x docs contains
+    // chain (a BroadcastNestedLoopJoin) never appears — candidates
+    // come from the first-token equi-join (BroadcastHashJoin), and
+    // the padded-contains verify runs only on candidates
+    val p = plan("q98_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost

@@ -538,6 +538,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("blocklistMatches is token-aligned, boundary-safe and row-preserving") {
+    val phrases = Seq(
+      (1L, "art house"), (2L, "deep learning"), (3L, "end"),
+      (4L, "  spaced   phrase "), // phrase itself needs normalizing
+      (5L, ""))                   // degenerate: filtered, never matches
+      .toDF("pid", "phrase")
+    val docs = Seq(
+      (1L, "the art house review"),    // clean multi-token match
+      (2L, "my cart house review"),    // substring-only: must NOT match
+      (3L, "deep  learning   at the end"), // multi-space + doc-end match
+      (4L, "artless house of art"),    // shares tokens, no aligned phrase
+      (5L, "spaced phrase here"),      // matches the normalized phrase 4
+      (6L, ""))                        // empty doc: 0 matches, row kept
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistMatches(
+        docs, phrases, "text", "doc_id", "pid", "phrase")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, true, "1"), (2L, 0L, false, ""), (3L, 2L, true, "2,3"),
+      (4L, 0L, false, ""), (5L, 1L, true, "4"), (6L, 0L, false, "")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistMatches(
+        docs.withColumnRenamed("text", "blocked"), phrases,
+        "blocked", "doc_id", "pid", "phrase")
+    }
+  }
+
   test("unigramCodeLength matches hand-computed millibit costs on every edge") {
     // lm: a×4 b×2 c×1 → N=7 V=3, N+V=10, pre-scale 1024·10 = 10240
     //   a: q=10240 div 5=2048,  e=11, frac 0              → 1000
