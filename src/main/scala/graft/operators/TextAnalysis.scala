@@ -657,6 +657,32 @@ object TextAnalysis {
       .cast("long") < rateCol)
   }
 
+  /** Deterministic per-stratum EXACT-k sampling — priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007) with md5 as the uniform
+    * priority: rank rows by hash within each stratum, keep the k
+    * smallest. No RNG (the hash IS the sample — reproducible across
+    * runs, engines and partitionings), and the complement of
+    * [[stratifiedSample]]: that one keeps a RATE (size ∝ stratum),
+    * this one keeps an exact count (eval-set carving, per-stratum
+    * probes). Appends `sample_rank` (1..k, the deterministic
+    * (md5, id) order).
+    *
+    * Scale shape: one rank window per stratum that the planner cuts
+    * with WindowGroupLimit — partial top-k per partition BEFORE the
+    * single stratum exchange, so a billion-row stratum ships k rows
+    * per input partition, never itself. */
+  def prioritySample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(strataCol != "sample_rank" && idCol != "sample_rank",
+      "column 'sample_rank' is reserved")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Corpus-level line deduplication — the C4/RefinedWeb-style
     * boilerplate-removal step of a pretraining pipeline: a LINE
     * (newline-delimited) whose trimmed content occurs in more than

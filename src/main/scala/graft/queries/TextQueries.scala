@@ -202,6 +202,24 @@ object TextQueries {
     * tie-break bind on every document. */
   private[graft] val KeywordTopK = 3
 
+  /** q100's per-stratum sample size — below every lang stratum's row
+    * count at every SF, so the exact-k cut binds everywhere. */
+  private[graft] val PrioritySampleK = 25
+
+  /** q99's synthetic URL corpus (the q73 piiText precedent): every doc
+    * gains a crawl-style URL derived from doc_id — mixed case, www,
+    * tracking params in first/middle/last/only positions, fragments,
+    * trailing slashes — so every canonicalization rule fires at every
+    * SF. The SAME construction is interpolated into the oracle. */
+  private def urlText = concat(
+    lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+    lit(".COM/Docs/Item"), col("doc_id").cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=1&fbclid=abc"))
+      .otherwise(when(col("doc_id") % 3 === 1, lit("?gclid=xyz"))
+        .otherwise(lit("?q=2&utm_campaign=c"))),
+    when(col("doc_id") % 5 === 0, lit("#Section-2")).otherwise(lit("")))
+
   /** q98's blocklist — interpolated into BOTH the Spark query and the
     * oracle SQL; edit HERE. Mixes multi-token phrases common in the
     * fixture (both match branches exercised), one single-token phrase,
@@ -803,7 +821,26 @@ object TextQueries {
           BlocklistPhrases.toDF("pid", "phrase"),
           "text", "doc_id", "pid", "phrase")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // URL canonicalization (UrlNorm): the web-corpus dedup key.
+    // Pure codegen'd regexp projection — no shuffle, no join.
+    "q99_url_canon" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), urlText.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlNorm.canonicalizeUrl(col("url")).as("url_canon"))
+        .withColumn("host", graft.functions.UrlNorm.urlHost(col("url_canon")))
+        .orderBy("doc_id")),
+
+    // Exact-k priority sampling (Duffield et al. 2007, md5 priority):
+    // exactly 25 docs per lang stratum, rank cut by WindowGroupLimit.
+    "q100_priority_sample" -> ((s, dir) =>
+      graft.operators.TextAnalysis.prioritySample(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+          PrioritySampleK)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1359,6 +1396,55 @@ object TextQueries {
            coalesce(agg.matched_ids, '') AS matched_ids
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id""",
+    "q99_url_canon" ->
+      // the same RE2-safe, literal-replacement regex chain, step for
+      // step (DuckDB needs the 'g' flag for replace-all; patterns are
+      // interpolated from UrlNorm.TrackingParams so they can't drift)
+      s"""WITH u AS (
+           SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM/Docs/Item' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                    THEN '?utm_source=feed&q=1&fbclid=abc'
+                  WHEN doc_id % 3 = 1 THEN '?gclid=xyz'
+                  ELSE '?q=2&utm_campaign=c' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END
+               AS url
+           FROM documents),
+         c1 AS (SELECT doc_id,
+                  regexp_replace(lower(trim(url)), '#.*', '', 'g') AS u
+                FROM u),
+         c2 AS (SELECT doc_id, regexp_replace(u,
+                  '&${graft.functions.UrlNorm.TrackingParams}=[^&]*', '', 'g')
+                  AS u FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(u,
+                  '\\?${graft.functions.UrlNorm.TrackingParams}=[^&]*&', '?',
+                  'g') AS u FROM c2),
+         c4 AS (SELECT doc_id, regexp_replace(u,
+                  '\\?${graft.functions.UrlNorm.TrackingParams}=[^&]*$$', '',
+                  'g') AS u FROM c3),
+         c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '', 'g') AS u
+                FROM c4),
+         c6 AS (SELECT doc_id, regexp_replace(u, '://www\\.', '://', 'g') AS u
+                FROM c5),
+         c7 AS (SELECT doc_id, regexp_replace(u, '/+$$', '', 'g') AS u
+                FROM c6)
+         SELECT doc_id, u AS url_canon,
+           regexp_extract(u, '^[a-z0-9+.-]+://([^/?#]+)', 1) AS host
+         FROM c7 ORDER BY doc_id""",
+    "q100_priority_sample" ->
+      // identical (md5, id) priority order and rank cut
+      s"""WITH rk AS (
+           SELECT lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank,
+             doc_id
+           FROM documents)
+         SELECT lang, sample_rank, doc_id
+         FROM rk WHERE sample_rank <= $PrioritySampleK
+         ORDER BY lang, sample_rank""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -297,6 +297,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q100: the exact-k sample cut is a partial WindowGroupLimit, no global sort") {
+    // prioritySample's promise: a billion-row stratum ships k rows per
+    // input partition to the single stratum exchange, never itself
+    val p = plan("q100_priority_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost

@@ -538,6 +538,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("prioritySample keeps exactly k per stratum in driver-recomputed hash order") {
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1L to 120L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val docs = rows.toDF("id", "stratum")
+    val k = 7
+    val got = TextAnalysis.prioritySample(docs, "stratum", "id", k)
+      .select("stratum", "sample_rank", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (st, rs) =>
+      rs.map(_._1).sortBy(id => (md5Hex(id.toString), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (st, i + 1L, id) }
+    }.sorted
+    assert(got == expected)
+    // partition-layout invariance: the hash IS the sample
+    val reshuffled = TextAnalysis.prioritySample(
+        docs.repartition(13), "stratum", "id", k)
+      .select("stratum", "sample_rank", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(reshuffled == expected)
+    // k beyond the stratum keeps everything, ranks stay contiguous
+    assert(TextAnalysis.prioritySample(docs, "stratum", "id", 1000)
+      .count() == 120)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.prioritySample(docs, "stratum", "id", 0)
+    }
+  }
+
   test("blocklistMatches is token-aligned, boundary-safe and row-preserving") {
     val phrases = Seq(
       (1L, "art house"), (2L, "deep learning"), (3L, "end"),
