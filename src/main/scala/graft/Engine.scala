@@ -173,6 +173,16 @@ object Engine {
       rates: Map[String, Double],
       defaultRate: Double = 0.0) extends SelectionPolicy
 
+  /** Exact-count selection: drop documents under `minQualityMills`,
+    * then keep EXACTLY `k` per stratum in the deterministic md5
+    * priority order ([[operators.TextAnalysis.prioritySample]], q100's
+    * operator) — eval-set carving and fixed-size per-stratum probes,
+    * where [[MixtureSelection]]'s rate-based sample would scale with
+    * the stratum instead. `selected` gains a `sample_rank` column. */
+  final case class ExactKSelection(
+      minQualityMills: Long,
+      k: Int) extends SelectionPolicy
+
   /** The LLM-corpus counterpart of [[processSubmission]]: one composed
     * entry point for the training-data pipeline the extension family
     * implements piecewise —
@@ -222,9 +232,12 @@ object Engine {
     *                      keeps: [[BudgetSelection]] (default, via
     *                      `budgetTokens`), [[DsirSelection]] (per-
     *                      stratum DSIR top-K against a target corpus),
-    *                      or [[MixtureSelection]] (quality threshold +
-    *                      stratified mixture rates). The stage-7 ledger
-    *                      label names the policy that ran
+    *                      [[MixtureSelection]] (quality threshold +
+    *                      stratified mixture rates), or
+    *                      [[ExactKSelection]] (quality threshold +
+    *                      exactly k per stratum in md5 priority
+    *                      order). The stage-7 ledger label names the
+    *                      policy that ran
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
     *                      the four stage-boundary frames each consumed
@@ -359,6 +372,10 @@ object Engine {
           ("mixture_selected", TextAnalysis.stratifiedSample(
             scored.where(col("quality_mills") >= minQ),
             strataCol, idCol, rates, defaultRate))
+        case ExactKSelection(minQ, k) =>
+          ("exact_k_selected", TextAnalysis.prioritySample(
+            scored.where(col("quality_mills") >= minQ),
+            strataCol, idCol, k))
       }
     val selected = boundary(selectedRaw)
 

@@ -99,7 +99,19 @@ object ScaleStudy {
     // the heaviest new plan; q90's weight table is bounded (only the
     // gram projection and per-doc sum grow); q91 is the projection
     // floor like q85
-    "q89_dup_removal", "q90_dsir_score", "q91_gopher_flags")
+    "q89_dup_removal", "q90_dsir_score", "q91_gopher_flags",
+    // round-8 additions: q95's cost table is vocab-bounded (the token
+    // bijection grows the 'en' vocab 10×, still bounded) — only the
+    // gram projection and per-doc sum grow; q96 is the (doc,term) tf
+    // shuffle + reused-exchange df agg; q98's fixed blocklist matches
+    // only replica 0 (salted tokens are disjoint — the q79 workload
+    // precedent), isolating the corpus-proportional explode/join
+    // probe; q99 is the projection floor (IdOffset ≡ 0 mod 420 keeps
+    // every doc_id % {2,3,5,7} residue, so the synthetic URL mix is
+    // identical per replica); q100's WindowGroupLimit cut ships k
+    // rows per partition while the input grows 10×
+    "q95_unigram_ce", "q96_tfidf_keywords", "q98_blocklist",
+    "q99_url_canon", "q100_priority_sample")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -111,7 +123,11 @@ object ScaleStudy {
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
   val RelQueries: Seq[String] = Seq(
-    "q50_salted_rollup", "q55_supplier_rollup")
+    "q50_salted_rollup", "q55_supplier_rollup",
+    // round 8: the z-key scan + 256-bucket hash agg — the relational
+    // projection floor (the strided l_orderkey shifts each replica's
+    // mod-1024 quantization, which only re-mixes the uniform spread)
+    "q97_zorder_stats")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

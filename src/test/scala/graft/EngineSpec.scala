@@ -287,5 +287,34 @@ class EngineSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(gotMix == expectMix,
       "facade mixture selection must equal the direct q70 operator")
+
+    // quality-threshold + exact-k per stratum (q100's operator)
+    val k = 5
+    val exact = Engine.processCorpus(docs,
+      selection = Some(Engine.ExactKSelection(minQ, k)),
+      materializeBoundaries = true)
+    val eLedger = exact.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(eLedger.contains("exact_k_selected"))
+    assert(exact.selected.count() == eLedger("exact_k_selected"))
+    // every populated stratum contributes at most k, in rank order
+    val exactStrata = exact.selected.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("sample_rank").as("maxr"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(exactStrata.nonEmpty)
+    exactStrata.foreach { case (n, maxr) =>
+      assert(n <= k && maxr == n, s"stratum n=$n maxr=$maxr")
+    }
+    // facade must equal the gated operator applied to the same pool
+    val exactPool = exact.deduped
+      .withColumn("quality_mills", TextFunctions.qualityScoreMills(col("text")))
+      .where(col("quality_mills") >= minQ)
+    val expectExact = TextAnalysis
+      .prioritySample(exactPool, "lang", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotExact = exact.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotExact == expectExact,
+      "facade exact-k selection must equal the direct q100 operator")
   }
 }
