@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Lower,
+  RegExpExtract, RegExpReplace, StringTrim}
 
 /** URL canonicalization — the dedup-key normalizer of a web-corpus
   * pipeline (the RefinedWeb/CCNet-style URL dedup pass keys on a
@@ -20,30 +22,39 @@ import org.apache.spark.sql.functions._
   * Every regex is RE2-safe (no lookaround, no backreference) and every
   * replacement is a LITERAL — the same chain runs bit-identically on
   * Spark (java.util.regex) and DuckDB (RE2), which is what makes the
-  * q99 oracle a true cross-engine gate. */
+  * q99 oracle a true cross-engine gate.
+  *
+  * The chain is defined ONCE at the Catalyst `Expression` level so the
+  * SQL surface (`url_canonicalize` via [[graft.plans.GraftExtensions]])
+  * and the Column API share one implementation. */
 object UrlNorm {
 
   /** The tracking-parameter name pattern — shared with the oracle. */
   val TrackingParams = "(utm_[a-z0-9]+|gclid|fbclid)"
 
-  def canonicalizeUrl(u: Column): Column = {
-    val lowered = lower(trim(u))
-    val noFrag = regexp_replace(lowered, "#.*", "")
+  def canonicalizeUrlExpr(u: Expression): Expression = {
+    def rr(e: Expression, p: String, r: String): Expression =
+      RegExpReplace(e, Literal(p), Literal(r))
+    val lowered = Lower(StringTrim(u))
+    val noFrag = rr(lowered, "#.*", "")
     // separator-anchored removal (a bare name=value pattern would also
     // fire MID-VALUE, e.g. ?a=xgclid=5): non-first params drop with
     // their '&'; a first param keeps '?' when others follow, and drops
     // it when alone
-    val noTrack = regexp_replace(
-      regexp_replace(
-        regexp_replace(noFrag, "&" + TrackingParams + "=[^&]*", ""),
-        "\\?" + TrackingParams + "=[^&]*&", "?"),
+    val noTrack = rr(rr(rr(noFrag,
+      "&" + TrackingParams + "=[^&]*", ""),
+      "\\?" + TrackingParams + "=[^&]*&", "?"),
       "\\?" + TrackingParams + "=[^&]*$", "")
-    val healed = regexp_replace(noTrack, "[?&]+$", "")
-    val noWww = regexp_replace(healed, "://www\\.", "://")
-    regexp_replace(noWww, "/+$", "")
+    val healed = rr(noTrack, "[?&]+$", "")
+    rr(rr(healed, "://www\\.", "://"), "/+$", "")
   }
 
+  def canonicalizeUrl(u: Column): Column =
+    column(canonicalizeUrlExpr(expression(u)))
+
   /** Host of a (canonicalized) URL, empty string when absent. */
-  def urlHost(u: Column): Column =
-    regexp_extract(u, "^[a-z0-9+.-]+://([^/?#]+)", 1)
+  def urlHostExpr(u: Expression): Expression =
+    RegExpExtract(u, Literal("^[a-z0-9+.-]+://([^/?#]+)"), Literal(1))
+
+  def urlHost(u: Column): Column = column(urlHostExpr(expression(u)))
 }

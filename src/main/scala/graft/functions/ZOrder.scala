@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast,
+  Expression, Literal, ShiftLeft, ShiftRight}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Z-order (Morton) multi-dimensional clustering — the data-LAYOUT
   * optimization a 100 TB table needs for selective multi-column range
@@ -26,18 +30,26 @@ object ZOrder {
     * at 2i+1. Values are masked to `bits` first, so out-of-range
     * inputs wrap rather than corrupt neighboring bits; quantize
     * (bucket/scale) real columns to [0, 2^bits) before calling.
-    * `bits` <= 31 keeps the 2·bits-bit key inside a long. */
-  def interleave2(x: Column, y: Column, bits: Int): Column = {
+    * `bits` <= 31 keeps the 2·bits-bit key inside a long. Defined at
+    * the Catalyst `Expression` level so the SQL surface (`zorder2` via
+    * [[graft.plans.GraftExtensions]]) and the Column API share one
+    * implementation. */
+  def interleave2Expr(x: Expression, y: Expression, bits: Int): Expression = {
     require(bits >= 1 && bits <= 31, s"bits=$bits must be in [1, 31]")
-    val mask = (1L << bits) - 1
-    val xm = x.cast("long").bitwiseAND(lit(mask))
-    val ym = y.cast("long").bitwiseAND(lit(mask))
+    val mask = Literal((1L << bits) - 1)
+    val xm = BitwiseAnd(Cast(x, LongType), mask)
+    val ym = BitwiseAnd(Cast(y, LongType), mask)
     (0 until bits).map { i =>
-      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(xm, Literal(i)), Literal(1L)),
+          Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(ym, Literal(i)), Literal(1L)),
+          Literal(2 * i + 1)))
+    }.reduce[Expression](BitwiseOr(_, _))
   }
+
+  def interleave2(x: Column, y: Column, bits: Int): Column =
+    column(interleave2Expr(expression(x), expression(y), bits))
 
   /** Rewrite `df` into a z-order-clustered layout: range-partition by
     * the interleaved key (so each output file owns a contiguous z-range

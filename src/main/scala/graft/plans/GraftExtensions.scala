@@ -73,5 +73,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (same semantics as DuckDB's nfc_normalize)"),
       (es: Seq[Expression]) => UnicodeNorm.NfcNormalize(es.head)))
+    // the remaining three reuse the library's Expression-level chains —
+    // one implementation, no SQL-surface fork to drift (a Column-bridge
+    // wrapper here would inject an unanalyzed ColumnNodeExpression,
+    // which the SQL path never resolves)
+    e.injectFunction((
+      FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize", "url_canonicalize(u) - web-corpus dedup-key URL canonicalization (lowercase, fragment/tracking-param strip, www/trailing-slash strip)"),
+      (es: Seq[Expression]) =>
+        graft.functions.UrlNorm.canonicalizeUrlExpr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("url_host"),
+      info("url_host", "url_host(u) - authority of a canonicalized URL, '' when absent"),
+      (es: Seq[Expression]) => graft.functions.UrlNorm.urlHostExpr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(x, y[, bits]) - Morton-interleaved z-order key of two quantized dimensions; bits is a literal int in 1..31, default 16"),
+      (es: Seq[Expression]) => es match {
+        case Seq(x, y) => graft.functions.ZOrder.interleave2Expr(x, y, 16)
+        case Seq(x, y, Literal(b: Int, IntegerType)) if b >= 1 && b <= 31 =>
+          graft.functions.ZOrder.interleave2Expr(x, y, b)
+        case _ => throw new IllegalArgumentException(
+          "zorder2(x, y[, bits]) requires a literal int bits in 1..31")
+      }))
   }
 }

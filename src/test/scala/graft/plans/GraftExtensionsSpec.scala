@@ -52,6 +52,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit("green tea"), 0 until 4).as("s"))
         .as[Seq[String]].head()
       assert(sqlSig == colSig)
+      // round-8 surface: URL canonicalization + z-order from SQL text,
+      // each agreeing with the Column API it reuses
+      val r3 = spark.sql(
+        """SELECT url_canonicalize(' HTTPS://WWW.Ex.COM/A?utm_a=1&q=2#f ') AS u,
+          |       url_host(url_canonicalize('https://www.ex.com/a/b')) AS h,
+          |       zorder2(5, 3, 3) AS z3,
+          |       zorder2(5, 3) AS z16""".stripMargin)
+        .as[(String, String, Long, Long)].head()
+      assert(r3._1 == "https://ex.com/a?q=2")
+      assert(r3._2 == "ex.com")
+      assert(r3._3 == 27L && r3._4 == 27L)
+      intercept[Exception] {
+        spark.sql("SELECT zorder2(1, 2, 99)").collect()
+      }
     } finally {
       // leave the shared session for other suites
     }
