@@ -402,7 +402,8 @@ object TextAnalysis {
     * partition pruning like the other scan-side scorers (q30/q31). */
   def gopherQualityFlags(df: DataFrame, textCol: String, idCol: String,
       stopwords: Seq[String] = GopherStopwords,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2,
+      keepColumns: Seq[String] = Nil): DataFrame = {
     require(stopwords.nonEmpty, "stopwords must be non-empty")
     require(minStopHits >= 0, s"minStopHits=$minStopHits must be >= 0")
     val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
@@ -413,7 +414,10 @@ object TextAnalysis {
       ((length(col(textCol)) - length(regexp_replace(col(textCol),
         java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
     val nW = col("n_words")
-    df.select(col(idCol), col(textCol))
+    // keepColumns ride the projection untouched — the streaming gate
+    // (a stream cannot join flags back on the id) carries its payload
+    // through here; the default stays the slim q91 frame
+    df.select((Seq(idCol, textCol) ++ keepColumns).map(col): _*)
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("mean_word_len_mills",
         mills(length(regexp_replace(col(textCol), "\\s+", "")), nW))

@@ -131,6 +131,88 @@ object Incremental {
       }
   }
 
+  case class GatedDoc(doc_id: Long, lang: String, text: String,
+    content_key: String)
+
+  /** Incremental corpus gate — the STREAMING twin of the per-document
+    * stages of `Engine.processCorpus`: unicode cleanup + PII scrub
+    * (`cleanText`/`scrubPii`, q77/q73's operators), empty-drop, the
+    * optional Gopher A1.1 rule gate (q91's projection, unforked), then
+    * stateful first-occurrence exact dedup on the cleaned content key
+    * (the q29 batch twin: min doc_id per key — identical when ids
+    * arrive in increasing batches). New crawl files land in `inDir`;
+    * each AvailableNow drain appends only the gated NOVEL documents to
+    * `outDir`, exactly once across restarts (file-source checkpoint +
+    * key state).
+    *
+    * Corpus-GLOBAL stages stay batch by design — line dedup, passage
+    * removal and budget/DSIR selection need the whole corpus, so a
+    * training cut runs them downstream on the gated store; this gate
+    * keeps the store clean and duplicate-free INCREMENTALLY, which is
+    * the expensive part at crawl scale (state: one long per distinct
+    * content key; size the stateful shuffle with `expectedKeys` —
+    * [[statePartitions]] semantics, state-store confs copied into the
+    * isolated drain session like the q44/q71 gates). */
+  def corpusGate(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      checkpoint: String,
+      outDir: String,
+      gopherStops: Option[Seq[String]] = None,
+      expectedKeys: Long = 0L): Unit = {
+    val session = if (expectedKeys <= 0L) spark else {
+      val s2 = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.sql.streaming.stateStore.")) s2.conf.set(k, v)
+      }
+      s2.conf.set("spark.sql.shuffle.partitions",
+        statePartitions(spark, expectedKeys).toString)
+      s2
+    }
+    import session.implicits._
+    import graft.functions.{TextFunctions, UnicodeNorm}
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "32").parquet(inDir)
+    val cleaned = stream
+      .withColumn("text",
+        TextFunctions.scrubPii(UnicodeNorm.cleanText(col("text"))))
+      .where(TextFunctions.tokenCount(col("text")) > 0)
+    val ruled = gopherStops match {
+      case None => cleaned
+      case Some(stops) =>
+        // the q91 projection drops its text column (and a stream cannot
+        // join flags back on the id): carry a copy through the
+        // operator's keepColumns passthrough and restore it
+        graft.operators.TextAnalysis.gopherQualityFlags(
+            cleaned.withColumn("__text", col("text")),
+            "text", "doc_id", stops, keepColumns = Seq("lang", "__text"))
+          .where(col("gopher_ok"))
+          .select(col("doc_id"), col("lang"), col("__text").as("text"))
+    }
+    val q = ruled
+      .withColumn("content_key", md5(col("text")))
+      .select("doc_id", "lang", "text", "content_key").as[GatedDoc]
+      .groupByKey(_.content_key)
+      .flatMapGroupsWithState[Long, GatedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator.single(first)
+          }
+      }
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Session-conf key overriding [[statePartitions]] — lets a caller
     * (or a spec) pin the stateful shuffle width without editing code;
     * the partition-count-invariance spec drives the real engine at an

@@ -262,4 +262,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(alt == base, "q44 results must not depend on the state width")
     } finally spark.conf.unset(Incremental.StatePartitionsOverrideConf)
   }
+
+  test("corpusGate drains crawl batches into a clean deduped store, batch-equivalently") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    // 60-word docs built to pass the Gopher A1.1 conjunction (mean word
+    // length ~4.1, alpha 1000 mills, stop words present); short docs and
+    // control-char-only docs exercise the reject branches
+    def longDoc(seed: Int) =
+      Seq.fill(12)(s"the quick brown fox v$seed jumps over lazy dogs")
+        .mkString(" ") + " contact user7@example.com"
+    val stops = Seq("the", "over")
+    val batch1 = Seq(
+      (1L, "en", longDoc(1)),
+      (2L, "en", longDoc(1)),       // exact dup of 1 after cleaning
+      (3L, "de", longDoc(3)),
+      (4L, "en", "too short"),      // fails the word-count rule
+      (5L, "en", "​"))   // cleans to empty: dropped pre-gate
+      .toDF("doc_id", "lang", "text")
+    batch1.write.mode("append").parquet(in)
+    val schema = batch1.schema
+    def drain(): Unit = Incremental.corpusGate(
+      spark, in, schema, cp, out, gopherStops = Some(stops),
+      expectedKeys = 1000L)
+    drain()
+    def kept(): Map[Long, String] = spark.read.parquet(out)
+      .select("doc_id", "content_key").as[(Long, String)].collect().toMap
+    assert(kept().keySet == Set(1L, 3L), s"got ${kept().keySet}")
+    // batch 2: cross-batch dup of doc 1, PII-variant dup of doc 3
+    // (emails scrub to the same mask -> same content key), one novel doc
+    Seq(
+      (6L, "en", longDoc(1)),
+      (7L, "de", longDoc(3).replace("user7@example.com", "other9@example.net")),
+      (8L, "es", longDoc(8)))
+      .toDF("doc_id", "lang", "text").write.mode("append").parquet(in)
+    drain()
+    assert(kept().keySet == Set(1L, 3L, 8L),
+      "cross-batch and PII-variant duplicates must be suppressed by state")
+    // idempotent: nothing new -> nothing appended
+    drain()
+    assert(kept().keySet == Set(1L, 3L, 8L))
+    // the store equals the BATCH twin of the same per-doc stages
+    // (ids increase across batches, so first-seen == min-id)
+    import graft.functions.{TextFunctions, UnicodeNorm}
+    val all = spark.read.parquet(in)
+    val cleanedB = all
+      .withColumn("text",
+        TextFunctions.scrubPii(UnicodeNorm.cleanText(col("text"))))
+      .where(TextFunctions.tokenCount(col("text")) > 0)
+    val ruledB = graft.operators.TextAnalysis.gopherQualityFlags(
+        cleanedB.withColumn("__text", col("text")), "text", "doc_id", stops,
+        keepColumns = Seq("__text"))
+      .where(col("gopher_ok"))
+      .select(col("doc_id"), col("__text").as("text"))
+    val twin = ruledB.withColumn("content_key", md5(col("text")))
+      .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "content_key").as[(Long, String)].collect().toMap
+    assert(kept() == twin, "streaming store must equal the batch twin")
+  }
 }
