@@ -43,6 +43,15 @@ object SparkEntry {
     * days), so both the matched and the nulled-out paths are gated. */
   private val AsofMaxGapUs = 259200000000L
 
+  /** q101's interval geometry (epoch micros) — 24 windows of 90 min at
+    * a 60-min stride (overlapping, so edge events multi-match and the
+    * duplicate-free contract is oracle-exercised), blocked at 30-min
+    * buckets (<= 4 bucket rows per interval). Shared with the oracle. */
+  private val IntervalWindows = 24L
+  private val IntervalStrideUs = 3600000000L
+  private val IntervalLenUs = 5400000000L
+  private val IntervalBucketUs = 1800000000L
+
   /** The shared purchase⋈click attribution frame for q80/q87/q88: exact
     * epoch-micros longs keep ts parity bit-for-bit with DuckDB's
     * epoch_us; money floor-scales to cents; -1 sentinels because the
@@ -504,6 +513,32 @@ object SparkEntry {
       asofAttribution(s, dir)(AsofJoin.asofNearest(_, _, Seq("user_id"),
         "ts_us", Seq("click_id", "click_cents"), "m_",
         maxGap = Some(AsofMaxGapUs)))),
+    // Unkeyed interval join (RangeJoin.intervalJoin): 24 hourly
+    // maintenance-style windows of 90 min (OVERLAPPING — stride < len,
+    // so events near window edges multi-match) against the whole event
+    // stream, bucket-blocked at 30 min so the join is a plain
+    // equi-shuffle + exact filter, never a nested loop.
+    "q101_interval_join" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val iv = broadcast(ev.agg(min(col("ts_us")).as("__m0")))
+        .select(explode(sequence(lit(0L), lit(IntervalWindows - 1)))
+          .as("win_id"), col("__m0"))
+        .select(col("win_id"),
+          (col("__m0") + col("win_id") * IntervalStrideUs).as("w_start"),
+          (col("__m0") + col("win_id") * IntervalStrideUs + IntervalLenUs)
+            .as("w_end"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev, iv, "ts_us", "w_start", "w_end", IntervalBucketUs)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("cents_sum"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("win_id")
+    }),
     // Supplier-side multiway rollup (J6/J9 shape on the one remaining
     // untouched testdata table): lineitem ⋈ supplier ⋈ nation, both
     // dims broadcast.
@@ -1121,6 +1156,26 @@ object SparkEntry {
            LEFT JOIN b ON p.event_id = b.event_id
            LEFT JOIN f ON p.event_id = f.event_id
            ORDER BY p.event_id""",
+      "q101_interval_join" ->
+        // the NAIVE range-predicate twin — parity proves the bucket
+        // blocking lossless and duplicate-free, not just self-consistent
+        s"""WITH ev AS (
+             SELECT event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           m AS (SELECT min(ts_us) AS m0 FROM ev),
+           iv AS (
+             SELECT CAST(i AS BIGINT) AS win_id,
+               m0 + i * $IntervalStrideUs AS ws,
+               m0 + i * $IntervalStrideUs + $IntervalLenUs AS we
+             FROM m, (SELECT unnest(range($IntervalWindows)) AS i)),
+           j AS (
+             SELECT iv.win_id, ev.event_id, ev.cents
+             FROM ev JOIN iv ON ev.ts_us >= iv.ws AND ev.ts_us < iv.we)
+           SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS cents_sum,
+             min(event_id) AS min_event, max(event_id) AS max_event
+           FROM j GROUP BY win_id ORDER BY win_id""",
       "q54_det_split" ->
         s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,

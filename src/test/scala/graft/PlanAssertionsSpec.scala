@@ -304,6 +304,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("q101: the interval join is bucket-blocked equi, never a nested loop") {
+    // intervalJoin's promise: the raw range predicate would plan a
+    // BroadcastNestedLoopJoin; the bucket key turns it into a plain
+    // (broadcastable) hash equi-join + exact filter
+    val p = plan("q101_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost
