@@ -111,7 +111,10 @@ object ScaleStudy {
     // identical per replica); q100's WindowGroupLimit cut ships k
     // rows per partition while the input grows 10×
     "q95_unigram_ce", "q96_tfidf_keywords", "q98_blocklist",
-    "q99_url_canon", "q100_priority_sample")
+    "q99_url_canon", "q100_priority_sample",
+    // q102: window zip-shifts explode the pair stream (3x token mass),
+    // pair/unigram aggs are vocab-bounded — scan/explode growth
+    "q102_skipgram_pmi")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

@@ -18,6 +18,27 @@ object TextFunctions {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Mitchell's piecewise-linear log2 (Mitchell 1962) in integer
+    * MILLIBITS over a non-negative long column: 1000·floor_log2(q) +
+    * a linear fraction between powers of two. floor_log2 is the
+    * base-2 digit-string length − 1 (exact), 2^e an integer shift
+    * (exact), the fraction an integer floor division — never a float,
+    * so the value is bit-identical in any engine (the DuckDB twin
+    * spells printf('%b') / << / //). Approximation error ≤ 0.086 bits.
+    * q = 0 reads as q = 1 (mills 0) — callers pre-scale so genuine
+    * inputs stay ≥ 1. The shared kernel of the unigram code-length
+    * score (q95) and skip-gram PMI (q102). */
+  def log2Mills(q: Column): Column = {
+    val e = (length(conv(q.cast("string"), 10, 2)) - 1).cast("long")
+    val p = call_function("shiftleft", lit(1L), e.cast("int"))
+    // fraction = (1000·(q − 2^e)) div 2^e — as a SHIFT, since the
+    // divisor is a power of two and operands are non-negative (the
+    // DSL's `/` is float division; 1000·q bounds inputs at ~2^53)
+    lit(1000L) * e +
+      call_function("shiftright", lit(1000L) * (q.cast("long") - p),
+        e.cast("int"))
+  }
+
   /** Order-aware word n-grams WITH multiplicity, space-joined — the one
     * n-gram constructor (TextQueries' distinct bigrams and the
     * repetition stats both derive from it). Built by zipping the token

@@ -545,17 +545,11 @@ object TextAnalysis {
       "__tok", "__cnt", "__n", "__v", "__q", "__e", "__p", "__cost", "__oov")
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    // Mitchell's log2 in millibits over a named __q column:
-    // floor_log2 = base-2 digit-string length − 1 (exact), 2^e via
-    // shiftleft (exact), fraction via integer `div` — NEVER the DSL's
-    // float `/`, whose double lane loses exactness past 2⁵³.
-    def withLog2Mills(df: DataFrame, out: String): DataFrame = df
-      .withColumn("__e",
-        (length(conv(col("__q").cast("string"), 10, 2)) - 1).cast("long"))
-      .withColumn("__p", expr("shiftleft(CAST(1 AS BIGINT), CAST(__e AS INT))"))
-      .withColumn(out,
-        lit(1000L) * col("__e") + expr("(1000 * (__q - __p)) div __p")
-          - lit(10000L))
+    // Mitchell's log2 in millibits ([[TextFunctions.log2Mills]], the
+    // kernel shared with skip-gram PMI), minus the exact 10-bit
+    // pre-scale
+    def withLog2Mills(df: DataFrame, out: String): DataFrame =
+      df.withColumn(out, TextFunctions.log2Mills(col("__q")) - lit(10000L))
     val lmToks = lm.select(explode(
       filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
     val totals = lmToks.agg(count(lit(1)).as("__n"),
@@ -659,6 +653,64 @@ object TextAnalysis {
       }
     df.where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") < rateCol)
+  }
+
+  /** Windowed skip-gram co-occurrence with pointwise mutual
+    * information in EXACT integer millibits — the word-association
+    * statistics an embedding pipeline computes before training (PMI:
+    * Church & Hanks 1990; the skip-gram window: Mikolov et al. 2013).
+    * For every position i and distance d in 1..`window`, the UNORDERED
+    * pair {tokᵢ, tokᵢ₊d} canonicalized as (w1 <= w2); then
+    *
+    *   PMI(a,b) = log2( (c_ab·N_tok²) / (N_pairs·c_a·c_b) )
+    *
+    * computed as a 1024-scaled exact integer ratio through
+    * DECIMAL(38,0) floor division and [[TextFunctions.log2Mills]]
+    * (Mitchell log2, no float anywhere) minus the exact 10-bit
+    * pre-scale — so `pmi_mills` is bit-identical in any engine and
+    * NEGATIVE for anti-associated pairs. Ratios under 2⁻¹⁰ floor at
+    * q = 0 → −11000 (the kernel's documented 0-input degeneracy,
+    * identical in the oracle twin). The 38-digit lane bounds the corpus at
+    * ~2·10¹¹ tokens (c_ab·N_tok²·1024 ≤ 10³⁸).
+    *
+    * Scale shape: the pair stream is `window` zip-shifts of the token
+    * list (no self-join, no position explode); pair and unigram
+    * counts are vocab²-/vocab-bounded hash aggs with map-side
+    * partials; `minCount` prunes the pair table BEFORE its two
+    * unigram equi-joins; totals are a 1-row broadcast. */
+  def skipgramPmi(df: DataFrame, textCol: String,
+      window: Int = 3, minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    val reserved = Seq("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_mills",
+      "__toks", "__pr", "__tok", "__n", "__nt", "__np", "__q")
+    require(!reserved.contains(textCol), s"column '$textCol' is reserved")
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    def pairsAt(d: Int): Column = {
+      val len = greatest(size(col("__toks")) - d, lit(0))
+      zip_with(slice(col("__toks"), lit(1), len),
+        slice(col("__toks"), lit(1 + d), len),
+        (a, b) => concat(least(a, b), lit(" "), greatest(a, b)))
+    }
+    val pairStream = df.select(toks.as("__toks"))
+      .select(explode(concat((1 to window).map(pairsAt): _*)).as("__pr"))
+    val uniStream = df.select(explode(toks).as("__tok"))
+    val uni = uniStream.groupBy("__tok").agg(count(lit(1)).as("__n"))
+    val totals = broadcast(
+      uniStream.agg(count(lit(1)).as("__nt"))
+        .crossJoin(broadcast(pairStream.agg(count(lit(1)).as("__np")))))
+    pairStream.groupBy("__pr").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .select(substring_index(col("__pr"), " ", 1).as("w1"),
+        substring_index(col("__pr"), " ", -1).as("w2"), col("n_pair"))
+      .join(uni.select(col("__tok").as("w1"), col("__n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("__tok").as("w2"), col("__n").as("n_w2")), Seq("w2"))
+      .crossJoin(totals)
+      .withColumn("__q", expr(
+        """CAST((CAST(1024 AS DECIMAL(38,0)) * n_pair * __nt * __nt)
+             div (CAST(__np AS DECIMAL(38,0)) * n_w1 * n_w2) AS BIGINT)"""))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        (TextFunctions.log2Mills(col("__q")) - lit(10000L)).as("pmi_mills"))
   }
 
   /** Deterministic per-stratum EXACT-k sampling — priority sampling

@@ -206,6 +206,13 @@ object TextQueries {
     * count at every SF, so the exact-k cut binds everywhere. */
   private[graft] val PrioritySampleK = 25
 
+  /** q102's skip-gram geometry: window 3 over the dense fixture
+    * corpus, minCount 100 binding on the ~500-pair table, top-30 by
+    * the unique (pmi_mills DESC, w1, w2) order. */
+  private[graft] val SkipgramWindow = 3
+  private[graft] val SkipgramMinCount = 100L
+  private[graft] val SkipgramTopK = 30
+
   /** q99's synthetic URL corpus (the q73 piiText precedent): every doc
     * gains a crawl-style URL derived from doc_id — mixed case, www,
     * tracking params in first/middle/last/only positions, fragments,
@@ -840,7 +847,17 @@ object TextQueries {
           docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
           PrioritySampleK)
         .select("lang", "sample_rank", "doc_id")
-        .orderBy("lang", "sample_rank")))
+        .orderBy("lang", "sample_rank")),
+
+    // Skip-gram PMI (Church & Hanks 1990 over a Mikolov-style window):
+    // top-30 associated pairs in exact Mitchell-log2 millibits.
+    "q102_skipgram_pmi" -> ((s, dir) =>
+      graft.operators.TextAnalysis.skipgramPmi(
+          docsSpread(s, dir)
+            .select(col("doc_id"), lower(col("text")).as("text")),
+          "text", window = SkipgramWindow, minCount = SkipgramMinCount)
+        .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
+        .limit(SkipgramTopK)))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1445,6 +1462,52 @@ object TextQueries {
          SELECT lang, sample_rank, doc_id
          FROM rk WHERE sample_rank <= $PrioritySampleK
          ORDER BY lang, sample_rank""",
+    "q102_skipgram_pmi" ->
+      // full recompute: positional pairs at every distance 1..window
+      // (least/greatest canonical order — binary string compare in
+      // both engines), HUGEINT 1024-scaled ratio, Mitchell log2 via
+      // printf('%b') + shift + floor division — the q95 kernel twin
+      s"""WITH t AS (
+           SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS l
+           FROM documents),
+         pos AS (
+           SELECT l, CAST(unnest(range(1, len(l) + 1)) AS INT) AS i
+           FROM t),
+         prs AS (
+           SELECT least(l[i], l[i + d]) AS w1,
+             greatest(l[i], l[i + d]) AS w2
+           FROM pos, (SELECT CAST(unnest(range(1, $SkipgramWindow + 1))
+                        AS INT) AS d)
+           WHERE i + d <= len(l)),
+         uni AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(l) AS tok FROM t) GROUP BY tok),
+         tot AS (
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT unnest(l) AS x FROM t)) AS nt,
+             (SELECT CAST(count(*) AS BIGINT) FROM prs) AS np),
+         p AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+           FROM prs GROUP BY 1, 2 HAVING count(*) >= $SkipgramMinCount),
+         qv AS (
+           SELECT p.w1, p.w2, p.n_pair, u1.n AS n_w1, u2.n AS n_w2,
+             CAST((CAST(1024 AS HUGEINT) * p.n_pair * tot.nt * tot.nt)
+               // (CAST(tot.np AS HUGEINT) * u1.n * u2.n) AS BIGINT) AS q
+           FROM p
+           JOIN uni u1 ON p.w1 = u1.tok
+           JOIN uni u2 ON p.w2 = u2.tok
+           CROSS JOIN tot),
+         sc AS (
+           SELECT w1, w2, n_pair, n_w1, n_w2,
+             1000 * e + (1000 * (q - pw)) // pw - 10000 AS pmi_mills
+           FROM (
+             SELECT *, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS pw
+             FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
+         SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
+         FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -538,6 +538,68 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("skipgramPmi matches hand-computed millibit scores on a tiny corpus") {
+    // "a b a c", window 2: pairs d=1 {a,b}x2 {a,c}; d=2 {a,a} {b,c}
+    // Np=5, Nt=4, c(a)=2 c(b)=c(c)=1
+    //   (a,b): q=⌊1024·2·16/10⌋=3276  → 11599−10000 = 1599
+    //   (a,c): q=⌊1024·16/10⌋=1638    → 10599−10000 = 599
+    //   (a,a): q=⌊1024·16/20⌋=819     →  9599−10000 = −401
+    //   (b,c): q=3276                 → 1599
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPmi(docs, "text", window = 2, minCount = 1)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", "a", 1L, 2L, 2L, -401L), ("a", "b", 2L, 2L, 1L, 1599L),
+      ("a", "c", 1L, 2L, 1L, 599L), ("b", "c", 1L, 1L, 1L, 1599L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.skipgramPmi(docs, "text", window = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.skipgramPmi(docs, "text", minCount = 0)
+    }
+  }
+
+  test("integer PMI ranking agrees with float PMI on the real corpus") {
+    // Mitchell-log2 millibits vs true float log2 PMI, q102 geometry:
+    // the ~0.086-bit interpolation error can only locally reorder,
+    // pinned by a Spearman floor over the full minCount-surviving
+    // pair table (not just the top-k)
+    val window = graft.queries.TextQueries.SkipgramWindow
+    val minCount = graft.queries.TextQueries.SkipgramMinCount
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val engine = TextAnalysis.skipgramPmi(docsDf, "text", window, minCount)
+      .select("w1", "w2", "pmi_mills").as[(String, String, Long)]
+      .collect().map { case (a, b, m) => (a, b) -> m }.toMap
+    assert(engine.size > 50, s"pair table too small to pin: ${engine.size}")
+    val toks = docsDf.select("text").as[String].collect()
+      .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = toks.map(_.size).sum.toDouble
+    val pairs = toks.flatMap { ts =>
+      for (i <- ts.indices; d <- 1 to window if i + d < ts.size)
+        yield (Seq(ts(i), ts(i + d)).min, Seq(ts(i), ts(i + d)).max)
+    }
+    val np = pairs.size.toDouble
+    val cp = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val float = cp.collect { case (pr @ (a, b), c) if c >= minCount =>
+      pr -> math.log((c * nt * nt) / (np * uni(a) * uni(b))) / math.log(2.0)
+    }.toMap
+    assert(engine.keySet == float.keySet)
+    def ranks(m: Map[(String, String), Double]): Map[(String, String), Int] =
+      m.toSeq.sortBy { case (k, v) => (v, k) }
+        .zipWithIndex.map { case ((k, _), r) => k -> r }.toMap
+    val re = ranks(engine.map { case (k, v) => k -> v.toDouble })
+    val rf = ranks(float)
+    val n = re.size.toDouble
+    val d2 = re.map { case (k, r) => math.pow(r - rf(k), 2.0) }.sum
+    val spearman = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    info(s"PMI rank agreement: spearman=$spearman over ${re.size} pairs")
+    assert(spearman >= 0.97, s"rank agreement degraded: $spearman")
+  }
+
   test("prioritySample keeps exactly k per stratum in driver-recomputed hash order") {
     def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
