@@ -121,7 +121,11 @@ object ScaleStudy {
     * the one-exchange SCD2 build. */
   val EventQueries: Seq[String] = Seq(
     "q44_streaming_window", "q71_stream_sessions",
-    "q80_asof_attribution", "q88_asof_nearest", "q82_scd2_history")
+    "q80_asof_attribution", "q88_asof_nearest", "q82_scd2_history",
+    // round 8: the bucket-blocked interval join — 10× probes against
+    // the same 24 windows (ts untouched per replica), so the equi-join
+    // candidate mass grows linearly
+    "q101_interval_join")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
