@@ -368,6 +368,31 @@ object RelationalQueries {
         .orderBy("user_id", "version_no")
     }),
 
+    // Point-in-time SCD2 lookup — "what was the user's state when they
+    // purchased": history built from the non-purchase event stream
+    // (q82's operator), then the as-of pick (q80's operator). For
+    // SCD2's half-open partition of [first_version, ∞) the backward
+    // as-of on valid_from IS the containment lookup — one ordered
+    // window over one exchange, no interval explode, no range join.
+    "q103_pit_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = graft.operators.Scd2.buildHistory(
+          ev.where(col("event_type") =!= "purchase"),
+          keys = Seq("user_id"), attrs = Seq("event_type"),
+          tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), unix_micros(col("valid_from")).as("ts_us"),
+          col("version_no"), col("event_type").as("state_type"))
+      val probe = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.AsofJoin.asofBackward(probe, hist, Seq("user_id"),
+          "ts_us", Seq("version_no", "state_type"), "m_")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("m_version_no"), lit(-1L)).as("m_version_no"),
+          coalesce(col("m_state_type"), lit("none")).as("m_state_type"))
+        .orderBy("event_id")
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -636,23 +661,7 @@ object RelationalQueries {
     // structural last version (lead(1) IS NULL), not valid_to IS NULL,
     // matching the operator's null-ts contract.
     "q82_scd2_history" ->
-      """WITH g AS (
-           SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(1) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-               OR event_type IS DISTINCT FROM lag(event_type) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id)
-               THEN 1 ELSE 0 END AS chg
-           FROM events),
-         v AS (
-           SELECT user_id, event_type, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS ver
-           FROM g),
-         c AS (
-           SELECT user_id, CAST(ver AS BIGINT) AS version_no, event_type,
-             min(ts) AS vf, count(*) AS n_rows
-           FROM v GROUP BY 1, 2, 3)
+      s"""WITH ${scd2HistoryCtes("events")}
          SELECT user_id, version_no, event_type,
            epoch_us(vf) AS from_us,
            coalesce(epoch_us(lead(vf) OVER
@@ -660,5 +669,47 @@ object RelationalQueries {
            lead(1) OVER (PARTITION BY user_id ORDER BY version_no)
              IS NULL AS is_current,
            n_rows
-         FROM c ORDER BY user_id, version_no""")
+         FROM hist ORDER BY user_id, version_no""",
+    "q103_pit_lookup" ->
+      // the history recompute (shared scd2HistoryCtes, here over the
+      // non-purchase state stream) + DuckDB's native ASOF for the
+      // point-in-time pick — an independent derivation of the engine's
+      // buildHistory ∘ asofBackward composition
+      s"""WITH ${scd2HistoryCtes(
+             "(SELECT * FROM events WHERE event_type <> 'purchase')")},
+         p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           coalesce(h.version_no, -1) AS m_version_no,
+           coalesce(h.state_type, 'none') AS m_state_type
+         FROM p ASOF LEFT JOIN
+           (SELECT user_id, vf, version_no, event_type AS state_type
+            FROM hist) h
+           ON p.user_id = h.user_id AND p.ts >= h.vf
+         ORDER BY p.event_id""")
+
+  /** DuckDB CTE body recomputing the SCD2 history (q82's contract)
+    * over `src` (a table name or parenthesized subquery): yields CTE
+    * `hist` with (user_id, version_no, event_type, vf, n_rows) —
+    * shared by q82 (full history) and q103 (point-in-time lookup) so
+    * the two recomputes can never drift. */
+  private[graft] def scd2HistoryCtes(src: String): String =
+    s"""g AS (
+         SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR event_type IS DISTINCT FROM lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)
+             THEN 1 ELSE 0 END AS chg
+         FROM $src),
+       v AS (
+         SELECT user_id, event_type, ts,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS ver
+         FROM g),
+       hist AS (
+         SELECT user_id, CAST(ver AS BIGINT) AS version_no, event_type,
+           min(ts) AS vf, count(*) AS n_rows
+         FROM v GROUP BY 1, 2, 3)"""
 }
