@@ -213,6 +213,48 @@ object TextQueries {
   private[graft] val SkipgramMinCount = 100L
   private[graft] val SkipgramTopK = 30
 
+  /** DuckDB CTE body recomputing the q95 unigram code-length scores
+    * (Laplace-smoothed Mitchell-log2 millibits over the 'en' stratum):
+    * yields CTE `sc` with (doc_id, n_toks, total_bits_mills) — shared
+    * by q95 (row-preserving scores) and q104 (CCNet head/middle/tail
+    * split) so the two recomputes can never drift. */
+  private[graft] val unigramCeCtes: String =
+    s"""t AS (
+         SELECT doc_id, lang, list_filter(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS l
+         FROM documents),
+       lmtoks AS (SELECT unnest(l) AS tok FROM t WHERE lang = 'en'),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS v
+               FROM lmtoks),
+       cost AS (
+         SELECT tok,
+           1000 * e + (1000 * (q - p)) // p - 10000 AS cost
+         FROM (
+           SELECT tok, q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+           FROM (
+             SELECT tok, q, length(printf('%b', q)) - 1 AS e
+             FROM (
+               SELECT tok, (1024 * (tot.n + tot.v)) // (cnt + 1) AS q
+               FROM (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM lmtoks GROUP BY tok)
+               CROSS JOIN tot)))),
+       oov AS (
+         SELECT 1000 * e + (1000 * (q - p)) // p - 10000 AS oov
+         FROM (
+           SELECT q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+           FROM (
+             SELECT q, length(printf('%b', q)) - 1 AS e
+             FROM (SELECT 1024 * (n + v) AS q FROM tot)))),
+       dt AS (SELECT doc_id, unnest(l) AS tok FROM t),
+       sc AS (
+         SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(coalesce(c.cost, oov.oov)) AS BIGINT)
+             AS total_bits_mills
+         FROM dt LEFT JOIN cost c USING (tok) CROSS JOIN oov
+         GROUP BY dt.doc_id)"""
+
   /** q99's synthetic URL corpus (the q73 piiText precedent): every doc
     * gains a crawl-style URL derived from doc_id — mixed case, www,
     * tracking params in first/middle/last/only positions, fragments,
@@ -857,7 +899,38 @@ object TextQueries {
             .select(col("doc_id"), lower(col("text")).as("text")),
           "text", window = SkipgramWindow, minCount = SkipgramMinCount)
         .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
-        .limit(SkipgramTopK)))
+        .limit(SkipgramTopK)),
+
+    // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): the
+    // q95 scores cut at EXACT per-stratum terciles — boundary b_k =
+    // smallest score whose cumulative count reaches ceil(kN/3),
+    // computed over the (stratum, score) HISTOGRAM (the q74/q57
+    // pattern: the cumsum window runs over distinct integer scores,
+    // never the corpus). Lower bits = more target-like = head.
+    "q104_ccnet_split" -> ((s, dir) => {
+      val lowered = docsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      val scored = graft.operators.TextAnalysis.unigramCodeLength(
+          lowered, lowered.where(col("lang") === "en"), "text", "doc_id")
+        .where(col("n_toks") > 0)
+        .join(lowered.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_bits_mills").as("s"))
+      val tot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy("s")
+      val cum = scored.groupBy("lang", "s").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+      val bounds = cum.join(tot, Seq("lang"))
+        .groupBy("lang")
+        .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("s"))).as("b1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("s"))).as("b2"))
+      scored.join(broadcast(bounds), Seq("lang"))
+        .withColumn("bucket", when(col("s") <= col("b1"), "head")
+          .when(col("s") <= col("b2"), "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), min("s").as("min_mills"),
+          max("s").as("max_mills"), sum("s").as("sum_mills"))
+        .orderBy("lang", "bucket")
+    }))
 
   /** The corpus token MULTISET (one `tok` row per occurrence, empties
     * dropped) — the Spark side of the `sqlTokRows` parity contract,
@@ -1316,41 +1389,7 @@ object TextQueries {
       // 2^e via integer shift, linear fraction via integer floor
       // division; no float log anywhere, and the same left-join +
       // coalesce row-preserving shape as the engine
-      s"""WITH t AS (
-           SELECT doc_id, lang, list_filter(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-             x -> x <> '') AS l
-           FROM documents),
-         lmtoks AS (SELECT unnest(l) AS tok FROM t WHERE lang = 'en'),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(count(DISTINCT tok) AS BIGINT) AS v
-                 FROM lmtoks),
-         cost AS (
-           SELECT tok,
-             1000 * e + (1000 * (q - p)) // p - 10000 AS cost
-           FROM (
-             SELECT tok, q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
-             FROM (
-               SELECT tok, q, length(printf('%b', q)) - 1 AS e
-               FROM (
-                 SELECT tok, (1024 * (tot.n + tot.v)) // (cnt + 1) AS q
-                 FROM (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-                       FROM lmtoks GROUP BY tok)
-                 CROSS JOIN tot)))),
-         oov AS (
-           SELECT 1000 * e + (1000 * (q - p)) // p - 10000 AS oov
-           FROM (
-             SELECT q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
-             FROM (
-               SELECT q, length(printf('%b', q)) - 1 AS e
-               FROM (SELECT 1024 * (n + v) AS q FROM tot)))),
-         dt AS (SELECT doc_id, unnest(l) AS tok FROM t),
-         sc AS (
-           SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-             CAST(sum(coalesce(c.cost, oov.oov)) AS BIGINT)
-               AS total_bits_mills
-           FROM dt LEFT JOIN cost c USING (tok) CROSS JOIN oov
-           GROUP BY dt.doc_id)
+      s"""WITH $unigramCeCtes
          SELECT d.doc_id, coalesce(sc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
            coalesce(sc.total_bits_mills, CAST(0 AS BIGINT))
              AS total_bits_mills,
@@ -1508,6 +1547,33 @@ object TextQueries {
              FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
          FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
+    "q104_ccnet_split" ->
+      // the shared q95 score recompute + an independent exact-tercile
+      // derivation over the (lang, score) histogram
+      s"""WITH $unigramCeCtes,
+         scored AS (
+           SELECT t.doc_id, t.lang,
+             sc.total_bits_mills // sc.n_toks AS s
+           FROM t JOIN sc USING (doc_id) WHERE sc.n_toks > 0),
+         tot2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                  FROM scored GROUP BY lang),
+         h AS (SELECT lang, s, CAST(count(*) AS BIGINT) AS c
+               FROM scored GROUP BY 1, 2),
+         cum AS (SELECT lang, s,
+                   sum(c) OVER (PARTITION BY lang ORDER BY s) AS cum
+                 FROM h),
+         b AS (SELECT cum.lang,
+                 min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS b1,
+                 min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS b2
+               FROM cum JOIN tot2 USING (lang) GROUP BY cum.lang),
+         a AS (SELECT scored.lang,
+                 CASE WHEN s <= b1 THEN 'head'
+                   WHEN s <= b2 THEN 'middle' ELSE 'tail' END AS bucket, s
+               FROM scored JOIN b USING (lang))
+         SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           min(s) AS min_mills, max(s) AS max_mills,
+           CAST(sum(s) AS BIGINT) AS sum_mills
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     "q89_dup_removal" ->
       // full removal recompute: same anchored-window CTEs as q86, plus
       // the keeper rule (min doc_id per window survives), positional

@@ -313,6 +313,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q104: tercile cumsum windows the histogram, never a stratum through one task") {
+    // the q74/q57 pattern carried to the CCNet split: the boundary
+    // cumsum runs over (lang, score) HISTOGRAM rows, partitioned by
+    // the stratum — never a global (unpartitioned) ordered window.
+    // (Bounded 1-row scalar aggs — q95's N/V totals — legitimately
+    // plan Exchange SinglePartition; only WINDOWS are constrained.)
+    val p = plan("q104_ccnet_split")
+    assert(p.contains("windowspecdefinition(lang"),
+      "expected the lang-partitioned histogram cumsum window:\n" + p.take(2000))
+    assert(!p.contains("windowspecdefinition(s#"),
+      "found an unpartitioned ordered window:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost
