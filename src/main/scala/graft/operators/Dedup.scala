@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,52 @@ object Dedup {
     * explosion is linear in `bits` — still no O(N²) pair space; exact
     * Hamming-0 pairs appear under their own signature, Hamming-1 pairs
     * under the flipped key of exactly one side. */
+  /** General Hamming-distance near-dup pairing over ANY long hash
+    * column (SimHash signatures, image dHashes) by the pigeonhole
+    * multi-index join (Norouzi et al., "Fast Search in Hamming Space
+    * with Multi-Index Hashing", CVPR 2012): split the `bits`-wide hash
+    * into `maxHamming + 1` disjoint blocks — two hashes within
+    * `maxHamming` must agree EXACTLY on at least one block — equi-join
+    * on (block index, block value), verify with bit_count(xor), and
+    * de-duplicate multi-block hits. Scales where the single-bit-flip
+    * probe expansion ([[simhashNearDupPairs]]) cannot: probe count
+    * grows C(bits, d) with distance, the block join stays
+    * (maxHamming + 1) rows per hash at ANY distance.
+    *
+    * Candidate mass = hashes per block bucket squared — fine while
+    * blocks are ≥ ~16 bits against corpus size (the multi-index
+    * regime); a tiny bits/maxHamming ratio degrades toward all-pairs,
+    * which is the caller's geometry to choose. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits=$bits must be in [1, 64]")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming=$maxHamming must be in [0, bits)")
+    val nBlocks = maxHamming + 1
+    val base = bits / nBlocks
+    val extra = bits % nBlocks // first `extra` blocks get one more bit
+    def blockOf(h: Column, j: Int): Column = {
+      val lo = j * base + math.min(j, extra)
+      val w = base + (if (j < extra) 1 else 0)
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      call_function("shiftright", h, lit(lo)).bitwiseAND(lit(mask))
+    }
+    val sig = df.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+    val keyed = sig.select(col("__id"), col("__h"),
+      explode(array((0 until nBlocks).map(j =>
+        struct(lit(j).as("j"), blockOf(col("__h"), j).as("v"))): _*))
+        .as("__blk"))
+    keyed.select(col("__id").as("id_a"), col("__h").as("h_a"), col("__blk"))
+      .join(keyed.select(col("__id").as("id_b"), col("__h").as("h_b"),
+        col("__blk")), "__blk")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame = {
     val sig = simhashBuckets(df, textCol, idCol)

@@ -206,6 +206,13 @@ object TextQueries {
     * count at every SF, so the exact-k cut binds everywhere. */
   private[graft] val PrioritySampleK = 25
 
+  /** q105's Hamming-join geometry: 24 signature bits over 3 pigeonhole
+    * blocks (maxHamming 2) — 8-bit blocks keep bucket sizes honest on
+    * the fixture while both the exact-match and the 1/2-bit-flip
+    * distances populate. */
+  private[graft] val HammingBits = 24
+  private[graft] val HammingMaxDist = 2
+
   /** q102's skip-gram geometry: window 3 over the dense fixture
     * corpus, minCount 100 binding on the ~500-pair table, top-30 by
     * the unique (pmi_mills DESC, w1, w2) order. */
@@ -901,6 +908,22 @@ object TextQueries {
         .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
         .limit(SkipgramTopK)),
 
+    // Multi-index Hamming join (Norouzi et al. 2012): near-dup pairs
+    // at Hamming <= 2 over a 24-bit simhash via pigeonhole block
+    // equi-joins — the distance regime the single-bit-flip probe
+    // expansion (q48) cannot reach. Summary form: per-distance pair
+    // counts + id checksums pin the full pair set.
+    "q105_hamming2_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.hammingNearDupPairs(
+          docsSpread(s, dir).select(col("doc_id"),
+            TextFunctions.simhash(col("text"), HammingBits).as("h")),
+          "doc_id", "h", HammingBits, HammingMaxDist)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("id_a").as("sum_a"), sum("id_b").as("sum_b"),
+          min("id_a").as("min_a"), max("id_b").as("max_b"))
+        .orderBy("hamming")),
+
     // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): the
     // q95 scores cut at EXACT per-stratum terciles — boundary b_k =
     // smallest score whose cumulative count reaches ceil(kN/3),
@@ -1547,6 +1570,30 @@ object TextQueries {
              FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
          FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
+    "q105_hamming2_pairs" -> {
+      // the NAIVE all-pairs twin over the q33-contract simhash at 24
+      // bits — parity proves the pigeonhole blocking lossless and
+      // duplicate-free
+      val sums = (0 until HammingBits).map(i =>
+        s"sum(CASE WHEN ascii(substr(md5(tok), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val pack = (0 until HammingBits).map(i =>
+        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
+         bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+         h AS (SELECT doc_id, CAST($pack AS BIGINT) AS hh FROM bits),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.hh, b.hh)) AS BIGINT) AS hamming
+           FROM h a JOIN h b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hh, b.hh)) <= $HammingMaxDist)
+         SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS sum_a,
+           CAST(sum(id_b) AS BIGINT) AS sum_b,
+           min(id_a) AS min_a, max(id_b) AS max_b
+         FROM p GROUP BY hamming ORDER BY hamming"""
+    },
     "q104_ccnet_split" ->
       // the shared q95 score recompute + an independent exact-tercile
       // derivation over the (lang, score) histogram

@@ -125,6 +125,39 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 1))
   }
 
+  test("hammingNearDupPairs equals the naive all-pairs scan at every distance") {
+    // random 24-bit hashes plus planted near-dup pairs at each distance
+    val rnd = new scala.util.Random(41)
+    val planted = Seq(
+      1000L -> 0x123456L, 1001L -> 0x123456L,             // d = 0
+      1002L -> (0x123456L ^ (1L << 7)),                   // d = 1 vs both
+      1003L -> (0x123456L ^ (1L << 3) ^ (1L << 20)))      // d = 2
+    val rows = planted ++ (1L to 300L).map(i =>
+      i -> (rnd.nextLong() & ((1L << 24) - 1)))
+    val df = rows.toDF("id", "h")
+    for (maxD <- Seq(0, 1, 2, 3)) {
+      val got = Dedup.hammingNearDupPairs(df, "id", "h", 24, maxD)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(got.size == got.toSet.size, s"duplicates at maxD=$maxD")
+      val naive = (for {
+        (a, ha) <- rows; (b, hb) <- rows if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxD
+      } yield (a, b, d.toLong)).toSet
+      assert(got.toSet == naive, s"mismatch at maxD=$maxD")
+    }
+    // the planted pairs survive specifically
+    val d2 = Dedup.hammingNearDupPairs(df, "id", "h", 24, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(d2((1000L, 1001L)) && d2((1000L, 1002L)) && d2((1000L, 1003L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(df, "id", "h", 24, 24)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(df, "id", "h", 0, 0)
+    }
+  }
+
   test("embedding near-dup within blocks (dedup#embedding)") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),
