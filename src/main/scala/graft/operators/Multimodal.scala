@@ -335,6 +335,86 @@ object Multimodal {
       .toDF()
   }
 
+  case class DHashRow(media_id: Long, dhash: Long, decode_status: String)
+
+  /** 64-bit perceptual difference hash (dHash — Krawetz's public
+    * gradient-hash algorithm, hackerfactor 2013): mean-luminance
+    * resample to a 9×8 grid, bit (row·8 + col) set iff
+    * lum(col, row) < lum(col+1, row). Row-wise brightness-monotone
+    * (a global brightness shift preserves every comparison) and
+    * resolution-independent (bucketed means), so resized/re-encoded
+    * copies land within a few bits — pair with
+    * [[Dedup.hammingNearDupPairs]] for image near-dup at corpus scale:
+    * hash once per image partition-wise, then only 8 bytes per image
+    * ever shuffle. Non-decodable payloads hash to the deterministic
+    * md5 stub with decode_status = "stub" (the q49 coverage
+    * convention). */
+  def dHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.iterator.map { case (id, content) =>
+          dHashKernel(content) match {
+            case Some(h) => DHashRow(id, h, "decoded")
+            case None =>
+              val md = java.security.MessageDigest.getInstance("MD5").digest(
+                if (content == null) Array.emptyByteArray else content)
+              val h = (0 until 8).foldLeft(0L)((acc, i) =>
+                (acc << 8) | (md(i) & 0xFFL))
+              DHashRow(id, h, "stub")
+          }
+        })
+      }
+      .toDF()
+  }
+
+  private[graft] def dHashKernel(content: Array[Byte]): Option[Long] =
+    try {
+      if (content == null) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val (gw, gh) = (9, 8)
+        val w = img.getWidth; val h = img.getHeight
+        val sums = Array.ofDim[Long](gh, gw)
+        val counts = Array.ofDim[Long](gh, gw)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          val gy = math.min((y.toLong * gh / h).toInt, gh - 1)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val gx = math.min((x.toLong * gw / w).toInt, gw - 1)
+            sums(gy)(gx) += lum
+            counts(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw - 1) {
+            // integer cross-multiplied mean compare — no float, exact
+            val left = sums(gy)(gx) * math.max(counts(gy)(gx + 1), 1L)
+            val right = sums(gy)(gx + 1) * math.max(counts(gy)(gx), 1L)
+            if (left < right) bits |= 1L << (gy * (gw - 1) + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
   /** Synthesize a deterministic media table from the documents testdata
     * (text bytes as payload) — lets every multimodal operator run and be
     * asserted on without codecs. */

@@ -211,4 +211,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fake.map(_.getInt(1)).toSeq == Seq(0, 2))
     assert(fake.forall(r => !r.getBoolean(2) && r.isNullAt(3)))
   }
+
+  /** A real WxH PNG from a seeded smooth gradient + noise pattern. */
+  private def patternPng(w: Int, h: Int, seed: Int,
+      brighten: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    val noise = Array.fill(8, 9)(rnd.nextInt(120))
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 120 / w) + noise(y * 8 / h)(x * 9 / w)
+      val v = math.min(base + brighten, 255)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: resize- and brightness-robust, discriminative, honest on stubs") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val orig = patternPng(90, 80, seed = 5)
+    val Some(h0) = Multimodal.dHashKernel(orig)
+    // a bilinear downscale of the SAME image stays within a few bits
+    val Some(hScaled) = Multimodal.dHashKernel(Multimodal.resize(orig, 45, 40))
+    assert(hamming(h0, hScaled) <= 8,
+      s"resize moved dHash ${hamming(h0, hScaled)} bits")
+    // a global brightness shift preserves every adjacent comparison
+    val Some(hBright) = Multimodal.dHashKernel(patternPng(90, 80, 5, brighten = 20))
+    assert(hamming(h0, hBright) <= 4,
+      s"brightness moved dHash ${hamming(h0, hBright)} bits")
+    // a DIFFERENT pattern is far away
+    val Some(hOther) = Multimodal.dHashKernel(patternPng(90, 80, seed = 99))
+    assert(hamming(h0, hOther) >= 16,
+      s"different images only ${hamming(h0, hOther)} bits apart")
+    // operator surface: decoded vs stub status, and the near-dup
+    // composition with the multi-index Hamming join finds exactly the
+    // perturbed copies of the original
+    val media = Seq(
+      (1L, orig), (2L, Multimodal.resize(orig, 45, 40)),
+      (3L, patternPng(90, 80, 5, brighten = 20)),
+      (4L, patternPng(90, 80, seed = 99)),
+      (5L, "not an image".getBytes))
+      .toDF("media_id", "content")
+    val hashed = Multimodal.dHash(media)
+    val status = hashed.select("media_id", "decode_status")
+      .as[(Long, String)].collect().toMap
+    assert(status == Map(1L -> "decoded", 2L -> "decoded", 3L -> "decoded",
+      4L -> "decoded", 5L -> "stub"))
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        hashed.where(org.apache.spark.sql.functions.col("decode_status") === "decoded"),
+        "media_id", "dhash", 64, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
