@@ -44,4 +44,34 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(mem.nonEmpty, "drain emitted no closed sessions")
     assert(rocks == mem)
   }
+
+  test("corpusGate dedup state is identical on memory and RocksDB state stores") {
+    // the incremental corpus gate's first-occurrence state, through the
+    // real engine on both providers (expectedKeys > 0 exercises the
+    // conf-copying drain clone, the production path)
+    import org.apache.spark.sql.functions._
+    def run(provider: Option[String]): Seq[(Long, String)] = {
+      val s = spark.newSession()
+      provider.foreach(
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      import s.implicits._
+      val in = java.nio.file.Files.createTempDirectory("rg-in").toString
+      val cp = java.nio.file.Files.createTempDirectory("rg-cp").toString
+      val out = java.nio.file.Files.createTempDirectory("rg-out").toString
+      val docs = Seq(
+        (1L, "en", "alpha beta gamma"), (2L, "en", "alpha beta gamma"),
+        (3L, "de", "delta epsilon"), (4L, "de", "  delta   epsilon "))
+        .toDF("doc_id", "lang", "text")
+      docs.write.mode("append").parquet(in)
+      Incremental.corpusGate(s, in, docs.schema, cp, out,
+        expectedKeys = 100L)
+      s.read.parquet(out).select("doc_id", "content_key")
+        .as[(Long, String)].collect().toSeq.sorted
+    }
+    val mem = run(None)
+    val rocks = run(Some(RocksDb))
+    assert(mem.map(_._1) == Seq(1L, 3L),
+      s"whitespace-normalized dups must collapse to first ids: $mem")
+    assert(rocks == mem)
+  }
 }
