@@ -908,6 +908,31 @@ object TextQueries {
         .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
         .limit(SkipgramTopK)),
 
+    // Dedup GROUP RESOLUTION — the step after q53's components that a
+    // real pipeline actually ships: per near-dup component keep the
+    // best-quality member (argmax quality_mills, ties to min id);
+    // singleton docs are their own keepers. One rank window per
+    // component over the (component, quality) frame.
+    "q106_dedup_keepers" -> ((s, dir) => {
+      val slice = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreMills(col("text")).as("q"))
+      val comps = graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+        .select(col("id").as("doc_id"), col("comp"))
+      val labeled = slice.join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("comp"), col("doc_id")))
+        .drop("comp")
+      val w = Window.partitionBy("component")
+        .orderBy(col("q").desc, col("doc_id"))
+      labeled.withColumn("rk", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rk") === 1, col("doc_id"))).as("keeper"),
+          min(when(col("rk") === 1, col("q"))).as("keeper_quality"),
+          sum("q").as("quality_sum"))
+        .orderBy("component")
+    }),
+
     // Multi-index Hamming join (Norouzi et al. 2012): near-dup pairs
     // at Hamming <= 2 over a 24-bit simhash via pigeonhole block
     // equi-joins — the distance regime the single-bit-flip probe
@@ -1570,6 +1595,42 @@ object TextQueries {
              FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
          FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
+    "q106_dedup_keepers" ->
+      // q53's transitive closure + the q31-contract quality formula +
+      // an independent argmax derivation; singletons self-keep
+      s"""WITH RECURSIVE $lshPairsCtes,
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         compo AS (SELECT id AS doc_id, min(comp) AS component
+                   FROM reach GROUP BY id),
+         m AS (
+           SELECT doc_id, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split(
+                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END
+               AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         qq AS (SELECT doc_id, $sqlQualityMills AS q FROM m),
+         lab AS (
+           SELECT qq.doc_id, coalesce(c.component, qq.doc_id) AS component,
+             qq.q
+           FROM qq LEFT JOIN compo c USING (doc_id)),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY component
+             ORDER BY q DESC, doc_id) AS rk
+           FROM lab)
+         SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN rk = 1 THEN doc_id END) AS keeper,
+           min(CASE WHEN rk = 1 THEN q END) AS keeper_quality,
+           CAST(sum(q) AS BIGINT) AS quality_sum
+         FROM rk GROUP BY component ORDER BY component""",
     "q105_hamming2_pairs" -> {
       // the NAIVE all-pairs twin over the q33-contract simhash at 24
       // bits — parity proves the pigeonhole blocking lossless and
