@@ -908,6 +908,31 @@ object TextQueries {
         .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
         .limit(SkipgramTopK)),
 
+    // Per-source corpus health report — the ANALYZE surface a curation
+    // run ships: docs, exact-dup mass (min-id keeper rule over the
+    // cleaned content key), distinct content, token/quality sums, lang
+    // spread. Two hash-agg shuffles (content key, source) + one
+    // equi-join back on the key.
+    "q107_source_report" -> ((s, dir) => {
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          lower(col("text")).as("text"))
+        .withColumn("q", TextFunctions.qualityScoreMills(col("text")))
+        .withColumn("toks", TextFunctions.tokenCount(col("text")))
+        .withColumn("ck", md5(col("text")))
+      val keys = d.groupBy("ck").agg(min("doc_id").as("keep_id"))
+      d.join(keys, Seq("ck"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          countDistinct("ck").as("n_distinct"),
+          sum("toks").as("tok_sum"),
+          sum("q").as("q_sum"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
     // Dedup GROUP RESOLUTION — the step after q53's components that a
     // real pipeline actually ships: per near-dup component keep the
     // best-quality member (argmax quality_mills, ties to min id);
@@ -1595,6 +1620,33 @@ object TextQueries {
              FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
          FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
+    "q107_source_report" ->
+      // same keeper rule, quality contract (over LOWERED text — len
+      // and alpha are case-invariant, so the m-triple carries over),
+      // and rollup recomputed independently
+      s"""WITH d AS (
+           SELECT doc_id, source, lang,
+             lower(text) AS text, md5(lower(text)) AS ck
+           FROM documents),
+         m AS (
+           SELECT doc_id, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split(
+                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END
+               AS toks
+           FROM d),
+         qq AS (SELECT doc_id, toks, $sqlQualityMills AS q FROM m),
+         k AS (SELECT ck, min(doc_id) AS keep_id FROM d GROUP BY ck)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_docs,
+           CAST(count(DISTINCT d.ck) AS BIGINT) AS n_distinct,
+           CAST(sum(qq.toks) AS BIGINT) AS tok_sum,
+           CAST(sum(qq.q) AS BIGINT) AS q_sum,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+         FROM d JOIN k USING (ck) JOIN qq ON d.doc_id = qq.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     "q106_dedup_keepers" ->
       // q53's transitive closure + the q31-contract quality formula +
       // an independent argmax derivation; singletons self-keep
