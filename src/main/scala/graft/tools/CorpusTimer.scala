@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object CorpusTimer {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: CorpusTimer <docsDir>")
+    require(args.length >= 1 && args.length <= 2,
+      "usage: CorpusTimer <docsDir> [budget|dsir|mixture|exactk]")
     val spark = graft.Tables.configure(
       SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
@@ -25,6 +26,20 @@ object CorpusTimer {
       .select("doc_id", "lang", "text")
     val eval = docs.where(col("doc_id") % 97 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    // selection policy under time (default: token budget). k = 500
+    // binds per stratum at sf0.1 (~1k docs/lang) and harder at synth
+    // sf1, so the policy's rank/score work is actually measured.
+    val policy = if (args.length > 1) args(1) else "budget"
+    val selection = policy match {
+      case "budget" => None
+      case "dsir" => Some(graft.Engine.DsirSelection(
+        docs.where(col("lang") === "en").select(col("doc_id"), col("text")),
+        topK = 500))
+      case "mixture" => Some(graft.Engine.MixtureSelection(
+        1L, Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5), 0.25))
+      case "exactk" => Some(graft.Engine.ExactKSelection(1L, 500))
+      case other => sys.error(s"unknown policy '$other'")
+    }
     val t0 = System.nanoTime()
     val r = graft.Engine.processCorpus(docs,
       decontamEval = Some(eval),
@@ -32,6 +47,7 @@ object CorpusTimer {
         graft.queries.TextQueries.DupWindowTokens,
         graft.queries.TextQueries.DupAnchorMod)),
       budgetTokens = 5000000L,
+      selection = selection,
       materializeBoundaries = true)
     // the ledger already ran count jobs for every stage INCLUDING the
     // two outputs — read them back instead of re-executing the chunk
@@ -53,7 +69,7 @@ object CorpusTimer {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    println(s"""{"tool":"corpus-timer","dir":"$dirS","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"sec":$secS}""")
+    println(s"""{"tool":"corpus-timer","dir":"$dirS","policy":"$policy","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"sec":$secS}""")
     spark.stop()
   }
 }
