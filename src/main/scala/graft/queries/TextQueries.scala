@@ -908,6 +908,35 @@ object TextQueries {
         .orderBy(col("pmi_mills").desc, col("w1"), col("w2"))
         .limit(SkipgramTopK)),
 
+    // MinHash Jaccard ESTIMATE vs exact — the estimator the whole LSH
+    // family banks on, pinned per candidate pair: est = 125·(matching
+    // components of the 8-hash signature), exact = floored set
+    // Jaccard; both deterministic given the md5 signature contract,
+    // so the error column itself is oracle-checkable.
+    "q108_minhash_estimate" -> ((s, dir) => {
+      val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextFunctions.tokenSetSorted(col("text")).as("toks"),
+          graft.functions.TextHash.minhashSignature(col("text"), 0 until 8)
+            .as("sig"))
+      lshPairs(s, dir)
+        .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+          col("sig").as("sa")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+          col("sig").as("sb")), "id_b")
+        .withColumn("est_mills",
+          (lit(125) * size(filter(
+            zip_with(col("sa"), col("sb"), (a, b) => a === b),
+            x => x))).cast("long"))
+        .withColumn("__i", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jac_mills",
+          floor(lit(1000) * col("__i") /
+            (size(col("ta")) + size(col("tb")) - col("__i"))).cast("long"))
+        .select(col("id_a"), col("id_b"), col("est_mills"), col("jac_mills"),
+          abs(col("est_mills") - col("jac_mills")).as("abs_err"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-source corpus health report — the ANALYZE surface a curation
     // run ships: docs, exact-dup mass (min-id keeper rule over the
     // cleaned content key), distinct content, token/quality sums, lang
@@ -1620,6 +1649,28 @@ object TextQueries {
              FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM qv)))
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi_mills
          FROM sc ORDER BY pmi_mills DESC, w1, w2 LIMIT $SkipgramTopK""",
+    "q108_minhash_estimate" -> {
+      val matches = (0 until 8).map(i =>
+        s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $lshPairsCtes,
+         ts AS (SELECT doc_id, $sqlTokSet AS tset
+                FROM documents WHERE doc_id % 5 = 0),
+         j AS (
+           SELECT p.id_a, p.id_b,
+             CAST(125 * ($matches) AS BIGINT) AS est_mills,
+             CAST(floor(1000 * len(list_intersect(x.tset, y.tset))
+               / (len(x.tset) + len(y.tset)
+                  - len(list_intersect(x.tset, y.tset)))) AS BIGINT)
+               AS jac_mills
+           FROM pairs p
+           JOIN sig a ON p.id_a = a.doc_id
+           JOIN sig b ON p.id_b = b.doc_id
+           JOIN ts x ON p.id_a = x.doc_id
+           JOIN ts y ON p.id_b = y.doc_id)
+         SELECT id_a, id_b, est_mills, jac_mills,
+           abs(est_mills - jac_mills) AS abs_err
+         FROM j ORDER BY id_a, id_b"""
+    },
     "q107_source_report" ->
       // same keeper rule, quality contract (over LOWERED text — len
       // and alpha are case-invariant, so the m-triple carries over),
