@@ -114,7 +114,13 @@ object ScaleStudy {
     "q99_url_canon", "q100_priority_sample",
     // q102: window zip-shifts explode the pair stream (3x token mass),
     // pair/unigram aggs are vocab-bounded — scan/explode growth
-    "q102_skipgram_pmi")
+    "q102_skipgram_pmi",
+    // q104 adds the per-stratum histogram cumsum over q95's scores
+    // (histogram rows ∝ distinct score values); q106 rides q53's
+    // iterative components plus a rank window; q107 is two hash aggs
+    // + a key join; q108 joins signatures to the capped pair graph
+    "q104_ccnet_split", "q106_dedup_keepers", "q107_source_report",
+    "q108_minhash_estimate")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
