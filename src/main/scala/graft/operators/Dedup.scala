@@ -314,6 +314,111 @@ object Dedup {
     labels
   }
 
+  /** Incremental cross-corpus dedup — classify each incoming batch doc
+    * against an existing reference corpus (the "don't re-ingest what the
+    * corpus already holds" path of a continuously-fed training-data
+    * pipeline; near-dup semantics per Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better").
+    *
+    * Verdicts, one row per batch doc:
+    *  - `exact_dup`  — a corpus doc shares the content key
+    *    (md5 of normalized text); `matched_id` = min such corpus id,
+    *    `jaccard_mills` = 1000;
+    *  - `near_dup`   — no exact match, but the doc shares a MinHash-LSH
+    *    band with a corpus doc whose exact token-set Jaccard ≥
+    *    `minJaccardMills`; `matched_id` = the best-match corpus id
+    *    (max Jaccard, ties to min id), `jaccard_mills` = that Jaccard;
+    *  - `new`        — neither; `matched_id` = -1, `jaccard_mills` = -1
+    *    (sentinel, not NULL — keeps integer columns hash-comparable).
+    *
+    * Scale contract: the corpus side is the 100 TB side. Its content-key
+    * set is one hash aggregate (min id per key) and its band index one
+    * scan — at steady state both would be maintained incrementally as
+    * bucketed tables; here they are derived inline from `corpus`. The
+    * batch joins the key set by content_key and the band index by
+    * (band_no, band_sig) — both plain equi-shuffles; full text is never
+    * compared across the corpus, and exact Jaccard runs only on distinct
+    * LSH candidates.
+    *
+    * Hot-band guard, OPT-IN via `maxCandidates` (same no-default
+    * convention as `minhashLshPairs.maxBucket`): a degenerate band
+    * (boilerplate collapsing many corpus docs onto one signature) makes
+    * one batch doc verify against the whole bucket. A finite cap keeps
+    * the `maxCandidates` corpus candidates with the most shared bands
+    * (ties to min id) per batch doc — candidates are ranked by LSH
+    * collision count, which is monotone in expected resemblance, so the
+    * retained set is the most-probable-match set. CONTRACT when the cap
+    * binds: verification is no longer exhaustive — a true near-dup
+    * beyond the cap can be missed and its doc reported `new`. Pass
+    * `Int.MaxValue` for lossless classification. */
+  def dedupAgainst(
+      batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      bands: Int = 2, rowsPerBand: Int = 4,
+      minJaccardMills: Int = 500,
+      maxCandidates: Int): DataFrame = {
+    val b = batch.select(
+      col(idCol).as("__bid"), col(textCol).as("__btext"),
+      TextFunctions.contentKey(col(textCol)).as("__ck"))
+    val corpusKeys = corpus
+      .select(TextFunctions.contentKey(col(textCol)).as("__ck"),
+        col(idCol).as("__cid"))
+      .groupBy("__ck").agg(min("__cid").as("__exact_id"))
+    val keyed = b.join(corpusKeys, Seq("__ck"), "left")
+    val rest = keyed.where(col("__exact_id").isNull)
+      .select("__bid", "__btext")
+
+    def bandIndex(df: DataFrame, text: Column, id: Column, as: String) =
+      df.select(
+        id.as(as),
+        posexplode(array((0 until bands).map { bn =>
+          TextFunctions.minhashBand(
+            text, (bn * rowsPerBand) until ((bn + 1) * rowsPerBand))
+        }: _*)).as(Seq("band_no", "band_sig")))
+
+    val cand = bandIndex(rest, col("__btext"), col("__bid"), "__b")
+      .join(bandIndex(corpus, col(textCol), col(idCol), "__c"),
+        Seq("band_no", "band_sig"))
+      .groupBy("__b", "__c").agg(count(lit(1)).as("__nb"))
+    val capped =
+      if (maxCandidates == Int.MaxValue) cand
+      else {
+        val w = Window.partitionBy("__b")
+          .orderBy(col("__nb").desc, col("__c"))
+        cand.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= maxCandidates).drop("__rn")
+      }
+
+    val bToks = rest.select(col("__bid"),
+      TextFunctions.tokenSetSorted(col("__btext")).as("__bt"))
+    val cToks = corpus.select(col(idCol).as("__cid"),
+      TextFunctions.tokenSetSorted(col(textCol)).as("__ct"))
+    val best = capped
+      .join(bToks, capped("__b") === bToks("__bid"))
+      .join(cToks, capped("__c") === cToks("__cid"))
+      .withColumn("__common",
+        graft.functions.ArrayOps.sortedIntersectSize(col("__bt"), col("__ct")))
+      .withColumn("__jm",
+        floor(lit(1000) * col("__common")
+          / (size(col("__bt")) + size(col("__ct")) - col("__common")))
+          .cast("long"))
+      .where(col("__jm") >= minJaccardMills)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__bid").orderBy(col("__jm").desc, col("__cid"))))
+      .where(col("__rn") === 1)
+      .select(col("__bid"), col("__cid").as("__near_id"), col("__jm"))
+
+    keyed.join(best, Seq("__bid"), "left")
+      .select(
+        col("__bid").as(idCol),
+        when(col("__exact_id").isNotNull, lit("exact_dup"))
+          .when(col("__near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__exact_id"), col("__near_id"), lit(-1L))
+          .as("matched_id"),
+        when(col("__exact_id").isNotNull, lit(1000L))
+          .otherwise(coalesce(col("__jm"), lit(-1L))).as("jaccard_mills"))
+  }
+
   /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or
     * coarse quantizer cell), verifies by exact quantized cosine within
     * the block. Returns (id_a, id_b, cos_sq_scaled). */

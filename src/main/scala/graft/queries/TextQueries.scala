@@ -937,6 +937,22 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental cross-corpus dedup: classify the incoming batch
+    // (doc_id % 3 = 0) against the standing corpus (doc_id % 3 <> 0) —
+    // exact content-key match, LSH-banded near-dup (2 bands × 4
+    // hashes, exhaustive Jaccard verify ≥ 0.5), or new. The corpus
+    // side is the 100 TB side: one key aggregate + one band index
+    // scan, equi-joined; text is only compared on LSH candidates.
+    "q109_dedup_against" -> ((s, dir) => {
+      val d = docsSpread(s, dir)
+      graft.operators.Dedup.dedupAgainst(
+          d.where(col("doc_id") % 3 === 0),
+          d.where(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", bands = 2, rowsPerBand = 4,
+          minJaccardMills = 500, maxCandidates = Int.MaxValue)
+        .orderBy("doc_id")
+    }),
+
     // Per-source corpus health report — the ANALYZE surface a curation
     // run ships: docs, exact-dup mass (min-id keeper rule over the
     // cleaned content key), distinct content, token/quality sums, lang
@@ -1670,6 +1686,54 @@ object TextQueries {
          SELECT id_a, id_b, est_mills, jac_mills,
            abs(est_mills - jac_mills) AS abs_err
          FROM j ORDER BY id_a, id_b"""
+    },
+    "q109_dedup_against" -> {
+      val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
+      // independent recompute of the split, the key match, the 2×4
+      // band index, and the exhaustive candidate verify
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
+         sig AS (SELECT doc_id, $sig FROM toks GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_no,
+             mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS sig_s FROM sig
+           UNION ALL
+           SELECT doc_id, 1,
+             mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+         ck AS (SELECT doc_id, md5(lower(trim(text))) AS k FROM documents),
+         exact AS (
+           SELECT b.doc_id AS bid, min(c.doc_id) AS exact_id
+           FROM ck b JOIN ck c ON b.k = c.k AND c.doc_id % 3 <> 0
+           WHERE b.doc_id % 3 = 0 GROUP BY 1),
+         cand AS (
+           SELECT b.doc_id AS bid, c.doc_id AS cid
+           FROM bands b JOIN bands c
+             ON b.band_no = c.band_no AND b.sig_s = c.sig_s
+           WHERE b.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+             AND b.doc_id NOT IN (SELECT bid FROM exact)
+           GROUP BY 1, 2),
+         ts AS (SELECT doc_id, $sqlTokSet AS t FROM documents),
+         ver AS (
+           SELECT bid, cid,
+             CAST(floor(1000 * len(list_intersect(x.t, y.t))
+               / (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))))
+               AS BIGINT) AS jm
+           FROM cand JOIN ts x ON bid = x.doc_id JOIN ts y ON cid = y.doc_id),
+         best AS (
+           SELECT bid, cid, jm,
+             row_number() OVER (PARTITION BY bid ORDER BY jm DESC, cid) AS rn
+           FROM ver WHERE jm >= 500)
+         SELECT d.doc_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+                WHEN b.cid IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           CAST(coalesce(e.exact_id, b.cid, -1) AS BIGINT) AS matched_id,
+           CAST(CASE WHEN e.exact_id IS NOT NULL THEN 1000
+                ELSE coalesce(b.jm, -1) END AS BIGINT) AS jaccard_mills
+         FROM documents d
+         LEFT JOIN exact e ON d.doc_id = e.bid
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
+         WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id"""
     },
     "q107_source_report" ->
       // same keeper rule, quality contract (over LOWERED text — len

@@ -214,6 +214,119 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(got2.values.toSet == Set(5L) && got2.size == 5)
   }
 
+  // pure-Scala twin of the md5 minhash contract (TextHash.minhashKernel)
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def toksOf(s: String): Array[String] =
+    s.trim.toLowerCase.split("\\s+", -1).distinct
+  private def bandsOf(text: String, bands: Int, rows: Int): Seq[String] = {
+    val toks = toksOf(text)
+    (0 until bands).map { b =>
+      ((b * rows) until ((b + 1) * rows))
+        .map(seed => toks.map(t => md5Hex(t + "#" + seed)).min)
+        .mkString("|")
+    }
+  }
+
+  test("dedupAgainst classifies exact/near/new against a corpus (dedup#incremental)") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "entirely unrelated corpus material about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "  THE quick brown fox jumps over the lazy dog near the river bank  "),
+      (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (3L, "completely novel subject matter nothing shared with anything")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+        bands = 2, rowsPerBand = 4, minJaccardMills = 500,
+        maxCandidates = Int.MaxValue)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 normalizes to corpus text -> exact vs min corpus id 10
+    assert(out(1L) == (("exact_dup", 10L, 1000L)))
+    // doc 2 swaps "bank"->"edge": 10 of 12 distinct tokens shared with
+    // 10/11 -> J = 833, and the md5 band contract collides on band 0;
+    // best match ties to min id 10
+    assert(out(2L)._1 == "near_dup" && out(2L)._2 == 10L)
+    assert(out(2L)._3 == 1000L * 10 / 12)
+    assert(out(3L) == (("new", -1L, -1L)))
+  }
+
+  test("PROPERTY: lossless dedupAgainst equals the naive classification " +
+    "(exact key, band-collision AND exact-Jaccard) on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to 3).foreach { trial =>
+      val corpusTexts = Seq.fill(10)(Seq.fill(4 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // batch: clones, one-token perturbations, and fresh docs
+      val batchTexts =
+        corpusTexts.take(3) ++
+        corpusTexts.slice(3, 6).map(_ + " " + vocab(rnd.nextInt(vocab.size))) ++
+        Seq.fill(3)(Seq.fill(5)("zz" + rnd.nextInt(1000)).mkString(" "))
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+          bands = 2, rowsPerBand = 4, minJaccardMills = 500,
+          maxCandidates = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = batchTexts.zipWithIndex.map { case (bt, bi) =>
+        val bKey = md5Hex(bt.trim.toLowerCase)
+        val exact = corpusTexts.zipWithIndex.collect {
+          case (ct, ci) if md5Hex(ct.trim.toLowerCase) == bKey => 100L + ci
+        }
+        if (exact.nonEmpty) (bi.toLong, "exact_dup", exact.min, 1000L)
+        else {
+          val bBands = bandsOf(bt, 2, 4)
+          val cands = corpusTexts.zipWithIndex.filter { case (ct, _) =>
+            bandsOf(ct, 2, 4).zip(bBands).exists { case (a, b) => a == b }
+          }
+          val verified = cands.flatMap { case (ct, ci) =>
+            val (ta, tb) = (toksOf(bt).toSet, toksOf(ct).toSet)
+            val inter = (ta & tb).size
+            val jm = 1000L * inter / (ta.size + tb.size - inter)
+            if (jm >= 500) Some((jm, 100L + ci)) else None
+          }
+          if (verified.isEmpty) (bi.toLong, "new", -1L, -1L)
+          else {
+            val (jm, cid) = verified.maxBy { case (j, c) => (j, -c) }
+            (bi.toLong, "near_dup", cid, jm)
+          }
+        }
+      }.toSet
+      assert(got == want, s"trial $trial: missing=${want -- got}, extra=${got -- want}")
+    }
+  }
+
+  test("dedupAgainst maxCandidates cap keeps the most-colliding corpus " +
+    "candidates and can (contractually) miss matches beyond the cap") {
+    // corpus: one true near-dup of the batch doc plus a boilerplate
+    // band-collider; cap=1 must keep the candidate with MORE shared bands
+    val batchText = "alpha beta gamma delta eps zeta eta theta"
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta eps zeta eta theta iota"), // J=8/9, both bands collide
+      (21L, "unrelated words only for padding here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq((1L, batchText)).toDF("doc_id", "text")
+    val capped = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+      bands = 2, rowsPerBand = 4, minJaccardMills = 500, maxCandidates = 1)
+    val r = capped.collect().head
+    assert(r.getString(1) == "near_dup" && r.getLong(2) == 20L)
+    // and the capped verdict set is never larger than the lossless one
+    val lossless = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+      bands = 2, rowsPerBand = 4, minJaccardMills = 500,
+      maxCandidates = Int.MaxValue)
+    assert(capped.where($"verdict" === "near_dup").count() <=
+      lossless.where($"verdict" === "near_dup").count())
+  }
+
   test("missingDimRows derives deterministic create-set (J5)") {
     val dim = Seq(("Almond Milk", "P1")).toDF("title", "ext_id")
     val items = Seq(Tuple1("almond milk"), Tuple1("Oat Milk"), Tuple1("oat milk"), Tuple1(""))
