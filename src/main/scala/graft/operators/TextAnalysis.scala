@@ -580,6 +580,102 @@ object TextAnalysis {
         expr("total_bits_mills div n_toks").as("avg_bits_mills"))
   }
 
+  /** Interpolated bigram LM code length — the next model up from
+    * [[unigramCodeLength]] on the CCNet quality-filter ladder (Wenzek
+    * et al. 2020 score with a wiki-side LM; Jelinek–Mercer interpolation
+    * with λ = 1/2, Chen & Goodman 1999 §2.3). Per document position:
+    * the FIRST token pays its Laplace unigram cost; each later token w₂
+    * after context w₁ pays
+    *
+    *   P(w₂|w₁) = ½·c₁₂/c₁ + ½·(c₂+1)/(N+V)        (c₁ > 0)
+    *
+    * backing off to the plain unigram cost when the context w₁ is
+    * unseen in the LM (c₁ = 0; the unigram term's +1 Laplace floor also
+    * covers OOV w₂, so the whole cost surface is total and positive).
+    * Costs are EXACT integer millibits: the rational 1/P is one
+    * DECIMAL(38,0) floor division (c₁·(N+V) alone reaches 10²⁴ at real
+    * corpus sizes — int64 dies) through [[TextFunctions.log2Mills]],
+    * the same Mitchell kernel as q95/q102, so the score is
+    * bit-identical in any engine.
+    *
+    * Returns one row per corpus doc: (idCol, n_toks, total_bits_mills,
+    * avg_bits_mills). Lower = more LM-like; a doc of in-vocab text in
+    * familiar collocations scores under the unigram model, which is the
+    * entire point of the bigram term.
+    *
+    * Scale shape: the LM's unigram and bigram count tables are two
+    * hash aggregates over the (bounded-vocab) gram space; the corpus
+    * side explodes each doc into its (w₁, w₂) positions — token-mass
+    * linear, like every scoring scan here — and equi-joins the count
+    * tables on the gram key. No O(vocab²) table is ever materialized:
+    * only OBSERVED bigrams have rows, everything else falls through the
+    * left joins to the backoff/floor terms. */
+  def bigramCodeLength(corpus: DataFrame, lm: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val reserved = Seq("n_toks", "total_bits_mills", "avg_bits_mills",
+      "__tok", "__w1", "__w2", "__bg", "__c1", "__c2", "__c12", "__n",
+      "__v", "__q", "__cost", "__first")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val lmToks = lm.select(explode(
+      filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+    val totals = lmToks.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__tok")).as("__v"))
+    val uniCnt = lmToks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val biCnt = lm.select(explode(
+        TextFunctions.wordNGrams(col(textCol), 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__c12"))
+    // unigram cost of a token whose LM count sits (0-coalesced) in the
+    // named column: log2((1024·(N+V)) div (c+1)) − 10 bits — the q95
+    // kernel verbatim
+    def uniCost(cntCol: String): Column =
+      TextFunctions.log2Mills(
+        expr(s"(1024 * (__n + __v)) div (coalesce($cntCol, 0) + 1)")) -
+        lit(10000L)
+
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val base = corpus.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+    // first position: plain unigram cost
+    val firstCost = base
+      .select(col(idCol), element_at(col("__toks"), 1).as("__tok"))
+      .join(uniCnt, Seq("__tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), uniCost("__c").as("__cost"))
+    // positions 2..n: (w1, w2) pairs with multiplicity
+    val pairs = base.select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("__w1"), b.as("__w2")))).as("__p"))
+      .select(col(idCol), col("__p.__w1").as("__w1"), col("__p.__w2").as("__w2"))
+    val pairCost = pairs
+      .join(uniCnt.select(col("__tok").as("__w1"), col("__c").as("__c1")),
+        Seq("__w1"), "left")
+      .join(uniCnt.select(col("__tok").as("__w2"), col("__c").as("__c2")),
+        Seq("__w2"), "left")
+      .withColumn("__bg", concat(col("__w1"), lit(" "), col("__w2")))
+      .join(biCnt, Seq("__bg"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        when(coalesce(col("__c1"), lit(0L)) === 0L, uniCost("__c2"))
+          .otherwise(TextFunctions.log2Mills(expr(
+            """CAST((CAST(2048 AS DECIMAL(38,0)) * __c1 * (__n + __v))
+               div (CAST(coalesce(__c12, 0) AS DECIMAL(38,0)) * (__n + __v)
+                    + (coalesce(__c2, 0) + 1) * __c1) AS BIGINT)"""))
+            - lit(10000L))
+          .as("__cost"))
+    val perDoc = firstCost.union(pairCost)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("__cost")).as("total_bits_mills"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("total_bits_mills"), lit(0L)).as("total_bits_mills"),
+        expr("total_bits_mills div n_toks").as("avg_bits_mills"))
+  }
+
   /** Token-aligned blocklist phrase matching — the C4/RefinedWeb-style
     * banned-phrase filter of a pretraining pipeline (Raffel et al.
     * 2020 §2.2's "bad words" pass; RefinedWeb's URL/phrase blocklists).

@@ -855,6 +855,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated bigram LM code length (Jelinek–Mercer λ=1/2, the
+    // next CCNet-ladder model above q95): first token pays unigram,
+    // later tokens pay the interpolated bigram-given-context cost,
+    // unseen contexts back off to unigram — all exact integer
+    // millibits through the shared Mitchell kernel.
+    "q110_bigram_ce" -> ((s, dir) => {
+      val lowered = docsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      graft.operators.TextAnalysis.bigramCodeLength(
+          lowered, lowered.where(col("lang") === "en"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // tf-idf keyword extraction (rational idf, exact integer mills):
     // top-3 terms per doc with the (score DESC, term ASC) tie-break —
     // the WindowGroupLimit k-cut binds on every doc of the fixture.
@@ -1508,6 +1521,66 @@ object TextQueries {
       // division; no float log anywhere, and the same left-join +
       // coalesce row-preserving shape as the engine
       s"""WITH $unigramCeCtes
+         SELECT d.doc_id, coalesce(sc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
+           coalesce(sc.total_bits_mills, CAST(0 AS BIGINT))
+             AS total_bits_mills,
+           sc.total_bits_mills // sc.n_toks AS avg_bits_mills
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id""",
+    "q110_bigram_ce" ->
+      // full recompute: LM unigram/bigram count tables over the 'en'
+      // stratum, per-position interpolated rational 1/P through
+      // HUGEINT floor division (the DECIMAL(38,0) twin), Mitchell's
+      // log2 in exact integer millibits, unseen-context backoff to
+      // the q95 unigram kernel — no float anywhere
+      s"""WITH t AS (
+           SELECT doc_id, lang, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS l
+           FROM documents),
+         lmtoks AS (SELECT unnest(l) AS tok FROM t WHERE lang = 'en'),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS v
+                 FROM lmtoks),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                 FROM lmtoks GROUP BY tok),
+         lmbg AS (
+           SELECT unnest($wordBigramsAllSql) AS bg FROM t WHERE lang = 'en'),
+         bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                FROM lmbg GROUP BY bg),
+         firstq AS (
+           SELECT doc_id,
+             (1024 * (tot.n + tot.v)) // (coalesce(u.c, 0) + 1) AS q
+           FROM (SELECT doc_id, l[1] AS tok FROM t WHERE len(l) >= 1) f
+           LEFT JOIN uni u ON f.tok = u.tok CROSS JOIN tot),
+         prs AS (SELECT doc_id, unnest($wordBigramsAllSql) AS bg FROM t),
+         pq AS (
+           SELECT p.doc_id,
+             CASE WHEN coalesce(u1.c, 0) = 0
+               THEN (1024 * (tot.n + tot.v)) // (coalesce(u2.c, 0) + 1)
+               ELSE CAST((CAST(2048 AS HUGEINT) * u1.c * (tot.n + tot.v))
+                 // (CAST(coalesce(b.c12, 0) AS HUGEINT) * (tot.n + tot.v)
+                     + (coalesce(u2.c, 0) + 1) * u1.c) AS BIGINT)
+             END AS q
+           FROM (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2 FROM prs) p
+           LEFT JOIN uni u1 ON p.w1 = u1.tok
+           LEFT JOIN uni u2 ON p.w2 = u2.tok
+           LEFT JOIN bi b ON p.bg = b.bg
+           CROSS JOIN tot),
+         allq AS (SELECT doc_id, q FROM firstq
+                  UNION ALL SELECT doc_id, q FROM pq),
+         costs AS (
+           SELECT doc_id, 1000 * e + (1000 * (q - p)) // p - 10000 AS cost
+           FROM (
+             SELECT doc_id, q, e, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+             FROM (
+               SELECT doc_id, q, length(printf('%b', q)) - 1 AS e
+               FROM allq))),
+         sc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(cost) AS BIGINT) AS total_bits_mills
+           FROM costs GROUP BY doc_id)
          SELECT d.doc_id, coalesce(sc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
            coalesce(sc.total_bits_mills, CAST(0 AS BIGINT))
              AS total_bits_mills,

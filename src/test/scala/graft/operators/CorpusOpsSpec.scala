@@ -684,6 +684,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramCodeLength matches hand-computed millibit costs on every branch") {
+    // lm as the unigram fixture: a×4 b×2 c×1 → N=7 V=3, N+V=10;
+    // bigrams with multiplicity: "a a"×2, "a b"×2, "b c"×1.
+    // Interpolated cost q = (2048·c1·10) div (c12·10 + (c2+1)·c1):
+    //   (a,b): c1=4 c2=2 c12=2 → q=81920 div 32=2560 → 1250
+    //   (b,a): c1=2 c2=4 c12=0 → q=40960 div 10=4096 → 2000
+    //   (a,zz): c1=4 c2=0 c12=0 → q=81920 div 4=20480 → 4250
+    //   (zz,·): c1=0 → unigram backoff
+    val lm = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b"),   // first a=1000 + seen-bigram 1250 = 2250
+      (11L, "b a"),   // first b=1666 + unseen-bigram 2000 = 3666
+      (12L, "zz a"),  // first oov=3250 + context-backoff uni(a)=1000
+      (13L, "a zz"),  // first a=1000 + oov-continuation 4250 = 5250
+      (14L, "c"),     // single token: unigram only, 2250
+      (15L, ""))      // empty: n_toks 0, NULL avg
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCodeLength(corpus, lm, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 2250L, 1125L), (11L, 2L, 3666L, 1833L),
+      (12L, 2L, 4250L, 2125L), (13L, 2L, 5250L, 2625L),
+      (14L, 1L, 2250L, 2250L), (15L, 0L, 0L, -1L)))
+    // the point of the bigram term: a familiar collocation costs less
+    // than its unigram continuation (1250 < uni(b)=1666), an unseen
+    // one costs more (2000 > 1666)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramCodeLength(
+        corpus.withColumnRenamed("text", "n_toks"), lm, "n_toks", "doc_id")
+    }
+  }
+
   test("integer millibit ranking agrees with float cross-entropy on the real corpus") {
     // The documented scoring deviation, QUANTIFIED (the BM25
     // rational-idf / DSIR mean-ratio precedent): Mitchell-log2
