@@ -207,6 +207,17 @@ object SparkEntry {
       SimilaritySearch.kmeansAssignments(e, "vec_id", "embedding", k = 8, iters = 2)
         .orderBy("vec_id")
     }),
+    // PQ-ADC ANN (Jégou et al. 2011): 4 subspaces × 8-code books (2
+    // Lloyd rounds each, integer L2), corpus encoded to 4 small codes,
+    // queries ranked by exact integer ADC lookup tables — the
+    // memory-bound ANN scan, deterministic end to end.
+    "q111_pq_ann" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.pqTopK(
+        e.where(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", k = 5, m = 4, ksub = 8, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
     // SemDeDup: semantic dedup blocked by the q58 k-means cells — every
     // vector with a >= threshold cosine neighbor of smaller id in its
     // cell is marked dropped. Pairwise work never leaves a cell.
@@ -967,8 +978,68 @@ object SparkEntry {
        ${assign("a2", "c1")}"""
   }
 
+  /** DuckDB twin of the q111 PQ chain: md5 seeds → per-subspace Lloyd
+    * (integer L2 argmin, ties to lowest code, floor means) → encode →
+    * per-query ADC tables → top-k. Every step mirrors
+    * `SimilaritySearch.pqTopK` exactly; sub-distances go through the
+    * shared `dotq` twin. */
+  private def pqCtes: String = {
+    val quant = graft.queries.VectorQueries.quant
+    def dotq(a: String, b: String) = graft.queries.VectorQueries.dotq(a, b)
+    def l2(a: String, b: String) =
+      s"(${dotq(a, a)} + ${dotq(b, b)} - 2 * ${dotq(a, b)})"
+    val (m, ksub, sd) = (4, 8, 16)
+    def subSlice(v: String, sub: String) =
+      s"$v[CAST($sub * $sd + 1 AS INT):CAST($sub * $sd + $sd AS INT)]"
+    def assign(name: String, book: String) =
+      s"""$name AS (SELECT * FROM (
+           SELECT sv.vec_id, sv.sub, sv.v, $book.code,
+             row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+               ORDER BY ${l2("sv.v", s"$book.cent")}, $book.code) AS r
+           FROM sv JOIN $book ON sv.sub = $book.sub) WHERE r = 1)"""
+    s"""e AS (SELECT vec_id, $quant AS q FROM embeddings),
+       seeds AS (
+         SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         FROM (SELECT vec_id, q FROM e
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub)),
+       b0 AS (
+         SELECT s.range AS sub, seeds.code,
+           ${subSlice("seeds.q", "s.range")} AS cent
+         FROM seeds, range(0, $m) s),
+       sv AS (
+         SELECT e.vec_id, s.range AS sub, ${subSlice("e.q", "s.range")} AS v
+         FROM e, range(0, $m) s),
+       ${assign("a1", "b0")},
+       b1 AS (
+         SELECT sub, code, list(mn ORDER BY d) AS cent FROM (
+           SELECT a1.sub, a1.code, dd.range AS d,
+             CAST(floor(sum(a1.v[CAST(dd.range + 1 AS INT)]) / count(*))
+               AS BIGINT) AS mn
+           FROM a1, range(0, $sd) dd GROUP BY a1.sub, a1.code, dd.range)
+         GROUP BY sub, code),
+       ${assign("a2", "b1")},
+       qs AS (SELECT vec_id AS query_id, q FROM e WHERE vec_id % 100 = 0),
+       lut AS (
+         SELECT qs.query_id, b1.sub, b1.code,
+           ${l2(subSlice("qs.q", "b1.sub"), "b1.cent")} AS d
+         FROM qs CROSS JOIN b1),
+       scored AS (
+         SELECT l.query_id, a2.vec_id AS neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS adc_l2
+         FROM a2 JOIN lut l ON a2.sub = l.sub AND a2.code = l.code
+         WHERE l.query_id <> a2.vec_id
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_l2, neighbor_id) AS rank FROM scored)"""
+  }
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
+      "q111_pq_ann" ->
+        s"""WITH $pqCtes
+           SELECT query_id, neighbor_id, adc_l2, CAST(rank AS BIGINT) AS rank
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
       "q42_lsh_ann" -> {
         // Rademacher sign matrix from md5 parity; integer buckets; then
         // the q37-style exact quantized-cosine top-5 within each bucket.

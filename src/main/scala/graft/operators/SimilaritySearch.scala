@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -274,6 +274,122 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+  }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI): the
+    * quantized vector splits into `m` subspaces of dim/m components;
+    * each subspace learns its own `ksub`-entry codebook (k-smallest-md5
+    * seeds shared with the IVF quantizer, then `iters` Lloyd rounds
+    * under exact integer squared-L2, argmin ties to the lowest code,
+    * floor-averaged integer centroid updates — every step engine-exact
+    * like the k-means chain); the corpus is ENCODED as m small codes
+    * per vector; queries answer by ADC (asymmetric distance
+    * computation): one m·ksub lookup table of exact sub-distances per
+    * query, approx dist = Σ over subspaces of table[sub][code].
+    *
+    * Returns (query_id, neighbor_id, adc_l2, rank) — rank by ADC
+    * distance ASC, ties to the lowest neighbor id, self excluded.
+    *
+    * Why this is THE memory-bound ANN scale path: the scan touches m
+    * bytes of code per corpus vector instead of the full vector (16×
+    * compression at m=4, dim=64, int32), and each candidate costs m
+    * table lookups instead of a dim-length dot product. Codebooks are
+    * m·ksub·(dim/m) integers — plan literals; the per-query LUT rides
+    * in a broadcast; the corpus never shuffles (encode is a
+    * projection, top-k is a partial-rank window). At warehouse scale
+    * compose with the IVF cells (`ivfTopK`'s quantizer) to prune the
+    * candidate list before the ADC scan — PQ compresses the scan, IVF
+    * shortens it; they are orthogonal and multiplicative (IVFADC,
+    * Jégou et al. §5). Codes that lose every member during a Lloyd
+    * round drop out of the codebook, exactly like empty k-means
+    * cells. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub > 0 && iters > 0 && k > 0,
+      s"ksub=$ksub, iters=$iters, k=$k must be positive")
+    val sd = dim / m
+    def l2q(a: Column, b: Column): Column =
+      VectorFunctions.normSqQ(a) + VectorFunctions.normSqQ(b) -
+        lit(2L) * VectorFunctions.dotQ(a, b)
+    def sub(vec: Column, s: Int): Column = slice(vec, s * sd + 1, sd)
+    // argmin-L2 code for subspace s against its codebook entries —
+    // the explodeBestCells idea, L2-ascending, inline literals
+    def codeOf(vec: Column, s: Int, entries: Seq[(Int, Seq[Long])]): Column =
+      element_at(sort_array(array(entries.map { case (code, cent) =>
+        struct(
+          l2q(sub(vec, s), array(cent.map(lit(_)): _*)).as("d"),
+          lit(code).as("code"))
+      }: _*)), 1).getField("code")
+
+    val cBase = corpus.select(col(idCol).cast("long").as("vec_id"),
+      VectorFunctions.quantize(col(vecCol)).as("q"))
+    val c = if (iters > 1) cBase.localCheckpoint(true) else cBase
+    // seed codebooks: the k-smallest-md5 vectors' sub-slices, codes
+    // 0..ksub-1 in seed-id order — one seed set, m sliced codebooks
+    val seeds = seedCentroids(c, "vec_id", "q", ksub)
+    var books: Map[Int, Seq[(Int, Seq[Long])]] =
+      (0 until m).map { s =>
+        s -> seeds.zipWithIndex.map {
+          case ((_, v), code) => (code, v.slice(s * sd, (s + 1) * sd))
+        }.toSeq
+      }.toMap
+    var encoded: DataFrame = null
+    for (i <- 1 to iters) {
+      encoded = c.withColumn("__codes",
+        array((0 until m).map(s => codeOf(col("q"), s, books(s))): _*))
+      if (i < iters) {
+        // per-(sub, code, dim) floor means — m·ksub·sd tiny rows on the
+        // driver, the kmeansAssignments update shape
+        books = encoded
+          .select(col("q"), posexplode(col("__codes")).as(Seq("__sub", "__code")))
+          .select(col("__sub"), col("__code"), posexplode(
+            slice(col("q"), col("__sub") * sd + 1, lit(sd))).as(Seq("__d", "__v")))
+          .groupBy("__sub", "__code", "__d")
+          .agg(floor(sum(col("__v")) / count(lit(1))).cast("long").as("__mn"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((s, code), rows) =>
+            (s, code, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+          }
+          .groupBy(_._1)
+          .map { case (s, es) =>
+            s -> es.map(e => (e._2, e._3)).toSeq.sortBy(_._1)
+          }
+      }
+    }
+    // per-query ADC lookup table, flat index sub·ksub + code; codes a
+    // Lloyd round emptied never occur in __codes — their slots hold a
+    // poison value and are provably never read
+    val lut = array((for (s <- 0 until m; cd <- 0 until ksub) yield {
+      books(s).find(_._1 == cd) match {
+        case Some((_, cent)) =>
+          l2q(sub(col("__qv"), s), array(cent.map(lit(_)): _*))
+        case None => lit(Long.MaxValue)
+      }
+    }): _*)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        VectorFunctions.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__lut", lut)
+      .select("query_id", "__lut")
+    val adc = (0 until m).map(s =>
+      element_at(col("__lut"),
+        (lit(s * ksub) + element_at(col("__codes"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded.select("vec_id", "__codes")
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("adc_l2", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_l2").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_l2"), col("rank"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

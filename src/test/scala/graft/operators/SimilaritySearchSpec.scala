@@ -195,6 +195,86 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(found == nTwins, s"twin recall@1: $found of $nTwins at nProbe=1")
   }
 
+  test("PQ-ADC ANN: shape, determinism, self-exclusion, rank order") {
+    val out = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2).cache()
+    val counts = out.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5))
+    assert(out.where($"query_id" === $"neighbor_id").count() == 0)
+    // rank 1..5 ascending in adc_l2 per query
+    val rows = out.orderBy("query_id", "rank")
+      .select("query_id", "rank", "adc_l2").as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+    // deterministic end to end: a second full run is row-identical
+    val again = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 5, ksub = 8, iters = 2) // 64 % 5 != 0
+    }
+  }
+
+  test("PQ recall floor vs exact quantized L2 on the test corpus") {
+    // ADC is an approximation of exact L2 by construction (Jégou et
+    // al. §3): pin the measured recall@5 floor against the exact-L2
+    // driver twin so a codebook/encode/LUT regression fails loudly.
+    val vecs = emb.select($"vec_id",
+        graft.functions.VectorFunctions.quantize($"embedding").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qIds = queries.select("vec_id").as[Long].collect()
+    val exactTop = qIds.map { qid =>
+      qid -> vecs.collect { case (id, v) if id != qid => (l2(vecs(qid), v), id) }
+        .toSeq.sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recallAt(m: Int, ksub: Int): Double = {
+      val pq = SimilaritySearch.pqTopK(queries, emb, "vec_id", "embedding",
+          k = 5, m = m, ksub = ksub, iters = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      qIds.map(q => (pq(q) & exactTop(q)).size).sum.toDouble / (qIds.length * 5)
+    }
+    // the fixture's vectors are near-uniform random — the worst case
+    // for PQ (no cluster structure, distance concentration), so
+    // absolute recall is LOW by nature. Measured on this corpus:
+    // m=4/ksub=8 → 0.088, m=16/ksub=8 → 0.184. Pin (a) a floor under
+    // the measured q111 config and (b) the theory-predicted direction:
+    // recall grows with total code bits (Jégou et al. §7).
+    val coarse = recallAt(4, 8)
+    assert(coarse >= 0.05, f"PQ recall@5 = $coarse%.3f below floor")
+    val fine = recallAt(16, 8)
+    assert(fine > coarse,
+      f"finer quantization must not lose recall: $fine%.3f vs $coarse%.3f")
+  }
+
+  test("PQ finds planted exact twins: the original ties for minimum ADC") {
+    // an exact duplicate shares every subspace code with its query, and
+    // per-subspace argmin encoding makes the query's own cell the ADC
+    // minimum — so the original MUST surface in its twin's top-k (up to
+    // full-code-collision ties, absent on this corpus)
+    val twins = emb.where($"vec_id" % 25 === 3)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(twins)
+    val out = SimilaritySearch.pqTopK(twins, corpus, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2)
+    val nTwins = twins.count()
+    val hit = out.where($"neighbor_id" === $"query_id" - 100000)
+    assert(hit.count() == nTwins,
+      s"${hit.count()} of $nTwins originals surfaced in their twins' top-5")
+    // and each such hit carries the query's own quantization error —
+    // the minimum ADC in its result list
+    val minAdc = out.groupBy("query_id").agg(min("adc_l2").as("mn"))
+    val notMin = hit.join(minAdc, "query_id").where($"adc_l2" > $"mn")
+    assert(notMin.count() == 0, "a twin's original must tie the ADC minimum")
+  }
+
   test("semanticDedup drops exact duplicates, keeps originals, covers every row") {
     // exact duplicates quantize identically -> same cell, cos² = 1 ->
     // the higher ids must be dropped and the lowest kept, regardless of
