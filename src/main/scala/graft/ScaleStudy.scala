@@ -120,7 +120,17 @@ object ScaleStudy {
     // iterative components plus a rank window; q107 is two hash aggs
     // + a key join; q108 joins signatures to the capped pair graph
     "q104_ccnet_split", "q106_dedup_keepers", "q107_source_report",
-    "q108_minhash_estimate")
+    "q108_minhash_estimate",
+    // q109: both split sides grow 10×; the key agg, band index and
+    // candidate verify are all linear in their inputs (replica
+    // disjointness keeps cross-replica candidates at zero). q110: the
+    // LM bigram table grows 10× under the token bijection but stays a
+    // gram-space hash agg; the corpus (w1,w2) explode is token-mass
+    // linear like q95's. (q111 PQ is deliberately NOT here: its query
+    // set is a fixed share of the corpus, so total work is Q×N by
+    // design — the per-candidate ADC cost, not end-to-end wall, is its
+    // scale contract, like the other embedding-family queries.)
+    "q109_dedup_against", "q110_bigram_ce")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

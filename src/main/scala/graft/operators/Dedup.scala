@@ -263,6 +263,57 @@ object Dedup {
       .select("id_a", "id_b", "jac_mills")
   }
 
+  /** Ordered containment (overlap-coefficient-toward-the-left) pairs:
+    * (id_a, id_b, contain_mills) where contain_mills =
+    * ⌊1000·|Tₐ∩T_b| / |Tₐ|⌋ ≥ `minContainMills` and a ≠ b. The
+    * asymmetric complement to [[jaccardPairs]]: a short document quoted
+    * inside a long one has high containment but low Jaccard (the union
+    * is dominated by the long side), so symmetric near-dup passes miss
+    * it — the common-crawl "page embeds the article" case.
+    *
+    * Blocking is the PPJoin-style prefix filter adapted to the
+    * asymmetric bound (Chaudhuri et al. 2006 prefix filtering): if
+    * C(a→b) ≥ t then b holds ≥ ⌈t·|Tₐ|⌉ of a's tokens, so at most
+    * |Tₐ| − ⌈t·|Tₐ|⌉ tokens of a are missing from b — any
+    * (|Tₐ| − ⌈t·|Tₐ|⌉ + 1)-subset of a's tokens must intersect T_b
+    * (pigeonhole). The probe side therefore explodes only that prefix
+    * (globally-rarest tokens first, for selectivity — ANY subset of
+    * that size is lossless); the index side explodes its full token
+    * set (token-mass linear, the candidate join is an equi-shuffle on
+    * the shingle). Exact verification on distinct candidates only.
+    * Lossless by construction — pinned by the randomized naive-parity
+    * property spec. `blockCols` scopes both sides like
+    * [[jaccardPairs]]. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      minContainMills: Int = 700, blockCols: Seq[String] = Nil): DataFrame = {
+    val d = df.select(col(idCol).as("__id") +: blockCols.map(col) :+
+      TextFunctions.tokenSetSorted(col(textCol)).as("toks"): _*)
+    val toks = d.select(col("__id") +: blockCols.map(col) :+
+      explode(col("toks")).as("shingle"): _*)
+    val dfreq = toks.groupBy("shingle").agg(count(lit(1)).as("gdf"))
+    val byDoc = Window.partitionBy("__id").orderBy("gdf", "shingle")
+    val prefix = toks.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(byDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("__id")))
+      .where(col("rnk") <=
+        col("sz") - ceil(col("sz") * minContainMills / lit(1000.0)) + 1)
+      .select(("shingle" +: blockCols :+ "__id").map(col): _*)
+    val cand = prefix.withColumnRenamed("__id", "id_a")
+      .join(toks.withColumnRenamed("__id", "id_b"), "shingle" +: blockCols)
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(d.select(col("__id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(d.select(col("__id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("common",
+        graft.functions.ArrayOps.sortedIntersectSize(col("ta"), col("tb")))
+      .withColumn("contain_mills",
+        floor(lit(1000) * col("common") / size(col("ta"))).cast("long"))
+      .where(col("contain_mills") >= minContainMills)
+      .select("id_a", "id_b", "contain_mills")
+  }
+
   /** Connected components over a near-dup pair graph — the "dedup
     * groups" step that turns candidate pairs into keep/drop decisions
     * (keep the min id per component, drop the rest).

@@ -950,6 +950,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Ordered containment pairs (overlap coefficient toward the
+    // contained side): the asymmetric near-dup pass that catches a
+    // short doc quoted inside a long one — high containment, low
+    // Jaccard. Engine runs the lossless asymmetric prefix filter; the
+    // oracle is the NAIVE within-block ordered-pair scan, so parity
+    // proves the blocking lossless on the real corpus.
+    "q112_containment_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+          docsSpread(s, dir).where(col("doc_id") % 3 === 0),
+          "text", "doc_id", minContainMills = 700,
+          blockCols = Seq("source"))
+        .orderBy("id_a", "id_b")),
+
     // Incremental cross-corpus dedup: classify the incoming batch
     // (doc_id % 3 = 0) against the standing corpus (doc_id % 3 <> 0) —
     // exact content-key match, LSH-banded near-dup (2 bands × 4
@@ -1760,6 +1773,19 @@ object TextQueries {
            abs(est_mills - jac_mills) AS abs_err
          FROM j ORDER BY id_a, id_b"""
     },
+    "q112_containment_pairs" ->
+      // the NAIVE ordered-pair twin within (subset, source) blocks —
+      // parity proves the engine's asymmetric prefix filter lossless
+      s"""WITH d AS (
+           SELECT doc_id, source, $sqlTokSet AS toks
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(1000 * len(list_intersect(a.toks, b.toks))
+             / len(a.toks)) AS BIGINT) AS contain_mills
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+         WHERE floor(1000 * len(list_intersect(a.toks, b.toks))
+             / len(a.toks)) >= 700
+         ORDER BY id_a, id_b""",
     "q109_dedup_against" -> {
       val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
       // independent recompute of the split, the key match, the 2×4

@@ -214,6 +214,53 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(got2.values.toSet == Set(5L) && got2.size == 5)
   }
 
+  test("containmentPairs finds asymmetric quote-inclusion that Jaccard misses") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (3L, "totally unrelated content words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "text", "doc_id",
+        minContainMills = 700)
+      .select("id_a", "id_b", "contain_mills")
+      .as[(Long, Long, Long)].collect().toSet
+    // 1's 3 tokens are all inside 2 -> C(1->2) = 1000; the reverse is
+    // 300 and Jaccard is 300 — both below any dedup threshold
+    assert(got == Set((1L, 2L, 1000L)))
+    val jac = Dedup.jaccardPairs(corpus, "text", "doc_id", minJaccardMills = 700)
+    assert(jac.count() == 0, "Jaccard must miss the quote-inclusion pair")
+  }
+
+  test("PROPERTY: prefix-filtered containmentPairs equals naive ordered " +
+    "all-pairs on randomized corpora (asymmetric-prefix losslessness)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to 3).foreach { trial =>
+      val long = Seq.fill(8)(Seq.fill(6 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // contained fragments: subsets of the long docs' token sets
+      val frags = long.take(4).map { t =>
+        val ts = t.split(" ").distinct
+        ts.take(2 + rnd.nextInt(ts.length - 1)).mkString(" ")
+      }
+      val texts = long ++ frags
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, "text", "doc_id",
+          minContainMills = 600)
+        .as[(Long, Long, Long)].collect().toSet
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").distinct.toSet
+      val ts = texts.map(toks).zipWithIndex
+      val want = (for {
+        (ta, a) <- ts; (tb, b) <- ts if a != b
+        mills = 1000L * (ta & tb).size / ta.size
+        if mills >= 600
+      } yield (a.toLong, b.toLong, mills)).toSet
+      assert(got == want, s"trial $trial: missing=${want -- got}, extra=${got -- want}")
+    }
+  }
+
   // pure-Scala twin of the md5 minhash contract (TextHash.minhashKernel)
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
