@@ -130,7 +130,10 @@ object ScaleStudy {
     // set is a fixed share of the corpus, so total work is Q×N by
     // design — the per-candidate ADC cost, not end-to-end wall, is its
     // scale contract, like the other embedding-family queries.)
-    "q109_dedup_against", "q110_bigram_ce")
+    "q109_dedup_against", "q110_bigram_ce",
+    // q112: probe-prefix and index explodes are token-mass linear;
+    // candidate mass linear by replica disjointness (as q36/q109)
+    "q112_containment_pairs")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
