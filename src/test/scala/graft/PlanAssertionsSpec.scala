@@ -327,6 +327,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q109: incremental dedup meets the corpus only through equi-joins") {
+    // dedupAgainst's promise: the batch probes the corpus key set and
+    // band index via plain equi-shuffles — nothing nested-loops over
+    // the 100 TB side, and exact Jaccard runs only on LSH candidates
+    val p = plan("q109_dedup_against")
+    assert(!p.contains("NestedLoop"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q111: the ADC scan broadcasts only the query LUTs; top-k stays partial") {
+    // pqTopK's promise: the encoded corpus never shuffles for scoring —
+    // the per-query lookup tables ride a broadcast into the scan, and
+    // the rank cut ships k rows per partition
+    val p = plan("q111_pq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q112: containment candidates come from a shingle equi-join, never a doc×doc loop") {
+    val p = plan("q112_containment_pairs")
+    assert(!p.contains("NestedLoop"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost
