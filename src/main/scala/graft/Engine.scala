@@ -221,6 +221,16 @@ object Engine {
     *                      every non-canonical holder after exact dedup
     *                      (TextAnalysis.removeDupPassages — row-
     *                      preserving, text shrinks)
+    * @param againstCorpus when Some(standing corpus of the same
+    *                      `idCol`/`textCol` shape, in this pipeline's
+    *                      cleaned text form), batch docs the corpus
+    *                      already holds — exact content key or LSH-
+    *                      verified near-dup at `againstMinJaccardMills`
+    *                      — are dropped after exact dedup
+    *                      (Dedup.dedupAgainst, the q109 operator);
+    *                      `againstMaxCandidates` is its documented
+    *                      lossy hot-band cap (default exhaustive).
+    *                      Adds an `incremental_new` ledger stage
     * @param gopherStops   when Some(list), documents failing the
     *                      Gopher A1.1 rule conjunction (with this
     *                      required-word list) are dropped between
@@ -258,6 +268,9 @@ object Engine {
       decontamEval: Option[DataFrame] = None,
       decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
       removeDupWindows: Option[(Int, Int)] = None,
+      againstCorpus: Option[DataFrame] = None,
+      againstMinJaccardMills: Int = 500,
+      againstMaxCandidates: Int = Int.MaxValue,
       gopherStops: Option[Seq[String]] = None,
       budgetTokens: Long = 1000000L,
       selection: Option[SelectionPolicy] = None,
@@ -295,15 +308,34 @@ object Engine {
     val exactDeduped = Dedup.exact(nonEmpty, textCol, idCol)
       .drop("content_key", "dup_count")
 
+    // 4a. optional incremental gate vs a standing corpus (the q109
+    // operator): batch docs the corpus already holds — exact content
+    // key or verified LSH near-dup — are dropped; only `new` docs
+    // continue. The standing corpus is expected in the same cleaned
+    // form this pipeline produces (classify raw-vs-clean text and the
+    // content keys disagree for trivial whitespace reasons).
+    val incremental = againstCorpus match {
+      case None => exactDeduped
+      case Some(corpus) =>
+        exactDeduped.join(
+          Dedup.dedupAgainst(
+            exactDeduped.select(col(idCol), col(textCol)), corpus,
+            textCol, idCol,
+            minJaccardMills = againstMinJaccardMills,
+            maxCandidates = againstMaxCandidates)
+            .where(col("verdict") === "new").select(idCol),
+          Seq(idCol), "left_semi")
+    }
+
     // 4b. optional duplicated-passage surgery: cut cross-doc repeated
     // windows from every non-canonical holder; a doc whose every token
     // was a duplicated passage has no trainable content left (same
     // rule as stage 3) and is dropped here
     val passageClean = removeDupWindows match {
-      case None => exactDeduped
+      case None => incremental
       case Some((w, m)) =>
-        boundary(exactDeduped.drop(textCol).join(
-          TextAnalysis.removeDupPassages(exactDeduped, textCol, idCol, w, m)
+        boundary(incremental.drop(textCol).join(
+          TextAnalysis.removeDupPassages(incremental, textCol, idCol, w, m)
             .select(col(idCol), col("clean_text").as(textCol)),
           Seq(idCol))
           .where(TextFunctions.tokenCount(col(textCol)) > 0))
@@ -385,14 +417,17 @@ object Engine {
     val packed = TextAnalysis.packSequences(
       selected, textCol, idCol, strataCol, packBudget)
 
-    val accounting = Seq(
-      (0, "input", docs), (1, "cleaned", cleaned),
-      (2, "non_empty", nonEmpty), (3, "exact_deduped", exactDeduped),
-      (4, "passage_cleaned", passageClean),
-      (5, "decontaminated", dedupedB), (6, "rule_filtered", ruled),
-      (7, selLabel, selected),
-      (8, "chunks", chunks), (9, "packed_docs", packed))
-      .map { case (i, name, df) =>
+    val accounting = (Seq(
+      ("input", docs), ("cleaned", cleaned),
+      ("non_empty", nonEmpty), ("exact_deduped", exactDeduped)) ++
+      (if (againstCorpus.isDefined) Seq(("incremental_new", incremental))
+       else Nil) ++ Seq(
+      ("passage_cleaned", passageClean),
+      ("decontaminated", dedupedB), ("rule_filtered", ruled),
+      (selLabel, selected),
+      ("chunks", chunks), ("packed_docs", packed)))
+      .zipWithIndex
+      .map { case ((name, df), i) =>
         df.agg(lit(i).as("stage_no"), lit(name).as("stage"),
           count(lit(1)).as("n_rows"))
       }.reduce(_ unionByName _)

@@ -317,4 +317,43 @@ class EngineSpec extends AnyFunSuite {
     assert(gotExact == expectExact,
       "facade exact-k selection must equal the direct q100 operator")
   }
+
+  test("processCorpus incremental mode drops what a standing corpus already holds") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // standing corpus in CLEANED form (what a prior processCorpus run
+    // shipped): two thirds of the fixture
+    val standing = Engine.processCorpus(
+      docs.where(col("doc_id") % 3 =!= 0), materializeBoundaries = true)
+      .deduped.select("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val inc = Engine.processCorpus(batch, againstCorpus = Some(standing),
+      materializeBoundaries = true)
+    val ledger = inc.accounting.collect()
+      .map(row => (row.getString(1), row.getInt(0), row.getLong(2)))
+    val byName = ledger.map(t => t._1 -> t._3).toMap
+    assert(byName.contains("incremental_new"), s"stages: ${ledger.toSeq}")
+    assert(byName("incremental_new") <= byName("exact_deduped"))
+    // stage order: incremental sits between exact dedup and passage clean
+    val order = ledger.sortBy(_._2).map(_._1).toSeq
+    assert(order.indexOf("incremental_new") == order.indexOf("exact_deduped") + 1)
+    // the facade's keep set IS the q109 operator's `new` verdict set on
+    // the same frames (reuse, not fork)
+    val pool = Engine.processCorpus(batch, materializeBoundaries = true)
+    val expected = operators.Dedup.dedupAgainst(
+        pool.deduped.select("doc_id", "text"), standing, "text", "doc_id",
+        maxCandidates = Int.MaxValue)
+      .where(col("verdict") === "new").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // compare at the same stage: incremental_new ids
+    val got = inc.deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missing=${expected -- got}, extra=${got -- expected}")
+    // near-dups of standing docs (the fixture's cross-split near-dup
+    // mass) must actually bind: fewer survive than with no gate
+    assert(byName("incremental_new") < byName("exact_deduped"),
+      "the incremental gate must drop at least one held doc")
+    // and without the gate there is no incremental stage
+    assert(!pool.accounting.collect().map(_.getString(1))
+      .contains("incremental_new"))
+  }
 }
