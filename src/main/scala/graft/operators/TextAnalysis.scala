@@ -877,6 +877,76 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Mixture planning — the data-recipe step of a pretraining run
+    * (domain weighting per Gopher table A2 / Llama-style data recipes;
+    * target shares chosen upstream, e.g. by DoReMi, Xie et al. 2023b):
+    * given integer target WEIGHTS per stratum and a total token
+    * budget, report per stratum what is available, what the target
+    * asks for, what can actually be allocated, and how far off-mix the
+    * corpus sits.
+    *
+    * Output, one row per stratum appearing in EITHER the corpus or the
+    * weight table: `avail_tokens` (Σ tokenCount), `target_tokens`
+    * (⌊budget·w⌋/W), `alloc_tokens` (min of the two — single-pass, no
+    * deficit redistribution: a planner that silently rebalances hides
+    * the under-supply this report exists to surface), `deficit_tokens`
+    * (target − alloc), and `log2_ratio_mills` — the SIGNED Mitchell
+    * log₂ of (observed share / target share) in millibits, the
+    * per-stratum term a KL-style mix-divergence sums (0 = on-mix,
+    * positive = over-represented, negative = under-represented;
+    * strata with zero weight or zero supply pin to the sign of what's
+    * present). All arithmetic is integer (DECIMAL(38,0) where products
+    * exceed int64 at real corpus sizes) through the shared
+    * [[TextFunctions.log2Mills]] kernel — bit-identical in any engine.
+    *
+    * Scale shape: one hash aggregate over the corpus (stratum → token
+    * sum); the weight table is a broadcast dimension; everything after
+    * the aggregate is per-stratum arithmetic on a bounded frame. */
+  def mixturePlan(df: DataFrame, strataCol: String, textCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-negative")
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(strataCol, "__w")
+    val totalW = weights.map(_._2).sum
+    val avail = df
+      .groupBy(strataCol)
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("avail_tokens"))
+    val joined = avail.join(broadcast(w), Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        coalesce(col("__w"), lit(0L)).as("__w"))
+      .crossJoin(broadcast(avail.agg(
+        coalesce(sum("avail_tokens"), lit(0L)).as("__n"))))
+    // signed log2(p/q) with p = avail/N, q = w/W: ratio = avail·W/(N·w);
+    // zero-supply or zero-weight strata pin to ∓(a sentinel-free) sign
+    // via the defined branch (the other side of the ratio is 0)
+    joined
+      .withColumn("target_tokens",
+        expr(s"""CAST((CAST($budgetTokens AS DECIMAL(38,0)) * __w)
+                 div $totalW AS BIGINT)"""))
+      .withColumn("alloc_tokens", least(col("avail_tokens"), col("target_tokens")))
+      .withColumn("deficit_tokens", col("target_tokens") - col("alloc_tokens"))
+      .withColumn("log2_ratio_mills",
+        when(col("avail_tokens") === 0L && col("__w") === 0L, lit(0L))
+          .when(col("avail_tokens") === 0L, lit(-10000L) * lit(totalW))
+          .when(col("__w") === 0L, lit(10000L) * lit(totalW))
+          .otherwise {
+            val up = expr(s"""CAST((CAST(1024 AS DECIMAL(38,0)) * avail_tokens
+              * $totalW) div (CAST(__n AS DECIMAL(38,0)) * __w) AS BIGINT)""")
+            val dn = expr(s"""CAST((CAST(1024 AS DECIMAL(38,0)) * __n * __w)
+              div (CAST(avail_tokens AS DECIMAL(38,0)) * $totalW) AS BIGINT)""")
+            when(expr(s"""CAST(avail_tokens AS DECIMAL(38,0)) * $totalW >=
+                CAST(__n AS DECIMAL(38,0)) * __w"""),
+              TextFunctions.log2Mills(up) - lit(10000L))
+              .otherwise(lit(-1L) * (TextFunctions.log2Mills(dn) - lit(10000L)))
+          })
+      .select(col(strataCol), col("avail_tokens"), col("target_tokens"),
+        col("alloc_tokens"), col("deficit_tokens"), col("log2_ratio_mills"))
+  }
+
   /** Token-budget corpus selection under a quality ordering — the data
     * mixing step that fills a per-stratum token budget with the best
     * documents: walk each stratum in (quality DESC, id ASC) order and

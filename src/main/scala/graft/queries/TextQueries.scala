@@ -206,6 +206,14 @@ object TextQueries {
     * count at every SF, so the exact-k cut binds everywhere. */
   private[graft] val PrioritySampleK = 25
 
+  /** q113's target mixture: integer weights over strata — exercises
+    * over-represented (en vs 50), under-represented, zero-weight on a
+    * present stratum (zh) and zero-supply on an absent one (ja). */
+  private[graft] val MixtureWeights: Seq[(String, Long)] = Seq(
+    ("en", 50L), ("de", 20L), ("es", 10L), ("fr", 10L), ("zh", 0L),
+    ("ja", 10L))
+  private[graft] val MixtureBudget = 50000L
+
   /** q105's Hamming-join geometry: 24 signature bits over 3 pigeonhole
     * blocks (maxHamming 2) — 8-bit blocks keep bucket sizes honest on
     * the fixture while both the exact-match and the 1/2-bit-flip
@@ -949,6 +957,16 @@ object TextQueries {
           abs(col("est_mills") - col("jac_mills")).as("abs_err"))
         .orderBy("id_a", "id_b")
     }),
+
+    // Mixture planning: per-stratum token supply vs a target-weight
+    // recipe — available / target / allocatable / deficit plus the
+    // signed Mitchell log2 of (observed share / target share). One
+    // corpus hash agg; the weight table is a broadcast dimension.
+    "q113_mixture_plan" -> ((s, dir) =>
+      graft.operators.TextAnalysis.mixturePlan(
+          docsSpread(s, dir).select(col("lang"), col("text")),
+          "lang", "text", MixtureWeights, MixtureBudget)
+        .orderBy("lang")),
 
     // Ordered containment pairs (overlap coefficient toward the
     // contained side): the asymmetric near-dup pass that catches a
@@ -1772,6 +1790,59 @@ object TextQueries {
          SELECT id_a, id_b, est_mills, jac_mills,
            abs(est_mills - jac_mills) AS abs_err
          FROM j ORDER BY id_a, id_b"""
+    },
+    "q113_mixture_plan" -> {
+      val totalW = MixtureWeights.map(_._2).sum
+      val vals = MixtureWeights
+        .map { case (l, w) => s"('$l', CAST($w AS BIGINT))" }.mkString(", ")
+      // full recompute: token supply per stratum, HUGEINT target split,
+      // and the signed Mitchell log2 of the share ratio — the q95
+      // kernel twin, with the zero-supply/zero-weight pins
+      s"""WITH w AS (SELECT * FROM (VALUES $vals) AS v(lang, w)),
+         a AS (SELECT lang, CAST(sum($sqlTokenCount) AS BIGINT)
+                 AS avail_tokens
+               FROM documents GROUP BY lang),
+         nn AS (SELECT CAST(coalesce(sum(avail_tokens), 0) AS BIGINT) AS n
+                FROM a),
+         j AS (
+           SELECT coalesce(a.lang, w.lang) AS lang,
+             coalesce(a.avail_tokens, 0) AS avail_tokens,
+             coalesce(w.w, 0) AS w
+           FROM a FULL OUTER JOIN w ON a.lang = w.lang),
+         t AS (
+           SELECT j.*, nn.n,
+             CAST((CAST($MixtureBudget AS HUGEINT) * w) // $totalW
+               AS BIGINT) AS target_tokens
+           FROM j CROSS JOIN nn),
+         r AS (
+           SELECT *,
+             CASE WHEN avail_tokens > 0 AND w > 0
+                   AND CAST(avail_tokens AS HUGEINT) * $totalW
+                       >= CAST(n AS HUGEINT) * w
+               THEN CAST((CAST(1024 AS HUGEINT) * avail_tokens * $totalW)
+                 // (CAST(n AS HUGEINT) * w) AS BIGINT)
+             WHEN avail_tokens > 0 AND w > 0
+               THEN CAST((CAST(1024 AS HUGEINT) * n * w)
+                 // (CAST(avail_tokens AS HUGEINT) * $totalW) AS BIGINT)
+             ELSE NULL END AS q,
+             CASE WHEN CAST(avail_tokens AS HUGEINT) * $totalW
+                       >= CAST(n AS HUGEINT) * w
+               THEN 1 ELSE -1 END AS sgn
+           FROM t),
+         m AS (
+           SELECT *, 1000 * e + (1000 * (q - p)) // p - 10000 AS lm
+           FROM (
+             SELECT *, (CAST(1 AS BIGINT) << CAST(e AS INT)) AS p
+             FROM (SELECT *, length(printf('%b', q)) - 1 AS e FROM r)))
+         SELECT lang, avail_tokens, target_tokens,
+           least(avail_tokens, target_tokens) AS alloc_tokens,
+           target_tokens - least(avail_tokens, target_tokens)
+             AS deficit_tokens,
+           CAST(CASE WHEN avail_tokens = 0 AND w = 0 THEN 0
+             WHEN avail_tokens = 0 THEN -10000 * $totalW
+             WHEN w = 0 THEN 10000 * $totalW
+             ELSE sgn * lm END AS BIGINT) AS log2_ratio_mills
+         FROM m ORDER BY lang"""
     },
     "q112_containment_pairs" ->
       // the NAIVE ordered-pair twin within (subset, source) blocks —

@@ -684,6 +684,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixturePlan matches hand-computed allocation and signed log ratios") {
+    // corpus: a=3 toks, b=1, d=2 (N=6); weights a=1 b=1 c=2 (+d absent,
+    // W=4); budget 8. Exercises over-mix (a: ratio 2 -> +1000 mills),
+    // under-mix (b: ratio 2/3 -> -500), zero supply (c: -10000·W) and
+    // zero weight on a present stratum (d: +10000·W).
+    val docs = Seq(("a", "x y z"), ("b", "x"), ("d", "x y"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.mixturePlan(docs, "lang", "text",
+        Seq(("a", 1L), ("b", 1L), ("c", 2L)), budgetTokens = 8L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, 2L, 2L, 0L, 1000L),
+      ("b", 1L, 2L, 1L, 1L, -500L),
+      ("c", 0L, 4L, 0L, 4L, -40000L),
+      ("d", 2L, 0L, 0L, 0L, 40000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixturePlan(docs, "lang", "text",
+        Seq(("a", -1L)), budgetTokens = 8L)
+    }
+  }
+
   test("bigramCodeLength matches hand-computed millibit costs on every branch") {
     // lm as the unigram fixture: a×4 b×2 c×1 → N=7 V=3, N+V=10;
     // bigrams with multiplicity: "a a"×2, "a b"×2, "b c"×1.
