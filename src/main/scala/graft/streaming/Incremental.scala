@@ -134,6 +134,13 @@ object Incremental {
   case class GatedDoc(doc_id: Long, lang: String, text: String,
     content_key: String)
 
+  /** One candidate-join row of the against-corpus gate: the doc plus a
+    * possible exact match (corpus min id on the content key) and a
+    * possible LSH-candidate Jaccard (mills) — either absent when the
+    * left joins found nothing. */
+  case class CandDoc(doc_id: Long, lang: String, text: String,
+    content_key: String, exact_id: Option[Long], jm: Option[Long])
+
   /** Incremental corpus gate — the STREAMING twin of the per-document
     * stages of `Engine.processCorpus`: unicode cleanup + PII scrub
     * (`cleanText`/`scrubPii`, q77/q73's operators), empty-drop, the
@@ -152,7 +159,17 @@ object Incremental {
     * the expensive part at crawl scale (state: one long per distinct
     * content key; size the stateful shuffle with `expectedKeys` —
     * [[statePartitions]] semantics, state-store confs copied into the
-    * isolated drain session like the q44/q71 gates). */
+    * isolated drain session like the q44/q71 gates).
+    *
+    * `againstCorpus`: the streaming twin of `Dedup.dedupAgainst` (the
+    * q109 operator) — with a STANDING corpus given, each drain also
+    * drops documents the corpus already holds, by exact content key or
+    * LSH-banded near-dup at `againstMinJaccardMills` (2×4 md5 bands,
+    * exhaustive verify). The corpus key set, band index and token sets
+    * are STREAM-STATIC joins — stateless per micro-batch, recomputed
+    * from the static frame each drain — and a corpus-held key is
+    * remembered in the first-seen state (-1), so re-submissions drop on
+    * the state path without re-probing the corpus. */
   def corpusGate(
       spark: SparkSession,
       inDir: String,
@@ -160,7 +177,9 @@ object Incremental {
       checkpoint: String,
       outDir: String,
       gopherStops: Option[Seq[String]] = None,
-      expectedKeys: Long = 0L): Unit = {
+      expectedKeys: Long = 0L,
+      againstCorpus: Option[DataFrame] = None,
+      againstMinJaccardMills: Int = 500): Unit = {
     val session = if (expectedKeys <= 0L) spark else {
       val s2 = spark.newSession()
       spark.conf.getAll.foreach { case (k, v) =>
@@ -190,20 +209,83 @@ object Incremental {
           .where(col("gopher_ok"))
           .select(col("doc_id"), col("lang"), col("__text").as("text"))
     }
-    val q = ruled
-      .withColumn("content_key", md5(col("text")))
-      .select("doc_id", "lang", "text", "content_key").as[GatedDoc]
-      .groupByKey(_.content_key)
-      .flatMapGroupsWithState[Long, GatedDoc](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
-          else {
-            val first = it.minBy(_.doc_id)
-            state.update(first.doc_id)
-            Iterator.single(first)
+    val keyed = ruled.withColumn("content_key", md5(col("text")))
+    // the gated stream of survivors: plain first-occurrence state, or —
+    // with a standing corpus — the q109 classification as STREAM-STATIC
+    // joins (the static key set / band index / token sets are stateless
+    // per micro-batch; only the first-seen key state is stateful), and
+    // a key the corpus already holds is remembered in state (-1) so
+    // later batches drop it without re-probing
+    val survivors = againstCorpus match {
+      case None =>
+        keyed.select("doc_id", "lang", "text", "content_key").as[GatedDoc]
+          .groupByKey(_.content_key)
+          .flatMapGroupsWithState[Long, GatedDoc](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (_, it, state: GroupState[Long]) =>
+              if (state.exists) Iterator.empty
+              else {
+                val first = it.minBy(_.doc_id)
+                state.update(first.doc_id)
+                Iterator.single(first)
+              }
           }
-      }
+      case Some(corpus) =>
+        val (bands, rowsPerBand) = (2, 4)
+        val cKeys = corpus
+          .select(TextFunctions.contentKey(col("text")).as("__ak"),
+            col("doc_id").as("__cid"))
+          .groupBy("__ak").agg(min("__cid").as("__exact_id"))
+        val cBands = corpus.select(col("doc_id").as("__cid"),
+          posexplode(array((0 until bands).map { b =>
+            TextFunctions.minhashBand(
+              col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
+          }: _*)).as(Seq("__bno", "__bsig")))
+        val cToks = corpus.select(col("doc_id").as("__cid"),
+          TextFunctions.tokenSetSorted(col("text")).as("__ct"))
+        val minJac = againstMinJaccardMills
+        keyed
+          .withColumn("__ak", TextFunctions.contentKey(col("text")))
+          .withColumn("__bt", TextFunctions.tokenSetSorted(col("text")))
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("content_key"), col("__ak"), col("__bt"),
+            posexplode(array((0 until bands).map { b =>
+              TextFunctions.minhashBand(
+                col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
+            }: _*)).as(Seq("__bno", "__bsig")))
+          .join(cBands, Seq("__bno", "__bsig"), "left")
+          .join(cToks, Seq("__cid"), "left")
+          .withColumn("__common", when(col("__ct").isNull, lit(null))
+            .otherwise(graft.functions.ArrayOps
+              .sortedIntersectSize(col("__bt"), col("__ct"))))
+          .withColumn("__jm", when(col("__common").isNull, lit(null))
+            .otherwise(floor(lit(1000) * col("__common")
+              / (size(col("__bt")) + size(col("__ct")) - col("__common")))
+              .cast("long")))
+          .join(cKeys, Seq("__ak"), "left")
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("content_key"), col("__exact_id").as("exact_id"),
+            col("__jm").as("jm")).as[CandDoc]
+          .groupByKey(_.content_key)
+          .flatMapGroupsWithState[Long, GatedDoc](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (_, it, state: GroupState[Long]) =>
+              if (state.exists) Iterator.empty
+              else {
+                val rows = it.toSeq
+                val held = rows.exists(r =>
+                  r.exact_id.isDefined || r.jm.exists(_ >= minJac))
+                if (held) { state.update(-1L); Iterator.empty }
+                else {
+                  val f = rows.minBy(_.doc_id)
+                  state.update(f.doc_id)
+                  Iterator.single(
+                    GatedDoc(f.doc_id, f.lang, f.text, f.content_key))
+                }
+              }
+          }
+    }
+    val q = survivors
       .writeStream
       .outputMode(OutputMode.Append)
       .format("parquet").option("path", outDir)

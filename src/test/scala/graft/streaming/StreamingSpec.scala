@@ -263,6 +263,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(Incremental.StatePartitionsOverrideConf)
   }
 
+  test("corpusGate with a standing corpus drops held docs via stream-static joins") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    // the md5 band contract fixtures from DedupMergeSpec: 'edge' swaps
+    // for 'bank' and still collides on band 0 at J = 833
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val near = "the quick brown fox jumps over the lazy dog near the river edge"
+    val standing = Seq(
+      (100L, "en", base),
+      (101L, "en", "entirely unrelated corpus material about astronomy telescopes"))
+      .toDF("doc_id", "lang", "text")
+    val batch1 = Seq(
+      (1L, "en", base),                                  // exact dup of 100
+      (2L, "en", near),                                  // near dup of 100
+      (3L, "en", "completely novel subject matter nothing shared at all"),
+      (4L, "en", "completely novel subject matter nothing shared at all"))
+      .toDF("doc_id", "lang", "text")                    // in-stream dup of 3
+    batch1.write.mode("append").parquet(in)
+    def drain(): Unit = Incremental.corpusGate(
+      spark, in, batch1.schema, cp, out,
+      againstCorpus = Some(standing), expectedKeys = 1000L)
+    drain()
+    def kept(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept() == Set(3L), s"got ${kept()}")
+    // re-submitting a corpus-held text drops on the REMEMBERED state
+    // path; a new novel doc still lands
+    Seq((5L, "en", base), (6L, "en", "another genuinely fresh document body"))
+      .toDF("doc_id", "lang", "text").write.mode("append").parquet(in)
+    drain()
+    assert(kept() == Set(3L, 6L), s"got ${kept()}")
+    // the survivor set equals the batch operator's `new` verdicts on
+    // first-seen stream docs (ids 1,2,3,5,6 with 4 deduped in-stream)
+    val firstSeen = Seq((1L, base), (2L, near),
+      (3L, "completely novel subject matter nothing shared at all"),
+      (6L, "another genuinely fresh document body")).toDF("doc_id", "text")
+    val twin = graft.operators.Dedup.dedupAgainst(
+        firstSeen, standing, "text", "doc_id",
+        maxCandidates = Int.MaxValue)
+      .where(col("verdict") === "new").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept() == twin, "streaming gate must equal the q109 batch twin")
+  }
+
   test("corpusGate drains crawl batches into a clean deduped store, batch-equivalently") {
     val in = tmp(); val cp = tmp(); val out = tmp()
     // 60-word docs built to pass the Gopher A1.1 conjunction (mean word
