@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.IntegerType
   * `.withExtensions(new GraftExtensions)`), making
   * `token_set_ratio` / `partial_ratio` / `indel_ratio` /
   * `cosine_sq_scaled` / `minhash_sig` / `simhash` /
-  * `rolling_fingerprint` available to plain SQL — including spark-sql
+  * `rolling_fingerprint` / `content_key` / `token_count` available to plain SQL — including spark-sql
   * shells and JDBC/Thrift sessions where no Scala code runs.
   *
   * Deliberately NO custom `Rule[LogicalPlan]` or `SparkStrategy` is
@@ -86,6 +86,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("url_host"),
       info("url_host", "url_host(u) - authority of a canonicalized URL, '' when absent"),
       (es: Seq[Expression]) => graft.functions.UrlNorm.urlHostExpr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("content_key"),
+      info("content_key", "content_key(text) - md5 of lower(trim(text)), the engine-wide exact-dedup key (q29/q109 contract)"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.Md5(
+          new org.apache.spark.sql.catalyst.expressions.Lower(
+            org.apache.spark.sql.catalyst.expressions.StringTrim(es.head)))))
+    e.injectFunction((
+      FunctionIdentifier("token_count"),
+      info("token_count", "token_count(text) - whitespace token count, 0 for empty text (the q30/q74 contract)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        val trimmed = StringTrim(es.head)
+        CaseWhen(
+          Seq((EqualTo(Length(trimmed), Literal(0)), Literal(0L))),
+          Cast(Size(StringSplit(trimmed, Literal("\\s+"), Literal(-1))),
+            org.apache.spark.sql.types.LongType))
+      }))
     e.injectFunction((
       FunctionIdentifier("zorder2"),
       info("zorder2", "zorder2(x, y[, bits]) - Morton-interleaved z-order key of two quantized dimensions; bits is a literal int in 1..31, default 16"),

@@ -66,6 +66,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("SELECT zorder2(1, 2, 99)").collect()
       }
+      // content_key / token_count from SQL text, agreeing with the
+      // Column-API contracts (q29's md5(lower(trim)) key, q30's count)
+      val r4 = spark.sql(
+        """SELECT content_key('  The Quick FOX ') AS ck,
+          |       content_key('the quick fox') AS ck2,
+          |       token_count('  a  b   c ') AS tc,
+          |       token_count('   ') AS tc0""".stripMargin)
+        .as[(String, String, Long, Long)].head()
+      assert(r4._1 == r4._2, "content_key must normalize case/whitespace")
+      assert(r4._3 == 3L && r4._4 == 0L)
+      val ckCol = spark.range(1)
+        .select(graft.functions.TextFunctions.contentKey(
+          org.apache.spark.sql.functions.lit("the quick fox")).as("k"))
+        .as[String].head()
+      assert(r4._2 == ckCol, "SQL content_key must equal the Column API")
     } finally {
       // leave the shared session for other suites
     }
