@@ -132,8 +132,9 @@ object ScaleStudy {
     // scale contract, like the other embedding-family queries.)
     "q109_dedup_against", "q110_bigram_ce",
     // q112: probe-prefix and index explodes are token-mass linear;
-    // candidate mass linear by replica disjointness (as q36/q109)
-    "q112_containment_pairs")
+    // candidate mass linear by replica disjointness (as q36/q109);
+    // q113 is one stratum hash agg — the pure scan floor
+    "q112_containment_pairs", "q113_mixture_plan")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
