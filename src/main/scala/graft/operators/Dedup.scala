@@ -402,17 +402,52 @@ object Dedup {
     * binds: verification is no longer exhaustive — a true near-dup
     * beyond the cap can be missed and its doc reported `new`. Pass
     * `Int.MaxValue` for lossless classification. */
+  /** The reusable corpus-side index [[dedupAgainst]] probes: one row
+    * per corpus doc with the content key, the LSH band signatures
+    * (array, position = band number) and the sorted token set — ONE
+    * corpus scan. At steady state persist this (bucketed by
+    * `content_key` / band signature) and maintain it incrementally;
+    * every incoming batch then classifies against the stored index
+    * instead of re-deriving it from corpus text (the inline
+    * [[dedupAgainst]] overload scans the corpus once per derived
+    * frame). Feed it to [[dedupAgainstIndex]]; `bands`/`rowsPerBand`
+    * must match between build and probe. */
+  def buildDedupIndex(
+      corpus: DataFrame, textCol: String, idCol: String,
+      bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
+    corpus.select(
+      col(idCol).as("corpus_id"),
+      TextFunctions.contentKey(col(textCol)).as("content_key"),
+      array((0 until bands).map { bn =>
+        TextFunctions.minhashBand(
+          col(textCol), (bn * rowsPerBand) until ((bn + 1) * rowsPerBand))
+      }: _*).as("band_sigs"),
+      TextFunctions.tokenSetSorted(col(textCol)).as("toks"))
+
   def dedupAgainst(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      bands: Int = 2, rowsPerBand: Int = 4,
+      minJaccardMills: Int = 500,
+      maxCandidates: Int): DataFrame =
+    dedupAgainstIndex(batch,
+      buildDedupIndex(corpus, textCol, idCol, bands, rowsPerBand),
+      textCol, idCol, bands, rowsPerBand, minJaccardMills, maxCandidates)
+
+  /** As [[dedupAgainst]], but against a PREBUILT (usually persisted)
+    * [[buildDedupIndex]] frame — the steady-state shape where the
+    * corpus index is maintained incrementally and only the batch is
+    * derived per run. */
+  def dedupAgainstIndex(
+      batch: DataFrame, corpusIndex: DataFrame,
+      textCol: String, idCol: String,
       bands: Int = 2, rowsPerBand: Int = 4,
       minJaccardMills: Int = 500,
       maxCandidates: Int): DataFrame = {
     val b = batch.select(
       col(idCol).as("__bid"), col(textCol).as("__btext"),
       TextFunctions.contentKey(col(textCol)).as("__ck"))
-    val corpusKeys = corpus
-      .select(TextFunctions.contentKey(col(textCol)).as("__ck"),
-        col(idCol).as("__cid"))
+    val corpusKeys = corpusIndex
+      .select(col("content_key").as("__ck"), col("corpus_id").as("__cid"))
       .groupBy("__ck").agg(min("__cid").as("__exact_id"))
     val keyed = b.join(corpusKeys, Seq("__ck"), "left")
     val rest = keyed.where(col("__exact_id").isNull)
@@ -427,7 +462,8 @@ object Dedup {
         }: _*)).as(Seq("band_no", "band_sig")))
 
     val cand = bandIndex(rest, col("__btext"), col("__bid"), "__b")
-      .join(bandIndex(corpus, col(textCol), col(idCol), "__c"),
+      .join(corpusIndex.select(col("corpus_id").as("__c"),
+          posexplode(col("band_sigs")).as(Seq("band_no", "band_sig"))),
         Seq("band_no", "band_sig"))
       .groupBy("__b", "__c").agg(count(lit(1)).as("__nb"))
     val capped =
@@ -441,8 +477,8 @@ object Dedup {
 
     val bToks = rest.select(col("__bid"),
       TextFunctions.tokenSetSorted(col("__btext")).as("__bt"))
-    val cToks = corpus.select(col(idCol).as("__cid"),
-      TextFunctions.tokenSetSorted(col(textCol)).as("__ct"))
+    val cToks = corpusIndex.select(col("corpus_id").as("__cid"),
+      col("toks").as("__ct"))
     val best = capped
       .join(bToks, capped("__b") === bToks("__bid"))
       .join(cToks, capped("__c") === cToks("__cid"))

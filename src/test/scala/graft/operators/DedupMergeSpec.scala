@@ -352,6 +352,29 @@ class DedupMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupAgainstIndex over a persisted index equals the inline classification") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "entirely unrelated corpus material about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (3L, "completely novel subject matter nothing shared with anything")
+    ).toDF("doc_id", "text")
+    // the steady-state shape: the index is built ONCE and persisted;
+    // batches probe the materialized frame, never corpus text
+    val idx = Dedup.buildDedupIndex(corpus, "text", "doc_id")
+      .localCheckpoint(true)
+    assert(idx.columns.toSeq ==
+      Seq("corpus_id", "content_key", "band_sigs", "toks"))
+    val viaIndex = Dedup.dedupAgainstIndex(batch, idx, "text", "doc_id",
+      maxCandidates = Int.MaxValue).collect().map(_.toString).sorted.toSeq
+    val inline = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+      maxCandidates = Int.MaxValue).collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == inline)
+  }
+
   test("dedupAgainst maxCandidates cap keeps the most-colliding corpus " +
     "candidates and can (contractually) miss matches beyond the cap") {
     // corpus: one true near-dup of the batch doc plus a boilerplate
