@@ -218,6 +218,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, m = 4, ksub = 8, iters = 2)
         .orderBy("query_id", "rank")
     }),
+    // IVFADC (Jégou et al. §5): coarse IVF cells + residual PQ — the
+    // composed warehouse ANN: cells shorten the scan (2/8 probed),
+    // residual codebooks compress it (4 codes/vector), both quantizers
+    // exact-integer and hash-gated end to end.
+    "q114_ivfpq_ann" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilaritySearch.ivfPqTopK(
+        e.where(col("vec_id") % 100 === 0), e,
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
+        m = 4, ksub = 8, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
     // SemDeDup: semantic dedup blocked by the q58 k-means cells — every
     // vector with a >= threshold cosine neighbor of smaller id in its
     // cell is marked dropped. Pairwise work never leaves a cell.
@@ -1034,8 +1046,86 @@ object SparkEntry {
            ORDER BY adc_l2, neighbor_id) AS rank FROM scored)"""
   }
 
+  /** DuckDB twin of the q114 IVFADC chain: the SHARED q58 coarse
+    * kmeans chain (kmeansCtes — seed, assign, update, assign; the
+    * coarse quantizer is TRAINED, unlike q52's seed-only cells),
+    * per-cell residuals, then the q111-style PQ chain over RESIDUAL
+    * subvectors with per-probe ADC tables. */
+  private def ivfPqCtes: String = {
+    val quant = graft.queries.VectorQueries.quant
+    def dotq(a: String, b: String) = graft.queries.VectorQueries.dotq(a, b)
+    def cossq(a: String, b: String) = graft.queries.VectorQueries.cossq(a, b)
+    def l2(a: String, b: String) =
+      s"(${dotq(a, a)} + ${dotq(b, b)} - 2 * ${dotq(a, b)})"
+    val (nProbe, m, ksub, sd) = (2, 4, 8, 16)
+    def subSlice(v: String, sub: String) =
+      s"$v[CAST($sub * $sd + 1 AS INT):CAST($sub * $sd + $sd AS INT)]"
+    def resid(v: String, cent: String) =
+      s"[$v[CAST(i AS INT)] - $cent[CAST(i AS INT)] FOR i IN range(1, 65)]"
+    def assign(name: String, book: String) =
+      s"""$name AS (SELECT * FROM (
+           SELECT sv.vec_id, sv.cell, sv.sub, sv.v, $book.code,
+             row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+               ORDER BY ${l2("sv.v", s"$book.cent")}, $book.code) AS r
+           FROM sv JOIN $book ON sv.sub = $book.sub) WHERE r = 1)"""
+    // kmeansCtes ends at a2 = (vec_id, q, cell) against the trained c1
+    s"""$kmeansCtes,
+       cres AS (
+         SELECT a2.vec_id, a2.cell, ${resid("a2.q", "c1.centroid")} AS rv
+         FROM a2 JOIN c1 ON a2.cell = c1.cell),
+       seeds AS (
+         SELECT vec_id, rv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         FROM (SELECT cres.vec_id, cres.rv FROM cres
+               ORDER BY md5(CAST(cres.vec_id AS VARCHAR)) LIMIT $ksub)),
+       b0 AS (
+         SELECT s.range AS sub, seeds.code,
+           ${subSlice("seeds.rv", "s.range")} AS cent
+         FROM seeds, range(0, $m) s),
+       sv AS (
+         SELECT cres.vec_id, cres.cell, s.range AS sub,
+           ${subSlice("cres.rv", "s.range")} AS v
+         FROM cres, range(0, $m) s),
+       ${assign("pa1", "b0")},
+       b1 AS (
+         SELECT sub, code, list(mn ORDER BY d) AS cent FROM (
+           SELECT pa1.sub, pa1.code, dd.range AS d,
+             CAST(floor(sum(pa1.v[CAST(dd.range + 1 AS INT)]) / count(*))
+               AS BIGINT) AS mn
+           FROM pa1, range(0, $sd) dd GROUP BY pa1.sub, pa1.code, dd.range)
+         GROUP BY sub, code),
+       ${assign("pa2", "b1")},
+       qasgn AS (SELECT * FROM (
+         SELECT e.vec_id AS query_id, e.q AS qv, c1.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cossq("e.q", "c1.centroid")} DESC, c1.cell) AS r
+         FROM e CROSS JOIN c1 WHERE e.vec_id % 100 = 0)
+         WHERE r <= $nProbe),
+       qres AS (
+         SELECT qasgn.query_id, qasgn.cell,
+           ${resid("qasgn.qv", "c1.centroid")} AS rq
+         FROM qasgn JOIN c1 ON qasgn.cell = c1.cell),
+       lut AS (
+         SELECT qres.query_id, qres.cell, b1.sub, b1.code,
+           ${l2(subSlice("qres.rq", "b1.sub"), "b1.cent")} AS d
+         FROM qres CROSS JOIN b1),
+       scored AS (
+         SELECT l.query_id, pa2.vec_id AS neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS adc_l2
+         FROM pa2 JOIN lut l
+           ON pa2.cell = l.cell AND pa2.sub = l.sub AND pa2.code = l.code
+         WHERE l.query_id <> pa2.vec_id
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_l2, neighbor_id) AS rank FROM scored)"""
+  }
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
+      "q114_ivfpq_ann" ->
+        s"""WITH $ivfPqCtes
+           SELECT query_id, neighbor_id, adc_l2, CAST(rank AS BIGINT) AS rank
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
       "q111_pq_ann" ->
         s"""WITH $pqCtes
            SELECT query_id, neighbor_id, adc_l2, CAST(rank AS BIGINT) AS rank

@@ -304,32 +304,33 @@ object SimilaritySearch {
     * Jégou et al. §5). Codes that lose every member during a Lloyd
     * round drop out of the codebook, exactly like empty k-means
     * cells. */
-  def pqTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    require(ksub > 0 && iters > 0 && k > 0,
-      s"ksub=$ksub, iters=$iters, k=$k must be positive")
-    val sd = dim / m
-    def l2q(a: Column, b: Column): Column =
-      VectorFunctions.normSqQ(a) + VectorFunctions.normSqQ(b) -
-        lit(2L) * VectorFunctions.dotQ(a, b)
-    def sub(vec: Column, s: Int): Column = slice(vec, s * sd + 1, sd)
-    // argmin-L2 code for subspace s against its codebook entries —
-    // the explodeBestCells idea, L2-ascending, inline literals
-    def codeOf(vec: Column, s: Int, entries: Seq[(Int, Seq[Long])]): Column =
-      element_at(sort_array(array(entries.map { case (code, cent) =>
-        struct(
-          l2q(sub(vec, s), array(cent.map(lit(_)): _*)).as("d"),
-          lit(code).as("code"))
-      }: _*)), 1).getField("code")
+  /** Exact integer squared L2 of two quantized vectors. */
+  private def l2q(a: Column, b: Column): Column =
+    VectorFunctions.normSqQ(a) + VectorFunctions.normSqQ(b) -
+      lit(2L) * VectorFunctions.dotQ(a, b)
 
-    val cBase = corpus.select(col(idCol).cast("long").as("vec_id"),
-      VectorFunctions.quantize(col(vecCol)).as("q"))
-    val c = if (iters > 1) cBase.localCheckpoint(true) else cBase
-    // seed codebooks: the k-smallest-md5 vectors' sub-slices, codes
-    // 0..ksub-1 in seed-id order — one seed set, m sliced codebooks
+  /** PQ subspace slice s (0-based) of a dim = m·sd quantized vector. */
+  private def pqSub(vec: Column, s: Int, sd: Int): Column =
+    slice(vec, s * sd + 1, sd)
+
+  /** argmin-L2 code for subspace s against its codebook entries — the
+    * explodeBestCells idea, L2-ascending, ties to the lowest code,
+    * inline literals. */
+  private def pqCodeOf(vec: Column, s: Int, sd: Int,
+      entries: Seq[(Int, Seq[Long])]): Column =
+    element_at(sort_array(array(entries.map { case (code, cent) =>
+      struct(
+        l2q(pqSub(vec, s, sd), array(cent.map(lit(_)): _*)).as("d"),
+        lit(code).as("code"))
+    }: _*)), 1).getField("code")
+
+  /** Train the m per-subspace codebooks over `c`'s ALREADY-QUANTIZED
+    * vector column `q` (md5-seed init shared with the IVF quantizer,
+    * `iters` integer-L2 Lloyd rounds, floor-mean updates, empty codes
+    * drop) and return (books, c + `__codes`) from the FINAL round.
+    * Extra columns of `c` ride through untouched. */
+  private def trainPqBooks(c: DataFrame, m: Int, ksub: Int, iters: Int,
+      sd: Int): (Map[Int, Seq[(Int, Seq[Long])]], DataFrame) = {
     val seeds = seedCentroids(c, "vec_id", "q", ksub)
     var books: Map[Int, Seq[(Int, Seq[Long])]] =
       (0 until m).map { s =>
@@ -340,7 +341,7 @@ object SimilaritySearch {
     var encoded: DataFrame = null
     for (i <- 1 to iters) {
       encoded = c.withColumn("__codes",
-        array((0 until m).map(s => codeOf(col("q"), s, books(s))): _*))
+        array((0 until m).map(s => pqCodeOf(col("q"), s, sd, books(s))): _*))
       if (i < iters) {
         // per-(sub, code, dim) floor means — m·ksub·sd tiny rows on the
         // driver, the kmeansAssignments update shape
@@ -361,29 +362,138 @@ object SimilaritySearch {
           }
       }
     }
-    // per-query ADC lookup table, flat index sub·ksub + code; codes a
-    // Lloyd round emptied never occur in __codes — their slots hold a
-    // poison value and are provably never read
-    val lut = array((for (s <- 0 until m; cd <- 0 until ksub) yield {
+    (books, encoded)
+  }
+
+  /** Per-query ADC lookup table over a quantized-vector column: flat
+    * array, index sub·ksub + code, of exact sub-distances to every
+    * codebook entry. Codes a Lloyd round emptied never occur in
+    * `__codes` — their slots hold a poison value and are provably
+    * never read. */
+  private def pqLut(vec: Column, m: Int, ksub: Int, sd: Int,
+      books: Map[Int, Seq[(Int, Seq[Long])]]): Column =
+    array((for (s <- 0 until m; cd <- 0 until ksub) yield {
       books(s).find(_._1 == cd) match {
         case Some((_, cent)) =>
-          l2q(sub(col("__qv"), s), array(cent.map(lit(_)): _*))
+          l2q(pqSub(vec, s, sd), array(cent.map(lit(_)): _*))
         case None => lit(Long.MaxValue)
       }
     }): _*)
-    val q = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        VectorFunctions.quantize(col(vecCol)).as("__qv"))
-      .withColumn("__lut", lut)
-      .select("query_id", "__lut")
-    val adc = (0 until m).map(s =>
+
+  /** ADC distance: Σ over subspaces of the `__lut` entry at this row's
+    * `__codes`. Both lookups stay codegen'd (element_at on a Column
+    * index). */
+  private def pqAdc(m: Int, ksub: Int): Column =
+    (0 until m).map(s =>
       element_at(col("__lut"),
         (lit(s * ksub) + element_at(col("__codes"), s + 1) + 1).cast("int")))
       .reduce(_ + _)
+
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub > 0 && iters > 0 && k > 0,
+      s"ksub=$ksub, iters=$iters, k=$k must be positive")
+    val sd = dim / m
+    val cBase = corpus.select(col(idCol).cast("long").as("vec_id"),
+      VectorFunctions.quantize(col(vecCol)).as("q"))
+    val c = if (iters > 1) cBase.localCheckpoint(true) else cBase
+    val (books, encoded) = trainPqBooks(c, m, ksub, iters, sd)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        VectorFunctions.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__lut", pqLut(col("__qv"), m, ksub, sd, books))
+      .select("query_id", "__lut")
     val scored = encoded.select("vec_id", "__codes")
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("adc_l2", adc)
+      .withColumn("adc_l2", pqAdc(m, ksub))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_l2").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_l2"), col("rank"))
+  }
+
+  /** IVFADC — the composed warehouse-scale ANN (Jégou, Douze & Schmid
+    * 2011 §5): the IVF coarse quantizer (same md5-seeded centroids and
+    * argmax-cosine assignment as `ivfTopK`, q52's contract) partitions
+    * the corpus into `nCells`; every vector is PQ-encoded on its
+    * RESIDUAL against its cell centroid (residual energy ≪ vector
+    * energy, so the same code budget quantizes far finer — the reason
+    * IVFADC beats plain PQ at equal bits); queries probe their
+    * `nProbe` best cells, each probe with its own residual ADC table.
+    *
+    * Scale shape: IVF shortens the scan (a query touches
+    * ~nProbe/nCells of the corpus through a broadcast equi-join on
+    * `cell`), PQ compresses what remains (m codes per row, m lookups
+    * per candidate) — orthogonal and multiplicative. The codebooks are
+    * trained on ALL residuals (one shared PQ codebook across cells,
+    * the paper's IVFADC variant). Same output shape as `pqTopK`;
+    * recall < 1 by construction (both quantizers approximate). */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64,
+      coarseIters: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(nCells > 0 && nProbe > 0 && ksub > 0 && iters > 0 && k > 0 &&
+        coarseIters > 0,
+      s"nCells=$nCells, nProbe=$nProbe, ksub=$ksub, iters=$iters, k=$k, " +
+        s"coarseIters=$coarseIters must be positive")
+    val sd = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cBase = corpus.select(col(idCol).cast("long").as("vec_id"),
+      VectorFunctions.quantize(col(vecCol)).as("q"))
+    val c = if (coarseIters > 1) cBase.localCheckpoint(true) else cBase
+    // the coarse quantizer is TRAINED (Lloyd over the q58 kernel) —
+    // unlike ivfTopK's seed-only cells: residual coding only pays off
+    // when cells actually capture locality, so the paper trains the
+    // coarse stage (Jégou et al. §5.1); seed-only cells leave residual
+    // energy at ~2× vector energy on anything unclustered
+    var cents = seedCentroids(c, "vec_id", "q", nCells)
+    for (_ <- 2 to coarseIters) {
+      cents = assignCells(c, "q", cents, "cell", probes = 1)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        }
+        .toArray
+        .sortBy(_._1)
+    }
+    val centDf = cents.toSeq.toDF("cell", "__cent")
+    // corpus: one cell each, residual against the cell centroid —
+    // checkpointed ONCE so the PQ seed collect, each Lloyd update and
+    // the final encode all reuse it instead of re-running the cell
+    // assignment per action
+    val cRes = assignCells(c, "q", cents, "cell", probes = 1)
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), col("__cent"), (a, b) => a - b).as("q"))
+      .localCheckpoint(true)
+    val (books, encodedRes) = trainPqBooks(cRes, m, ksub, iters, sd)
+    // queries: nProbe cells, one residual ADC table PER probed cell
+    val qLut = assignCells(
+        queries.select(col(idCol).cast("long").as("query_id"),
+          VectorFunctions.quantize(col(vecCol)).as("__qv")),
+        "__qv", cents, "cell", probes = nProbe)
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("__rq", zip_with(col("__qv"), col("__cent"), (a, b) => a - b))
+      .withColumn("__lut", pqLut(col("__rq"), m, ksub, sd, books))
+      .select("query_id", "cell", "__lut")
+    val scored = encodedRes.select("vec_id", "cell", "__codes")
+      .join(broadcast(qLut), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("adc_l2", pqAdc(m, ksub))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_l2").asc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -351,6 +351,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q114: the IVFADC probe is a broadcast equi-join on the cell; top-k stays partial") {
+    // ivfPqTopK's promise: the encoded corpus meets the per-probe ADC
+    // tables through a broadcast hash join on `cell` — the corpus
+    // never shuffles for scoring — and the rank cut ships k rows per
+    // partition
+    val p = plan("q114_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q95: cost and oov tables broadcast; the corpus stream never re-sorts") {
     // unigramCodeLength's promise: the only corpus-sized shuffle in
     // the scoring branch is the per-doc sum — the vocab-bounded cost

@@ -275,6 +275,85 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(notMin.count() == 0, "a twin's original must tie the ADC minimum")
   }
 
+  test("IVFADC: shape, probed-cell containment, determinism, guards") {
+    val out = SimilaritySearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2, m = 4, ksub = 8, iters = 2).cache()
+    assert(out.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ <= 5))
+    assert(out.where($"query_id" === $"neighbor_id").count() == 0)
+    // candidates may come ONLY from the query's probed cells: at
+    // nProbe = nCells every corpus row is probed and the result must
+    // contain the nProbe=2 result's pairs ranked at least as well
+    // (monotone candidate growth, same scoring)
+    val full = SimilaritySearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = Int.MaxValue - 1, nCells = 8, nProbe = 8, m = 4, ksub = 8, iters = 2)
+    val missing = out.select("query_id", "neighbor_id", "adc_l2").as("p")
+      .join(full.select("query_id", "neighbor_id", "adc_l2").as("f"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    assert(missing.count() == 0,
+      "every probed pair must exist in the all-cells scan with the same score")
+    // and the ADC score for a shared pair is identical (probing prunes
+    // candidates, never changes residual scores)
+    val mismatched = out.as("p").join(full.as("f"), Seq("query_id", "neighbor_id"))
+      .where(col("p.adc_l2") =!= col("f.adc_l2"))
+    assert(mismatched.count() == 0)
+    val again = SimilaritySearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2, m = 4, ksub = 8, iters = 2)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 0, nProbe = 1)
+    }
+  }
+
+  test("IVFADC residual coding beats plain PQ recall on clustered data") {
+    // the point of encoding residuals (Jégou et al. §5): once the
+    // coarse quantizer captures the cluster, the code budget spends on
+    // WITHIN-cluster detail — which plain PQ codes cannot represent
+    // (they saturate on the cluster prototypes). This only operates
+    // when the data HAS locality: on the near-uniform random fixture
+    // residual energy ≈ 2× vector energy (centroids are arbitrary
+    // far-away vectors) and residual coding measurably LOSES — so the
+    // gate runs on a deterministic clustered corpus: 8 well-separated
+    // centers, 25 members each = center + small structured noise,
+    // where top-5 truth is decided by the noise the residual codes.
+    val dim = 64
+    def center(j: Int, d: Int): Double = (((j * 37 + d * 17) % 2000) - 1000) / 1000.0
+    def noise(i: Int, d: Int): Double = (((i * 13 + d * 7) % 21) - 10) / 1000.0
+    val rows = (0 until 200).map { i =>
+      val j = i % 8
+      (i.toLong, Array.tabulate(dim)(d => (center(j, d) + noise(i, d)).toFloat))
+    }
+    val cl = rows.toDF("vec_id", "embedding")
+    val qs = cl.where($"vec_id" % 20 === 0)
+    val vecs = cl.select($"vec_id",
+        graft.functions.VectorFunctions.quantize($"embedding").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qIds = qs.select("vec_id").as[Long].collect()
+    val exactTop = qIds.map { qid =>
+      qid -> vecs.collect { case (id, v) if id != qid => (l2(vecs(qid), v), id) }
+        .toSeq.sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      qIds.map(q => (got.getOrElse(q, Set.empty) & exactTop(q)).size).sum
+        .toDouble / (qIds.length * 5)
+    }
+    // nProbe = nCells isolates the coding difference (no probe loss)
+    val ivfadc = recallOf(SimilaritySearch.ivfPqTopK(qs, cl,
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8,
+      m = 4, ksub = 8, iters = 2))
+    val plain = recallOf(SimilaritySearch.pqTopK(qs, cl,
+      "vec_id", "embedding", k = 5, m = 4, ksub = 8, iters = 2))
+    assert(ivfadc > plain,
+      f"residual coding must help on clustered data: " +
+        f"ivfadc $ivfadc%.3f vs plain $plain%.3f")
+  }
+
   test("semanticDedup drops exact duplicates, keeps originals, covers every row") {
     // exact duplicates quantize identically -> same cell, cos² = 1 ->
     // the higher ids must be dropped and the lowest kept, regardless of
