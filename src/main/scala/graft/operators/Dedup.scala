@@ -429,9 +429,20 @@ object Dedup {
       bands: Int = 2, rowsPerBand: Int = 4,
       minJaccardMills: Int = 500,
       maxCandidates: Int): DataFrame =
-    dedupAgainstIndex(batch,
-      buildDedupIndex(corpus, textCol, idCol, bands, rowsPerBand),
-      textCol, idCol, bands, rowsPerBand, minJaccardMills, maxCandidates)
+    classifyAgainst(batch, textCol, idCol,
+      corpusKeys = corpus
+        .select(TextFunctions.contentKey(col(textCol)).as("__ck"),
+          col(idCol).as("__cid"))
+        .groupBy("__ck").agg(min("__cid").as("__exact_id")),
+      corpusBands = corpus.select(
+        col(idCol).as("__c"),
+        posexplode(array((0 until bands).map { bn =>
+          TextFunctions.minhashBand(
+            col(textCol), (bn * rowsPerBand) until ((bn + 1) * rowsPerBand))
+        }: _*)).as(Seq("band_no", "band_sig"))),
+      corpusToks = corpus.select(col(idCol).as("__cid"),
+        TextFunctions.tokenSetSorted(col(textCol)).as("__ct")),
+      bands, rowsPerBand, minJaccardMills, maxCandidates)
 
   /** As [[dedupAgainst]], but against a PREBUILT (usually persisted)
     * [[buildDedupIndex]] frame — the steady-state shape where the
@@ -442,29 +453,44 @@ object Dedup {
       textCol: String, idCol: String,
       bands: Int = 2, rowsPerBand: Int = 4,
       minJaccardMills: Int = 500,
-      maxCandidates: Int): DataFrame = {
+      maxCandidates: Int): DataFrame =
+    classifyAgainst(batch, textCol, idCol,
+      corpusKeys = corpusIndex
+        .select(col("content_key").as("__ck"), col("corpus_id").as("__cid"))
+        .groupBy("__ck").agg(min("__cid").as("__exact_id")),
+      corpusBands = corpusIndex.select(col("corpus_id").as("__c"),
+        posexplode(col("band_sigs")).as(Seq("band_no", "band_sig"))),
+      corpusToks = corpusIndex.select(col("corpus_id").as("__cid"),
+        col("toks").as("__ct")),
+      bands, rowsPerBand, minJaccardMills, maxCandidates)
+
+  /** The shared classification kernel behind [[dedupAgainst]] (inline
+    * corpus frames) and [[dedupAgainstIndex]] (prebuilt index frames):
+    * exact key probe, band-collision candidates, exhaustive-or-capped
+    * Jaccard verify, verdict assembly. Takes the three corpus-side
+    * frames pre-shaped — (__ck, __exact_id), (__c, band_no, band_sig),
+    * (__cid, __ct) — so both sources optimize to the same probe plan
+    * (the inline shapes keep their exchange-reuse pattern; an index
+    * frame the caller materialized is scanned per consumer). */
+  private def classifyAgainst(
+      batch: DataFrame, textCol: String, idCol: String,
+      corpusKeys: DataFrame, corpusBands: DataFrame, corpusToks: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      minJaccardMills: Int, maxCandidates: Int): DataFrame = {
     val b = batch.select(
       col(idCol).as("__bid"), col(textCol).as("__btext"),
       TextFunctions.contentKey(col(textCol)).as("__ck"))
-    val corpusKeys = corpusIndex
-      .select(col("content_key").as("__ck"), col("corpus_id").as("__cid"))
-      .groupBy("__ck").agg(min("__cid").as("__exact_id"))
     val keyed = b.join(corpusKeys, Seq("__ck"), "left")
     val rest = keyed.where(col("__exact_id").isNull)
       .select("__bid", "__btext")
 
-    def bandIndex(df: DataFrame, text: Column, id: Column, as: String) =
-      df.select(
-        id.as(as),
+    val cand = rest.select(
+        col("__bid").as("__b"),
         posexplode(array((0 until bands).map { bn =>
           TextFunctions.minhashBand(
-            text, (bn * rowsPerBand) until ((bn + 1) * rowsPerBand))
+            col("__btext"), (bn * rowsPerBand) until ((bn + 1) * rowsPerBand))
         }: _*)).as(Seq("band_no", "band_sig")))
-
-    val cand = bandIndex(rest, col("__btext"), col("__bid"), "__b")
-      .join(corpusIndex.select(col("corpus_id").as("__c"),
-          posexplode(col("band_sigs")).as(Seq("band_no", "band_sig"))),
-        Seq("band_no", "band_sig"))
+      .join(corpusBands, Seq("band_no", "band_sig"))
       .groupBy("__b", "__c").agg(count(lit(1)).as("__nb"))
     val capped =
       if (maxCandidates == Int.MaxValue) cand
@@ -477,11 +503,9 @@ object Dedup {
 
     val bToks = rest.select(col("__bid"),
       TextFunctions.tokenSetSorted(col("__btext")).as("__bt"))
-    val cToks = corpusIndex.select(col("corpus_id").as("__cid"),
-      col("toks").as("__ct"))
     val best = capped
       .join(bToks, capped("__b") === bToks("__bid"))
-      .join(cToks, capped("__c") === cToks("__cid"))
+      .join(corpusToks, capped("__c") === corpusToks("__cid"))
       .withColumn("__common",
         graft.functions.ArrayOps.sortedIntersectSize(col("__bt"), col("__ct")))
       .withColumn("__jm",
