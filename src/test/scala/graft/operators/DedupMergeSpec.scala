@@ -324,6 +324,14 @@ class DedupMergeSpec extends AnyFunSuite {
           maxCandidates = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3))).toSet
+      // the prebuilt-index path must classify identically on every trial
+      val viaIdx = Dedup.dedupAgainstIndex(batch,
+          Dedup.buildDedupIndex(corpus, "text", "doc_id"), "text", "doc_id",
+          bands = 2, rowsPerBand = 4, minJaccardMills = 500,
+          maxCandidates = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(viaIdx == got, s"trial $trial: index path diverged")
       val want = batchTexts.zipWithIndex.map { case (bt, bi) =>
         val bKey = md5Hex(bt.trim.toLowerCase)
         val exact = corpusTexts.zipWithIndex.collect {
