@@ -958,6 +958,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Robust winsorization: per-lang exact [p05, p95] clipping of
+    // n_chars with outlier flags — the q57/q81 histogram-selection
+    // kernel plus a broadcast bounds join back onto the rows.
+    "q115_winsorize" -> ((s, dir) =>
+      graft.operators.Robust.winsorize(
+          docs(s, dir).select("doc_id", "lang", "n_chars")
+            .where(col("n_chars").isNotNull),
+          "lang", "n_chars", loNum = 1, loDen = 20, hiNum = 19, hiDen = 20)
+        .select("doc_id", "lang", "n_chars", "lo", "hi", "clipped",
+          "is_outlier")
+        .orderBy("doc_id")),
+
     // Mixture planning: per-stratum token supply vs a target-weight
     // recipe — available / target / allocatable / deficit plus the
     // signed Mitchell log2 of (observed share / target share). One
@@ -1791,6 +1803,31 @@ object TextQueries {
            abs(est_mills - jac_mills) AS abs_err
          FROM j ORDER BY id_a, id_b"""
     },
+    "q115_winsorize" ->
+      // independent recompute of the exact rank-(n·p ceil) bounds
+      // (the q81 arithmetic) and the clip/flag application
+      """WITH h AS (
+           SELECT lang, n_chars, count(*) AS cnt
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT lang, n_chars, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+           FROM h),
+         b AS (
+           SELECT lang,
+             CAST(min(CASE WHEN cum >= (n * 1 + 19) // 20
+               THEN n_chars END) AS BIGINT) AS lo,
+             CAST(min(CASE WHEN cum >= (n * 19 + 19) // 20
+               THEN n_chars END) AS BIGINT) AS hi
+           FROM r GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+           least(greatest(d.n_chars, b.lo), b.hi) AS clipped,
+           (d.n_chars < b.lo OR d.n_chars > b.hi) AS is_outlier
+         FROM documents d JOIN b USING (lang)
+         WHERE d.n_chars IS NOT NULL
+         ORDER BY d.doc_id""",
     "q113_mixture_plan" -> {
       val totalW = MixtureWeights.map(_._2).sum
       val vals = MixtureWeights
