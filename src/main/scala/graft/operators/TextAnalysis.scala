@@ -969,6 +969,36 @@ object TextAnalysis {
   def budgetSelect(df: DataFrame, strataCol: String, qualityCol: String,
       tokensCol: String, idCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    budgetSelectKernel(df, strataCol, qualityCol, tokensCol, idCol,
+      _.withColumn("__budget", lit(budgetTokens)))
+  }
+
+  /** [[budgetSelect]] with a PER-STRATUM budget frame — the execution
+    * half of mixture curation: [[mixturePlan]]'s `alloc_tokens` (or any
+    * (stratum, budget) table) drives how many tokens each stratum may
+    * keep, filled in (quality DESC, id ASC) order by the same
+    * histogram kernel. Strata missing from `budgets` get budget 0 —
+    * absent from the plan means not in the mix, and silence would hide
+    * it. `budgets` must be one row per stratum (bounded — it rides a
+    * broadcast). */
+  def budgetSelectPerStratum(df: DataFrame, strataCol: String,
+      qualityCol: String, tokensCol: String, idCol: String,
+      budgets: DataFrame, budgetCol: String): DataFrame =
+    budgetSelectKernel(df, strataCol, qualityCol, tokensCol, idCol, { j =>
+      val b = budgets.select(col(strataCol).as("__bs"),
+        col(budgetCol).as("__b"))
+      j.join(broadcast(b), col(strataCol) <=> col("__bs"), "left")
+        .withColumn("__budget", coalesce(col("__b"), lit(0L)))
+        .drop("__bs", "__b")
+    })
+
+  /** The one histogram-selection kernel behind [[budgetSelect]] and
+    * [[budgetSelectPerStratum]] — `attachBudget` adds the `__budget`
+    * column (a literal or a broadcast per-stratum join) to the binned
+    * frame; everything else is shared so the two can never drift. */
+  private def budgetSelectKernel(df: DataFrame, strataCol: String,
+      qualityCol: String, tokensCol: String, idCol: String,
+      attachBudget: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(strataCol), col(qualityCol))
       .agg(sum(col(tokensCol)).as("__qt"))
@@ -982,23 +1012,25 @@ object TextAnalysis {
     // (the naive window ranks NULL quality last under DESC — same
     // place the cumsum puts its bin); a plain equi-join would silently
     // drop those rows and break the row-identical contract
-    val j = df.as("__d").join(bins.as("__h"),
+    val j = attachBudget(df.as("__d").join(bins.as("__h"),
         col(s"__d.`$strataCol`") <=> col(s"__h.`$strataCol`") &&
           col(s"__d.`$qualityCol`") <=> col(s"__h.`$qualityCol`"))
       .select((df.columns.map(c => col(s"__d.`$c`")) :+
-        col("__h.__cum_incl") :+ col("__h.__cum_before")): _*)
-    val fullKeep = j.where(col("__cum_incl") <= budgetTokens)
+        col("__h.__cum_incl") :+ col("__h.__cum_before")): _*))
+    val fullKeep = j.where(col("__cum_incl") <= col("__budget"))
     val wd = Window.partitionBy(col(strataCol), col(qualityCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // <= (not <) on cum_before: a zero-token doc heading a bin that
     // starts exactly ON the budget line is kept, as the naive order does
     val boundary = j
-      .where(col("__cum_before") <= budgetTokens && col("__cum_incl") > budgetTokens)
+      .where(col("__cum_before") <= col("__budget") &&
+        col("__cum_incl") > col("__budget"))
       .withColumn("__cum_doc", col("__cum_before") + sum(col(tokensCol)).over(wd))
-      .where(col("__cum_doc") <= budgetTokens)
+      .where(col("__cum_doc") <= col("__budget"))
       .drop("__cum_doc")
-    fullKeep.unionByName(boundary).drop("__cum_incl", "__cum_before")
+    fullKeep.unionByName(boundary)
+      .drop("__cum_incl", "__cum_before", "__budget")
   }
 
   /** Bit-length cap for [[bloomDecontam]]'s inline bitset: 2²² bits =

@@ -958,6 +958,28 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Mixture-budget selection — the execution half of q113's plan:
+    // per-stratum alloc_tokens drive the q74 histogram-selection
+    // kernel (zh's zero weight → zero budget → nothing kept from a
+    // populated stratum — exercised on the real data).
+    "q116_mixture_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScoreMills(col("text")).as("q_mills"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budgets = graft.operators.TextAnalysis.mixturePlan(
+          docs(s, dir).select(col("lang"), col("text")),
+          "lang", "text", MixtureWeights, MixtureBudget)
+        .select("lang", "alloc_tokens")
+      graft.operators.TextAnalysis.budgetSelectPerStratum(
+          d, "lang", "q_mills", "n_tokens", "doc_id", budgets, "alloc_tokens")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("q_mills")).as("min_quality"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // Robust winsorization: per-lang exact [p05, p95] clipping of
     // n_chars with outlier flags — the q57/q81 histogram-selection
     // kernel plus a broadcast bounds join back onto the rows.
@@ -1802,6 +1824,40 @@ object TextQueries {
          SELECT id_a, id_b, est_mills, jac_mills,
            abs(est_mills - jac_mills) AS abs_err
          FROM j ORDER BY id_a, id_b"""
+    },
+    "q116_mixture_select" -> {
+      val totalW = MixtureWeights.map(_._2).sum
+      val vals = MixtureWeights
+        .map { case (l, w) => s"('$l', CAST($w AS BIGINT))" }.mkString(", ")
+      // the q74 naive ordered window, budget-joined per stratum from an
+      // independent recompute of q113's allocation
+      s"""WITH m AS (
+           SELECT doc_id, lang, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CAST($sqlTokenCount AS BIGINT) AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang, $sqlQualityMills AS q_mills,
+             toks AS n_tokens
+           FROM m),
+         w AS (SELECT * FROM (VALUES $vals) AS v(lang, w)),
+         av AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS avail FROM m
+                GROUP BY lang),
+         b AS (
+           SELECT av.lang,
+             least(av.avail,
+               CAST((CAST($MixtureBudget AS HUGEINT) * coalesce(w.w, 0))
+                 // $totalW AS BIGINT)) AS alloc
+           FROM av LEFT JOIN w ON av.lang = w.lang),
+         c AS (
+           SELECT t.*, b.alloc, sum(n_tokens) OVER (PARTITION BY t.lang
+             ORDER BY q_mills DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t JOIN b ON t.lang = b.lang)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           min(q_mills) AS min_quality, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM c WHERE cum <= alloc GROUP BY lang ORDER BY lang"""
     },
     "q115_winsorize" ->
       // independent recompute of the exact rank-(n·p ceil) bounds

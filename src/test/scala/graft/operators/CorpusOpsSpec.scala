@@ -684,6 +684,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelectPerStratum fills each stratum to its own budget") {
+    val df = Seq(
+      (1L, "a", 900L, 10L), (2L, "a", 800L, 10L), (3L, "a", 700L, 10L),
+      (4L, "b", 950L, 10L), (5L, "b", 600L, 3L),
+      (6L, "d", 999L, 1L)) // stratum absent from the budget frame
+      .toDF("doc_id", "strat", "q", "toks")
+    val budgets = Seq(("a", 20L), ("b", 3L), ("c", 10L)).toDF("strat", "alloc")
+    val kept = TextAnalysis.budgetSelectPerStratum(
+        df, "strat", "q", "toks", "doc_id", budgets, "alloc")
+      .select("doc_id").as[Long].collect().toSet
+    // a: top-2 by quality fit 20; b: the 10-token top doc overflows 3
+    // and blocks (prefix-greedy), so nothing fits; d: no budget row -> 0
+    assert(kept == Set(1L, 2L), s"got $kept")
+    // a uniform per-stratum frame equals the constant-budget kernel
+    val uni = df.select("strat").distinct()
+      .withColumn("alloc", org.apache.spark.sql.functions.lit(13L))
+    val viaFrame = TextAnalysis.budgetSelectPerStratum(
+        df, "strat", "q", "toks", "doc_id", uni, "alloc")
+      .select("doc_id").as[Long].collect().toSet
+    val viaConst = TextAnalysis.budgetSelect(
+        df, "strat", "q", "toks", "doc_id", 13L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFrame == viaConst)
+  }
+
   test("mixturePlan matches hand-computed allocation and signed log ratios") {
     // corpus: a=3 toks, b=1, d=2 (N=6); weights a=1 b=1 c=2 (+d absent,
     // W=4); budget 8. Exercises over-mix (a: ratio 2 -> +1000 mills),
