@@ -133,8 +133,11 @@ object ScaleStudy {
     "q109_dedup_against", "q110_bigram_ce",
     // q112: probe-prefix and index explodes are token-mass linear;
     // candidate mass linear by replica disjointness (as q36/q109);
-    // q113 is one stratum hash agg — the pure scan floor
-    "q112_containment_pairs", "q113_mixture_plan")
+    // q113 is one stratum hash agg — the pure scan floor; q115 windows
+    // the value histogram (bounded) + broadcasts bounds back; q116 is
+    // the q74 kernel with a broadcast budget join
+    "q112_containment_pairs", "q113_mixture_plan",
+    "q115_winsorize", "q116_mixture_select")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
