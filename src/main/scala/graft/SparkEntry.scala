@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, EntityResolution, SimilaritySearch, TextAnalysis}
+import graft.operators.{AsofJoin, EntityResolution, Funnel, Rolling, SimilaritySearch, TextAnalysis}
 import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -688,6 +688,34 @@ object SparkEntry {
           graft.functions.OfferingText.normalizeOffering(t).as("normalized"))
         .orderBy("p_partkey")
     }),
+    // Trailing-window per-user features (Rolling.trailingAgg): rolling
+    // 1d and 7d event count + value sum per user via RANGE frames over
+    // exact epoch-micros. Both spans share ONE exchange + sort (single
+    // Window operator); value pre-quantized to cents so frame sums are
+    // exact integers in any engine.
+    "q118_rolling_features" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      Rolling.trailingAgg(ev, "user_id", "ts_us", "cents",
+          Seq("1d" -> 86400000000L, "7d" -> 604800000000L))
+        .orderBy("event_id")
+    }),
+    // Ordered conversion funnel (Funnel.funnel): earliest
+    // signup → strictly-later click → strictly-later purchase per user;
+    // per-step min-aggregation bounded by |users|, un-hinted joins so
+    // AQE broadcasts the per-user frame only while it fits.
+    "q119_funnel" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+      Funnel.funnel(ev, "user_id", "ts_us", "event_type",
+          Seq("signup", "click", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("stage"))
+        .orderBy("user_id")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -1337,6 +1365,50 @@ object SparkEntry {
              CAST(sum(cents) AS BIGINT) AS cents_sum,
              min(event_id) AS min_event, max(event_id) AS max_event
            FROM j GROUP BY win_id ORDER BY win_id""",
+      "q118_rolling_features" ->
+        // the same ANSI RANGE frames, shared WINDOW clause; DuckDB sums
+        // BIGINT into HUGEINT, so cast back — values are exact integers
+        // (cents) well under 2^63 either way
+        """WITH ev AS (
+             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events)
+           SELECT event_id, user_id, ts_us, cents,
+             CAST(count(*) OVER w1 AS BIGINT) AS n_1d,
+             CAST(sum(cents) OVER w1 AS BIGINT) AS sum_1d,
+             CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+             CAST(sum(cents) OVER w7 AS BIGINT) AS sum_7d
+           FROM ev
+           WINDOW
+             w1 AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+             w7 AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+           ORDER BY event_id""",
+      "q119_funnel" ->
+        // the naive sequential-min CTE chain — independent of the
+        // engine's join/aggregation order by construction
+        """WITH e AS (
+             SELECT user_id, epoch_us(ts) AS ts_us, event_type
+             FROM events),
+           s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                  WHERE event_type = 'signup' GROUP BY 1),
+           s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+                  JOIN s1 ON e.user_id = s1.user_id
+                  WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+                  GROUP BY 1),
+           s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+                  JOIN s2 ON e.user_id = s2.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+                  GROUP BY 1)
+           SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+             CAST(1 + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS stage
+           FROM s1
+           LEFT JOIN s2 ON s1.user_id = s2.user_id
+           LEFT JOIN s3 ON s1.user_id = s3.user_id
+           ORDER BY s1.user_id""",
       "q54_det_split" ->
         s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,

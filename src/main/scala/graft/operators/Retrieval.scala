@@ -140,4 +140,52 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("term"), col("tf"),
         col("df_docs"), col("tfidf_mills"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * several per-query rankings — the standard way a RAG data pipeline
+    * merges lexical (BM25) and semantic (ANN) retrieval without score
+    * calibration: each source contributes `1 / (k0 + rank)` and only
+    * ranks matter, so wildly different score scales fuse cleanly.
+    *
+    * Contributions are exact integers, `1000000 div (k0 + rank)`
+    * (integer floor-division — identical in any engine, no IEEE
+    * subtleties at all); a document missing from a source contributes
+    * 0. Ties in the fused score break on document id.
+    *
+    * Scale shape: every input is already a top-k ranking, so each
+    * frame is |queries|·k rows — the fusion full-outer-joins and
+    * windows over BOUNDED frames regardless of corpus size; all the
+    * heavy lifting stayed in the upstream retrieval operators.
+    *
+    * @param rankings (sourceName, frame) pairs; each frame carries
+    *                 `qidCol`, `idCol` and `rankCol` (1-based). Source
+    *                 names become `rank_<name>` columns in the output.
+    * @param k        fused ranks to keep per query
+    * @param k0       RRF dampening constant (60 in the paper)
+    * @return (qidCol, rank, idCol, rrf_mills, rank_<name>...), rank
+    *         1..k per query by (rrf_mills desc, idCol asc)
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], qidCol: String,
+      idCol: String, rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranking source names must be distinct")
+    require(k >= 1 && k0 >= 0, s"k=$k must be >= 1, k0=$k0 must be >= 0")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col(qidCol), col(idCol),
+        col(rankCol).cast("long").as(s"rank_$name"))
+    }
+    // full outer on (qid, id): a doc surfaced by ANY source competes
+    val joined = tagged.reduce(_.join(_, Seq(qidCol, idCol), "full_outer"))
+    val fused = rankings.map { case (name, _) =>
+      coalesce(expr(s"1000000 div ($k0 + rank_$name)"), lit(0L))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_mills").desc, col(idCol).asc)
+    joined.withColumn("rrf_mills", fused)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(Seq(col(qidCol), col("rank"), col(idCol), col("rrf_mills")) ++
+        rankings.map { case (name, _) => col(s"rank_$name") }: _*)
+  }
 }

@@ -89,6 +89,12 @@ object TextQueries {
   private[graft] val Bm25K1 = 1.2
   private[graft] val Bm25B = 0.75
   private[graft] val Bm25K = 10
+  /** q117's RRF dampening constant (Cormack et al.'s k=60) and the
+    * qid → query-embedding mapping (vec_id = qid·20 — valid at every
+    * SF: embeddings always carry vec_ids 0..499+). */
+  private[graft] val RrfK0 = 60
+  private[graft] val HybridVecStride = 20L
+
   private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
     (1L, "spark merge stream"),
     (2L, "vector hash join"),
@@ -463,6 +469,40 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopK(
           docsSpread(s, dir), qs, "doc_id", "text", "qid", "qtext",
           k = Bm25K, k1 = Bm25K1, b = Bm25B)
+        .orderBy("qid", "rank")
+    }),
+    // Hybrid retrieval (Retrieval.rrfFuse): the q79 BM25 lexical
+    // ranking and a brute-cosine semantic ranking (q37 kernel; query
+    // vector of qid = embedding vec_id qid·20) fused by reciprocal-rank
+    // — integer contributions 1000000 div (60 + rank), missing source
+    // contributes 0. Both inputs are top-k frames, so fusion is
+    // bounded by |queries|·k rows whatever the corpus size.
+    "q117_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25Queries.toDF("qid", "qtext")
+      val lex = graft.operators.Retrieval.bm25TopK(
+          docsSpread(s, dir), qs, "doc_id", "text", "qid", "qtext",
+          k = Bm25K, k1 = Bm25K1, b = Bm25B)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val qv = e.where(col("vec_id").isin(
+          Bm25Queries.map(_._1 * HybridVecStride): _*))
+        .select(expr(s"vec_id div $HybridVecStride").as("qid"),
+          graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+      val corpus = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.quantize(col("embedding")).as("cv"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+      val sem = corpus.crossJoin(broadcast(qv))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(ws).cast("long"))
+        .where(col("rank") <= Bm25K)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+          Seq("lex" -> lex, "sem" -> sem), "qid", "doc_id", "rank",
+          k = Bm25K, k0 = RrfK0)
         .orderBy("qid", "rank")
     }),
 
@@ -1190,6 +1230,56 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END"""
 
+  /** q79's full DuckDB twin, factored to a val so q117's hybrid-RRF
+    * oracle can embed the IDENTICAL lexical ranking as a subquery.
+    * Constants via Double.toString: the shortest round-trip repr parses
+    * back to the IDENTICAL double under DuckDB's correctly-rounding
+    * reader. EVERY numeric literal is CAST to DOUBLE — DuckDB types
+    * bare decimal literals as DECIMAL and computes mixed BIGINT*DECIMAL
+    * exactly in decimal, a different double than Spark's double
+    * multiply (1-ulp flips at floor bins). */
+  private[graft] lazy val bm25OracleSql: String = {
+    val k1 = s"CAST(${Bm25K1} AS DOUBLE)"
+    val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
+    val b = s"CAST(${Bm25B} AS DOUBLE)"
+    val oneMinusB = s"CAST(${1.0 - Bm25B} AS DOUBLE)"
+    val half = "CAST(0.5 AS DOUBLE)"
+    val vals = Bm25Queries
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH d0 AS (
+         SELECT doc_id, $tokenListSql AS l,
+           CAST($sqlTokenCount AS BIGINT) AS dl
+         FROM documents),
+       st AS (SELECT count(*) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
+       q AS (SELECT * FROM (VALUES $vals) AS t(qid, qtext)),
+       qt AS (SELECT DISTINCT qid, term FROM
+               (SELECT qid, unnest(string_split(regexp_replace(trim(qtext),
+                  '\\s+', ' ', 'g'), ' ')) AS term FROM q)),
+       vocab AS (SELECT DISTINCT term FROM qt),
+       post AS (
+         SELECT term, doc_id, dl, count(*) AS tf
+         FROM (SELECT doc_id, dl, unnest(l) AS term FROM d0)
+         JOIN vocab USING (term)
+         GROUP BY 1, 2, 3),
+       dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       sc AS (
+         SELECT qid, doc_id,
+           CAST(sum(CAST(floor(
+             CAST(1000.0 AS DOUBLE) * ((n - df + $half) / (df + $half))
+               * (tf * $k1p1) /
+             (tf + $k1 * ($oneMinusB + $b * (dl / avgdl)))) AS BIGINT))
+             AS BIGINT) AS score_mills
+         FROM post JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
+         GROUP BY 1, 2),
+       r AS (SELECT qid, doc_id, score_mills,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_mills DESC, doc_id) AS rank FROM sc)
+       SELECT qid, rank, doc_id, score_mills FROM r WHERE rank <= $Bm25K
+       ORDER BY qid, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q29_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_key,
@@ -1215,52 +1305,39 @@ object TextQueries {
            FROM h)
          $per ORDER BY lang, p_mills"""
     },
-    "q79_bm25_topk" -> {
-      // constants via Double.toString: the shortest round-trip repr
-      // parses back to the IDENTICAL double under DuckDB's correctly-
-      // rounding reader. EVERY numeric literal is CAST to DOUBLE —
-      // DuckDB types bare decimal literals as DECIMAL and computes
-      // mixed BIGINT*DECIMAL exactly in decimal, a different double
-      // than Spark's double multiply (1-ulp flips at floor bins)
-      val k1 = s"CAST(${Bm25K1} AS DOUBLE)"
-      val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
-      val b = s"CAST(${Bm25B} AS DOUBLE)"
-      val oneMinusB = s"CAST(${1.0 - Bm25B} AS DOUBLE)"
-      val half = "CAST(0.5 AS DOUBLE)"
-      val vals = Bm25Queries
-        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
-        .mkString(", ")
-      s"""WITH d0 AS (
-           SELECT doc_id, $tokenListSql AS l,
-             CAST($sqlTokenCount AS BIGINT) AS dl
-           FROM documents),
-         st AS (SELECT count(*) AS n,
-                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
-         q AS (SELECT * FROM (VALUES $vals) AS t(qid, qtext)),
-         qt AS (SELECT DISTINCT qid, term FROM
-                 (SELECT qid, unnest(string_split(regexp_replace(trim(qtext),
-                    '\\s+', ' ', 'g'), ' ')) AS term FROM q)),
-         vocab AS (SELECT DISTINCT term FROM qt),
-         post AS (
-           SELECT term, doc_id, dl, count(*) AS tf
-           FROM (SELECT doc_id, dl, unnest(l) AS term FROM d0)
-           JOIN vocab USING (term)
-           GROUP BY 1, 2, 3),
-         dfq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-         sc AS (
-           SELECT qid, doc_id,
-             CAST(sum(CAST(floor(
-               CAST(1000.0 AS DOUBLE) * ((n - df + $half) / (df + $half))
-                 * (tf * $k1p1) /
-               (tf + $k1 * ($oneMinusB + $b * (dl / avgdl)))) AS BIGINT))
-               AS BIGINT) AS score_mills
-           FROM post JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
-           GROUP BY 1, 2),
-         r AS (SELECT qid, doc_id, score_mills,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY score_mills DESC, doc_id) AS rank FROM sc)
-         SELECT qid, rank, doc_id, score_mills FROM r WHERE rank <= $Bm25K
-         ORDER BY qid, rank"""
+    "q79_bm25_topk" -> bm25OracleSql,
+    "q117_hybrid_rrf" -> {
+      // the SAME factored lexical SQL as q79's oracle rides as a
+      // subquery; semantic side mirrors q37's quantized-cosine twin;
+      // fusion is pure integer floor-division (DuckDB `//` ≡ Spark
+      // `div` on positive BIGINTs)
+      val vecIds = Bm25Queries.map(_._1 * HybridVecStride).mkString(", ")
+      val quant = VectorQueries.quant
+      s"""WITH lex AS (
+           SELECT qid, doc_id, rank AS rank_lex FROM ($bm25OracleSql)),
+         qv AS (SELECT vec_id // $HybridVecStride AS qid, $quant AS qv
+                FROM embeddings WHERE vec_id IN ($vecIds)),
+         c AS (SELECT vec_id AS doc_id, $quant AS cv FROM embeddings),
+         ss AS (SELECT qid, doc_id, ${VectorQueries.cossq("qv", "cv")} AS cos
+                FROM c CROSS JOIN qv),
+         sr AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, doc_id) AS rank_sem FROM ss),
+         sem AS (SELECT qid, doc_id, rank_sem FROM sr
+                 WHERE rank_sem <= $Bm25K),
+         u AS (SELECT coalesce(l.qid, s.qid) AS qid,
+                 coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 l.rank_lex, s.rank_sem
+               FROM lex l FULL OUTER JOIN sem s
+                 ON l.qid = s.qid AND l.doc_id = s.doc_id),
+         f AS (SELECT qid, doc_id, rank_lex, rank_sem,
+                 CAST(coalesce(1000000 // ($RrfK0 + rank_lex), 0)
+                    + coalesce(1000000 // ($RrfK0 + rank_sem), 0)
+                   AS BIGINT) AS rrf_mills
+               FROM u),
+         rr AS (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf_mills DESC, doc_id) AS rank FROM f)
+         SELECT qid, rank, doc_id, rrf_mills, rank_lex, rank_sem
+         FROM rr WHERE rank <= $Bm25K ORDER BY qid, rank"""
     },
     "q72_line_dedup" ->
       s"""WITH base AS (

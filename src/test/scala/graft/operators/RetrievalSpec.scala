@@ -208,4 +208,37 @@ class RetrievalSpec extends AnyFunSuite {
     info(s"rational-vs-log top-$k keyword overlap: mean=$mean")
     assert(mean >= 0.7, s"mean keyword overlap $mean < 0.7")
   }
+
+  test("rrfFuse merges rankings by reciprocal rank with integer contributions") {
+    // qid 1: doc 100 is rank 1 lexically and rank 2 semantically;
+    // doc 200 only lexical rank 2; doc 300 only semantic rank 1
+    val lex = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("qid", "doc_id", "rank")
+    val sem = Seq((1L, 300L, 1L), (1L, 100L, 2L)).toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        "qid", "doc_id", "rank", k = 3, k0 = 60)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val c = (r: Long) => 1000000L / (60L + r)
+    // doc 100 fuses both sources; 300 and 200 tie-break on single ranks
+    assert(got.toSeq == Seq(
+      (1L, 100L, c(1) + c(2)),
+      (2L, 300L, c(1)),
+      (3L, 200L, c(2))))
+  }
+
+  test("rrfFuse keeps top-k per query and breaks exact ties on doc id") {
+    val lex = Seq((1L, 5L, 1L), (1L, 9L, 2L), (1L, 7L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    // doc 9 and doc 7 swap ranks semantically -> identical fused
+    // scores; doc id must decide
+    val sem = Seq((1L, 5L, 1L), (1L, 7L, 2L), (1L, 9L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        "qid", "doc_id", "rank", k = 2, k0 = 60)
+      .orderBy("rank").collect()
+      .map(r => r.getLong(2))
+    assert(got.length == 2)
+    assert(got(0) == 5L)
+    assert(got(1) == 7L, "tie between doc 7 and doc 9 must go to the smaller id")
+  }
 }
