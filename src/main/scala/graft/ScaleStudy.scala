@@ -148,7 +148,15 @@ object ScaleStudy {
     // round 8: the bucket-blocked interval join — 10× probes against
     // the same 24 windows (ts untouched per replica), so the equi-join
     // candidate mass grows linearly
-    "q101_interval_join")
+    "q101_interval_join",
+    // round 8: q118's RANGE-frame trailing windows and q119's funnel
+    // min-aggregations replicate exactly per disjoint user replica —
+    // one keyed exchange each, linear by construction, measured for
+    // real. (q117 hybrid RRF is NOT studied: its semantic side scans
+    // `embeddings`, which the docs synthesis deliberately leaves
+    // fixed — its growing lexical side is exactly q79, already in
+    // the docs family.)
+    "q118_rolling_features", "q119_funnel")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
