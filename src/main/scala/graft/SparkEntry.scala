@@ -716,6 +716,28 @@ object SparkEntry {
           col("stage"))
         .orderBy("user_id")
     }),
+    // First-order Markov transition counts over per-user event
+    // sequences (lead window over ONE user-keyed exchange, ties broken
+    // on event_id) — the sequence-modeling prep pass; transition
+    // probability as exact integer ppm (1e6·n div row-total).
+    "q120_event_transitions" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val trans = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      // the transition frame is bounded by |types|² — window is trivial
+      trans
+        .withColumn("p_ppm",
+          expr("(1000000 * n) div sum(n) OVER (PARTITION BY event_type)"))
+        .orderBy("event_type", "next_type")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -1365,6 +1387,22 @@ object SparkEntry {
              CAST(sum(cents) AS BIGINT) AS cents_sum,
              min(event_id) AS min_event, max(event_id) AS max_event
            FROM j GROUP BY win_id ORDER BY win_id""",
+      "q120_event_transitions" ->
+        """WITH ev AS (
+             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+             FROM events),
+           nx AS (
+             SELECT event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) AS next_type
+             FROM ev),
+           tr AS (
+             SELECT event_type, next_type, count(*) AS n
+             FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+           SELECT event_type, next_type, n,
+             (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
+               AS BIGINT) AS p_ppm
+           FROM tr ORDER BY event_type, next_type""",
       "q118_rolling_features" ->
         // the same ANSI RANGE frames, shared WINDOW clause; DuckDB sums
         // BIGINT into HUGEINT, so cast back — values are exact integers

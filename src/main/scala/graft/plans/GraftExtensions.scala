@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Similarity, TextHash, UnicodeNorm, VectorFunctions}
+import graft.functions.{Checksum, Similarity, TextHash, UnicodeNorm, VectorFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint", "rolling_fingerprint(text) - Rabin-Karp rolling hash of the trimmed text as bigint"),
       (es: Seq[Expression]) => TextHash.RollingFingerprint(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("luhn_valid"),
+      info("luhn_valid", "luhn_valid(digits) - Luhn mod-10 check-digit validity of a digit string (false on empty/non-digit input)"),
+      (es: Seq[Expression]) => Checksum.LuhnValid(es.head)))
     e.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (same semantics as DuckDB's nfc_normalize)"),

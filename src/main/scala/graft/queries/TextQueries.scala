@@ -122,6 +122,17 @@ object TextQueries {
   /** q73's synthetic PII corpus: every doc gains an email, every third
     * an IPv4, every fifth a phone — all derived from doc_id so the
     * oracle rebuilds the identical text. */
+  /** q121's synthetic card corpus (the q73 piiText precedent): every
+    * doc carries one 16-digit candidate whose final digit is
+    * doc_id % 10, so ~1 in 10 has a VALID Luhn check digit — both
+    * validator branches exercised at every SF. The SAME construction
+    * is interpolated into the oracle. */
+  private def cardText = concat(
+    col("text"), lit(" card 4"),
+    lpad((col("doc_id") * 7919 % 100000000000L).cast("string"), 11, "0"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+    (col("doc_id") % 10).cast("string"), lit(" end"))
+
   private def piiText = concat(
     col("text"),
     lit(" contact user"), (col("doc_id") % 50).cast("string"),
@@ -700,6 +711,22 @@ object TextQueries {
     // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
     // per-class replacement counts; gated on the scrubbed-text digest.
     // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    // Luhn-validated card-number detection (Checksum.luhnValid, one
+    // codegen'd scan-side check): regex candidates become findings only
+    // when the check digit verifies — the false-positive cut a PII
+    // redaction pass needs before rewriting text. Last digit of the
+    // synthetic candidate is doc_id % 10, so ~10% verify (both
+    // branches at every SF).
+    "q121_luhn_pii" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), cardText.as("t2"))
+        .withColumn("candidate",
+          regexp_extract(col("t2"), "[0-9]{13,19}", 0))
+        .withColumn("luhn_ok",
+          graft.functions.Checksum.luhnValid(col("candidate")))
+        .select("doc_id", "source", "candidate", "luhn_ok")
+        .orderBy("doc_id")
+    }),
     "q73_pii_scrub" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), piiText.as("text"))
       val counts = TextFunctions.piiCounts(col("text"))
@@ -1366,6 +1393,29 @@ object TextQueries {
          SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
            coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
          FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q121_luhn_pii" ->
+      // full Luhn recompute in SQL over the extracted candidate: digit
+      // at 1-based position i is doubled iff (len - i) is odd (every
+      // second from the RIGHT), minus 9 on overflow, sum % 10 = 0
+      """WITH base AS (
+           SELECT doc_id, source,
+             text || ' card 4'
+               || lpad(CAST((doc_id * 7919) % 100000000000 AS VARCHAR), 11, '0')
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || CAST(doc_id % 10 AS VARCHAR) || ' end' AS t2
+           FROM documents),
+         c AS (SELECT doc_id, source,
+                 regexp_extract(t2, '[0-9]{13,19}') AS candidate
+               FROM base)
+         SELECT doc_id, source, candidate,
+           len(candidate) > 0 AND
+           list_sum([CASE WHEN (len(candidate) - i) % 2 = 1 THEN
+               CASE WHEN 2 * CAST(candidate[i] AS INT) > 9
+                    THEN 2 * CAST(candidate[i] AS INT) - 9
+                    ELSE 2 * CAST(candidate[i] AS INT) END
+             ELSE CAST(candidate[i] AS INT) END
+             FOR i IN range(1, len(candidate) + 1)]) % 10 = 0 AS luhn_ok
+         FROM c ORDER BY doc_id""",
     "q73_pii_scrub" -> {
       import graft.functions.TextFunctions.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH base AS (

@@ -66,6 +66,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("SELECT zorder2(1, 2, 99)").collect()
       }
+      // round-8b surface: Luhn check-digit validation from SQL text
+      val luhn = spark.sql(
+        """SELECT luhn_valid('79927398713') AS a,
+          |       luhn_valid('79927398710') AS b,
+          |       luhn_valid('') AS c""".stripMargin)
+        .as[(Boolean, Boolean, Boolean)].head()
+      assert(luhn._1 && !luhn._2 && !luhn._3)
       // content_key / token_count from SQL text, agreeing with the
       // Column-API contracts (q29's md5(lower(trim)) key, q30's count)
       val r4 = spark.sql(
