@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch 2016,
+  * ACL — the subword tokenizer-training prep of every modern LLM data
+  * pipeline): iteratively find the most frequent adjacent symbol pair
+  * across the corpus and fuse it into a new symbol.
+  *
+  * Scale design — the standard word-frequency factorization: the ONLY
+  * corpus-sized pass is the initial token count (one hash-agg shuffle,
+  * output bounded by |vocab|). Every merge round then operates on the
+  * word-frequency table alone — pair counts are an explode over
+  * per-word symbol arrays weighted by word frequency (vocab-bounded,
+  * corpus-size-independent), so 50k merge rounds on 100 TB cost the
+  * same per round as on 1 GB. Per round exactly ONE row (the argmax
+  * pair) is collected to the driver — the bounded-anchor precedent of
+  * the k-means centroid loop.
+  *
+  * Segmentations ride as strings — symbols joined by TWO spaces with a
+  * single-space pad (" w  o  r  d ") — so a merge is one engine-portable
+  * literal `replace(seq, " a  b ", " ab ")`: left-to-right,
+  * non-overlapping, continuing after each replacement, which is exactly
+  * BPE's greedy merge order, and the double-space separator keeps
+  * adjacent matches from consuming each other's boundary (the classic
+  * " a b a b " single-space bug). Symbols never contain spaces by
+  * construction (whitespace tokenization), so matches can't cross
+  * symbol boundaries.
+  *
+  * Determinism: pair weights are exact integer sums; the per-round
+  * argmax breaks ties on the pair string ascending.
+  */
+object Bpe {
+
+  private val outSchema = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("left", StringType, nullable = false),
+    StructField("right", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("weight", LongType, nullable = false)))
+
+  /** Learn the first `rounds` BPE merges over `textCol`'s whitespace
+    * tokens. Returns (round, left, right, merged, weight) — one row
+    * per learned merge, round 1-based in merge order. Rounds stop
+    * early if no pair remains (all words fused to single symbols). */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(filter(TextFunctions.tokens(col(textCol)),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // seed segmentation: every char its own symbol
+      .withColumn("seq", concat(lit(" "),
+        trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")))
+      // the vocab table is the loop's base frame: pin it once so merge
+      // rounds never re-run the corpus-sized token count
+      .localCheckpoint(true)
+
+    var seq = words.select(col("freq"), col("seq"))
+    val merges = Seq.newBuilder[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val arr = split(trim(col("seq")), "  ")
+      val top = seq
+        .select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { exhausted = true }
+      else {
+        val pair = top.head.getString(0)
+        val w = top.head.getLong(1)
+        val parts = pair.split(" ", 2)
+        val (l, rt) = (parts(0), parts(1))
+        merges += Row(r.toLong, l, rt, l + rt, w)
+        seq = seq.withColumn("seq",
+          expr(s"replace(seq, ${sqlStr(s" $l  $rt ")}, ${sqlStr(s" ${l + rt} ")})"))
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.result(), 1), outSchema)
+  }
+
+  /** SQL single-quoted literal (symbols come from corpus tokens and may
+    * contain quotes). */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+}

@@ -122,6 +122,11 @@ object TextQueries {
   /** q73's synthetic PII corpus: every doc gains an email, every third
     * an IPv4, every fifth a phone — all derived from doc_id so the
     * oracle rebuilds the identical text. */
+  /** q122's merge-round count — enough for merged symbols to become
+    * pair PARTICIPANTS (round 2+ pairs contain round-1 products), the
+    * part of the recurrence a one-round check can't see. */
+  private[graft] val BpeRounds = 4
+
   /** q121's synthetic card corpus (the q73 piiText precedent): every
     * doc carries one 16-digit candidate whose final digit is
     * doc_id % 10, so ~1 in 10 has a VALID Luhn check digit — both
@@ -711,6 +716,14 @@ object TextQueries {
     // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
     // per-class replacement counts; gated on the scrubbed-text digest.
     // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    // BPE merge learning (Bpe.learnMerges — Sennrich et al. 2016): the
+    // first rounds of subword-tokenizer training. One corpus-sized
+    // token count, then every merge round works the vocab-bounded
+    // word-frequency table; per round exactly one argmax row reaches
+    // the driver (k-means anchor precedent).
+    "q122_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(docs(s, dir), "text", BpeRounds)
+        .orderBy("round")),
     // Luhn-validated card-number detection (Checksum.luhnValid, one
     // codegen'd scan-side check): regex candidates become findings only
     // when the check digit verifies — the false-positive cut a PII
@@ -1393,6 +1406,43 @@ object TextQueries {
          SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
            coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
          FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q122_bpe_merges" -> {
+      // k unrolled merge rounds; each round re-derives pairs from the
+      // previous segmentation, takes the (weight desc, pair asc) argmax
+      // via a fully-ordered LIMIT 1, and applies the literal
+      // double-space-delimited replace — the exact engine-portable
+      // greedy semantics of Bpe.learnMerges
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (
+             SELECT pair, CAST(sum(freq) AS BIGINT) AS w FROM (
+               SELECT freq,
+                 unnest([a[i] || ' ' || a[i + 1] FOR i IN range(1, len(a))]) AS pair
+               FROM (SELECT freq, string_split(trim(seq), '  ') AS a
+                     FROM s${r - 1}))
+             GROUP BY 1),
+           t$r AS (SELECT pair, w FROM p$r ORDER BY w DESC, pair LIMIT 1),
+           s$r AS (SELECT freq, replace(seq,
+                 ' ' || replace((SELECT pair FROM t$r), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS seq
+               FROM s${r - 1})"""
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+              string_split(pair, ' ')[1] AS "left",
+              string_split(pair, ' ')[2] AS "right",
+              replace(pair, ' ', '') AS merged, w AS weight FROM t$r"""
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest($tokenListSql) AS word FROM documents)
+           WHERE word <> '' GROUP BY 1),
+         s0 AS (SELECT freq,
+             ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+               AS seq
+           FROM w),
+         $rounds
+         SELECT * FROM ($out) ORDER BY round"""
+    },
     "q121_luhn_pii" ->
       // full Luhn recompute in SQL over the extracted candidate: digit
       // at 1-based position i is doubled iff (len - i) is odd (every

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge learning vs a naive in-memory reference implementation
+  * (list-of-symbols, greedy left-to-right merge, (count desc, pair asc)
+  * argmax) — pins the weighted pair counts, the merge recurrence
+  * (later rounds must see earlier merged symbols), greedy overlap
+  * handling, and early exhaustion.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** reference BPE: words as symbol vectors. */
+  private def naive(texts: Seq[String], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, rt), w) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+        out += ((r.toLong, l, rt, l + rt, w))
+        vocab = vocab.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i < syms.size - 1 && syms(i) == l && syms(i + 1) == rt) {
+              b += l + rt; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result() -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    out.result()
+  }
+
+  private def learned(texts: Seq[String], rounds: Int) =
+    Bpe.learnMerges(texts.toDF("text"), "text", rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("merges match the naive reference across rounds (recurrence included)") {
+    val texts = Seq(
+      "the the the then there", "that the other", "hehe hehehe he",
+      "banana bandana", "aaa aa aaaa", "xy xy xyz")
+    assert(learned(texts, 6) == naive(texts, 6))
+  }
+
+  test("greedy left-to-right overlap: aaa merges once, aaaa twice") {
+    // one word "aaaa" (freq 1): round 1 pair (a,a) weight 3 (adjacent
+    // positions), merge gives "aa aa"; overlapping middle pair is NOT
+    // merged — the double-space delimiter contract
+    val got = learned(Seq("aaaa"), 2)
+    assert(got.head == ((1L, "a", "a", "aa", 3L)))
+    assert(got(1) == ((2L, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("stops early when every word is a single symbol") {
+    val got = learned(Seq("ab ab"), 5)
+    // round 1 fuses ab; nothing left to pair
+    assert(got == Seq((1L, "a", "b", "ab", 2L)))
+  }
+}
