@@ -137,7 +137,13 @@ object ScaleStudy {
     // the value histogram (bounded) + broadcasts bounds back; q116 is
     // the q74 kernel with a broadcast budget join
     "q112_containment_pairs", "q113_mixture_plan",
-    "q115_winsorize", "q116_mixture_select")
+    "q115_winsorize", "q116_mixture_select",
+    // q121: scan-side projection + regex + codegen Luhn — the q99
+    // floor shape; q122: the corpus-sized token count feeds a vocab
+    // table the bijection grows 10×, so merge rounds (vocab-bounded
+    // by design) grow with it while per-round driver traffic stays
+    // one row
+    "q121_luhn_pii", "q122_bpe_merges")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -156,7 +162,10 @@ object ScaleStudy {
     // `embeddings`, which the docs synthesis deliberately leaves
     // fixed — its growing lexical side is exactly q79, already in
     // the docs family.)
-    "q118_rolling_features", "q119_funnel")
+    "q118_rolling_features", "q119_funnel",
+    // q120: lead window rides the same per-user exchange; the
+    // transition agg is bounded by |types|²
+    "q120_event_transitions")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
