@@ -122,6 +122,12 @@ object TextQueries {
   /** q73's synthetic PII corpus: every doc gains an email, every third
     * an IPv4, every fifth a phone — all derived from doc_id so the
     * oracle rebuilds the identical text. */
+  /** q124's split: ranks 1..HnPos are positives, the rest of the
+    * BM25 top-k are hard negatives, HnRand md5-ranked docs from the
+    * non-retrieved pool are random negatives. */
+  private[graft] val HnPos = 3
+  private[graft] val HnRand = 5
+
   /** q122's merge-round count — enough for merged symbols to become
     * pair PARTICIPANTS (round 2+ pairs contain round-1 products), the
     * part of the recurrence a one-round check can't see. */
@@ -716,6 +722,59 @@ object TextQueries {
     // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
     // per-class replacement counts; gated on the scrubbed-text digest.
     // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    // Snapshot-to-snapshot corpus diff (CorpusDiff.diff): v2 derives
+    // from v1 with removed (%17=3), changed (%13=5, content edit),
+    // case-only drift (%11=2 — must read UNCHANGED through the
+    // normalized content key), and added (+1e6 ids, %19=7) rows; one
+    // full-outer equi-join on the id, only 32-char keys cross the wire.
+    "q123_snapshot_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val kept = v1.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" rev2")))
+            .when(col("doc_id") % 11 === 2, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.where(col("doc_id") % 19 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      graft.operators.CorpusDiff.diff(
+          v1, kept.unionByName(added), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Hard-negative mining for retrieval training (Karpukhin et al.
+    // 2020 DPR practice): per query, top-HnPos BM25 hits are
+    // positives, the rest of the top-k are HARD negatives (lexically
+    // close non-answers), plus HnRand deterministic md5-ranked
+    // negatives from the non-retrieved pool — Q×N by design (the
+    // brute-ANN contract) with a WindowGroupLimit k-cut.
+    "q124_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25Queries.toDF("qid", "qtext")
+      val ranked = graft.operators.Retrieval.bm25TopK(
+        docsSpread(s, dir), qs, "doc_id", "text", "qid", "qtext",
+        k = Bm25K, k1 = Bm25K1, b = Bm25B)
+      val pos = ranked.where(col("rank") <= HnPos)
+        .select(col("qid"), col("doc_id"), lit("pos").as("role"),
+          col("rank"))
+      val hard = ranked.where(col("rank") > HnPos)
+        .select(col("qid"), col("doc_id"), lit("hard_neg").as("role"),
+          (col("rank") - HnPos).as("rank"))
+      val pool = docs(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(qs.select(col("qid"))))
+        .join(ranked.select(col("qid"), col("doc_id")),
+          Seq("qid", "doc_id"), "left_anti")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("h").asc, col("doc_id").asc)
+      val rand = pool
+        .withColumn("h", md5(concat(col("qid").cast("string"), lit("#"),
+          col("doc_id").cast("string"))))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= HnRand)
+        .select(col("qid"), col("doc_id"), lit("rand_neg").as("role"),
+          col("rank"))
+      pos.unionByName(hard).unionByName(rand)
+        .orderBy("qid", "role", "rank")
+    }),
     // BPE merge learning (Bpe.learnMerges — Sennrich et al. 2016): the
     // first rounds of subword-tokenizer training. One corpus-sized
     // token count, then every merge round works the vocab-bounded
@@ -1406,6 +1465,55 @@ object TextQueries {
          SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
            coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
          FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q123_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 5 THEN text || ' rev2'
+                  WHEN doc_id % 11 = 2 THEN upper(text)
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 17 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           FROM v1 WHERE doc_id % 19 = 7),
+         o AS (SELECT doc_id, md5(lower(trim(text))) AS old_key FROM v1),
+         n AS (SELECT doc_id, md5(lower(trim(text))) AS new_key FROM v2)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_key = n.new_key THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(old_key, '') AS old_key,
+           coalesce(new_key, '') AS new_key
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q124_hard_negatives" -> {
+      val qids = Bm25Queries.map { case (id, _) =>
+        s"(CAST($id AS BIGINT))" }.mkString(", ")
+      s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($bm25OracleSql)),
+         qd AS (SELECT * FROM (VALUES $qids) AS t(qid)),
+         pool AS (
+           SELECT qd.qid, d.doc_id
+           FROM qd CROSS JOIN (SELECT doc_id FROM documents) d
+           WHERE NOT EXISTS (SELECT 1 FROM lex
+             WHERE lex.qid = qd.qid AND lex.doc_id = d.doc_id)),
+         rnd AS (
+           SELECT qid, doc_id, 'rand_neg' AS role,
+             row_number() OVER (PARTITION BY qid ORDER BY
+               md5(CAST(qid AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)),
+               doc_id) AS rank
+           FROM pool)
+         SELECT qid, doc_id, role, rank FROM (
+           SELECT qid, doc_id, 'pos' AS role, rank FROM lex
+           WHERE rank <= $HnPos
+           UNION ALL
+           SELECT qid, doc_id, 'hard_neg' AS role, rank - $HnPos AS rank
+           FROM lex WHERE rank > $HnPos
+           UNION ALL
+           SELECT qid, doc_id, role, rank FROM rnd WHERE rank <= $HnRand)
+         ORDER BY qid, role, rank"""
+    },
     "q122_bpe_merges" -> {
       // k unrolled merge rounds; each round re-derives pairs from the
       // previous segmentation, takes the (weight desc, pair asc) argmax
