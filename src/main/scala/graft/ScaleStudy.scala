@@ -143,7 +143,12 @@ object ScaleStudy {
     // table the bijection grows 10×, so merge rounds (vocab-bounded
     // by design) grow with it while per-round driver traffic stays
     // one row
-    "q121_luhn_pii", "q122_bpe_merges")
+    "q121_luhn_pii", "q122_bpe_merges",
+    // q123: both snapshot sides grow 10×, the diff is one id
+    // equi-join on scan-computed keys; q124: the pool window is the
+    // Q×N-by-design contract but with a WindowGroupLimit k-cut, so
+    // only the scan grows
+    "q123_snapshot_diff", "q124_hard_negatives")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

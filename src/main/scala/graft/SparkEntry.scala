@@ -688,6 +688,33 @@ object SparkEntry {
           graft.functions.OfferingText.normalizeOffering(t).as("normalized"))
         .orderBy("p_partkey")
     }),
+    // Cluster-balanced (diversity) sampling: the q58 trained cells
+    // composed with the q100 exact-k md5 priority kernel — per-cluster
+    // quotas instead of corpus-uniform sampling, the coreset-selection
+    // pass of embedding-space curation.
+    "q125_cluster_sample" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      TextAnalysis.prioritySample(
+          SimilaritySearch.kmeansAssignments(
+            e, "vec_id", "embedding", k = 8, iters = 2),
+          "cell", "vec_id", k = 10)
+        .orderBy("cell", "sample_rank")
+    }),
+    // Embedding-space outlier detection: each vector's best-centroid
+    // similarity (the exact assignment metric, kept at zero extra
+    // passes) winsorized per cell at [p10, max] — low-sim tails are
+    // out-of-distribution/noise candidates, the far-from-every-cluster
+    // complement of SemDeDup's too-close test (q76).
+    "q126_embedding_outliers" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Robust.winsorize(
+          SimilaritySearch.kmeansAssignmentsWithSim(
+            e, "vec_id", "embedding", k = 8, iters = 2),
+          "cell", "sim", loNum = 1, loDen = 10, hiNum = 1, hiDen = 1)
+        .select(col("vec_id"), col("cell"), col("sim"), col("lo"),
+          col("hi"), col("clipped"), col("is_outlier"))
+        .orderBy("vec_id")
+    }),
     // Trailing-window per-user features (Rolling.trailingAgg): rolling
     // 1d and 7d event count + value sum per user via RANGE frames over
     // exact epoch-micros. Both spans share ONE exchange + sort (single
@@ -1246,6 +1273,38 @@ object SparkEntry {
       "q58_kmeans_assign" ->
         s"""WITH $kmeansCtes
            SELECT vec_id, cell FROM a2 ORDER BY vec_id""",
+      "q125_cluster_sample" ->
+        // shared trained-cell chain + the q100 md5-priority window
+        s"""WITH $kmeansCtes,
+           s AS (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), vec_id) AS sample_rank
+             FROM a2)
+           SELECT vec_id, cell, sample_rank FROM s
+           WHERE sample_rank <= 10 ORDER BY cell, sample_rank""",
+      "q126_embedding_outliers" ->
+        // best-centroid sim against the TRAINED c1 centroids + the
+        // q115 exact rank-ceil winsorize twin at [p10, max]
+        s"""WITH $kmeansCtes,
+           sims AS (
+             SELECT a2.vec_id, a2.cell,
+               ${graft.queries.VectorQueries.cossq("a2.q", "c1.centroid")} AS sim
+             FROM a2 JOIN c1 ON a2.cell = c1.cell),
+           h AS (SELECT cell, sim, count(*) AS cnt FROM sims GROUP BY 1, 2),
+           r AS (SELECT cell, sim, cnt,
+               sum(cnt) OVER (PARTITION BY cell ORDER BY sim
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY cell) AS n
+             FROM h),
+           b AS (SELECT cell,
+               min(CASE WHEN cum >= (n * 1 + 9) // 10 THEN sim END) AS lo,
+               min(CASE WHEN cum >= n THEN sim END) AS hi
+             FROM r GROUP BY cell)
+           SELECT s.vec_id, s.cell, s.sim, b.lo, b.hi,
+             least(greatest(s.sim, b.lo), b.hi) AS clipped,
+             s.sim < b.lo OR s.sim > b.hi AS is_outlier
+           FROM sims s JOIN b ON s.cell = b.cell
+           ORDER BY s.vec_id""",
       "q76_semantic_dedup" ->
         // same Lloyd chain as q58, then the within-cell drop decision
         s"""WITH $kmeansCtes,

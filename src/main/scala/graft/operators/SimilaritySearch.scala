@@ -89,22 +89,25 @@ object SimilaritySearch {
     * inline (literal-ordered) and broadcast (collect_list-ordered)
     * deliveries produce identical assignments by construction. */
   private def explodeBestCells(df: DataFrame, vec: String,
-      centsCol: org.apache.spark.sql.Column, outCol: String, probes: Int): DataFrame = {
+      centsCol: org.apache.spark.sql.Column, outCol: String, probes: Int,
+      simCol: Option[String] = None): DataFrame = {
     val cands = sort_array(transform(centsCol, c =>
       struct(
         (-VectorFunctions.cosineSqScaledQ(col(vec), c.getField("centroid"))).as("neg_sim"),
         c.getField("cell_id").as("cell_id"))))
-    df.withColumn("__c", explode(slice(cands, 1, probes)))
+    val base = df.withColumn("__c", explode(slice(cands, 1, probes)))
       .withColumn(outCol, col("__c").getField("cell_id"))
-      .drop("__c")
+    simCol.fold(base.drop("__c"))(s =>
+      base.withColumn(s, -col("__c").getField("neg_sim")).drop("__c"))
   }
 
   /** Inline delivery: the centroid set rides into every task as plan
     * literals — no join, no shuffle, whole-stage codegen alongside the
     * scan. Only valid under the literal budget. */
   private[operators] def assignCellsInline(df: DataFrame, vec: String,
-      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int): DataFrame =
-    explodeBestCells(df, vec, centroidLit(cents), outCol, probes)
+      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int,
+      simCol: Option[String] = None): DataFrame =
+    explodeBestCells(df, vec, centroidLit(cents), outCol, probes, simCol)
 
   /** Broadcast delivery (the past-budget path): the centroid set is ONE
     * row of data — array<struct<cell_id, centroid>> — broadcast-joined
@@ -114,13 +117,14 @@ object SimilaritySearch {
     * Janino cost no longer grows with the centroid count; the array
     * itself ships once per executor via the broadcast. */
   private[operators] def assignCellsBroadcast(df: DataFrame, vec: String,
-      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int): DataFrame = {
+      cents: Array[(Long, Seq[Long])], outCol: String, probes: Int,
+      simCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val centRow = cents.toSeq.toDF("cell_id", "centroid")
       .agg(collect_list(struct(col("cell_id"), col("centroid"))).as("__cents"))
     explodeBestCells(df.crossJoin(broadcast(centRow)), vec, col("__cents"),
-      outCol, probes)
+      outCol, probes, simCol)
       .drop("__cents")
   }
 
@@ -129,10 +133,10 @@ object SimilaritySearch {
     * centroid sets inline into the plan, large ones broadcast as data —
     * identical assignments either way (same kernel, order-insensitive). */
   private def assignCells(df: DataFrame, vec: String, cents: Array[(Long, Seq[Long])],
-      outCol: String, probes: Int): DataFrame = {
+      outCol: String, probes: Int, simCol: Option[String] = None): DataFrame = {
     val lits = cents.iterator.map(_._2.length + 1).sum
-    if (lits <= MaxInlineCentroidLits) assignCellsInline(df, vec, cents, outCol, probes)
-    else assignCellsBroadcast(df, vec, cents, outCol, probes)
+    if (lits <= MaxInlineCentroidLits) assignCellsInline(df, vec, cents, outCol, probes, simCol)
+    else assignCellsBroadcast(df, vec, cents, outCol, probes, simCol)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
@@ -188,9 +192,23 @@ object SimilaritySearch {
     * (vec_id, q, cell). For consumers that need the vectors alongside
     * the cells (semanticDedup's pairwise pass) — reusing this avoids a
     * second full-corpus scan + re-quantize + reattach join. */
+  /** As `kmeansAssignments`, but keeps the winning centroid similarity
+    * (the exact scaled-cosine² assignment metric itself) as `sim` —
+    * the embedding-space outlier surface: a LOW best-centroid sim
+    * means the vector is far from every cluster (mislabeled, noise,
+    * or out-of-distribution), the complement SemDeDup's too-close
+    * test. Same chain, same plans; the sim rides out of the final
+    * assignment projection at zero extra passes. */
+  def kmeansAssignmentsWithSim(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignmentsWithVec(corpus, idCol, vecCol, k, iters,
+      simCol = Some("sim"))
+      .select("vec_id", "cell", "sim")
+
   private[operators] def kmeansAssignmentsWithVec(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, simCol: Option[String] = None): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(iters > 0, s"iters=$iters must be positive")
     // Multi-round Lloyd fires one action per round (seed collect, each
@@ -206,7 +224,9 @@ object SimilaritySearch {
     var cents = seedCentroids(c, "vec_id", "q", k)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      assigned = assignCells(c, "q", cents, "cell", probes = 1)
+      // only the FINAL assignment needs the sim column
+      assigned = assignCells(c, "q", cents, "cell", probes = 1,
+        simCol = if (i == iters) simCol else None)
       if (i < iters) {
         // partial (map-side) sums per (cell, dim) → k·dim tiny rows on
         // the driver; empty cells simply disappear (same as before).
