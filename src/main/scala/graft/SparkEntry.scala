@@ -47,6 +47,11 @@ object SparkEntry {
     * a 60-min stride (overlapping, so edge events multi-match and the
     * duplicate-free contract is oracle-exercised), blocked at 30-min
     * buckets (<= 4 bucket rows per interval). Shared with the oracle. */
+  /** q128's sessionization gap (q23's 1800 s rule in micros) and the
+    * per-session path cap (first 8 events). */
+  private val SessionPathGapUs = 1800000000L
+  private val SessionPathMaxLen = 8
+
   private val IntervalWindows = 24L
   private val IntervalStrideUs = 3600000000L
   private val IntervalLenUs = 5400000000L
@@ -765,6 +770,44 @@ object SparkEntry {
           expr("(1000000 * n) div sum(n) OVER (PARTITION BY event_type)"))
         .orderBy("event_type", "next_type")
     }),
+    // Session path mining: gap-sessionize (q23's 1800 s rule on exact
+    // micros), rebuild each session's first-8 event-type path with the
+    // q89 ordered-rebuild pattern, count sessions per path, keep the
+    // top 50 by a rank predicate (the q52 LIMIT-free cut). The global
+    // rank window runs over the BOUNDED distinct-path frame, never the
+    // event stream.
+    "q128_session_paths" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val sess = ev
+        .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("__new", (col("__prev").isNull ||
+          col("ts_us") - col("__prev") > SessionPathGapUs).cast("long"))
+        .withColumn("__sess", sum(col("__new")).over(w))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "__sess")
+        .orderBy(col("ts_us"), col("event_id"))
+      val paths = sess
+        .withColumn("__rn", row_number().over(wr))
+        .where(col("__rn") <= SessionPathMaxLen)
+        .groupBy(col("user_id"), col("__sess"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      val counts = paths.groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_sessions").desc, col("path"))
+      counts.withColumn("rank", row_number().over(wt).cast("long"))
+        .where(col("rank") <= 50)
+        .select("rank", "path", "n_sessions")
+        .orderBy("rank")
+    }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
       graft.functions.Similarity.register(s)
@@ -1462,6 +1505,32 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q128_session_paths" ->
+        s"""WITH ev AS (
+             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+             FROM events),
+           g AS (
+             SELECT *, CASE WHEN prev IS NULL
+                 OR ts_us - prev > $SessionPathGapUs THEN 1 ELSE 0 END AS nw
+             FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev FROM ev)),
+           sg AS (
+             SELECT *, sum(nw) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             FROM g),
+           sr AS (
+             SELECT *, row_number() OVER (PARTITION BY user_id, sess
+               ORDER BY ts_us, event_id) AS rn FROM sg),
+           p AS (
+             SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+             FROM sr WHERE rn <= $SessionPathMaxLen GROUP BY 1, 2),
+           c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                 FROM p GROUP BY 1),
+           r AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC,
+                   path) AS rank FROM c)
+           SELECT rank, path, n_sessions FROM r WHERE rank <= 50
+           ORDER BY rank""",
       "q118_rolling_features" ->
         // the same ANSI RANGE frames, shared WINDOW clause; DuckDB sums
         // BIGINT into HUGEINT, so cast back — values are exact integers

@@ -1110,6 +1110,45 @@ object TextAnalysis {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document token-entropy scoring — the information-diversity
+    * quality gate (a gibberish/boilerplate filter: keyboard mash,
+    * repeated-phrase spam and template pages all score low-entropy
+    * relative to natural text; cf. the entropy heuristics in web-corpus
+    * cleaning alongside Gopher's repetition rules, q65/q91).
+    *
+    * Shannon entropy over the doc's own token distribution, in exact
+    * integer MILLIBITS via the shared Mitchell log2 kernel
+    * ([[graft.functions.TextFunctions.log2Mills]]) — no float log:
+    * total = n·L(n) − Σ c_t·L(c_t), the algebraic form that needs no
+    * per-term n/c_t division (Σ c_t(L(n)−L(c_t)) re-grouped). Flags
+    * `low_diversity` when total < n·minMillsPerTok.
+    *
+    * Scale shape: one (doc, token) hash-agg shuffle (token-mass input,
+    * distinct-pair output) + one doc-keyed agg — no window, no join;
+    * the same two-shuffle floor as the tf pass of q96.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String,
+      minMillsPerTok: Long): DataFrame = {
+    require(minMillsPerTok >= 0, s"minMillsPerTok=$minMillsPerTok < 0")
+    val reserved = Seq("tok", "cnt", "n_toks", "n_distinct",
+      "ent_total_mills", "low_diversity", "__s")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val tc = docs
+      .select(col(idCol), explode(filter(
+        TextFunctions.tokens(col(textCol)), t => t =!= "")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    tc.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * TextFunctions.log2Mills(col("cnt"))).as("__s"))
+      .select(col(idCol), col("n_toks"), col("n_distinct"),
+        (col("n_toks") * TextFunctions.log2Mills(col("n_toks")) - col("__s"))
+          .as("ent_total_mills"))
+      .withColumn("low_diversity",
+        col("ent_total_mills") < col("n_toks") * minMillsPerTok)
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

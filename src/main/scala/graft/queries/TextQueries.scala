@@ -122,6 +122,11 @@ object TextQueries {
   /** q73's synthetic PII corpus: every doc gains an email, every third
     * an IPv4, every fifth a phone — all derived from doc_id so the
     * oracle rebuilds the identical text. */
+  /** q127's low-diversity cut, millibits of token entropy per token.
+    * 4000 (4 bits/tok) sits inside the corpus's 2.4-4.8 bits/tok range
+    * at every SF, so both flag branches are exercised. */
+  private[graft] val EntMinMills = 4000L
+
   /** q124's split: ranks 1..HnPos are positives, the rest of the
     * BM25 top-k are hard negatives, HnRand md5-ranked docs from the
     * non-retrieved pool are random negatives. */
@@ -722,6 +727,15 @@ object TextQueries {
     // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
     // per-class replacement counts; gated on the scrubbed-text digest.
     // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    // Token-entropy quality gate (TextAnalysis.tokenEntropy): Shannon
+    // entropy over each doc's own token distribution in exact Mitchell
+    // millibits — n·L(n) − Σ c·L(c), no window, no join; flags docs
+    // under EntMinMills/token (threshold inside the corpus range, so
+    // both branches are data-exercised at every SF).
+    "q127_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docsSpread(s, dir), "doc_id", "text",
+          minMillsPerTok = EntMinMills)
+        .orderBy("doc_id")),
     // Snapshot-to-snapshot corpus diff (CorpusDiff.diff): v2 derives
     // from v1 with removed (%17=3), changed (%13=5, content edit),
     // case-only drift (%11=2 — must read UNCHANGED through the
@@ -1465,6 +1479,31 @@ object TextQueries {
          SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
            coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
          FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q127_token_entropy" -> {
+      // the shared Mitchell twin (printf('%b') / << / //) applied to
+      // cnt and n; entropy re-derived through the same n·L(n) − Σ c·L(c)
+      // algebra, flag as an exact integer compare
+      def mitchell(x: String) =
+        s"""(1000 * (length(printf('%b', $x)) - 1)
+           + (1000 * ($x - (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT))))
+             // (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT)))"""
+      s"""WITH dt AS (
+           SELECT doc_id, unnest($tokenListSql) AS tok FROM documents),
+         tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM dt WHERE tok <> '' GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(cnt * ${mitchell("cnt")}) AS BIGINT) AS s
+           FROM tc GROUP BY 1)
+         SELECT doc_id, n_toks, n_distinct,
+           n_toks * ${mitchell("n_toks")} - s AS ent_total_mills,
+           n_toks * ${mitchell("n_toks")} - s < n_toks * $EntMinMills
+             AS low_diversity
+         FROM per ORDER BY doc_id"""
+    },
     "q123_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (
