@@ -148,7 +148,10 @@ object ScaleStudy {
     // equi-join on scan-computed keys; q124: the pool window is the
     // Q×N-by-design contract but with a WindowGroupLimit k-cut, so
     // only the scan grows
-    "q123_snapshot_diff", "q124_hard_negatives")
+    "q123_snapshot_diff", "q124_hard_negatives",
+    // q127: the q96 two-shuffle floor — (doc,tok) hash agg + doc agg,
+    // token-mass linear
+    "q127_token_entropy")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -170,7 +173,11 @@ object ScaleStudy {
     "q118_rolling_features", "q119_funnel",
     // q120: lead window rides the same per-user exchange; the
     // transition agg is bounded by |types|²
-    "q120_event_transitions")
+    "q120_event_transitions",
+    // q128: sessionize + per-session rebuild ride user-keyed windows
+    // (replica-exact); the path rank runs over the bounded distinct-
+    // path frame
+    "q128_session_paths")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
