@@ -235,6 +235,13 @@ object Engine {
     *                      Gopher A1.1 rule conjunction (with this
     *                      required-word list) are dropped between
     *                      decontamination and quality selection
+    * @param minEntropyMillsPerTok when Some(mills), documents whose
+    *                      own token-distribution entropy falls under
+    *                      this many Mitchell millibits per token are
+    *                      dropped after the Gopher gate
+    *                      (TextAnalysis.tokenEntropy, the q127
+    *                      operator — the gibberish/template filter).
+    *                      Adds an `entropy_filtered` ledger stage
     * @param budgetTokens  per-stratum token budget for quality selection
     *                      (the default [[BudgetSelection]] policy;
     *                      ignored when `selection` is given)
@@ -272,6 +279,7 @@ object Engine {
       againstMinJaccardMills: Int = 500,
       againstMaxCandidates: Int = Int.MaxValue,
       gopherStops: Option[Seq[String]] = None,
+      minEntropyMillsPerTok: Option[Long] = None,
       budgetTokens: Long = 1000000L,
       selection: Option[SelectionPolicy] = None,
       chunkTokens: Int = 512,
@@ -366,12 +374,26 @@ object Engine {
     // 5b. optional Gopher rule gate: the A1.1 conjunction as a
     // scan-side semi-filter (q91's operator; equi-join on the id so
     // the full metric projection never rides downstream)
-    val ruled = gopherStops match {
+    val gopherRuled = gopherStops match {
       case None => dedupedB
       case Some(stops) =>
         dedupedB.join(
           TextAnalysis.gopherQualityFlags(dedupedB, textCol, idCol, stops)
             .where(col("gopher_ok")).select(idCol),
+          Seq(idCol), "left_semi")
+    }
+
+    // 5c. optional token-entropy gate (q127's operator): the
+    // information-diversity complement of the Gopher rules — drops
+    // gibberish/template docs whose own token distribution carries
+    // under the threshold millibits per token; same semi-join shape
+    // so only ids ride back
+    val ruled = minEntropyMillsPerTok match {
+      case None => gopherRuled
+      case Some(minMills) =>
+        gopherRuled.join(
+          TextAnalysis.tokenEntropy(gopherRuled, idCol, textCol, minMills)
+            .where(!col("low_diversity")).select(idCol),
           Seq(idCol), "left_semi")
     }
 
@@ -423,7 +445,9 @@ object Engine {
       (if (againstCorpus.isDefined) Seq(("incremental_new", incremental))
        else Nil) ++ Seq(
       ("passage_cleaned", passageClean),
-      ("decontaminated", dedupedB), ("rule_filtered", ruled),
+      ("decontaminated", dedupedB), ("rule_filtered", gopherRuled)) ++
+      (if (minEntropyMillsPerTok.isDefined)
+        Seq(("entropy_filtered", ruled)) else Nil) ++ Seq(
       (selLabel, selected),
       ("chunks", chunks), ("packed_docs", packed)))
       .zipWithIndex

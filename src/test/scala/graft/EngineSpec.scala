@@ -356,4 +356,34 @@ class EngineSpec extends AnyFunSuite {
     assert(!pool.accounting.collect().map(_.getString(1))
       .contains("incremental_new"))
   }
+
+  test("processCorpus entropy gate reuses the q127 operator") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val minMills = 4000L
+    val gated = Engine.processCorpus(docs,
+      minEntropyMillsPerTok = Some(minMills), materializeBoundaries = true)
+    val ledger = gated.accounting.collect()
+      .map(row => (row.getString(1), row.getInt(0), row.getLong(2)))
+    val byName = ledger.map(t => t._1 -> t._3).toMap
+    assert(byName.contains("entropy_filtered"), s"stages: ${ledger.toSeq}")
+    // the gate sits right after the (here pass-through) gopher stage
+    val order = ledger.sortBy(_._2).map(_._1).toSeq
+    assert(order.indexOf("entropy_filtered") == order.indexOf("rule_filtered") + 1)
+    // reuse, not fork: the kept set IS tokenEntropy's not-low set over
+    // the gopher-stage frame (pass-through here, so the cleaned corpus)
+    val plain = Engine.processCorpus(docs, materializeBoundaries = true)
+    val expected = operators.TextAnalysis.tokenEntropy(
+        plain.deduped, "doc_id", "text", minMills)
+      .where(!col("low_diversity")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the entropy_filtered frame isn't exposed directly — check via
+    // the ledger count (exact, since the gate is a semi-join)
+    assert(byName("entropy_filtered") == expected.size.toLong)
+    assert(byName("entropy_filtered") < byName("rule_filtered"),
+      "the entropy gate must drop at least one low-diversity doc")
+    // and without the gate there is no entropy stage
+    assert(!plain.accounting.collect().map(_.getString(1))
+      .contains("entropy_filtered"))
+  }
 }
