@@ -770,6 +770,22 @@ object SparkEntry {
           expr("(1000000 * n) div sum(n) OVER (PARTITION BY event_type)"))
         .orderBy("event_type", "next_type")
     }),
+    // Retention cohort analysis: cohort = each user's first epoch week,
+    // activity = distinct (user, week); cells = users active at each
+    // cohort age. Two user-keyed aggs + one equi-join, output bounded
+    // by weeks² — the product-analytics rollup every event store runs.
+    "q130_retention_cohorts" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "age_wk")
+    }),
     // Session path mining: gap-sessionize (q23's 1800 s rule on exact
     // micros), rebuild each session's first-8 event-type path with the
     // q89 ordered-rebuild pattern, count sessions per path, keep the
@@ -1505,6 +1521,15 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q130_retention_cohorts" ->
+        """WITH ev AS (
+             SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+             FROM events),
+           f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+           SELECT f.cohort_wk, ev.wk - f.cohort_wk AS age_wk,
+             CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+           FROM ev JOIN f ON ev.user_id = f.user_id
+           GROUP BY 1, 2 ORDER BY 1, 2""",
       "q128_session_paths" ->
         s"""WITH ev AS (
              SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

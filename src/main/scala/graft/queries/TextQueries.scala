@@ -727,6 +727,33 @@ object TextQueries {
     // PII scrub (emails -> IPv4 -> phone runs, in that order) with the
     // per-class replacement counts; gated on the scrubbed-text digest.
     // Patterns interpolate from TextFunctions (RE2-safe, codegen'd).
+    // Cross-source overlap matrix (WIMBD-style corpus analytics) on
+    // the OPENING-PASSAGE key (md5 of the first 8 lowercased tokens —
+    // the shared-boilerplate/syndication signal; the exact content key
+    // crosses sources only at the largest SF): distinct (source, key),
+    // per-key sorted source set (bounded by |sources|), ordered pairs
+    // generated array-side — never a key self-join, so a viral key
+    // costs |sources|² pair rows, not occurrence². The oracle is the
+    // NAIVE key self-join: parity proves the pair generation lossless.
+    "q129_source_overlap" -> ((s, dir) => {
+      val ks = docsSpread(s, dir)
+        .select(col("source"),
+          md5(array_join(slice(
+            graft.functions.TextFunctions.tokens(lower(col("text"))),
+            1, 8), " ")).as("k"))
+        .distinct()
+      val bySrc = ks.groupBy("k")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      bySrc
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+            b => struct(a.as("source_a"), b.as("source_b"))))))
+          .as("p"))
+        .select(col("p.source_a"), col("p.source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_keys"))
+        .orderBy("source_a", "source_b")
+    }),
     // Token-entropy quality gate (TextAnalysis.tokenEntropy): Shannon
     // entropy over each doc's own token distribution in exact Mitchell
     // millibits — n·L(n) − Σ c·L(c), no window, no join; flags docs
@@ -1479,6 +1506,19 @@ object TextQueries {
          SELECT b.doc_id, CAST(len(string_split(b.t2, chr(10))) AS BIGINT) AS n_lines,
            coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ck, md5('')) AS clean_key
          FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id""",
+    "q129_source_overlap" ->
+      // the naive key self-join twin — parity proves the bounded
+      // array-side pair generation lossless and duplicate-free
+      """WITH ks AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(
+               (string_split(regexp_replace(trim(lower(text)),
+                  '\s+', ' ', 'g'), ' '))[1:8], ' ')) AS k
+           FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_keys
+         FROM ks a JOIN ks b ON a.k = b.k AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q127_token_entropy" -> {
       // the shared Mitchell twin (printf('%b') / << / //) applied to
       // cnt and n; entropy re-derived through the same n·L(n) − Σ c·L(c)
