@@ -151,7 +151,11 @@ object ScaleStudy {
     "q123_snapshot_diff", "q124_hard_negatives",
     // q127: the q96 two-shuffle floor — (doc,tok) hash agg + doc agg,
     // token-mass linear
-    "q127_token_entropy")
+    "q127_token_entropy",
+    // q129: distinct (source, prefix-key) + per-key bounded source
+    // sets; the token bijection keeps replicas' keys disjoint so the
+    // pair mass stays replica-0-proportional while the scan grows 10×
+    "q129_source_overlap")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -177,7 +181,10 @@ object ScaleStudy {
     // q128: sessionize + per-session rebuild ride user-keyed windows
     // (replica-exact); the path rank runs over the bounded distinct-
     // path frame
-    "q128_session_paths")
+    "q128_session_paths",
+    // q130: two user-keyed aggs + one equi-join; cohort cells bounded
+    // by weeks² while users grow with the replicas
+    "q130_retention_cohorts")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
