@@ -41,10 +41,26 @@ object HeavyHitters {
     * overestimate that preserves the "count > n/m survives" guarantee).
     * O(log m) per item via a (count, item) tree for min lookup.
     */
-  private[operators] final class SpaceSaving(m: Int) {
+  private[graft] final class SpaceSaving(m: Int) {
     private val counts = scala.collection.mutable.HashMap.empty[String, Long]
     private val byCount = scala.collection.mutable.TreeSet.empty[(Long, String)]
     private var seen = 0L
+
+    /** Seed a counter during summary restore (streaming-state resume).
+      * Only valid while under capacity and for fresh items — restore
+      * replays a summary that was produced by THIS class, so both
+      * invariants hold by construction; fail loud otherwise. */
+    private[graft] def seed(t: String, c: Long): Unit = {
+      require(counts.size < m && !counts.contains(t),
+        s"seed($t) on a full or duplicate summary")
+      counts(t) = c; byCount += ((c, t))
+    }
+
+    /** Restore the stream position during summary restore. */
+    private[graft] def restoreSeen(x: Long): Unit = { seen = x }
+
+    /** Current (item, estimated count) entries. */
+    private[graft] def entries: Iterator[(String, Long)] = counts.iterator
 
     def add(t: String): Unit = {
       // fail loud, not with a TreeSet-ordering NPE: the (count, item)

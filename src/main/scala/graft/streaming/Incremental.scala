@@ -55,6 +55,18 @@ object Incremental {
   case class Keyed(key: String, id: Long)
   case class FirstSeen(key: String, id: Long)
 
+  /** Streaming heavy-hitter state: one Space-Saving summary per shard
+    * (bounded: at most `counters` entries), plus the shard's stream
+    * position and a monotone emission version. */
+  case class HhState(counts: Map[String, Long], n: Long, version: Long)
+
+  /** One emitted summary row: shard's candidate item with its
+    * (over-)estimated count, the shard total, and the emission version
+    * — consumers keep each shard's max-version rows (the latest
+    * summary; Append mode can't retract earlier ones). */
+  case class HhSummary(shard: Int, version: Long, item: String,
+    est: Long, shard_n: Long)
+
   /** Streaming exact dedup with flatMapGroupsWithState: emits each key's
     * FIRST occurrence only (smallest id within the first batch that sees
     * the key — deterministic), suppresses every later one. State is one
@@ -77,6 +89,57 @@ object Incremental {
             val firstId = it.map(_.id).min
             state.update(firstId)
             Iterator.single(FirstSeen(key, firstId))
+          }
+      }
+  }
+
+  /** Streaming heavy hitters — the stateful half of the q83 two-pass
+    * exact top-k (`HeavyHitters.topKExact`): maintain one bounded
+    * Space-Saving summary (Metwally et al. 2005) per hash shard across
+    * micro-batches, so the candidate superset is available CONTINUOUSLY
+    * over an unbounded stream instead of per batch run.
+    *
+    * Sharding: md5(item) mod `nShards` — every occurrence of an item
+    * lands in ONE shard, so the shard summary is exactly Space-Saving
+    * over that substream, and the q83 invariant carries over verbatim:
+    * any item with shard count > n_shard/counters survives its shard's
+    * summary, hence any item with GLOBAL count > N/counters survives in
+    * at least one emitted summary (its whole count sits in one shard —
+    * tighter than the batch per-partition pigeonhole). Exact results
+    * still require the recount pass on the candidates — that stays a
+    * batch job over the staged store, exactly like pass B of q83.
+    *
+    * Emission: Append mode re-emits the shard's FULL summary each batch
+    * it changes, stamped with a monotone `version`; sinks keep every
+    * emission, so consumers filter to each shard's max version (the
+    * spec's drain does). State is the bounded counter map itself —
+    * `counters` entries per shard, independent of stream length.
+    * NoTimeout for drain-style runs (the sessionizer's documented
+    * eviction note applies unchanged).
+    */
+  def streamingHeavyHitters(items: org.apache.spark.sql.Dataset[String],
+      counters: Int, nShards: Int): org.apache.spark.sql.Dataset[HhSummary] = {
+    require(counters >= 1, s"counters=$counters must be >= 1")
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    import items.sparkSession.implicits._
+    items
+      .groupByKey { t =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        math.floorMod(h(0).toInt, nShards)
+      }
+      .flatMapGroupsWithState[HhState, HhSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[HhState]) =>
+          val prev = state.getOption.getOrElse(HhState(Map.empty, 0L, 0L))
+          val ss = new graft.operators.HeavyHitters.SpaceSaving(counters)
+          prev.counts.foreach { case (t, c) => ss.seed(t, c) }
+          ss.restoreSeen(prev.n)
+          it.foreach(ss.add)
+          val next = HhState(ss.entries.toMap, ss.n, prev.version + 1)
+          state.update(next)
+          next.counts.iterator.map { case (t, c) =>
+            HhSummary(shard, next.version, t, c, next.n)
           }
       }
   }

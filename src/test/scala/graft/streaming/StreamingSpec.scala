@@ -362,4 +362,59 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "content_key").as[(Long, String)].collect().toMap
     assert(kept() == twin, "streaming store must equal the batch twin")
   }
+
+  test("streaming heavy hitters carry shard summaries across drains; exact after recount") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    val counters = 8
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("value", org.apache.spark.sql.types.StringType))
+        .parquet(in).as[String]
+      val q = Incremental.streamingHeavyHitters(stream, counters, nShards = 2)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val b1 = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      (1 to 15).map(i => s"rare$i")
+    b1.toDF("value").write.mode("append").parquet(in)
+    drain()
+    val b2 = Seq.fill(25)("alpha") ++ Seq.fill(10)("gamma") ++
+      (16 to 30).map(i => s"rare$i")
+    b2.toDF("value").write.mode("append").parquet(in)
+    drain()
+    val emitted = spark.read.parquet(out).as[Incremental.HhSummary].collect()
+    // Append mode re-emits summaries: keep each shard's latest version
+    val latestV = emitted.groupBy(_.shard).view.mapValues(_.map(_.version).max).toMap
+    val latest = emitted.filter(r => r.version == latestV(r.shard))
+    val all = b1 ++ b2
+    // stream position restored across drains: shard totals sum to N
+    assert(latest.map(r => r.shard -> r.shard_n).toMap.values.sum == all.size.toLong)
+    // bounded state: each shard holds at most `counters` candidates
+    latest.groupBy(_.shard).foreach { case (s, rows) =>
+      assert(rows.length <= counters, s"shard $s overflow")
+    }
+    // the q83 superset invariant, carried to shards: every item with
+    // global count > N/counters must be a candidate in the LAST summary
+    // (its whole count sits in one shard — cross-batch state required:
+    // alpha needs both batches to clear the bar this strongly)
+    val cands = latest.map(_.item).toSet
+    val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val guaranteed = trueCounts.filter(_._2 > all.size.toLong / counters).keySet
+    assert(guaranteed.subsetOf(cands), s"missing: ${guaranteed -- cands}")
+    // pass B (batch recount of candidates) yields the EXACT top-3 —
+    // identical to the one-shot batch operator on the union input
+    val recount = trueCounts.view.filterKeys(cands).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(3)
+      .map { case (t, c) => (t, c) }
+    val batch = graft.operators.HeavyHitters
+      .topKExact(all.toDS(), k = 3, counters = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(recount == batch, s"recount=$recount batch=$batch")
+    // estimates never undercount (Space-Saving overestimates only)
+    latest.foreach(r => assert(r.est >= trueCounts.getOrElse(r.item, 0L)))
+  }
 }
