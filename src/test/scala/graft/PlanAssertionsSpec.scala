@@ -371,4 +371,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q95_unigram_ce")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q124: the random-negative pool rank cut is partial; queries broadcast") {
+    // hard-negative mining's promise: the Q×N pool never survives the
+    // rank shuffle whole — the md5-priority window ships k rows per
+    // partition (WindowGroupLimit), and the query list reaches the
+    // corpus as a broadcast, never a shuffle of the doc side
+    val p = plan("q124_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q125: the per-cell sample cut is partial top-k") {
+    val p = plan("q125_cluster_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q118: both trailing spans ride one exchange and one sort") {
+    // Rolling.trailingAgg's promise, asserted on the GATED events
+    // query (the operator-level twin lives in RollingFunnelSpec): one
+    // user-keyed exchange, one sort, two RANGE frames
+    val df = SparkEntry.queries("q118_rolling_features")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"spans must share the keyed exchange:\n${p.take(2000)}")
+  }
 }
