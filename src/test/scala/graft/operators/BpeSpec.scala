@@ -70,4 +70,18 @@ class BpeSpec extends AnyFunSuite {
     // round 1 fuses ab; nothing left to pair
     assert(got == Seq((1L, "a", "b", "ab", 2L)))
   }
+
+  test("PROPERTY: merges match the naive reference on random 3-char corpora") {
+    // tiny alphabet + short words force heavy pair collisions, ties,
+    // and overlap chains (aaa/aaaa) far denser than real text
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val texts = Seq.fill(6)(
+        Seq.fill(rnd.nextInt(6) + 1)(
+          Seq.fill(rnd.nextInt(4) + 1)("abc"(rnd.nextInt(3))).mkString)
+          .mkString(" "))
+      assert(learned(texts, 4) == naive(texts, 4),
+        s"trial $trial corpus=$texts")
+    }
+  }
 }

@@ -63,6 +63,32 @@ class RollingFunnelSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L), (2L, 2L), (3L, 1L), (5L, 1L)))
   }
 
+  test("PROPERTY: funnel matches a naive sequential-min fold on random logs") {
+    val steps = Seq("signup", "click", "purchase")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val evs = Seq.fill(80)((rnd.nextInt(5).toLong + 1,
+        rnd.nextInt(200).toLong,
+        Seq("signup", "click", "purchase", "view")(rnd.nextInt(4))))
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        def nextMin(after: Option[Long], step: String): Option[Long] =
+          after.flatMap(a =>
+            es.filter(e => e._3 == step && e._2 > a).map(_._2).minOption)
+        val t1 = es.filter(_._3 == steps.head).map(_._2).minOption
+        val t2 = nextMin(t1, steps(1))
+        val t3 = nextMin(t2, steps(2))
+        t1.map(_ => u -> ((t1, t2, t3,
+          Seq(t1, t2, t3).count(_.isDefined).toLong)))
+      }
+      val got = Funnel.funnel(evs.toDF("u", "ts", "t"), "u", "ts", "t", steps)
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> ((opt(1), opt(2), opt(3), r.getLong(4)))
+        }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("funnel step times are the earliest qualifying events") {
     val ev = Seq(
       (1L, 10L, "signup"), (1L, 5L, "signup"), (1L, 7L, "click"),
