@@ -393,6 +393,116 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Grouping-set ROLLUP with subtotal provenance: one pass produces
+    // the detail cells, per-flag subtotals, and the grand total, each
+    // tagged by the grouping_id bitmask (first listed key = high bit —
+    // the ANSI semantics both engines implement). At 100 TB this is the
+    // "report all levels without N scans" shape: Spark expands the
+    // grouping sets BEFORE the exchange, so partial aggregation still
+    // combines map-side and the scan runs once. Rollup-null keys are
+    // coalesced to a sentinel ('ALL') so subtotal rows sort and hash
+    // deterministically and real NULL keys (none here) stay separable
+    // via gid.
+    "q131_rollup_totals" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(revenueCents).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("revenue_cents"), col("n_rows"))
+        .orderBy("gid", "rf", "ls")
+    }),
+
+    // Market-segment × order-status pivot (wide matrix report): an
+    // explicit pivot value list keeps the output schema static — the
+    // only 100 TB-safe pivot (value discovery would need a pre-scan and
+    // makes the schema data-dependent). Spark lowers this to a
+    // (segment, status) cell agg + a pivotfirst agg on segment — two
+    // exchanges, but BOTH ship post-partial-agg rows bounded by the
+    // |segments|·|statuses| cell grid, so the data-sized work is one
+    // scan + one map-side combine (plan contract in
+    // PlanAssertionsSpec). The oracle is the manual conditional-agg
+    // twin — same cells, same values.
+    "q132_pivot_matrix" -> ((s, dir) => {
+      val oc = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+      oc.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+        .select(
+          col("c_mktsegment"),
+          col("F_n").as("n_f"), col("O_n").as("n_o"), col("P_n").as("n_p"),
+          coalesce(col("F_cents"), lit(0L)).as("cents_f"),
+          coalesce(col("O_cents"), lit(0L)).as("cents_o"),
+          coalesce(col("P_cents"), lit(0L)).as("cents_p"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Data-quality column profiler: per configured column, row count,
+    // raw nulls, blank-ish tokens (the q02 normEmpty rule), distinct
+    // values and length envelope — the profile a 100 TB ingest job
+    // publishes before anything downstream trusts the table. ONE scan:
+    // the columns unpivot via explode(array(struct..)) so Spark reads
+    // the table once and hash-aggs on the tiny col_name key; the oracle
+    // is a per-column UNION ALL generated from the SAME column list
+    // (ProfileCols) so the twins cannot drift.
+    "q133_column_profile" -> ((s, dir) => {
+      val cells = ProfileCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+      t(s, dir, "documents")
+        .select(explode(array(cells: _*)).as("cell"))
+        .select(col("cell.col_name").as("col_name"), col("cell.v").as("v"))
+        .groupBy("col_name")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(Normalize.normEmpty(col("v")).isNull, 1L).otherwise(0L))
+            .as("n_blankish"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(length(col("v"))).cast("long").as("min_len"),
+          max(length(col("v"))).cast("long").as("max_len"),
+          sum(length(col("v")).cast("long")).as("len_sum"))
+        .withColumn("avg_len_mills",
+          expr("(1000 * len_sum) div nullif(n_rows - n_null, 0)"))
+        .orderBy("col_name")
+    }),
+
+    // Gaps-and-islands: per customer, runs of CONSECUTIVE order months
+    // (month index − row_number over distinct months is constant within
+    // a run — the classic islands identity). Rolled up to one row per
+    // customer (longest streak, streak count, active months) so the
+    // output is customer-bounded. Two exchanges by design: the month
+    // dedup ships PARTIAL-AGG'D distinct (custkey, mi) pairs — cheaper
+    // at scale than funnelling raw order rows through one custkey
+    // exchange — then the window's custkey exchange is REUSED by both
+    // the (custkey, grp) run grouping and the final per-customer rollup
+    // (subset partitioning satisfies both; plan contract pins no third
+    // exchange).
+    "q134_order_streaks" -> ((s, dir) => {
+      val mi = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"))
+        .distinct()
+      val w = Window.partitionBy("o_custkey").orderBy("mi")
+      mi.withColumn("grp", col("mi") - row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("o_custkey")
+        .agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_months"))
+        .orderBy("o_custkey")
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -420,6 +530,24 @@ object RelationalQueries {
     * with the oracle twin; edit HERE. */
   private[graft] val ZOrderBits = 10
 
+  /** q133's profiled columns — ONE list drives both the Spark unpivot
+    * and the generated per-column oracle UNION ALL; edit HERE. */
+  private[graft] val ProfileCols = Seq("source", "lang", "text")
+
+  /** DuckDB twin of one q133 profile row (the q02 normEmpty blank-ish
+    * rule inlined). */
+  private def profileSql(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        CAST(count(*) - count($c) AS BIGINT) AS n_null,
+        CAST(count(*) FILTER ($c IS NULL OR lower(trim($c)) IN
+          ('', 'null', 'none', 'n/a', 'na', 'nan')) AS BIGINT) AS n_blankish,
+        count(DISTINCT $c) AS n_distinct,
+        min(length($c)) AS min_len, max(length($c)) AS max_len,
+        CAST(sum(length($c)) AS BIGINT) AS len_sum,
+        (1000 * CAST(sum(length($c)) AS BIGINT))
+          // nullif(count($c), 0) AS avg_len_mills
+        FROM documents"""
+
   /** DuckDB twin of [[graft.functions.ZOrder.interleave2]]: the same
     * static shift/mask/or expansion over pre-masked operands. */
   private[graft] def zInterleaveSql(x: String, y: String, bits: Int): String =
@@ -428,6 +556,52 @@ object RelationalQueries {
       .mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "q131_rollup_totals" ->
+      // same ANSI ROLLUP + GROUPING bitmask (first key = high bit in
+      // both engines), same sentinel coalesce
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           ${revenueCentsSumSql} AS revenue_cents,
+           count(*) AS n_rows
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "q132_pivot_matrix" ->
+      // manual conditional aggregation — the exact plan Spark compiles
+      // the static-value pivot to
+      """SELECT c_mktsegment,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS cents_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q133_column_profile" ->
+      (ProfileCols.map(profileSql).mkString(" UNION ALL ") +
+        " ORDER BY col_name"),
+    "q134_order_streaks" ->
+      """WITH mi AS (
+           SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+           FROM orders),
+         g AS (
+           SELECT o_custkey, mi,
+             mi - row_number() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+           FROM mi),
+         runs AS (
+           SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT o_custkey, max(len) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_months
+         FROM runs GROUP BY o_custkey ORDER BY o_custkey""",
     "q97_zorder_stats" ->
       // full recompute: identical quantization, the shared static
       // interleave expansion, identical bucket shift

@@ -398,4 +398,52 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"spans must share the keyed exchange:\n${p.take(2000)}")
   }
+
+  test("q131: rollup expands BEFORE one exchange, partial agg survives") {
+    // the one-scan-all-levels promise: grouping sets become an Expand
+    // feeding a partial HashAggregate, then exactly ONE hash exchange
+    // ships the already-combined cells — never N scans, never raw rows
+    val p = plan("q131_rollup_totals")
+    assert(p.contains("Expand"), p.take(2000))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one hash exchange, got $n:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "lineitem scanned more than once")
+  }
+
+  test("q132: pivot exchanges carry only partial-agg'd cells; dim is broadcast") {
+    // static value list ⇒ static schema; Spark lowers pivot to TWO
+    // exchanges — (segment, status) cells then pivotfirst on segment —
+    // but BOTH ship post-partial-aggregation rows bounded by the cell
+    // grid (≤ |segments|·|statuses| per map partition), so the data-
+    // sized work is one scan + one map-side combine. The contract: no
+    // THIRD exchange, a partial agg before the first, and the customer
+    // dim riding a broadcast, never a shuffle
+    val p = plan("q132_pivot_matrix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_pivotfirst"), "pivot lost map-side combine")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected two bounded-cell exchanges, got $n:\n${p.take(2000)}")
+  }
+
+  test("q133: the profiler reads documents ONCE for all profiled columns") {
+    // explode-of-structs unpivot: one scan fans into the tiny col_name
+    // key — never one scan per column like the oracle's UNION ALL twin
+    val p = plan("q133_column_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"documents scanned more than once:\n${p.take(2000)}")
+    assert(p.contains("Generate"), "unpivot should be a Generate (explode)")
+  }
+
+  test("q134: both island rollups reuse the window exchange; dedup combines map-side") {
+    // two exchanges by design: the month-dedup's (custkey, mi) exchange
+    // ships PARTIAL-AGG'D distinct pairs (cheaper at scale than funnelling
+    // raw order rows through a single custkey exchange), then the window's
+    // custkey exchange. The promise under test: the (custkey, grp) run
+    // grouping AND the final per-customer rollup both reuse the window's
+    // partitioning — a third exchange would mean the islands identity
+    // reshuffled
+    val p = plan("q134_order_streaks")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected dedup + window exchanges only, got $n:\n${p.take(2000)}")
+  }
 }
