@@ -155,7 +155,12 @@ object ScaleStudy {
     // q129: distinct (source, prefix-key) + per-key bounded source
     // sets; the token bijection keeps replicas' keys disjoint so the
     // pair mass stays replica-0-proportional while the scan grows 10×
-    "q129_source_overlap")
+    "q129_source_overlap",
+    // q133: the one-scan unpivot profiler — ProfileCols× explode of
+    // the scan, hash agg on the 3-row col_name key; pure scan floor
+    // except n_distinct on text, whose distinct-pair mass grows with
+    // the corpus like q127's
+    "q133_column_profile")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -193,7 +198,16 @@ object ScaleStudy {
     // round 8: the z-key scan + 256-bucket hash agg — the relational
     // projection floor (the strided l_orderkey shifts each replica's
     // mod-1024 quantization, which only re-mixes the uniform spread)
-    "q97_zorder_stats")
+    "q97_zorder_stats",
+    // q131: Expand ×3 grouping sets before ONE exchange of partial-
+    // agg'd cells (output bounded by flag×status levels); q132: both
+    // pivot exchanges ship cell-grid rows, customer dim broadcast —
+    // scan + map-side combine is the only corpus-sized work; q134:
+    // orders facts grow 10× over the SAME customers, so the month
+    // dedup's partial agg absorbs the growth (distinct (custkey, mi)
+    // pairs saturate at customers × months) and the window exchange
+    // carries a near-constant frame
+    "q131_rollup_totals", "q132_pivot_matrix", "q134_order_streaks")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */
@@ -233,6 +247,16 @@ object ScaleStudy {
   def lineitemReplica(li: DataFrame, k: Int): DataFrame =
     if (k == 0) li
     else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderOffset))
+
+  /** One replica of `orders`: identity for k = 0, else o_orderkey
+    * strided into the same disjoint key spaces as the lineitem
+    * replicas; o_custkey (and every attribute) untouched, so each
+    * customer's order history grows 10× over the SAME customer dim —
+    * the fact-grows-dims-fixed shape q132's segment matrix and q134's
+    * per-customer streaks need. */
+  def ordersReplica(ord: DataFrame, k: Int): DataFrame =
+    if (k == 0) ord
+    else ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * OrderOffset))
 
   /** Stamped build-once: runs `build` unless `outDir` already holds a
     * product built from the same sources (srcPaths' sizes+mtimes +
@@ -318,17 +342,19 @@ object ScaleStudy {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
     }
 
-  /** Builds `outDir/lineitem.parquet` (10× facts) and copies the
-    * broadcast dims (part, supplier, nation) verbatim — the
-    * fact-grows-dims-fixed warehouse shape. */
+  /** Builds `outDir/lineitem.parquet` + `outDir/orders.parquet` (10×
+    * facts, shared disjoint o_orderkey stride) and copies the broadcast
+    * dims (part, supplier, nation, customer) verbatim — the
+    * fact-grows-dims-fixed warehouse shape. orders is written LAST so
+    * its _SUCCESS doubles as the whole-build done marker. */
   def synthesizeRelational(spark: SparkSession, srcDir: String, outDir: String): Unit =
     // the stamp covers the DIMS too: a dims-only fixture regeneration
     // (same lineitem bytes) must invalidate the copied part/supplier/
-    // nation, not silently measure against stale dims
+    // nation/customer, not silently measure against stale dims
     buildOnce(outDir,
-        Seq("lineitem", "part", "supplier", "nation")
+        Seq("lineitem", "orders", "part", "supplier", "nation", "customer")
           .map(t => s"$srcDir/$t.parquet"),
-        s"lineitem-x$Replicas", "lineitem.parquet/_SUCCESS") {
+        s"lineitem-orders-x$Replicas", "orders.parquet/_SUCCESS") {
       val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
       val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
       require(maxOk < OrderOffset,
@@ -337,12 +363,20 @@ object ScaleStudy {
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-      Seq("part", "supplier", "nation").foreach { t =>
+      Seq("part", "supplier", "nation", "customer").foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
           java.nio.file.Paths.get(s"$outDir/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+      val maxOrd = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+      require(maxOrd < OrderOffset,
+        s"source o_orderkey $maxOrd >= OrderOffset $OrderOffset")
+      (0 until Replicas).map(ordersReplica(ord, _))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     }
 
   private def bestOf(runs: Int)(body: => Unit): Double =

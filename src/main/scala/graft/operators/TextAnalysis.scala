@@ -1149,6 +1149,57 @@ object TextAnalysis {
         col("ent_total_mills") < col("n_toks") * minMillsPerTok)
   }
 
+  /** C4 line-rule defaults (Raffel et al. 2020 §2.2, the public
+    * "Colossal Clean Crawled Corpus" recipe; shared with q135's oracle
+    * SQL — edit HERE): a line is retained iff it ends in a terminal
+    * punctuation mark (optionally a closing quote), has at least
+    * [[C4MinWords]] words, and does not mention "javascript"; a page is
+    * dropped if it contains "lorem ipsum" or a curly brace, or its
+    * retained text has fewer than [[C4MinSentences]] sentences. */
+  val C4MinWords: Int = 5
+  val C4MinSentences: Int = 3
+
+  /** C4-style page cleaning (Raffel et al. 2020): apply the line
+    * retention rules array-side — split, `filter` lambda, rejoin — so
+    * the WHOLE operator is a scan-side projection with ZERO shuffle;
+    * page-level verdicts (lorem-ipsum / brace / min-sentences) are
+    * plain column predicates over the same scan. Sentence count is the
+    * deterministic proxy C4's nltk splitter reduces to on this shape:
+    * terminal-punctuation marks in the retained text. Output per doc:
+    * n_lines, n_kept, kept_text, n_sentences, has_lorem, has_brace,
+    * page_keep. At 100 TB this is the shape you want: the filter runs
+    * where the bytes already are, nothing crosses the wire. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = C4MinWords,
+      minSentences: Int = C4MinSentences): DataFrame = {
+    require(minWords >= 1, s"minWords=$minWords < 1")
+    require(minSentences >= 0, s"minSentences=$minSentences < 0")
+    val reserved = Seq("n_lines", "n_kept", "kept_text", "n_sentences",
+      "has_lorem", "has_brace", "page_keep", "__lines", "__kept")
+    Seq(idCol, textCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val keptArr = filter(lines, l =>
+      rtrim(l).rlike("[.!?]\"?$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("javascript"))
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", keptArr)
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("kept_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_sentences",
+        length(regexp_replace(col("kept_text"), "[^.!?]", "")).cast("long"))
+      .withColumn("has_lorem",
+        lower(coalesce(col(textCol), lit(""))).contains("lorem ipsum"))
+      .withColumn("has_brace",
+        coalesce(col(textCol), lit("")).contains("{"))
+      .withColumn("page_keep",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= minSentences)
+      .drop("__lines", "__kept")
+  }
+
   /** Full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{TextFunctions, UnicodeNorm}
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,45 @@ object TextQueries {
     * non-retrieved pool are random negatives. */
   private[graft] val HnPos = 3
   private[graft] val HnRand = 5
+
+  /** q135's synthetic C4 page corpus: the fixture text is a single
+    * punctuation-free line (dropped by the terminal-punct rule — the
+    * real-data branch), so the gated query appends deterministic lines
+    * driving every rule: two always-kept sentences, a short line
+    * (< C4MinWords — word-count drop), an unpunctuated long line, and
+    * doc_id-residue lines for the third sentence (%2 — flips the
+    * min-sentences page verdict), the javascript line drop (%3, a line
+    * that passes every OTHER rule), the lorem-ipsum page drop (%7) and
+    * the curly-brace page drop (%11). The SAME lists build the oracle's
+    * construction, so the twins cannot drift. */
+  private[graft] val C4FixedLines = Seq(
+    "the quick brown fox jumps over the lazy dog today.",
+    "short line here.",
+    "data pipelines should filter noisy web text carefully!",
+    "no terminal punctuation line with plenty of words")
+  private[graft] val C4ModLines = Seq(
+    2 -> "a third proper sentence appears on even documents here.",
+    3 -> "this javascript line has enough words to pass otherwise.",
+    7 -> "lorem ipsum dolor sit amet consectetur adipiscing elit.",
+    11 -> "object config with a curly brace { inside it")
+
+  /** The Spark side of the q135 page construction. */
+  private def c4Text: Column = {
+    val parts = col("text") +: (
+      C4FixedLines.map(l => lit("\n" + l)) ++
+        C4ModLines.map { case (m, l) =>
+          when(col("doc_id") % m === 0, lit("\n" + l)).otherwise(lit(""))
+        })
+    concat(parts: _*)
+  }
+
+  /** The DuckDB side of the SAME construction. */
+  private def c4TextSql: String =
+    "text || " + (
+      C4FixedLines.map(l => s"chr(10) || '$l'") ++
+        C4ModLines.map { case (m, l) =>
+          s"CASE WHEN doc_id % $m = 0 THEN chr(10) || '$l' ELSE '' END"
+        }).mkString(" || ")
 
   /** q122's merge-round count — enough for merged symbols to become
     * pair PARTICIPANTS (round 2+ pairs contain round-1 products), the
@@ -762,6 +801,22 @@ object TextQueries {
     "q127_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(docsSpread(s, dir), "doc_id", "text",
           minMillsPerTok = EntMinMills)
+        .orderBy("doc_id")),
+    // C4 page cleaning (Raffel et al. 2020, TextAnalysis.c4Clean):
+    // line retention (terminal punct + ≥ C4MinWords words + no
+    // 'javascript') applied ARRAY-SIDE over the synthetic multi-line
+    // pages — ZERO shuffle, the filter runs where the bytes are; page
+    // verdicts (lorem / brace / ≥ C4MinSentences sentences in the
+    // retained text) flip on doc_id residues so every branch is
+    // data-exercised at every SF. kept_text ships as an md5 digest —
+    // the rebuilt page never crosses the compare.
+    "q135_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4Clean(
+          docs(s, dir).select(col("doc_id"), c4Text.as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("kept_text")).as("kept_md5"), col("n_sentences"),
+          col("has_lorem"), col("has_brace"), col("page_keep"))
         .orderBy("doc_id")),
     // Snapshot-to-snapshot corpus diff (CorpusDiff.diff): v2 derives
     // from v1 with removed (%17=3), changed (%13=5, content edit),
@@ -1544,6 +1599,37 @@ object TextQueries {
              AS low_diversity
          FROM per ORDER BY doc_id"""
     },
+    "q135_c4_filters" ->
+      // same construction (c4TextSql interpolates the shared lists),
+      // same line lambda (terminal punct incl. optional closing quote,
+      // word count over a \s+ split of the trimmed line, no
+      // 'javascript'), same sentence proxy (terminal marks in the
+      // retained text, 'g'-flagged replace), same page verdict
+      s"""WITH base AS (SELECT doc_id, $c4TextSql AS t FROM documents),
+         f AS (
+           SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+             list_filter(string_split(t, chr(10)), l ->
+               regexp_matches(rtrim(l), '[.!?]"?$$')
+               AND len(regexp_split_to_array(trim(l), '\\s+'))
+                 >= ${TextAnalysis.C4MinWords}
+               AND NOT contains(lower(l), 'javascript')) AS ks
+           FROM base),
+         k AS (
+           SELECT doc_id, t, ls, ks,
+             array_to_string(ks, chr(10)) AS kt FROM f)
+         SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           md5(kt) AS kept_md5,
+           CAST(length(regexp_replace(kt, '[^.!?]', '', 'g')) AS BIGINT)
+             AS n_sentences,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           (NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{')
+             AND length(regexp_replace(kt, '[^.!?]', '', 'g'))
+               >= ${TextAnalysis.C4MinSentences}) AS page_keep
+         FROM k ORDER BY doc_id""",
     "q123_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (

@@ -446,4 +446,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 2, s"expected dedup + window exchanges only, got $n:\n${p.take(2000)}")
   }
+
+  test("q135: C4 cleaning is a pure scan-side projection — zero shuffle") {
+    // the whole line-rule filter runs array-side where the bytes are;
+    // the only exchange in the plan is the output sort's range partition
+    val p = plan("q135_c4_filters")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"C4 filter should never shuffle:\n${p.take(2000)}")
+    assert(p.contains("Scan parquet"), p.take(500))
+  }
 }

@@ -116,4 +116,19 @@ class ScaleStudySpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq ==
       Seq((100L, 200L, 5.0), (101L, 201L, 6.0)))
   }
+
+  test("ordersReplica strides only o_orderkey; customer histories stack on the same dim") {
+    val ord = Seq((1L, 30L, "F", 10.5), (2L, 31L, "O", 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    assert(ScaleStudy.ordersReplica(ord, 0).collect().toSeq == ord.collect().toSeq)
+    val r = ScaleStudy.ordersReplica(ord, 2).orderBy("o_orderkey").collect()
+    assert(r.map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L).map(_ + 2 * ScaleStudy.OrderOffset))
+    // o_custkey untouched: the replica's orders land on the SAME customers
+    assert(r.map(x => (x.getLong(1), x.getString(2), x.getDouble(3))).toSeq ==
+      Seq((30L, "F", 10.5), (31L, "O", 20.0)))
+    // replica order-key spaces are disjoint from the source's
+    val k0 = ord.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(k0.intersect(r.map(_.getLong(0)).toSet).isEmpty)
+  }
 }

@@ -806,4 +806,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     val spearman = 1.0 - 6.0 * d2 / (m * (m * m - 1.0))
     assert(spearman >= 0.97, s"rank agreement degraded: spearman=$spearman")
   }
+
+  test("c4Clean applies each line rule in isolation and rebuilds kept text in order") {
+    val page = Seq(
+      "first proper sentence with enough words here.", // kept
+      "short line.",                                   // < 5 words
+      "no terminal punctuation with plenty of words",  // no punct
+      "this javascript line has enough words to pass otherwise.", // js
+      "ends with a quoted terminal mark like \"this!\"", // kept (punct+quote)
+      "second proper sentence with enough words too!"  // kept
+    ).mkString("\n")
+    val df = Seq((1L, page)).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_lines") == 6L)
+    assert(r.getAs[Long]("n_kept") == 3L)
+    assert(r.getAs[String]("kept_text") == Seq(
+      "first proper sentence with enough words here.",
+      "ends with a quoted terminal mark like \"this!\"",
+      "second proper sentence with enough words too!").mkString("\n"))
+    // terminal marks in kept text: '.', '!' inside the quote, '!' = 3
+    assert(r.getAs[Long]("n_sentences") == 3L)
+    assert(!r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("has_brace"))
+    assert(r.getAs[Boolean]("page_keep"))
+  }
+
+  test("c4Clean page rules veto pages that pass every line rule") {
+    val good = Seq(
+      "first proper sentence with enough words here.",
+      "second proper sentence with enough words too.",
+      "third proper sentence with enough words also.").mkString("\n")
+    val rows = Seq(
+      (1L, good),                                       // keep
+      (2L, good + "\nsome Lorem Ipsum filler appears."), // lorem (case-insensitive)
+      (3L, good + "\nconfig block { present"),           // brace
+      (4L, Seq("one good sentence with enough words here.",
+               "two good sentences with enough words here.").mkString("\n")),
+      (5L, null.asInstanceOf[String]))                   // null text
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Boolean]("page_keep")).toSeq ==
+      Seq(true, false, false, false, false))
+    assert(r(1).getAs[Boolean]("has_lorem") && r(2).getAs[Boolean]("has_brace"))
+    assert(r(3).getAs[Long]("n_sentences") == 2L) // < C4MinSentences
+    // null text reads as one empty line, nothing kept, nothing thrown
+    assert(r(4).getAs[Long]("n_lines") == 1L &&
+      r(4).getAs[Long]("n_kept") == 0L &&
+      r(4).getAs[Long]("n_sentences") == 0L)
+  }
+
+  test("c4Clean guards geometry and reserved columns") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.c4Clean(df, "doc_id", "text", minWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.c4Clean(
+        Seq((1L, "x")).toDF("page_keep", "text"), "page_keep", "text")
+    }
+  }
 }
