@@ -187,9 +187,10 @@ object Engine {
     * entry point for the training-data pipeline the extension family
     * implements piecewise —
     *
-    *   clean (control-char strip + NFC) → line dedup (boilerplate) →
-    *   PII scrub → drop-empty → exact dedup → [dup-passage removal] →
-    *   [benchmark decontam] → [Gopher rule gate] → quality score →
+    *   NFC → [C4 page clean] → line dedup (boilerplate) → clean
+    *   (control-char strip) → PII scrub → drop-empty → exact dedup →
+    *   [dup-passage removal] → [benchmark decontam] →
+    *   [Gopher rule gate] → quality score →
     *   per-stratum token-budget selection → chunk + pack
     *
     * Every stage is the already-oracle-gated operator (q77/q72/q73/q29/
@@ -212,6 +213,15 @@ object Engine {
     * on the id.
     *
     * @param docs          corpus with `idCol` (unique), `textCol`, `strataCol`
+    * @param c4Rules       when Some((minWords, minSentences)), the C4
+    *                      page-cleaning recipe (TextAnalysis.c4Clean,
+    *                      the q135 operator) runs FIRST — while the
+    *                      page's line structure is still intact, before
+    *                      line dedup and the whitespace-collapsing
+    *                      clean: line retention rewrites `textCol` to
+    *                      the kept lines and pages failing the
+    *                      lorem-ipsum / brace / min-sentences verdict
+    *                      are dropped. Adds a `c4_cleaned` ledger stage
     * @param decontamEval  held-out benchmark docs (same `idCol`/`textCol`
     *                      schema); when given, training docs sharing >=
     *                      `decontamMinShared` word bigrams with ANY eval
@@ -272,6 +282,7 @@ object Engine {
       textCol: String = "text",
       strataCol: String = "lang",
       maxLineDocFreq: Int = graft.queries.TextQueries.LineDedupMaxDf,
+      c4Rules: Option[(Int, Int)] = None,
       decontamEval: Option[DataFrame] = None,
       decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
       removeDupWindows: Option[(Int, Int)] = None,
@@ -297,8 +308,20 @@ object Engine {
     // inside cleanText is free)
     val washed = docs.withColumn(textCol,
       UnicodeNorm.nfc_normalize(col(textCol)))
+    // 1a. optional C4 page clean (q135's operator) while the page's
+    // line structure is still intact: keep only rule-passing lines,
+    // drop vetoed pages — scan-side, zero shuffle
+    val c4ed = c4Rules match {
+      case None => washed
+      case Some((minW, minS)) =>
+        TextAnalysis.c4Clean(washed, idCol, textCol, minW, minS)
+          .where(col("page_keep"))
+          .withColumn(textCol, col("kept_text"))
+          .drop("n_lines", "n_kept", "kept_text", "n_sentences",
+            "has_lorem", "has_brace", "page_keep")
+    }
     val lineDeduped = TextAnalysis
-      .dedupLines(washed, textCol, idCol, maxLineDocFreq)
+      .dedupLines(c4ed, textCol, idCol, maxLineDocFreq)
       .withColumnRenamed("n_kept", "n_kept_lines")
     // dedupLines returns only (id, counts, clean_text): rejoin the
     // passthrough columns (strata and anything else) by id
@@ -440,7 +463,9 @@ object Engine {
       selected, textCol, idCol, strataCol, packBudget)
 
     val accounting = (Seq(
-      ("input", docs), ("cleaned", cleaned),
+      ("input", docs)) ++
+      (if (c4Rules.isDefined) Seq(("c4_cleaned", c4ed)) else Nil) ++ Seq(
+      ("cleaned", cleaned),
       ("non_empty", nonEmpty), ("exact_deduped", exactDeduped)) ++
       (if (againstCorpus.isDefined) Seq(("incremental_new", incremental))
        else Nil) ++ Seq(

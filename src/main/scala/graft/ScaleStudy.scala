@@ -160,7 +160,13 @@ object ScaleStudy {
     // the scan, hash agg on the 3-row col_name key; pure scan floor
     // except n_distinct on text, whose distinct-pair mass grows with
     // the corpus like q127's
-    "q133_column_profile")
+    "q133_column_profile",
+    // q135: zero-shuffle array-side C4 line rules — the q99/q121
+    // projection floor; the replica token salt rides inside each
+    // line so the line rules see the same shapes (IdOffset covers the
+    // %2/%3/%7 residues exactly; only the %11 brace mix re-shuffles,
+    // which doesn't change the projection's work)
+    "q135_c4_filters")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

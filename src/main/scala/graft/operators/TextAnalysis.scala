@@ -947,6 +947,70 @@ object TextAnalysis {
         col("alloc_tokens"), col("deficit_tokens"), col("log2_ratio_mills"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023: uniform sampling
+    * over strata subject to a per-stratum epoch cap, solved by exact
+    * integer water-filling): each stratum's capacity is
+    * `maxEpochs × n_tokens`; strata whose capacity fits under the
+    * waterline are allocated their full capacity ("capped"), the rest
+    * share the remaining budget equally, with the integer remainder
+    * going to the smallest-capacity uncapped strata first (so the
+    * allocations sum to EXACTLY min(budget, total capacity),
+    * deterministically). No floats anywhere — the capped test is the
+    * closed-form prefix inequality c·(n−i+1) + prefix ≤ B over the
+    * capacity-ascending order.
+    *
+    * Scale shape: ONE corpus-sized hash agg (token counts per
+    * stratum), then every window runs over the strata-bounded frame —
+    * |strata| rows total, the q113 mixturePlan contract. Output:
+    * (stratum, n_tokens, capacity, capped, allocated, epochs_mills).
+    *
+    * `budgetPerMille`, when Some, overrides `budgetTokens` with
+    * `(total capacity × perMille) div 1000` computed column-side —
+    * the corpus-relative form a fixed-constant oracle can exercise at
+    * every scale factor. */
+  def unimaxAllocate(df: DataFrame, strataCol: String, textCol: String,
+      maxEpochs: Int, budgetTokens: Long = 0L,
+      budgetPerMille: Option[Long] = None): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs < 1")
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens < 0")
+    budgetPerMille.foreach(p => require(p >= 0, s"budgetPerMille=$p < 0"))
+    val reserved = Seq("stratum", "n_tokens", "capacity", "capped",
+      "allocated", "epochs_mills")
+    require(!reserved.contains(textCol), s"column '$textCol' is reserved")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAsc = W.orderBy(col("capacity").asc, col("stratum").asc)
+    val wAll = W.partitionBy(lit(1))
+    df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * lit(maxEpochs.toLong))
+      .withColumn("__i", row_number().over(wAsc).cast("long"))
+      .withColumn("__prefix", coalesce(
+        sum(col("capacity")).over(wAsc.rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__B", budgetPerMille match {
+        case Some(p) =>
+          expr(s"(${p}L * sum(capacity) OVER ()) div 1000L")
+        case None => lit(budgetTokens)
+      })
+      .withColumn("capped",
+        col("capacity") * (col("__n") - col("__i") + 1L) + col("__prefix")
+          <= col("__B"))
+      .withColumn("__cappedSum",
+        sum(when(col("capped"), col("capacity")).otherwise(0L)).over(wAll))
+      .withColumn("__K", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__U", col("__n") - col("__K"))
+      .withColumn("__rest", col("__B") - col("__cappedSum"))
+      .withColumn("allocated", when(col("capped"), col("capacity"))
+        .otherwise(expr("__rest div __U") +
+          when(col("__i") - col("__K") <= expr("__rest % __U"), 1L)
+            .otherwise(0L)))
+      .withColumn("epochs_mills",
+        expr("coalesce((1000L * allocated) div nullif(n_tokens, 0L), 0L)"))
+      .select(col("stratum"), col("n_tokens"), col("capacity"),
+        col("capped"), col("allocated"), col("epochs_mills"))
+  }
+
   /** Token-budget corpus selection under a quality ordering — the data
     * mixing step that fills a per-stratum token budget with the best
     * documents: walk each stratum in (quality DESC, id ASC) order and

@@ -154,6 +154,14 @@ object TextQueries {
     7 -> "lorem ipsum dolor sit amet consectetur adipiscing elit.",
     11 -> "object config with a curly brace { inside it")
 
+  /** q136's UniMax geometry: capacity = 2 epochs of each lang's
+    * tokens, budget = 75% of total capacity. At every SF the corpus's
+    * lang shares (en ≈ 40%, others ≈ 13-18%) put the small langs under
+    * the waterline (capped — full capacity) and en above it
+    * (waterlined), so BOTH branches are data-exercised. */
+  private[graft] val UnimaxEpochs = 2
+  private[graft] val UnimaxPerMille = 750L
+
   /** The Spark side of the q135 page construction. */
   private def c4Text: Column = {
     val parts = col("text") +: (
@@ -818,6 +826,18 @@ object TextQueries {
           md5(col("kept_text")).as("kept_md5"), col("n_sentences"),
           col("has_lorem"), col("has_brace"), col("page_keep"))
         .orderBy("doc_id")),
+    // UniMax budget allocation (Chung et al. 2023,
+    // TextAnalysis.unimaxAllocate): exact integer water-filling over
+    // per-lang token capacities (UnimaxEpochs × n_tokens) at a corpus-
+    // relative budget (UnimaxPerMille of total capacity — the form a
+    // fixed-constant oracle exercises at every SF). ONE corpus hash
+    // agg, then every window rides the strata-bounded (≤ |langs|-row)
+    // frame; allocations sum to exactly the budget, remainder to the
+    // smallest uncapped strata, no floats anywhere.
+    "q136_unimax_alloc" -> ((s, dir) =>
+      TextAnalysis.unimaxAllocate(docs(s, dir), "lang", "text",
+          maxEpochs = UnimaxEpochs, budgetPerMille = Some(UnimaxPerMille))
+        .orderBy("stratum")),
     // Snapshot-to-snapshot corpus diff (CorpusDiff.diff): v2 derives
     // from v1 with removed (%17=3), changed (%13=5, content edit),
     // case-only drift (%11=2 — must read UNCHANGED through the
@@ -1630,6 +1650,50 @@ object TextQueries {
              AND length(regexp_replace(kt, '[^.!?]', '', 'g'))
                >= ${TextAnalysis.C4MinSentences}) AS page_keep
          FROM k ORDER BY doc_id""",
+    "q136_unimax_alloc" ->
+      // identical water-filling algebra: capacity-ascending prefix
+      // inequality for the capped test, integer floor share + remainder
+      // to the smallest uncapped strata (CASE keeps the // lazy when
+      // every stratum is capped)
+      s"""WITH caps AS (
+           SELECT lang AS stratum,
+             CAST(sum($sqlTokenCount) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         c2 AS (
+           SELECT stratum, n_tokens,
+             n_tokens * $UnimaxEpochs AS capacity FROM caps),
+         w AS (
+           SELECT stratum, n_tokens, capacity,
+             CAST(row_number() OVER (ORDER BY capacity, stratum)
+               AS BIGINT) AS i,
+             coalesce(sum(capacity) OVER (ORDER BY capacity, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             ($UnimaxPerMille * sum(capacity) OVER ()) // 1000 AS b
+           FROM c2),
+         f AS (
+           SELECT *, (capacity * (n - i + 1) + prefix <= b) AS capped
+           FROM w),
+         g AS (
+           SELECT *,
+             sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+               AS capped_sum,
+             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+               AS BIGINT) AS k
+           FROM f),
+         a AS (
+           SELECT stratum, n_tokens, capacity, capped,
+             CASE WHEN capped THEN capacity
+               ELSE (b - capped_sum) // (n - k)
+                 + (CASE WHEN i - k <= (b - capped_sum) % (n - k)
+                    THEN 1 ELSE 0 END)
+             END AS allocated
+           FROM g)
+         SELECT stratum, n_tokens, capacity, capped, allocated,
+           coalesce((1000 * allocated) // nullif(n_tokens, 0), 0)
+             AS epochs_mills
+         FROM a ORDER BY stratum""",
     "q123_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (

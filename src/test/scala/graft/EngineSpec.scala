@@ -386,4 +386,49 @@ class EngineSpec extends AnyFunSuite {
     assert(!plain.accounting.collect().map(_.getString(1))
       .contains("entropy_filtered"))
   }
+
+  test("processCorpus C4 gate reuses the q135 operator, first, lines intact") {
+    // pages share three boilerplate sentences (line-dedup fodder) plus
+    // one unique marker line; every fifth page carries a lorem-ipsum
+    // veto line — C4 must drop those PAGES before line dedup sees them
+    val good = Seq(
+      "first proper sentence with enough words here.",
+      "second proper sentence with enough words too.",
+      "third proper sentence with enough words also.").mkString("\n")
+    val rows = (0L until 40L).map { i =>
+      val t =
+        if (i % 5 == 0) good + "\nsome lorem ipsum filler appears here."
+        else good + s"\nunique marker line number $i with enough words here."
+      (i, "en", t)
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val res = Engine.processCorpus(docs, c4Rules = Some((5, 3)),
+      materializeBoundaries = true)
+    val ledger = res.accounting.collect()
+      .map(row => (row.getString(1), row.getInt(0), row.getLong(2)))
+    val byName = ledger.map(t => t._1 -> t._3).toMap
+    // the stage sits FIRST, right after input
+    val order = ledger.sortBy(_._2).map(_._1).toSeq
+    assert(order.indexOf("c4_cleaned") == order.indexOf("input") + 1)
+    // reuse, not fork: the surviving pages are exactly c4Clean's
+    // page_keep set (8 of 40 vetoed by lorem ipsum)
+    val expected = operators.TextAnalysis.c4Clean(docs, "doc_id", "text")
+      .where(col("page_keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.size == 32)
+    assert(byName("c4_cleaned") == expected.size.toLong)
+    // the boilerplate sentences (df = 32 > LineDedupMaxDf) then fall to
+    // line dedup; each survivor keeps its unique marker line
+    val texts = res.cleaned.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.keySet == expected)
+    texts.foreach { case (id, t) =>
+      assert(t == s"unique marker line number $id with enough words here.",
+        s"doc $id kept: '$t'")
+    }
+    // and without the gate there is no c4 stage
+    val plain = Engine.processCorpus(docs, materializeBoundaries = true)
+    assert(!plain.accounting.collect().map(_.getString(1))
+      .contains("c4_cleaned"))
+  }
 }

@@ -855,6 +855,60 @@ class CorpusOpsSpec extends AnyFunSuite {
       r(4).getAs[Long]("n_sentences") == 0L)
   }
 
+  test("unimaxAllocate water-fills exactly: caps, shares, remainder, sum") {
+    def tokens(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // capacities at maxEpochs=1: A=10, B=20, C=40 (B split over 2 docs)
+    val docs = Seq(
+      (1L, "A", tokens(10)), (2L, "B", tokens(10)), (3L, "B", tokens(10)),
+      (4L, "C", tokens(40))).toDF("doc_id", "lang", "text")
+    def alloc(budget: Long): Map[String, (Boolean, Long, Long)] =
+      TextAnalysis.unimaxAllocate(docs, "lang", "text",
+          maxEpochs = 1, budgetTokens = budget)
+        .collect().map(r => r.getAs[String]("stratum") ->
+          ((r.getAs[Boolean]("capped"), r.getAs[Long]("allocated"),
+            r.getAs[Long]("epochs_mills")))).toMap
+    // waterline splits B and C; A capped at full capacity
+    assert(alloc(30L) == Map(
+      "A" -> ((true, 10L, 1000L)),
+      "B" -> ((false, 10L, 500L)),
+      "C" -> ((false, 10L, 250L))))
+    // integer remainder goes to the SMALLEST uncapped stratum first
+    assert(alloc(33L).view.mapValues(_._2).toMap ==
+      Map("A" -> 10L, "B" -> 12L, "C" -> 11L))
+    // budget above total capacity: everything capped, budget under-used
+    assert(alloc(100L) == Map(
+      "A" -> ((true, 10L, 1000L)),
+      "B" -> ((true, 20L, 1000L)),
+      "C" -> ((true, 40L, 1000L))))
+    // allocations always sum to exactly min(budget, total capacity)
+    Seq(0L, 1L, 7L, 30L, 33L, 69L, 70L, 100L).foreach { b =>
+      val total = alloc(b).values.map(_._2).sum
+      assert(total == math.min(b, 70L), s"budget $b allocated $total")
+    }
+  }
+
+  test("unimaxAllocate: corpus-relative budget and zero-token strata") {
+    def tokens(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq(
+      (1L, "A", tokens(10)), (2L, "B", tokens(20)), (3L, "C", tokens(40)),
+      (4L, "Z", "   ")).toDF("doc_id", "lang", "text")
+    // perMille 500 of total capacity 70 → b = 35: A capped, B/C share
+    // 25 as 13/12 (remainder to the smaller), Z is a zero-capacity cap
+    val r = TextAnalysis.unimaxAllocate(docs, "lang", "text",
+        maxEpochs = 1, budgetPerMille = Some(500L))
+      .collect().map(row => row.getAs[String]("stratum") ->
+        ((row.getAs[Boolean]("capped"), row.getAs[Long]("allocated"),
+          row.getAs[Long]("epochs_mills")))).toMap
+    assert(r == Map(
+      "A" -> ((true, 10L, 1000L)),
+      "B" -> ((false, 13L, 650L)),
+      "C" -> ((false, 12L, 300L)),
+      "Z" -> ((true, 0L, 0L))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unimaxAllocate(docs, "lang", "text", maxEpochs = 0)
+    }
+  }
+
   test("c4Clean guards geometry and reserved columns") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
