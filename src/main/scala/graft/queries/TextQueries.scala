@@ -172,6 +172,46 @@ object TextQueries {
     concat(parts: _*)
   }
 
+  /** The q136 water-filling CTE chain (ends in `uni`: stratum,
+    * n_tokens, capacity, capped, allocated) — shared by the q136 and
+    * q137 oracles so the allocation algebra can never drift. */
+  private def unimaxCtes: String =
+    s"""caps AS (
+           SELECT lang AS stratum,
+             CAST(sum($sqlTokenCount) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         c2 AS (
+           SELECT stratum, n_tokens,
+             n_tokens * $UnimaxEpochs AS capacity FROM caps),
+         w0 AS (
+           SELECT stratum, n_tokens, capacity,
+             CAST(row_number() OVER (ORDER BY capacity, stratum)
+               AS BIGINT) AS i,
+             coalesce(sum(capacity) OVER (ORDER BY capacity, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             ($UnimaxPerMille * sum(capacity) OVER ()) // 1000 AS b
+           FROM c2),
+         f0 AS (
+           SELECT *, (capacity * (n - i + 1) + prefix <= b) AS capped
+           FROM w0),
+         g0 AS (
+           SELECT *,
+             sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+               AS capped_sum,
+             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+               AS BIGINT) AS k
+           FROM f0),
+         uni AS (
+           SELECT stratum, n_tokens, capacity, capped,
+             CASE WHEN capped THEN capacity
+               ELSE (b - capped_sum) // (n - k)
+                 + (CASE WHEN i - k <= (b - capped_sum) % (n - k)
+                    THEN 1 ELSE 0 END)
+             END AS allocated
+           FROM g0)"""
+
   /** The DuckDB side of the SAME construction. */
   private def c4TextSql: String =
     "text || " + (
@@ -838,6 +878,29 @@ object TextQueries {
       TextAnalysis.unimaxAllocate(docs(s, dir), "lang", "text",
           maxEpochs = UnimaxEpochs, budgetPerMille = Some(UnimaxPerMille))
         .orderBy("stratum")),
+    // UniMax-allocated selection — the execution half of q136's plan
+    // (the q116 pattern on a different allocator): water-filled
+    // per-stratum allocations drive the q74 histogram-selection
+    // kernel. Capped strata (allocation = 2 epochs ≥ supply) keep
+    // every document; the waterlined stratum (en) is cut by quality —
+    // both selection regimes data-exercised at every SF.
+    "q137_unimax_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScoreMills(col("text")).as("q_mills"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budgets = TextAnalysis.unimaxAllocate(docs(s, dir), "lang",
+          "text", maxEpochs = UnimaxEpochs,
+          budgetPerMille = Some(UnimaxPerMille))
+        .select(col("stratum").as("lang"), col("allocated"))
+      TextAnalysis.budgetSelectPerStratum(
+          d, "lang", "q_mills", "n_tokens", "doc_id", budgets, "allocated")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("q_mills")).as("min_quality"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
     // Snapshot-to-snapshot corpus diff (CorpusDiff.diff): v2 derives
     // from v1 with removed (%17=3), changed (%13=5, content edit),
     // case-only drift (%11=2 — must read UNCHANGED through the
@@ -1655,45 +1718,34 @@ object TextQueries {
       // inequality for the capped test, integer floor share + remainder
       // to the smallest uncapped strata (CASE keeps the // lazy when
       // every stratum is capped)
-      s"""WITH caps AS (
-           SELECT lang AS stratum,
-             CAST(sum($sqlTokenCount) AS BIGINT) AS n_tokens
-           FROM documents GROUP BY 1),
-         c2 AS (
-           SELECT stratum, n_tokens,
-             n_tokens * $UnimaxEpochs AS capacity FROM caps),
-         w AS (
-           SELECT stratum, n_tokens, capacity,
-             CAST(row_number() OVER (ORDER BY capacity, stratum)
-               AS BIGINT) AS i,
-             coalesce(sum(capacity) OVER (ORDER BY capacity, stratum
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS prefix,
-             CAST(count(*) OVER () AS BIGINT) AS n,
-             ($UnimaxPerMille * sum(capacity) OVER ()) // 1000 AS b
-           FROM c2),
-         f AS (
-           SELECT *, (capacity * (n - i + 1) + prefix <= b) AS capped
-           FROM w),
-         g AS (
-           SELECT *,
-             sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
-               AS capped_sum,
-             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
-               AS BIGINT) AS k
-           FROM f),
-         a AS (
-           SELECT stratum, n_tokens, capacity, capped,
-             CASE WHEN capped THEN capacity
-               ELSE (b - capped_sum) // (n - k)
-                 + (CASE WHEN i - k <= (b - capped_sum) % (n - k)
-                    THEN 1 ELSE 0 END)
-             END AS allocated
-           FROM g)
+      s"""WITH $unimaxCtes
          SELECT stratum, n_tokens, capacity, capped, allocated,
            coalesce((1000 * allocated) // nullif(n_tokens, 0), 0)
              AS epochs_mills
-         FROM a ORDER BY stratum""",
+         FROM uni ORDER BY stratum""",
+    "q137_unimax_select" ->
+      // the SHARED water-filling CTE chain feeding the q74/q116 naive
+      // ordered window — capped strata keep everything (alloc ≥
+      // supply), the waterlined stratum cuts on quality
+      s"""WITH $unimaxCtes,
+         m AS (
+           SELECT doc_id, lang, length(text) AS len,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             CAST($sqlTokenCount AS BIGINT) AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, lang, $sqlQualityMills AS q_mills,
+             toks AS n_tokens
+           FROM m),
+         c AS (
+           SELECT t.*, uni.allocated, sum(t.n_tokens) OVER (
+             PARTITION BY t.lang ORDER BY t.q_mills DESC, t.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t JOIN uni ON t.lang = uni.stratum)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           min(q_mills) AS min_quality, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM c WHERE cum <= allocated GROUP BY lang ORDER BY lang""",
     "q123_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (
