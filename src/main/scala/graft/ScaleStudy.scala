@@ -195,7 +195,12 @@ object ScaleStudy {
     "q128_session_paths",
     // q130: two user-keyed aggs + one equi-join; cohort cells bounded
     // by weeks² while users grow with the replicas
-    "q130_retention_cohorts")
+    "q130_retention_cohorts",
+    // q138: the daily hash agg absorbs the 10× events into the SAME
+    // (type, day) grid (events replicas copy timestamps verbatim), so
+    // the anomaly window always rides a types × days bounded frame —
+    // growth is the pre-agg scan
+    "q138_daily_anomaly")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

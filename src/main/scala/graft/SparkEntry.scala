@@ -52,6 +52,14 @@ object SparkEntry {
   private val SessionPathGapUs = 1800000000L
   private val SessionPathMaxLen = 8
 
+  /** q138's anomaly geometry: 7-day trailing baseline (current day
+    * excluded), ≥ 4 baseline days before a verdict, 2σ (2000 mills)
+    * threshold — at the corpus's ~Poisson daily counts a few percent
+    * of days flag, so both branches are data-exercised at every SF. */
+  private val AnomLookbackDays = 7L
+  private val AnomMinDays = 4
+  private val AnomZMills = 2000L
+
   private val IntervalWindows = 24L
   private val IntervalStrideUs = 3600000000L
   private val IntervalLenUs = 5400000000L
@@ -785,6 +793,25 @@ object SparkEntry {
           (col("wk") - col("cohort_wk")).as("age_wk"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_wk", "age_wk")
+    }),
+    // Trailing z-score anomaly flags on the daily count series per
+    // event type (Rolling.trailingZFlags): |x − μ| > 2σ against the
+    // trailing-7-day baseline, evaluated as the squared INTEGER
+    // inequality (m·x − s)²·10⁶ > z²·(m·q − s²) in DECIMAL(38,0) —
+    // no floats, so the flag is bit-identical across engines. The
+    // frame excludes the current day (a spike never dilutes its own
+    // baseline); < 4 baseline days → never flagged. One daily hash
+    // agg (day-bounded frame), then one type-keyed window.
+    "q138_daily_anomaly" -> ((s, dir) => {
+      val daily = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Rolling.trailingZFlags(daily, "event_type", "day",
+          "n_events", lookback = AnomLookbackDays, minPoints = AnomMinDays,
+          zMills = AnomZMills)
+        .orderBy("event_type", "day")
     }),
     // Session path mining: gap-sessionize (q23's 1800 s rule on exact
     // micros), rebuild each session's first-8 event-type path with the
@@ -1521,6 +1548,31 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q138_daily_anomaly" ->
+        // identical squared-integer inequality over the same trailing
+        // RANGE frame; HUGEINT is the twin of Spark's DECIMAL(38,0)
+        s"""WITH d AS (
+             SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1, 2),
+           w AS (
+             SELECT event_type, day, n_events,
+               CAST(count(n_events) OVER win AS BIGINT) AS win_n,
+               CAST(coalesce(sum(n_events) OVER win, 0) AS BIGINT)
+                 AS win_sum,
+               coalesce(sum(CAST(n_events AS HUGEINT) * n_events)
+                 OVER win, 0) AS q
+             FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN $AnomLookbackDays PRECEDING
+                 AND 1 PRECEDING))
+           SELECT event_type, day, n_events, win_n, win_sum,
+             (win_n >= $AnomMinDays AND
+              CAST(win_n * n_events - win_sum AS HUGEINT)
+                * CAST(win_n * n_events - win_sum AS HUGEINT) * 1000000
+              > CAST($AnomZMills AS HUGEINT) * $AnomZMills
+                * (CAST(win_n AS HUGEINT) * q
+                   - CAST(win_sum AS HUGEINT) * win_sum)) AS anomalous
+           FROM w ORDER BY event_type, day""",
       "q130_retention_cohorts" ->
         """WITH ev AS (
              SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -51,4 +51,54 @@ object Rolling {
         .withColumn(s"sum_$name", sum(col(valCol)).over(w))
     }
   }
+
+  /** Trailing-window z-score outlier flags in EXACT integer
+    * arithmetic — the monitoring pass over a per-key metric series
+    * (daily counts, error rates): flag a point whose deviation from
+    * its own trailing-window mean exceeds `zMills/1000` standard
+    * deviations, WITHOUT computing mean, σ, or any float. With window
+    * mean μ = s/m and population variance σ² = (m·q − s²)/m², the test
+    * |x − μ| > z·σ multiplied through by m² becomes the squared
+    * integer inequality
+    *
+    *   (m·x − s)² · 10⁶  >  zMills² · (m·q − s²)
+    *
+    * over the window count m, sum s and sum-of-squares q (both sides
+    * DECIMAL(38,0) — products overflow int64 at real magnitudes), so
+    * the flag is bit-identical across engines — no float-epsilon
+    * boundary cases ever flip it. The frame EXCLUDES the current row
+    * (`[tick − lookback, tick − 1]`): a spike never dilutes the
+    * baseline it is judged against. Points with fewer than `minPoints`
+    * baseline rows are never flagged (cold start).
+    *
+    * Scale shape: one exchange on the key, one sort, one Window — the
+    * trailingAgg contract; the frame is a sliding bound, no per-row
+    * rescan. */
+  def trailingZFlags(df: DataFrame, keyCol: String, tickCol: String,
+      valueCol: String, lookback: Long, minPoints: Int,
+      zMills: Long): DataFrame = {
+    require(lookback >= 1, s"lookback=$lookback < 1")
+    require(minPoints >= 2, s"minPoints=$minPoints < 2 (variance needs 2)")
+    require(zMills >= 0, s"zMills=$zMills < 0")
+    val reserved = Seq("win_n", "win_sum", "anomalous", "__q")
+    Seq(keyCol, tickCol, valueCol).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tickCol))
+      .rangeBetween(-lookback, -1L)
+    val vD = col(valueCol).cast("decimal(38,0)")
+    val out = df
+      .withColumn("win_n", count(col(valueCol)).over(w))
+      .withColumn("win_sum", coalesce(sum(col(valueCol)).over(w), lit(0L)))
+      .withColumn("__q", coalesce(sum(vD * vD).over(w),
+        lit(0L).cast("decimal(38,0)")))
+    val nD = col("win_n").cast("decimal(38,0)")
+    val sD = col("win_sum").cast("decimal(38,0)")
+    val dev = nD * vD - sD
+    out
+      .withColumn("anomalous",
+        col("win_n") >= minPoints &&
+          dev * dev * lit(1000000L) >
+            lit(zMills) * lit(zMills) * (nD * col("__q") - sD * sD))
+      .drop("__q")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Rolling.trailingAgg (RANGE-frame trailing features) and
@@ -100,5 +101,51 @@ class RollingFunnelSpec extends AnyFunSuite {
     // t3 = min purchase after 7 = 100
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       == ((5L, 7L, 100L, 3L)))
+  }
+
+  test("trailingZFlags: planted spike flags, flat series and cold start never") {
+    // key A: days 1..7 flat at 10, day 8 spikes to 30. Baseline for
+    // day 8 = days 1..7 (m=7, s=70, q=700): dev = 7·30−70 = 140,
+    // lhs = 140²·10⁶ = 1.96e10; var term m·q−s² = 4900−4900 = 0 → any
+    // spike over a ZERO-variance baseline flags at any z. Days 2..7
+    // have dev = 0 → never flag. Day 1 has an empty window (cold).
+    val a = (1L to 7L).map(d => ("A", d, 10L)) :+ (("A", 8L, 30L))
+    // key B: alternating 9/11 (variance > 0), all points within 2σ
+    val b = (1L to 8L).map(d => ("B", d, if (d % 2 == 0) 11L else 9L))
+    val df = (a ++ b).toDF("k", "tick", "v")
+    val r = Rolling.trailingZFlags(df, "k", "tick", "v",
+        lookback = 7L, minPoints = 4, zMills = 2000L)
+      .collect().map(x => (x.getAs[String]("k"), x.getAs[Long]("tick")) ->
+        ((x.getAs[Long]("win_n"), x.getAs[Long]("win_sum"),
+          x.getAs[Boolean]("anomalous")))).toMap
+    assert(r(("A", 8L)) == ((7L, 70L, true)))
+    // cold start: < minPoints baseline rows, never flagged
+    (1L to 4L).foreach(d => assert(!r(("A", d))._3, s"day $d cold-start"))
+    assert(r(("A", 1L))._1 == 0L && r(("A", 1L))._2 == 0L)
+    // flat continuation: zero deviation
+    (5L to 7L).foreach(d => assert(!r(("A", d))._3))
+    // alternating series: dev = m·x − s stays inside 2σ
+    (1L to 8L).foreach(d => assert(!r(("B", d))._3, s"B day $d"))
+    // the current row is EXCLUDED from its own baseline: the spike's
+    // window sum is the seven 10s, not 70 + 30
+    assert(r(("A", 8L))._2 == 70L)
+  }
+
+  test("trailingZFlags: exact 2-sigma boundary does NOT flag (strict >)") {
+    // baseline 0,20,0,20 → m=4, s=40, q=800: μ=10, population
+    // σ² = (m·q − s²)/m² = 1600/16 = 100, σ=10, so the 2σ boundary is
+    // x = 30 exactly. Integer form: rhs = 2000²·1600 = 6.4e9; at
+    // x = 30: dev = 4·30−40 = 80, lhs = 80²·10⁶ = 6.4e9 = rhs → the
+    // strict > must NOT flag; x = 31 (dev 84, lhs 7.056e9) must.
+    val base = Seq(("K", 1L, 0L), ("K", 2L, 20L), ("K", 3L, 0L), ("K", 4L, 20L))
+    def flag(x: Long): Boolean =
+      Rolling.trailingZFlags((base :+ (("K", 5L, x))).toDF("k", "tick", "v"),
+          "k", "tick", "v", lookback = 7L, minPoints = 4, zMills = 2000L)
+        .where(col("tick") === 5L).head().getAs[Boolean]("anomalous")
+    assert(!flag(30L), "dev exactly z·σ must not flag (strict >)")
+    assert(flag(31L))
+    assert(!flag(20L))
+    assert(flag(-11L), "the two-sided |x − μ| test must flag low outliers")
+    assert(!flag(-10L))
   }
 }
