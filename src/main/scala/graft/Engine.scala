@@ -183,6 +183,20 @@ object Engine {
       minQualityMills: Long,
       k: Int) extends SelectionPolicy
 
+  /** UniMax selection (Chung et al. 2023; q136's allocator + q137's
+    * execution): water-fill a token budget over the strata under a
+    * `maxEpochs` capacity cap ([[operators.TextAnalysis
+    * .unimaxAllocate]]), then fill each stratum's allocation with its
+    * best documents through the q74 histogram kernel
+    * ([[operators.TextAnalysis.budgetSelectPerStratum]]). Capped
+    * strata keep every document; waterlined strata cut on quality.
+    * Exactly one of `budgetTokens` (absolute) or `budgetPerMille`
+    * (share of total capacity) sets the budget. */
+  final case class UnimaxSelection(
+      maxEpochs: Int,
+      budgetTokens: Long = 0L,
+      budgetPerMille: Option[Long] = None) extends SelectionPolicy
+
   /** The LLM-corpus counterpart of [[processSubmission]]: one composed
     * entry point for the training-data pipeline the extension family
     * implements piecewise —
@@ -260,11 +274,13 @@ object Engine {
     *                      `budgetTokens`), [[DsirSelection]] (per-
     *                      stratum DSIR top-K against a target corpus),
     *                      [[MixtureSelection]] (quality threshold +
-    *                      stratified mixture rates), or
+    *                      stratified mixture rates),
     *                      [[ExactKSelection]] (quality threshold +
     *                      exactly k per stratum in md5 priority
-    *                      order). The stage-7 ledger label names the
-    *                      policy that ran
+    *                      order), or [[UnimaxSelection]] (epoch-capped
+    *                      water-filled budgets driving per-stratum
+    *                      quality selection). The stage-7 ledger label
+    *                      names the policy that ran
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
     *                      the four stage-boundary frames each consumed
@@ -453,6 +469,14 @@ object Engine {
           ("exact_k_selected", TextAnalysis.prioritySample(
             scored.where(col("quality_mills") >= minQ),
             strataCol, idCol, k))
+        case UnimaxSelection(epochs, budget, perMille) =>
+          val budgets = TextAnalysis.unimaxAllocate(
+              ruled.select(col(strataCol), col(textCol)), strataCol,
+              textCol, epochs, budget, perMille)
+            .select(col("stratum").as(strataCol), col("allocated"))
+          ("unimax_selected", TextAnalysis.budgetSelectPerStratum(
+            scored, strataCol, "quality_mills", "n_tokens", idCol,
+            budgets, "allocated"))
       }
     val selected = boundary(selectedRaw)
 

@@ -166,7 +166,11 @@ object ScaleStudy {
     // line so the line rules see the same shapes (IdOffset covers the
     // %2/%3/%7 residues exactly; only the %11 brace mix re-shuffles,
     // which doesn't change the projection's work)
-    "q135_c4_filters")
+    "q135_c4_filters",
+    // q136: one corpus token-count hash agg, then strata-bounded
+    // windows — the q113 planning floor; q137 adds the q74/q116
+    // histogram-selection kernel on the water-filled budgets
+    "q136_unimax_alloc", "q137_unimax_select")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

@@ -316,6 +316,43 @@ class EngineSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(gotExact == expectExact,
       "facade exact-k selection must equal the direct q100 operator")
+
+    // UniMax water-filled budgets (q136's allocator + q137's kernel)
+    val uni = Engine.processCorpus(docs,
+      selection = Some(Engine.UnimaxSelection(
+        maxEpochs = 2, budgetPerMille = Some(750L))),
+      materializeBoundaries = true)
+    val uLedger = uni.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(uLedger.contains("unimax_selected"))
+    assert(uni.selected.count() == uLedger("unimax_selected"))
+    // facade must equal the gated operators composed directly on the
+    // same candidate pool (deduped IS the pool: no gopher gate)
+    val uniPool = uni.deduped
+      .withColumn("quality_mills", TextFunctions.qualityScoreMills(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    val uniBudgets = TextAnalysis.unimaxAllocate(
+        uni.deduped.select("lang", "text"), "lang", "text",
+        maxEpochs = 2, budgetPerMille = Some(750L))
+      .select(col("stratum").as("lang"), col("allocated"))
+    val expectUni = TextAnalysis.budgetSelectPerStratum(
+        uniPool, "lang", "quality_mills", "n_tokens", "doc_id",
+        uniBudgets, "allocated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotUni = uni.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotUni == expectUni,
+      "facade UniMax selection must equal the direct q136+q137 kernels")
+    // both regimes on the real corpus: some stratum keeps its whole
+    // pool (capped), some stratum is thinned (waterlined)
+    val poolByLang = uniPool.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = uni.selected.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByLang.exists { case (l, n) => n == poolByLang(l) },
+      "a capped stratum must keep its whole pool")
+    assert(keptByLang.exists { case (l, n) => n < poolByLang(l) },
+      "the waterlined stratum must be thinned")
   }
 
   test("processCorpus incremental mode drops what a standing corpus already holds") {
