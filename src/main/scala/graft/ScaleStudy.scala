@@ -204,7 +204,11 @@ object ScaleStudy {
     // (type, day) grid (events replicas copy timestamps verbatim), so
     // the anomaly window always rides a types × days bounded frame —
     // growth is the pre-agg scan
-    "q138_daily_anomaly")
+    "q138_daily_anomaly",
+    // q139: the (user, day) distinct grows with the user replicas but
+    // the ×7 membership explode and both day-keyed counts stay
+    // bounded-output; growth is the distinct + explode mass
+    "q139_dau_wau")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

@@ -794,6 +794,33 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_wk", "age_wk")
     }),
+    // DAU / WAU / stickiness per day. Sliding DISTINCT does not
+    // decompose over a window, so WAU is computed exactly by the
+    // bounded ×7 explode: each distinct (user, day) activity row
+    // contributes membership to days day..day+6 (clipped at the
+    // 1-row broadcast max), then one distinct + one day-keyed count.
+    // Work = 7 × |distinct (user, day)|, never |events| × window;
+    // stickiness = DAU/WAU in exact mills.
+    "q139_dau_wau" -> ((s, dir) => {
+      val ud = graft.Tables.eventsTsMicros(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("mx"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .crossJoin(broadcast(mx)).where(col("d") <= col("mx"))
+        .select("user_id", "d").distinct()
+        .groupBy("d").agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("d"), "left")
+        .withColumn("dau", coalesce(col("dau"), lit(0L)))
+        .withColumn("stickiness_mills", expr("(1000 * dau) div wau"))
+        .select("d", "dau", "wau", "stickiness_mills")
+        .orderBy("d")
+    }),
     // Trailing z-score anomaly flags on the daily count series per
     // event type (Rolling.trailingZFlags): |x − μ| > 2σ against the
     // trailing-7-day baseline, evaluated as the squared INTEGER
@@ -1548,6 +1575,24 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q139_dau_wau" ->
+        // identical bounded ×7 membership explode, clipped at max(day)
+        """WITH ud AS (
+             SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             FROM events),
+           mx AS (SELECT max(day) AS mx FROM ud),
+           m AS (
+             SELECT DISTINCT user_id, day + x AS d
+             FROM ud CROSS JOIN (SELECT unnest(range(7)) AS x) s
+               CROSS JOIN mx
+             WHERE day + x <= mx.mx),
+           wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau FROM m
+                   GROUP BY 1),
+           dau AS (SELECT day AS d, CAST(count(*) AS BIGINT) AS dau
+                   FROM ud GROUP BY 1)
+           SELECT wau.d, coalesce(dau.dau, 0) AS dau, wau.wau,
+             (1000 * coalesce(dau.dau, 0)) // wau.wau AS stickiness_mills
+           FROM wau LEFT JOIN dau USING (d) ORDER BY wau.d""",
       "q138_daily_anomaly" ->
         // identical squared-integer inequality over the same trailing
         // RANGE frame; HUGEINT is the twin of Spark's DECIMAL(38,0)

@@ -447,6 +447,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(n == 2, s"expected dedup + window exchanges only, got $n:\n${p.take(2000)}")
   }
 
+  test("q138: the anomaly window rides the bounded daily grid, 2 exchanges") {
+    // one (type, day) hash agg collapses the event stream, then the
+    // type-keyed window re-exchanges only the types × days grid — no
+    // third exchange, nothing event-sized past the first agg
+    val p = plan("q138_daily_anomaly")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected agg + window exchanges, got $n:\n${p.take(2000)}")
+  }
+
+  test("q139: the WAU day-clip anchor is a 1-row broadcast") {
+    val p = plan("q139_dau_wau")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q135: C4 cleaning is a pure scan-side projection — zero shuffle") {
     // the whole line-rule filter runs array-side where the bytes are;
     // the only exchange in the plan is the output sort's range partition
