@@ -170,7 +170,12 @@ object ScaleStudy {
     // q136: one corpus token-count hash agg, then strata-bounded
     // windows — the q113 planning floor; q137 adds the q74/q116
     // histogram-selection kernel on the water-filled budgets
-    "q136_unimax_alloc", "q137_unimax_select")
+    "q136_unimax_alloc", "q137_unimax_select",
+    // q140: learn (q122's vocab-factorized loop — the corpus pass is
+    // one token count) + encode (pure scan-side transform with the
+    // merges as literals); the token bijection grows the vocab 10×
+    // but the per-round pair mass stays vocab-proportional
+    "q140_bpe_encode")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

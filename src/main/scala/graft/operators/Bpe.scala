@@ -93,4 +93,51 @@ object Bpe {
   /** SQL single-quoted literal (symbols come from corpus tokens and may
     * contain quotes). */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Apply learned merges to tokenize a corpus — the ENCODE half of
+    * BPE (what the trained tokenizer does to every document at
+    * training-data-prep time). Each token is char-segmented into the
+    * same double-space form [[learnMerges]] trains on, then the merge
+    * list is applied IN RANK ORDER as literal replaces — greedy
+    * left-to-right non-overlapping, exactly the training semantics, so
+    * encode(learnMerges(corpus)) reproduces the training
+    * segmentations.
+    *
+    * Scale shape: the merge table is driver-side (bounded: the learned
+    * rounds, the k-means-centroid anchor precedent) and rides the plan
+    * as LITERALS inside one `transform` lambda over the token array —
+    * the whole encode is a scan-side projection: no join, no shuffle,
+    * nothing but the scan at any corpus size.
+    *
+    * Output per doc with ≥ 1 token: n_toks, n_chars (pre-merge symbol
+    * count), n_subwords (post-merge), enc_md5 (md5 of the per-token
+    * segmentations joined by " | " in token order — pins the EXACT
+    * segmentation, not just counts). */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
+        s"malformed merge ('$l', '$r')")
+    }
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val enc = transform(toks, t => {
+      val seg0 = concat(lit(" "),
+        trim(regexp_replace(t, "(.)", "$1  ")), lit(" "))
+      val merged = merges.foldLeft(seg0) { case (c, (l, r)) =>
+        replace(c, lit(s" $l  $r "), lit(s" ${l + r} "))
+      }
+      trim(merged)
+    })
+    docs
+      .select(col(idCol), toks.as("__toks"), enc.as("__enc"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_toks"),
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("n_chars"),
+        aggregate(col("__enc"), lit(0L),
+          (acc, e) => acc + size(split(e, "  ")))
+          .as("n_subwords"),
+        md5(array_join(col("__enc"), " | ")).as("enc_md5"))
+  }
 }

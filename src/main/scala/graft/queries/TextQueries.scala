@@ -172,6 +172,39 @@ object TextQueries {
     concat(parts: _*)
   }
 
+  /** The q122 BPE merge-LEARNING CTE chain (w → s0 → p/t/s per
+    * round; round r's (weight desc, pair asc) argmax pair sits in
+    * `t$r`) — shared by the q122 and q140 oracles so the learned
+    * merge table can never drift between them. Each round re-derives
+    * pairs from the previous segmentation and applies the literal
+    * double-space-delimited replace — the exact engine-portable greedy
+    * semantics of Bpe.learnMerges. */
+  private def bpeLearnCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+           SELECT pair, CAST(sum(freq) AS BIGINT) AS w FROM (
+             SELECT freq,
+               unnest([a[i] || ' ' || a[i + 1] FOR i IN range(1, len(a))]) AS pair
+             FROM (SELECT freq, string_split(trim(seq), '  ') AS a
+                   FROM s${r - 1}))
+           GROUP BY 1),
+         t$r AS (SELECT pair, w FROM p$r ORDER BY w DESC, pair LIMIT 1),
+         s$r AS (SELECT freq, replace(seq,
+               ' ' || replace((SELECT pair FROM t$r), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS seq
+             FROM s${r - 1})"""
+    }.mkString(",\n")
+    s"""w AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest($tokenListSql) AS word FROM documents)
+         WHERE word <> '' GROUP BY 1),
+       s0 AS (SELECT freq,
+           ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+             AS seq
+         FROM w),
+       $rounds"""
+  }
+
   /** The q136 water-filling CTE chain (ends in `uni`: stratum,
     * n_tokens, capacity, capped, allocated) — shared by the q136 and
     * q137 oracles so the allocation algebra can never drift. */
@@ -962,6 +995,20 @@ object TextQueries {
     "q122_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.learnMerges(docs(s, dir), "text", BpeRounds)
         .orderBy("round")),
+    // BPE ENCODE (Bpe.encode): the trained tokenizer applied back to
+    // the corpus — q122's learned merges (a bounded driver-side table,
+    // the centroid-anchor precedent) ride the plan as literals inside
+    // one transform lambda, so encoding any corpus size is pure scan.
+    // enc_md5 pins the EXACT per-token segmentation, so a drift in
+    // merge order, greedy-replace semantics, or tie-breaks hash-fails
+    // — not just the counts.
+    "q140_bpe_encode" -> ((s, dir) => {
+      val m = graft.operators.Bpe.learnMerges(docs(s, dir), "text",
+          BpeRounds).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.encode(docs(s, dir), "text", "doc_id", m)
+        .orderBy("doc_id")
+    }),
     // Luhn-validated card-number detection (Checksum.luhnValid, one
     // codegen'd scan-side check): regex candidates become findings only
     // when the check digit verifies — the false-positive cut a PII
@@ -1796,41 +1843,50 @@ object TextQueries {
          ORDER BY qid, role, rank"""
     },
     "q122_bpe_merges" -> {
-      // k unrolled merge rounds; each round re-derives pairs from the
-      // previous segmentation, takes the (weight desc, pair asc) argmax
-      // via a fully-ordered LIMIT 1, and applies the literal
-      // double-space-delimited replace — the exact engine-portable
-      // greedy semantics of Bpe.learnMerges
-      val rounds = (1 to BpeRounds).map { r =>
-        s"""p$r AS (
-             SELECT pair, CAST(sum(freq) AS BIGINT) AS w FROM (
-               SELECT freq,
-                 unnest([a[i] || ' ' || a[i + 1] FOR i IN range(1, len(a))]) AS pair
-               FROM (SELECT freq, string_split(trim(seq), '  ') AS a
-                     FROM s${r - 1}))
-             GROUP BY 1),
-           t$r AS (SELECT pair, w FROM p$r ORDER BY w DESC, pair LIMIT 1),
-           s$r AS (SELECT freq, replace(seq,
-                 ' ' || replace((SELECT pair FROM t$r), ' ', '  ') || ' ',
-                 ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS seq
-               FROM s${r - 1})"""
-      }.mkString(",\n")
+      // the shared merge-learning chain; each round's argmax pair sits
+      // in t$r
       val out = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS round,
               string_split(pair, ' ')[1] AS "left",
               string_split(pair, ' ')[2] AS "right",
               replace(pair, ' ', '') AS merged, w AS weight FROM t$r"""
       }.mkString(" UNION ALL ")
-      s"""WITH w AS (
-           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-             SELECT unnest($tokenListSql) AS word FROM documents)
-           WHERE word <> '' GROUP BY 1),
-         s0 AS (SELECT freq,
-             ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
-               AS seq
-           FROM w),
-         $rounds
+      s"""WITH $bpeLearnCtes
          SELECT * FROM ($out) ORDER BY round"""
+    },
+    "q140_bpe_encode" -> {
+      // the SAME learning chain derives the merge table, then every
+      // document token is char-segmented and pushed through the k
+      // replaces in rank order — identical greedy literal-replace
+      // semantics, rebuilt per token and rejoined in token order for
+      // the md5
+      val encRounds = (1 to BpeRounds).map { r =>
+        s"""d$r AS (SELECT doc_id, i, tok, replace(seq,
+               ' ' || replace((SELECT pair FROM t$r), ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')
+               AS seq
+             FROM d${r - 1})"""
+      }.mkString(",\n")
+      s"""WITH $bpeLearnCtes,
+         tl AS (SELECT doc_id, $tokenListSql AS l FROM documents),
+         tk AS (SELECT doc_id, i, l[i] AS tok
+                FROM (SELECT doc_id, l,
+                  CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS i
+                  FROM tl)
+                WHERE l[i] <> ''),
+         d0 AS (SELECT doc_id, i, tok,
+             ' ' || trim(regexp_replace(tok, '(.)', '\\1  ', 'g')) || ' '
+               AS seq
+           FROM tk),
+         $encRounds,
+         per AS (SELECT doc_id, i, tok, trim(seq) AS enc,
+             CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS ns
+           FROM d$BpeRounds)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(len(tok)) AS BIGINT) AS n_chars,
+           CAST(sum(ns) AS BIGINT) AS n_subwords,
+           md5(array_to_string(list(enc ORDER BY i), ' | ')) AS enc_md5
+         FROM per GROUP BY doc_id ORDER BY doc_id"""
     },
     "q121_luhn_pii" ->
       // full Luhn recompute in SQL over the extracted candidate: digit

@@ -84,4 +84,63 @@ class BpeSpec extends AnyFunSuite {
         s"trial $trial corpus=$texts")
     }
   }
+
+  /** reference encode: apply merges in rank order, greedy
+    * left-to-right per merge — the training semantics. */
+  private def naiveEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i < syms.size - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += l + r; i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("encode reproduces the classic low/lower/lowest segmentations") {
+    val texts = Seq("low low low lower lowest")
+    val m = learned(texts, 2).map(t => (t._2, t._3))
+    assert(m == Seq(("l", "o"), ("lo", "w")))
+    val r = Bpe.encode(Seq((1L, texts.head)).toDF("doc_id", "text"),
+      "text", "doc_id", m).head()
+    assert(r.getAs[Long]("n_toks") == 5L)
+    assert(r.getAs[Long]("n_chars") == 20L)
+    // low→[low]×3, lower→[low,e,r], lowest→[low,e,s,t]
+    assert(r.getAs[Long]("n_subwords") == 10L)
+    assert(r.getAs[String]("enc_md5") == md5hex(
+      "low | low | low | low  e  r | low  e  s  t"))
+  }
+
+  test("PROPERTY: encode(learnMerges) matches the naive round-trip on random corpora") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 8) {
+      val texts = (1 to 6).map(_ =>
+        (1 to (2 + rnd.nextInt(5)))
+          .map(_ => (1 to (1 + rnd.nextInt(4)))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+          .mkString(" "))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val m = naive(texts, 3).map(t => (t._2, t._3))
+      val got = Bpe.encode(docs, "text", "doc_id", m)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_subwords"), r.getAs[String]("enc_md5")))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val encs = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+          .map(w => naiveEncode(w, m))
+        val expectMd5 = md5hex(encs.map(_.mkString("  ")).mkString(" | "))
+        assert(got(i.toLong) == ((encs.map(_.size).sum.toLong, expectMd5)),
+          s"trial $trial doc $i corpus=$t merges=$m")
+      }
+    }
+  }
 }
