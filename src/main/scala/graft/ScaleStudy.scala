@@ -231,7 +231,13 @@ object ScaleStudy {
     // dedup's partial agg absorbs the growth (distinct (custkey, mi)
     // pairs saturate at customers × months) and the window exchange
     // carries a near-constant frame
-    "q131_rollup_totals", "q132_pivot_matrix", "q134_order_streaks")
+    "q131_rollup_totals", "q132_pivot_matrix", "q134_order_streaks",
+    // q141/q142: the strided l_orderkey multiplies ORDERS (not items
+    // per order), so the per-order pair generation stays k_o²-bounded
+    // while pair instances grow 10×; the support counts concentrate
+    // (same part pairs across replicas), the q142 edge graph and its
+    // wedge space stay support-thinned and parts-bounded
+    "q141_copurchase_pairs", "q142_triangle_count")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

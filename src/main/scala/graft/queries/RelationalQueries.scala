@@ -503,6 +503,62 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // Market-basket co-purchase pairs: per-order part sets (bounded by
+    // items/order) generate ordered pairs ARRAY-SIDE — the q129
+    // pattern — so the pair mass is Σ k_o², never |lineitem|²; one
+    // exchange on the order key, one on the pair key, then a
+    // TakeOrdered top-K with a full deterministic tie-break. The
+    // oracle is the NAIVE pair self-join twin: parity proves the
+    // array-side generation lossless and duplicate-free.
+    "q141_copurchase_pairs" -> ((s, dir) =>
+      coPairCounts(s, dir)
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(CoPairTopK)),
+
+    // Triangle count on the co-purchase graph (edges = pairs with
+    // support ≥ CoPairMinSupport) via the DEGREE-ORIENTED algorithm
+    // (Suri & Vassilvitskii 2011): rank vertices by (degree, id),
+    // orient every edge low→high rank, enumerate wedges at each
+    // source (work Σ outdeg² = O(m^1.5), never Σ deg² — the hub
+    // explosion a naive wedge join hits), and close them against the
+    // oriented edge set, counting each triangle exactly once. The
+    // vertex-rank window rides the parts-bounded frame; the rank
+    // table broadcasts back. Oracle = the NAIVE 3-way self-join —
+    // parity proves the orientation logic, not just the plumbing.
+    "q142_triangle_count" -> ((s, dir) => {
+      val edges = coPairCounts(s, dir)
+        .where(col("n_orders") >= CoPairMinSupport)
+        .select(col("part_a"), col("part_b"))
+      val deg = edges.select(col("part_a").as("v"))
+        .unionByName(edges.select(col("part_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // vertex frame is parts-bounded: the global rank window is the
+      // documented strata-bounded shape (q136 precedent)
+      val rk = deg.withColumn("r",
+        row_number().over(Window.orderBy(col("deg"), col("v"))))
+        .select(col("v"), col("r"))
+      val oriented = edges
+        .join(broadcast(rk).withColumnRenamed("v", "part_a")
+          .withColumnRenamed("r", "ra"), Seq("part_a"))
+        .join(broadcast(rk).withColumnRenamed("v", "part_b")
+          .withColumnRenamed("r", "rb"), Seq("part_b"))
+        .select(
+          when(col("ra") < col("rb"), col("part_a")).otherwise(col("part_b"))
+            .as("src"),
+          when(col("ra") < col("rb"), col("part_b")).otherwise(col("part_a"))
+            .as("dst"),
+          least(col("ra"), col("rb")).as("rs"),
+          greatest(col("ra"), col("rb")).as("rd"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.rd") < col("e2.rd"))
+        .select(col("e1.dst").as("wa"), col("e2.dst").as("wb"))
+      val tri = wedges.join(oriented,
+        col("wa") === col("src") && col("wb") === col("dst"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -534,6 +590,38 @@ object RelationalQueries {
     * and the generated per-column oracle UNION ALL; edit HERE. */
   private[graft] val ProfileCols = Seq("source", "lang", "text")
 
+  /** q141's report size and q142's edge-support floor (support ≥ 2
+    * keeps the co-purchase graph at 2.3-3.6k edges across the SFs,
+    * with triangles at every SF: 3258/61/1). */
+  private[graft] val CoPairTopK = 20
+  private[graft] val CoPairMinSupport = 2L
+
+  /** q141/q142's co-purchase pair support counts: distinct per-order
+    * part sets (bounded by items/order) → ordered pairs generated
+    * ARRAY-SIDE (pair mass Σ k_o², never |lineitem|²) → one pair-key
+    * hash agg. */
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+
+  /** The DuckDB twin of [[coPairCounts]] — the NAIVE self-join form,
+    * shared by the q141 and q142 oracles. */
+  private def coPairSql: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cp AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)"""
+
   /** DuckDB twin of one q133 profile row (the q02 normEmpty blank-ish
     * rule inlined). */
   private def profileSql(c: String): String =
@@ -556,6 +644,21 @@ object RelationalQueries {
       .mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "q141_copurchase_pairs" ->
+      s"""WITH $coPairSql
+         SELECT part_a, part_b, n_orders FROM cp
+         ORDER BY n_orders DESC, part_a, part_b LIMIT $CoPairTopK""",
+    "q142_triangle_count" ->
+      // the naive 3-way self-join counts each a<b<c triangle once —
+      // an INDEPENDENT twin of the engine's degree-oriented algorithm
+      s"""WITH $coPairSql,
+         e AS (SELECT part_a, part_b FROM cp
+               WHERE n_orders >= $CoPairMinSupport)
+         SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM e e1
+             JOIN e e2 ON e1.part_a = e2.part_a AND e1.part_b < e2.part_b
+             JOIN e e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b)
+             AS BIGINT) AS n_triangles""",
     "q131_rollup_totals" ->
       // same ANSI ROLLUP + GROUPING bitmask (first key = high bit in
       // both engines), same sentinel coalesce

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object CorpusTimer {
   def main(args: Array[String]): Unit = {
     require(args.length >= 1 && args.length <= 2,
-      "usage: CorpusTimer <docsDir> [budget|dsir|mixture|exactk]")
+      "usage: CorpusTimer <docsDir> [budget|dsir|mixture|exactk|unimax]")
     val spark = graft.Tables.configure(
       SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
@@ -38,6 +38,12 @@ object CorpusTimer {
       case "mixture" => Some(graft.Engine.MixtureSelection(
         1L, Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5), 0.25))
       case "exactk" => Some(graft.Engine.ExactKSelection(1L, 500))
+      // 2-epoch capacity at a 40% budget: every stratum waterlines at
+      // sf0.1 and beyond, so the histogram kernel's selection work is
+      // actually measured (the q136/q137 geometry would cap the small
+      // strata and skip their cut)
+      case "unimax" => Some(graft.Engine.UnimaxSelection(
+        maxEpochs = 2, budgetPerMille = Some(400L)))
       case other => sys.error(s"unknown policy '$other'")
     }
     val t0 = System.nanoTime()

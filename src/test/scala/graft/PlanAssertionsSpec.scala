@@ -463,6 +463,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q141: the pair top-K is a TakeOrdered, never a global sort materialization") {
+    val p = plan("q141_copurchase_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q142: the vertex-rank table broadcasts; no cartesian anywhere") {
+    // the orientation joins must ride broadcasts of the parts-bounded
+    // rank table — a shuffle there would move the edge list twice for
+    // a dimension-sized side
+    val p = plan("q142_triangle_count")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q135: C4 cleaning is a pure scan-side projection — zero shuffle") {
     // the whole line-rule filter runs array-side where the bytes are;
     // the only exchange in the plan is the output sort's range partition
