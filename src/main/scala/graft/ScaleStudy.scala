@@ -237,7 +237,11 @@ object ScaleStudy {
     // while pair instances grow 10×; the support counts concentrate
     // (same part pairs across replicas), the q142 edge graph and its
     // wedge space stay support-thinned and parts-bounded
-    "q141_copurchase_pairs", "q142_triangle_count")
+    "q141_copurchase_pairs", "q142_triangle_count",
+    // q143: same pair-graph build; the 3 message-passing rounds ride
+    // the support-thinned parts-bounded edge frame — scale-flat like
+    // q142's triangle half
+    "q143_pagerank")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -559,6 +559,45 @@ object RelationalQueries {
         .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
     }),
 
+    // PageRank (Brin & Page 1998) on the symmetric co-purchase graph,
+    // in EXACT INTEGER micro-units: p'(v) = (150·(10⁶ div N) +
+    // 850·Σ_{u→v} (p(u) div outdeg(u))) div 1000 — every division is
+    // integer floor in BOTH engines, so PrIters unrolled rounds are
+    // bit-identical, no float accumulation order anywhere. Each round
+    // is the standard message-passing shape: edges ⋈ ranks on src →
+    // hash agg on dst — one keyed shuffle per round on an edge frame
+    // the support floor keeps parts-bounded; N and the teleport base
+    // ride a 1-row broadcast.
+    "q143_pagerank" -> ((s, dir) => {
+      val cp = coPairCounts(s, dir)
+        .where(col("n_orders") >= CoPairMinSupport)
+      val e = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionByName(
+          cp.select(col("part_b").as("src"), col("part_a").as("dst")))
+      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val n1 = deg.agg(count(lit(1)).as("n"))
+      // edge frame pre-joined with the source outdeg: per round only
+      // the rank table changes
+      val ed = e.join(deg.withColumnRenamed("v", "src"), Seq("src"))
+      var p = deg.crossJoin(broadcast(n1))
+        .select(col("v"), expr("1000000L div n").as("p"))
+      (1 to PrIters).foreach { _ =>
+        val contrib = ed
+          .join(p.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), expr("p div deg").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("c"))
+        p = deg.select("v").crossJoin(broadcast(n1))
+          .join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            expr("(150 * (1000000L div n) + 850 * coalesce(c, 0L)) div 1000")
+              .as("p"))
+      }
+      p.join(deg, Seq("v"))
+        .select(col("v").as("part"), col("p").as("pr_micros"),
+          col("deg").as("degree"))
+        .orderBy("part")
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -595,6 +634,9 @@ object RelationalQueries {
     * with triangles at every SF: 3258/61/1). */
   private[graft] val CoPairTopK = 20
   private[graft] val CoPairMinSupport = 2L
+
+  /** q143's unrolled PageRank rounds. */
+  private[graft] val PrIters = 3
 
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
@@ -659,6 +701,36 @@ object RelationalQueries {
              JOIN e e2 ON e1.part_a = e2.part_a AND e1.part_b < e2.part_b
              JOIN e e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b)
              AS BIGINT) AS n_triangles""",
+    "q143_pagerank" -> {
+      // identical unrolled integer rounds ( // is DuckDB's floor div,
+      // the twin of Spark's div on non-negative longs)
+      val rounds = (1 to PrIters).map { k =>
+        s"""c$k AS (
+             SELECT e.dst AS v, sum(p${k - 1}.p // d2.deg) AS c
+             FROM e JOIN p${k - 1} ON e.src = p${k - 1}.v
+               JOIN d d2 ON e.src = d2.v
+             GROUP BY 1),
+           p$k AS (
+             SELECT d.v,
+               (150 * (1000000 // nn.n) + 850 * coalesce(c$k.c, 0)) // 1000
+                 AS p
+             FROM d CROSS JOIN nn LEFT JOIN c$k ON d.v = c$k.v)"""
+      }.mkString(",\n")
+      s"""WITH $coPairSql,
+         ed AS (SELECT part_a, part_b FROM cp
+                WHERE n_orders >= $CoPairMinSupport),
+         e AS (SELECT part_a AS src, part_b AS dst FROM ed
+               UNION ALL SELECT part_b, part_a FROM ed),
+         d AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM e
+               GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         p0 AS (SELECT v, 1000000 // nn.n AS p FROM d CROSS JOIN nn),
+         $rounds
+         SELECT p$PrIters.v AS part,
+           CAST(p$PrIters.p AS BIGINT) AS pr_micros, d.deg AS degree
+         FROM p$PrIters JOIN d ON p$PrIters.v = d.v
+         ORDER BY part"""
+    },
     "q131_rollup_totals" ->
       // same ANSI ROLLUP + GROUPING bitmask (first key = high bit in
       // both engines), same sentinel coalesce
