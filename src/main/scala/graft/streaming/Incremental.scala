@@ -60,6 +60,14 @@ object Incremental {
     * position and a monotone emission version. */
   case class HhState(counts: Map[String, Long], n: Long, version: Long)
 
+  /** One (key, tick, value) metric point for [[streamingZFlags]]. */
+  case class MetricPoint(k: String, tick: Long, v: Long)
+  case class ZFlag(k: String, tick: Long, v: Long, win_n: Long,
+      win_sum: Long, anomalous: Boolean)
+  /** Per-key trailing baseline: tick → value, pruned to the lookback
+    * window behind the max tick seen — bounded state. */
+  case class ZState(points: Map[Long, Long])
+
   /** One emitted summary row: shard's candidate item with its
     * (over-)estimated count, the shard total, and the emission version
     * — consumers keep each shard's max-version rows (the latest
@@ -141,6 +149,56 @@ object Incremental {
           next.counts.iterator.map { case (t, c) =>
             HhSummary(shard, next.version, t, c, next.n)
           }
+      }
+  }
+
+  /** Streaming trailing z-score anomaly flags — the stateful twin of
+    * the batch `Rolling.trailingZFlags` (q138): each point is judged
+    * against its key's trailing `[tick − lookback, tick − 1]` baseline
+    * with the SAME squared-integer inequality
+    * (m·x − s)²·10⁶ > zMills²·(m·q − s²), computed in BigInt (the
+    * driver-side twin of the batch DECIMAL(38,0)) — so on an in-order
+    * stream the drain is row-identical to the batch operator.
+    *
+    * State per key is the trailing tick→value map, pruned to the
+    * lookback window behind the max tick seen — `lookback + 1` entries
+    * bound it regardless of stream length. Within a micro-batch points
+    * are processed in (tick, v) order; a point at an already-seen tick
+    * is judged against the current baseline and then overwrites it
+    * (last-writer-wins, deterministic under the sort). Ticks older
+    * than the retained window are judged against whatever the state
+    * retains — batch parity is the IN-ORDER contract (per key
+    * nondecreasing ticks across batches), which metric streams
+    * (per-day rollups) satisfy by construction. */
+  def streamingZFlags(points: org.apache.spark.sql.Dataset[MetricPoint],
+      lookback: Long, minPoints: Int,
+      zMills: Long): org.apache.spark.sql.Dataset[ZFlag] = {
+    require(lookback >= 1, s"lookback=$lookback < 1")
+    require(minPoints >= 2, s"minPoints=$minPoints < 2")
+    require(zMills >= 0, s"zMills=$zMills < 0")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ZState, ZFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[ZState]) =>
+          var m = state.getOption.map(_.points).getOrElse(Map.empty[Long, Long])
+          val out = it.toSeq.sortBy(p => (p.tick, p.v)).map { p =>
+            val base = m.view
+              .filterKeys(t => t >= p.tick - lookback && t <= p.tick - 1)
+            val n = base.size.toLong
+            val s = base.values.foldLeft(BigInt(0))(_ + _)
+            val q = base.values.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+            val dev = BigInt(n) * p.v - s
+            val flag = n >= minPoints &&
+              dev * dev * 1000000 > BigInt(zMills) * zMills * (n * q - s * s)
+            m = m + (p.tick -> p.v)
+            val mx = m.keysIterator.max
+            m = m.filter { case (t, _) => t >= mx - lookback }
+            ZFlag(key, p.tick, p.v, n, s.toLong, flag)
+          }
+          state.update(ZState(m))
+          out.iterator
       }
   }
 

@@ -417,4 +417,54 @@ class StreamingSpec extends AnyFunSuite {
     // estimates never undercount (Space-Saving overestimates only)
     latest.foreach(r => assert(r.est >= trueCounts.getOrElse(r.item, 0L)))
   }
+
+  test("streaming z-flags match the batch trailingZFlags across drains") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    // the q138 input: per-type daily counts from the events fixture
+    val daily = graft.Tables.eventsTsMicros(
+        spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet"))
+      .groupBy(col("event_type").as("k"),
+        expr("ts_us div 86400000000").as("tick"))
+      .agg(count(lit(1)).as("v"))
+    val mid = daily.agg(expr("percentile_approx(tick, 0.5)")).head().getLong(0)
+    val schema = daily.schema
+    def drain(): Unit = {
+      val q = Incremental.streamingZFlags(
+          spark.readStream.schema(schema).parquet(in)
+            .as[Incremental.MetricPoint],
+          lookback = 7L, minPoints = 4, zMills = 2000L)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // two chronological drains: the second batch's baselines REQUIRE
+    // state carried from the first (its early ticks look back past the
+    // batch boundary)
+    daily.where(col("tick") <= mid).write.mode("append").parquet(in)
+    drain()
+    val afterFirst = spark.read.parquet(out).count()
+    daily.where(col("tick") > mid).write.mode("append").parquet(in)
+    drain()
+    val got = spark.read.parquet(out).as[Incremental.ZFlag].collect()
+      .map(z => (z.k, z.tick) -> ((z.v, z.win_n, z.win_sum, z.anomalous)))
+      .toMap
+    val expect = graft.operators.Rolling.trailingZFlags(
+        daily, "k", "tick", "v", lookback = 7L, minPoints = 4,
+        zMills = 2000L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("tick")) ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("win_n"),
+          r.getAs[Long]("win_sum"), r.getAs[Boolean]("anomalous"))))
+      .toMap
+    assert(afterFirst > 0 && afterFirst < expect.size.toLong,
+      "both drains must contribute rows")
+    assert(got == expect,
+      "streamed flags must be row-identical to the batch operator")
+    // the parity is only meaningful if some flag actually fired
+    assert(got.values.exists(_._4), "fixture must flag at least one day")
+    assert(got.values.exists(!_._4))
+  }
 }
