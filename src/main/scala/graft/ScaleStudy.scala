@@ -213,7 +213,11 @@ object ScaleStudy {
     // q139: the (user, day) distinct grows with the user replicas but
     // the ×7 membership explode and both day-keyed counts stay
     // bounded-output; growth is the distinct + explode mass
-    "q139_dau_wau")
+    "q139_dau_wau",
+    // q144: the conv⋈touch range join replicates exactly per disjoint
+    // user replica; conv-keyed windows grow with conversions — linear
+    // by construction, measured for real
+    "q144_attribution_umodel")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

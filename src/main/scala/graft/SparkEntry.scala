@@ -60,6 +60,12 @@ object SparkEntry {
   private val AnomMinDays = 4
   private val AnomZMills = 2000L
 
+  /** q144's attribution lookback. 7 days exercises EVERY credit
+    * branch on the fixture (sf0.01: 57 single-touch, 80 two-touch,
+    * 159 n∈{3,4}, 954 conversions hitting the middle-remainder
+    * distribution). */
+  private val AttrWindowUs = 7L * 86400000000L
+
   private val IntervalWindows = 24L
   private val IntervalStrideUs = 3600000000L
   private val IntervalLenUs = 5400000000L
@@ -793,6 +799,45 @@ object SparkEntry {
           (col("wk") - col("cohort_wk")).as("age_wk"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_wk", "age_wk")
+    }),
+    // U-shaped multi-touch attribution (the standard position-based
+    // marketing model): each purchase credits the touch events in its
+    // trailing 7-day window — 40% first touch, 40% last, 20% split
+    // over the middles — in EXACT mills that sum to 1000 per credited
+    // conversion (integer floor share + remainder to the EARLIEST
+    // middles; n=1 → 1000, n=2 → 500/500). One user-keyed equi-join
+    // with a range predicate (per-user frames), then conv-keyed
+    // windows; every credit branch is data-exercised at every SF.
+    "q144_attribution_umodel" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+        s.read.parquet(s"$dir/events.parquet"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts_us").as("conv_ts"))
+      val touch = ev.where(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts_us").as("touch_ts"), col("event_type").as("channel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id")
+        .orderBy(col("touch_ts"), col("touch_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+      conv.join(touch, Seq("user_id"))
+        .where(col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - lit(AttrWindowUs))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("credit_mills",
+          when(col("n") === 1L, lit(1000L))
+            .when(col("n") === 2L, lit(500L))
+            .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
+            .otherwise(expr(
+              """200L div (n - 2) +
+                 CASE WHEN rn - 1 <= 200L % (n - 2) THEN 1L ELSE 0L END""")))
+        .groupBy("channel")
+        .agg(sum(col("credit_mills")).as("total_mills"),
+          count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"))
+        .orderBy("channel")
     }),
     // DAU / WAU / stickiness per day. Sliding DISTINCT does not
     // decompose over a window, so WAU is computed exactly by the
@@ -1575,6 +1620,43 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q144_attribution_umodel" ->
+        // identical U-model algebra: same join/range predicate, same
+        // (touch_ts, touch_id) tie-break, same floor share + earliest-
+        // middles remainder
+        s"""WITH ev AS (
+             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+             FROM events),
+           conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+                    FROM ev WHERE event_type = 'purchase'),
+           touch AS (SELECT user_id, event_id AS touch_id,
+                       ts_us AS touch_ts, event_type AS channel
+                     FROM ev
+                     WHERE event_type IN ('click', 'view', 'signup')),
+           j AS (
+             SELECT conv.conv_id, touch.channel, touch.touch_ts,
+               touch.touch_id
+             FROM conv JOIN touch ON conv.user_id = touch.user_id
+               AND touch.touch_ts < conv.conv_ts
+               AND touch.touch_ts >= conv.conv_ts - $AttrWindowUs),
+           r AS (
+             SELECT *,
+               CAST(row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+             FROM j),
+           c AS (
+             SELECT channel, conv_id,
+               CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+                 WHEN rn = 1 OR rn = n THEN 400
+                 ELSE 200 // (n - 2)
+                   + (CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END)
+               END AS credit
+             FROM r)
+           SELECT channel, CAST(sum(credit) AS BIGINT) AS total_mills,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+           FROM c GROUP BY 1 ORDER BY 1""",
       "q139_dau_wau" ->
         // identical bounded ×7 membership explode, clipped at max(day)
         """WITH ud AS (
