@@ -175,7 +175,9 @@ object ScaleStudy {
     // one token count) + encode (pure scan-side transform with the
     // merges as literals); the token bijection grows the vocab 10×
     // but the per-round pair mass stays vocab-proportional
-    "q140_bpe_encode")
+    "q140_bpe_encode",
+    // q145: the q136 planning floor with isqrt weights
+    "q145_temperature_mix")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

@@ -1011,6 +1011,61 @@ object TextAnalysis {
         col("capped"), col("allocated"), col("epochs_mills"))
   }
 
+  /** Temperature-scaled mixture allocation at α = 1/2 (the mT5 /
+    * XLM-R multilingual sampling recipe, Xue et al. 2021 / Conneau et
+    * al. 2020: sample strata ∝ n^α to up-weight low-resource strata) —
+    * in EXACT integer arithmetic: the weight is the integer square
+    * root isqrt(n_tokens), computed as float sqrt + a ±1 integer
+    * correction (floor(√x) is within 1 ulp in any IEEE engine; the
+    * correction makes it exact, so both engines agree bit-for-bit).
+    * Targets are the floor split (B·w) div Σw with the integer
+    * remainder to the LARGEST-weight strata first — targets sum to
+    * EXACTLY the budget; `alloc_tokens` caps each target at the
+    * stratum's supply (deficit reported).
+    *
+    * Scale shape: one corpus token-count hash agg, then strata-bounded
+    * windows — the q113/q136 planning floor. */
+  def temperatureAllocate(df: DataFrame, strataCol: String,
+      textCol: String, budgetTokens: Long = 0L,
+      budgetPerMille: Option[Long] = None): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens < 0")
+    budgetPerMille.foreach(p => require(p >= 0, s"budgetPerMille=$p < 0"))
+    val reserved = Seq("stratum", "n_tokens", "w", "share_mills",
+      "target_tokens", "alloc_tokens", "deficit_tokens")
+    require(!reserved.contains(textCol), s"column '$textCol' is reserved")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+    val wDesc = W.orderBy(col("w").desc, col("stratum").asc)
+    df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
+      // exact isqrt: float estimate ± integer correction
+      .withColumn("w", expr(
+        """CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+           - CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       > n_tokens THEN 1L ELSE 0L END
+           + CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1L)
+                       * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1L)
+                       <= n_tokens THEN 1L ELSE 0L END"""))
+      .withColumn("__sw", sum(col("w")).over(wAll))
+      .withColumn("__B", budgetPerMille match {
+        case Some(p) => expr(s"(${p}L * sum(n_tokens) OVER ()) div 1000L")
+        case None => lit(budgetTokens)
+      })
+      .withColumn("share_mills", expr("(1000L * w) div nullif(__sw, 0L)"))
+      .withColumn("__floor", expr("(__B * w) div nullif(__sw, 0L)"))
+      .withColumn("__rem", col("__B") - sum(col("__floor")).over(wAll))
+      .withColumn("__rk", row_number().over(wDesc).cast("long"))
+      .withColumn("target_tokens",
+        coalesce(col("__floor"), lit(0L)) +
+          when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+      .withColumn("alloc_tokens", least(col("n_tokens"), col("target_tokens")))
+      .withColumn("deficit_tokens", col("target_tokens") - col("alloc_tokens"))
+      .select(col("stratum"), col("n_tokens"), col("w"),
+        col("share_mills"), col("target_tokens"), col("alloc_tokens"),
+        col("deficit_tokens"))
+  }
+
   /** Token-budget corpus selection under a quality ordering — the data
     * mixing step that fills a per-stratum token budget with the best
     * documents: walk each stratum in (quality DESC, id ASC) order and

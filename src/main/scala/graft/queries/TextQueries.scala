@@ -162,6 +162,12 @@ object TextQueries {
   private[graft] val UnimaxEpochs = 2
   private[graft] val UnimaxPerMille = 750L
 
+  /** q145's temperature-mix budget: 100% of total tokens. √-weights
+    * flatten the shares, so the low-resource langs' targets EXCEED
+    * their supply (deficit branch) while en's target stays under its
+    * supply — both branches data-exercised at every SF. */
+  private[graft] val TempPerMille = 1000L
+
   /** The Spark side of the q135 page construction. */
   private def c4Text: Column = {
     val parts = col("text") +: (
@@ -910,6 +916,17 @@ object TextQueries {
     "q136_unimax_alloc" -> ((s, dir) =>
       TextAnalysis.unimaxAllocate(docs(s, dir), "lang", "text",
           maxEpochs = UnimaxEpochs, budgetPerMille = Some(UnimaxPerMille))
+        .orderBy("stratum")),
+    // Temperature-scaled mixture allocation at α = 1/2 (mT5 / XLM-R
+    // low-resource up-weighting, TextAnalysis.temperatureAllocate):
+    // strata weighted by EXACT integer isqrt(n_tokens) (float sqrt
+    // ± integer correction — bit-identical in any IEEE engine),
+    // floor-split targets with the remainder to the largest weights
+    // so targets sum to exactly the budget; deficit vs supply
+    // reported. One corpus hash agg + strata-bounded windows.
+    "q145_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureAllocate(docs(s, dir), "lang", "text",
+          budgetPerMille = Some(TempPerMille))
         .orderBy("stratum")),
     // UniMax-allocated selection — the execution half of q136's plan
     // (the q116 pattern on a different allocator): water-filled
@@ -1770,6 +1787,44 @@ object TextQueries {
            coalesce((1000 * allocated) // nullif(n_tokens, 0), 0)
              AS epochs_mills
          FROM uni ORDER BY stratum""",
+    "q145_temperature_mix" ->
+      // identical algebra: corrected isqrt, floor split, remainder by
+      // (w desc, stratum) rank
+      s"""WITH caps AS (
+           SELECT lang AS stratum,
+             CAST(sum($sqlTokenCount) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         iw AS (
+           SELECT stratum, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+               - CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                           * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                           > n_tokens THEN 1 ELSE 0 END
+               + CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                           * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                           <= n_tokens THEN 1 ELSE 0 END AS w
+           FROM caps),
+         g AS (
+           SELECT *, sum(w) OVER () AS sw,
+             ($TempPerMille * sum(n_tokens) OVER ()) // 1000 AS b,
+             (($TempPerMille * sum(n_tokens) OVER ()) // 1000) * w
+               // nullif(sum(w) OVER (), 0) AS fl,
+             CAST(row_number() OVER (ORDER BY w DESC, stratum)
+               AS BIGINT) AS rk
+           FROM iw),
+         h AS (
+           SELECT *, b - sum(fl) OVER () AS rem FROM g),
+         a AS (
+           SELECT stratum, n_tokens, w,
+             (1000 * w) // nullif(sw, 0) AS share_mills,
+             coalesce(fl, 0)
+               + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS target_tokens
+           FROM h)
+         SELECT stratum, n_tokens, w, share_mills, target_tokens,
+           least(n_tokens, target_tokens) AS alloc_tokens,
+           target_tokens - least(n_tokens, target_tokens)
+             AS deficit_tokens
+         FROM a ORDER BY stratum""",
     "q137_unimax_select" ->
       // the SHARED water-filling CTE chain feeding the q74/q116 naive
       // ordered window — capped strata keep everything (alloc ≥

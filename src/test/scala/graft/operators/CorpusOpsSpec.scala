@@ -909,6 +909,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureAllocate: exact isqrt weights, exact-sum targets, supply caps") {
+    def tokens(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // perfect-square boundaries pin the isqrt correction: 49→7,
+    // 48→6, 50→7 (a raw float floor(sqrt) could be off by one ulp)
+    val docs = Seq(
+      (1L, "A", tokens(49)), (2L, "B", tokens(48)), (3L, "C", tokens(50)),
+      (4L, "D", tokens(4)), (5L, "Z", " "))
+      .toDF("doc_id", "lang", "text")
+    def run(b: Long): Map[String, (Long, Long, Long, Long)] =
+      TextAnalysis.temperatureAllocate(docs, "lang", "text",
+          budgetTokens = b)
+        .collect().map(r => r.getAs[String]("stratum") ->
+          ((r.getAs[Long]("w"), r.getAs[Long]("target_tokens"),
+            r.getAs[Long]("alloc_tokens"), r.getAs[Long]("deficit_tokens"))))
+        .toMap
+    val r = run(100L)
+    assert(r.view.mapValues(_._1).toMap ==
+      Map("A" -> 7L, "B" -> 6L, "C" -> 7L, "D" -> 2L, "Z" -> 0L))
+    // Σw = 22; floors: A 31, B 27, C 31, D 9, Z 0 → 98; rem 2 goes to
+    // the two largest weights (A before C by stratum tie-break)
+    assert(r.view.mapValues(_._2).toMap ==
+      Map("A" -> 32L, "B" -> 27L, "C" -> 32L, "D" -> 9L, "Z" -> 0L))
+    // targets sum EXACTLY to the budget, for any budget
+    Seq(0L, 1L, 7L, 100L, 151L, 1000L).foreach { b =>
+      assert(run(b).values.map(_._2).sum == b, s"budget $b")
+    }
+    // supply caps: D's target 9 exceeds its 4-token supply
+    assert(r("D") == ((2L, 9L, 4L, 5L)))
+    assert(r("A")._4 == 0L)
+  }
+
   test("c4Clean guards geometry and reserved columns") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
