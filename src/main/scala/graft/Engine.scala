@@ -197,6 +197,16 @@ object Engine {
       budgetTokens: Long = 0L,
       budgetPerMille: Option[Long] = None) extends SelectionPolicy
 
+  /** Temperature-scaled selection (q145's α = ½ allocator + q137's
+    * execution): strata weighted by exact integer isqrt(n_tokens) —
+    * the mT5/XLM-R low-resource up-weighting — then each stratum's
+    * allocation (target capped at supply) is filled with its best
+    * documents through the q74 histogram kernel. Exactly one of
+    * `budgetTokens` or `budgetPerMille` sets the budget. */
+  final case class TemperatureSelection(
+      budgetTokens: Long = 0L,
+      budgetPerMille: Option[Long] = None) extends SelectionPolicy
+
   /** The LLM-corpus counterpart of [[processSubmission]]: one composed
     * entry point for the training-data pipeline the extension family
     * implements piecewise —
@@ -277,10 +287,13 @@ object Engine {
     *                      stratified mixture rates),
     *                      [[ExactKSelection]] (quality threshold +
     *                      exactly k per stratum in md5 priority
-    *                      order), or [[UnimaxSelection]] (epoch-capped
+    *                      order), [[UnimaxSelection]] (epoch-capped
     *                      water-filled budgets driving per-stratum
-    *                      quality selection). The stage-7 ledger label
-    *                      names the policy that ran
+    *                      quality selection), or
+    *                      [[TemperatureSelection]] (α = ½ isqrt-
+    *                      weighted budgets, same execution). The
+    *                      stage-7 ledger label names the policy that
+    *                      ran
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
     *                      the four stage-boundary frames each consumed
@@ -477,6 +490,14 @@ object Engine {
           ("unimax_selected", TextAnalysis.budgetSelectPerStratum(
             scored, strataCol, "quality_mills", "n_tokens", idCol,
             budgets, "allocated"))
+        case TemperatureSelection(budget, perMille) =>
+          val budgets = TextAnalysis.temperatureAllocate(
+              ruled.select(col(strataCol), col(textCol)), strataCol,
+              textCol, budget, perMille)
+            .select(col("stratum").as(strataCol), col("alloc_tokens"))
+          ("temperature_selected", TextAnalysis.budgetSelectPerStratum(
+            scored, strataCol, "quality_mills", "n_tokens", idCol,
+            budgets, "alloc_tokens"))
       }
     val selected = boundary(selectedRaw)
 

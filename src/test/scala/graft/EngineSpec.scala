@@ -353,6 +353,31 @@ class EngineSpec extends AnyFunSuite {
       "a capped stratum must keep its whole pool")
     assert(keptByLang.exists { case (l, n) => n < poolByLang(l) },
       "the waterlined stratum must be thinned")
+
+    // temperature α = ½ budgets (q145's allocator + q137's kernel);
+    // 50% budget under √-flattened shares thins EVERY stratum
+    val temp = Engine.processCorpus(docs,
+      selection = Some(Engine.TemperatureSelection(
+        budgetPerMille = Some(500L))),
+      materializeBoundaries = true)
+    val tLedger = temp.accounting.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(tLedger.contains("temperature_selected"))
+    assert(temp.selected.count() == tLedger("temperature_selected"))
+    val tBudgets = TextAnalysis.temperatureAllocate(
+        temp.deduped.select("lang", "text"), "lang", "text",
+        budgetPerMille = Some(500L))
+      .select(col("stratum").as("lang"), col("alloc_tokens"))
+    val expectTemp = TextAnalysis.budgetSelectPerStratum(
+        uniPool, "lang", "quality_mills", "n_tokens", "doc_id",
+        tBudgets, "alloc_tokens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotTemp = temp.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotTemp == expectTemp,
+      "facade temperature selection must equal the direct q145+q137 kernels")
+    assert(gotTemp.nonEmpty && gotTemp.size < uniPool.count(),
+      "the 50% temperature budget must select a strict non-empty subset")
   }
 
   test("processCorpus incremental mode drops what a standing corpus already holds") {
