@@ -152,6 +152,49 @@ object Incremental {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of the q144
+    * attribution join stage: an unbounded conversion stream joined to
+    * an unbounded touch stream on the user key with the trailing
+    * attribution-window range predicate. Structured Streaming's
+    * stream-stream inner join with watermarks on BOTH event-time
+    * columns and a range condition bounds each side's join state to
+    * the window + watermark slack (without the range bound the state
+    * would grow forever — the classic stream-join pitfall). Emits one
+    * row per (conversion, touch) match in append mode.
+    *
+    * `watermarkDelay` trades state size against late-data tolerance:
+    * touches older than `conv_ts − windowUs − delay` are evicted, so
+    * a conversion arriving later than that finds nothing — exactly
+    * the documented semantics of watermarked stream joins. With a
+    * delay covering the drain's disorder, the match set equals the
+    * batch range join row-for-row (StreamingSpec pins this). */
+  def streamAttributionJoin(touches: DataFrame, convs: DataFrame,
+      windowUs: Long, watermarkDelay: String): DataFrame = {
+    require(windowUs >= 1, s"windowUs=$windowUs < 1")
+    // event-time columns must be timestamps for watermarking; the
+    // micros ride along for exact downstream arithmetic
+    val t = touches
+      .select(col("user_id"), col("touch_id"), col("touch_ts"),
+        timestamp_micros(col("touch_ts")).as("touch_t"),
+        col("channel"))
+      .withWatermark("touch_t", watermarkDelay)
+    val c = convs
+      .select(col("user_id").as("c_user_id"), col("conv_id"),
+        col("conv_ts"), timestamp_micros(col("conv_ts")).as("conv_t"))
+      .withWatermark("conv_t", watermarkDelay)
+    t.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lit(windowUs) &&
+        // the TIMESTAMP twin of the micros range — this is the bound
+        // the state manager can reason about for eviction
+        col("touch_t") < col("conv_t") &&
+        col("touch_t") >= col("conv_t") - expr(
+          s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+      .select(col("conv_id"), col("touch_id"), col("channel"),
+        col("conv_ts"), col("touch_ts"))
+  }
+
   /** Streaming trailing z-score anomaly flags — the stateful twin of
     * the batch `Rolling.trailingZFlags` (q138): each point is judged
     * against its key's trailing `[tick − lookback, tick − 1]` baseline

@@ -467,4 +467,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._4), "fixture must flag at least one day")
     assert(got.values.exists(!_._4))
   }
+
+  test("stream-stream attribution join matches the batch range join across drains") {
+    val inT = tmp(); val inC = tmp(); val cp = tmp(); val out = tmp()
+    val W = 7L * 86400000000L
+    val ev = graft.Tables.eventsTsMicros(
+      spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet"))
+    val touch = ev.where(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts_us").as("touch_ts"), col("event_type").as("channel"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    def drain(): Unit = {
+      // 60-day watermark >> the drain's disorder: nothing evicted, so
+      // the match set must be EXACTLY the batch join
+      val q = Incremental.streamAttributionJoin(
+          spark.readStream.schema(touch.schema).parquet(inT),
+          spark.readStream.schema(conv.schema).parquet(inC),
+          windowUs = W, watermarkDelay = "60 days")
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1: first-half touches + conversions; drain 2 adds the
+    // rest — its conversions must still match drain-1 touches held in
+    // the join state
+    touch.where(col("touch_ts") <= mid).write.mode("append").parquet(inT)
+    conv.where(col("conv_ts") <= mid).write.mode("append").parquet(inC)
+    drain()
+    val afterFirst = spark.read.parquet(out).count()
+    touch.where(col("touch_ts") > mid).write.mode("append").parquet(inT)
+    conv.where(col("conv_ts") > mid).write.mode("append").parquet(inC)
+    drain()
+    val got = spark.read.parquet(out)
+      .select("conv_id", "touch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lit(W))
+      .select("conv_id", "touch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterFirst > 0 && afterFirst < expect.size.toLong,
+      "both drains must contribute matches")
+    assert(got == expect,
+      s"stream join must equal the batch range join " +
+        s"(got ${got.size}, expect ${expect.size})")
+    // cross-drain joins actually happened: some drain-2 conversion
+    // matched a drain-1 touch
+    val late = spark.read.parquet(out)
+      .where(col("conv_ts") > mid && col("touch_ts") <= mid).count()
+    assert(late > 0, "no cross-drain match — state carry untested")
+  }
 }
