@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants that tie DIFFERENT gated queries to each other — a
+  * drift in any shared kernel (revenue cents, token counts, the
+  * water-filling algebra, credit splits) breaks a cross-query
+  * identity even if each query still matches its own oracle twin.
+  * Runs on sf0.001 (the smoke tier).
+  */
+class CrossQueryConsistencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q131's grand-total cell equals q28's global lineitem stats") {
+    val grand = q("q131_rollup_totals").where(col("gid") === 3L).head()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(grand.getAs[Long]("n_rows") == li.count())
+    assert(grand.getAs[Long]("sum_qty") ==
+      li.agg(sum(col("l_quantity")).cast("long")).head().getLong(0))
+  }
+
+  test("q132's pivot cells sum to the q131 grand total row count") {
+    val r = q("q132_pivot_matrix").agg(
+      sum(col("n_f") + col("n_o") + col("n_p"))).head().getLong(0)
+    assert(r == spark.read.parquet(s"$dir/orders.parquet").count(),
+      "every order must land in exactly one pivot cell")
+  }
+
+  test("q136 UniMax allocations sum to exactly min(budget, capacity)") {
+    val rows = q("q136_unimax_alloc").collect()
+    val totalCap = rows.map(_.getAs[Long]("capacity")).sum
+    val budget = 750L * totalCap / 1000L
+    assert(rows.map(_.getAs[Long]("allocated")).sum ==
+      math.min(budget, totalCap))
+  }
+
+  test("q145 temperature targets sum to exactly the budget") {
+    val rows = q("q145_temperature_mix").collect()
+    val totalTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum == totalTok,
+      "TempPerMille = 1000 makes the budget the full token supply")
+    // the U-shaped supply cap: alloc = min(target, supply), never more
+    rows.foreach(r => assert(r.getAs[Long]("alloc_tokens") <=
+      math.min(r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))))
+  }
+
+  test("q144 credits sum to exactly 1000 mills per credited conversion") {
+    val total = q("q144_attribution_umodel")
+      .agg(sum(col("total_mills"))).head().getLong(0)
+    // independent recompute of the credited-conversion count
+    val ev = Tables.eventsTsMicros(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = ev.where(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts_us").as("touch_ts"))
+    val credited = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lit(7L * 86400000000L))
+      .select("conv_id").distinct().count()
+    assert(total == 1000L * credited,
+      s"credits $total != 1000 x $credited conversions")
+  }
+
+  test("q139: DAU never exceeds WAU; q138's day grid matches q139's spine") {
+    val dw = q("q139_dau_wau").collect()
+    dw.foreach(r => assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"),
+      s"day ${r.getAs[Long]("d")}"))
+    // the two daily rollups see the same calendar
+    val anomDays = q("q138_daily_anomaly")
+      .select("day").distinct().count()
+    assert(dw.length.toLong == anomDays,
+      "q138 and q139 must agree on the set of active days")
+  }
+
+  test("q143 PageRank mass: bounded above by 1e6, floor-leakage bounded below") {
+    val rows = q("q143_pagerank").collect()
+    val mass = rows.map(_.getAs[Long]("pr_micros")).sum
+    // every div floors, so mass only leaks downward — never above the
+    // initial 1e6, and each round loses < (1 per contrib + 1 per
+    // vertex), far under 10% at this graph size
+    assert(mass <= 1000000L, s"mass $mass grew past 1e6")
+    assert(mass >= 900000L, s"mass $mass leaked more than 10%")
+  }
+
+  test("q142's edge count equals q141's support-filtered pair count") {
+    val edges = q("q142_triangle_count").head().getAs[Long]("n_edges")
+    // independent recompute through the q141 kernel's public output
+    // shape: pairs with support >= 2 (the q142 constant)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2L).count()
+    assert(edges == pairs)
+  }
+}
