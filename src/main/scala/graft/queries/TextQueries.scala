@@ -721,6 +721,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplication-mass report — the "how much of my corpus is
+    // duplicated" summary every dedup run ends with: the q53
+    // components rolled to a cluster-size histogram (size → clusters,
+    // docs, removable dup docs). Two bounded hash aggs on top of the
+    // gated components operator; output bounded by the largest
+    // cluster size.
+    "q146_dedup_mass" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+        .groupBy(col("comp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("n_dup_docs",
+          (col("cluster_size") - 1L) * col("n_clusters"))
+        .orderBy("cluster_size")),
+
     // Token-set Jaccard near-dup pairs within the `source` block, found
     // by a PPJoin-style prefix-filtered shingle join (Bayardo et al.
     // 2007, "Scaling Up All Pairs Similarity Search"; Chaudhuri et al.
@@ -2989,6 +3005,26 @@ object TextQueries {
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(comp) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q146_dedup_mass" ->
+      // the SAME transitive-closure chain, rolled to the size histogram
+      s"""WITH RECURSIVE $lshPairsCtes,
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         comps AS (
+           SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         sz AS (
+           SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comps GROUP BY comp)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           cluster_size * CAST(count(*) AS BIGINT) AS n_docs,
+           (cluster_size - 1) * CAST(count(*) AS BIGINT) AS n_dup_docs
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
     "q36_jaccard_pairs" ->
       s"""WITH d AS (
            SELECT doc_id, source, $sqlTokSet AS toks
