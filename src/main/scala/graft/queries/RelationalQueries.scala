@@ -301,6 +301,29 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Session-depth histogram + engagement shares: the q23 sessionizer
+    // extended with the per-user cumulative session id (the cumsum
+    // rides the SAME user-keyed exchange as the lag), session lengths
+    // per (user, session), then a bounded histogram with exact-mills
+    // shares (bounce rate = the session_len = 1 row). Output bounded
+    // by the longest session.
+    "q147_session_depth" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("nw", (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800)
+          .cast("long"))
+        .withColumn("sess", sum(col("nw"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("session_len"))
+        .groupBy("session_len").agg(count(lit(1)).as("n_sessions"))
+        .withColumn("share_mills",
+          expr("(1000 * n_sessions) div sum(n_sessions) OVER ()"))
+        .orderBy("session_len")
+    }),
+
     // U1/U2 — union distinct of two selection branches.
     "q24_union_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -968,6 +991,28 @@ object RelationalQueries {
              OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "q147_session_depth" ->
+      // the q23 lag/gap rule + the same-window cumsum session id
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id,
+             sum(CASE WHEN prev_ts IS NULL
+               OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         l AS (SELECT user_id, sess, CAST(count(*) AS BIGINT)
+                 AS session_len
+               FROM s GROUP BY 1, 2),
+         h AS (SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM l GROUP BY 1)
+         SELECT session_len, n_sessions,
+           (1000 * n_sessions) // sum(n_sessions) OVER () AS share_mills
+         FROM h ORDER BY session_len""",
     "q24_union_orders" ->
       """SELECT o_orderkey FROM orders WHERE o_totalprice >= 250000
          UNION
