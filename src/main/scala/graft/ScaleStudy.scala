@@ -219,7 +219,9 @@ object ScaleStudy {
     // q144: the conv⋈touch range join replicates exactly per disjoint
     // user replica; conv-keyed windows grow with conversions — linear
     // by construction, measured for real
-    "q144_attribution_umodel")
+    "q144_attribution_umodel",
+    // q147: the q23/q128 session-window shape + a bounded histogram
+    "q147_session_depth")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

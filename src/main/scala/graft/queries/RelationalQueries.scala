@@ -324,6 +324,36 @@ object RelationalQueries {
         .orderBy("session_len")
     }),
 
+    // Inter-arrival latency report: per event type, EXACT median and
+    // p90 of the per-user inter-event gaps (gap attributed to the
+    // LATER event's type) — the q57/q115 histogram-selection kernel,
+    // so no per-type sort of the gap stream: one user-keyed window,
+    // one (type, gap) hash agg, then rank thresholds over the bounded
+    // histogram (ceil(n/2), ceil(9n/10) in integer arithmetic).
+    "q148_interarrival" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .where(col("prev_ts").isNotNull)
+        .select(col("event_type"),
+          (col("ts").cast("long") - col("prev_ts").cast("long"))
+            .as("gap_s"))
+      val h = gaps.groupBy("event_type", "gap_s")
+        .agg(count(lit(1)).as("cnt"))
+      val wt = Window.partitionBy("event_type").orderBy("gap_s")
+      h.withColumn("cum", sum(col("cnt"))
+          .over(wt.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_s")))
+            .as("median_gap_s"),
+          min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("gap_s")))
+            .as("p90_gap_s"))
+        .orderBy("event_type")
+    }),
+
     // U1/U2 — union distinct of two selection branches.
     "q24_union_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1013,6 +1043,28 @@ object RelationalQueries {
          SELECT session_len, n_sessions,
            (1000 * n_sessions) // sum(n_sessions) OVER () AS share_mills
          FROM h ORDER BY session_len""",
+    "q148_interarrival" ->
+      // identical gap derivation and rank-threshold arithmetic
+      """WITH g AS (
+           SELECT event_type,
+             floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+           FROM events),
+         h AS (
+           SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS cnt
+           FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT *,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+           FROM h)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END)
+             AS median_gap_s,
+           min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN gap_s END)
+             AS p90_gap_s
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "q24_union_orders" ->
       """SELECT o_orderkey FROM orders WHERE o_totalprice >= 250000
          UNION
