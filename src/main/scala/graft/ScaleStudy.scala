@@ -220,8 +220,10 @@ object ScaleStudy {
     // user replica; conv-keyed windows grow with conversions — linear
     // by construction, measured for real
     "q144_attribution_umodel",
-    // q147: the q23/q128 session-window shape + a bounded histogram
-    "q147_session_depth")
+    // q147: the q23/q128 session-window shape + a bounded histogram;
+    // q148: the same lag window + a (type, gap) histogram agg — both
+    // replicate exactly per disjoint user replica
+    "q147_session_depth", "q148_interarrival")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
