@@ -177,7 +177,10 @@ object ScaleStudy {
     // but the per-round pair mass stays vocab-proportional
     "q140_bpe_encode",
     // q145: the q136 planning floor with isqrt weights
-    "q145_temperature_mix")
+    "q145_temperature_mix",
+    // q150: one token-count shuffle (the bijection grows the vocab
+    // 10× but the TakeOrdered cut still ships k rows per partition)
+    "q150_vocab_coverage")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -223,7 +226,10 @@ object ScaleStudy {
     // q147: the q23/q128 session-window shape + a bounded histogram;
     // q148: the same lag window + a (type, gap) histogram agg — both
     // replicate exactly per disjoint user replica
-    "q147_session_depth", "q148_interarrival")
+    "q147_session_depth", "q148_interarrival",
+    // q149: the q144 frame with four credit projections — same join,
+    // same windows, wider aggregate
+    "q149_attribution_models")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

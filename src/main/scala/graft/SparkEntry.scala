@@ -839,6 +839,52 @@ object SparkEntry {
           countDistinct(col("conv_id")).as("n_conversions"))
         .orderBy("channel")
     }),
+    // Attribution model comparison — the report marketers actually
+    // run: first-touch, last-touch, linear and U-shaped credits per
+    // channel SIDE BY SIDE over the SAME q144 conversion⋈touch frame
+    // (one join, one pair of windows, four credit projections — no
+    // re-scan per model). Every model's credits sum to exactly 1000
+    // mills per credited conversion: first/last put 1000 on rn=1/rn=n,
+    // linear floors 1000/n with the remainder to the EARLIEST touches,
+    // U is q144's split.
+    "q149_attribution_models" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(
+        s.read.parquet(s"$dir/events.parquet"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts_us").as("conv_ts"))
+      val touch = ev.where(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts_us").as("touch_ts"), col("event_type").as("channel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy(col("touch_ts"), col("touch_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+      conv.join(touch, Seq("user_id"))
+        .where(col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - lit(AttrWindowUs))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("first_mills",
+          when(col("rn") === 1L, 1000L).otherwise(0L))
+        .withColumn("last_mills",
+          when(col("rn") === col("n"), 1000L).otherwise(0L))
+        .withColumn("linear_mills", expr(
+          """1000L div n +
+             CASE WHEN rn <= 1000L % n THEN 1L ELSE 0L END"""))
+        .withColumn("u_mills",
+          when(col("n") === 1L, lit(1000L))
+            .when(col("n") === 2L, lit(500L))
+            .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
+            .otherwise(expr(
+              """200L div (n - 2) +
+                 CASE WHEN rn - 1 <= 200L % (n - 2) THEN 1L ELSE 0L END""")))
+        .groupBy("channel")
+        .agg(sum(col("first_mills")).as("first_mills"),
+          sum(col("last_mills")).as("last_mills"),
+          sum(col("linear_mills")).as("linear_mills"),
+          sum(col("u_mills")).as("u_mills"))
+        .orderBy("channel")
+    }),
     // DAU / WAU / stickiness per day. Sliding DISTINCT does not
     // decompose over a window, so WAU is computed exactly by the
     // bounded ×7 explode: each distinct (user, day) activity row
@@ -1620,6 +1666,47 @@ object SparkEntry {
              (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type)
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
+      "q149_attribution_models" ->
+        // same frame, four credit projections — identical algebra
+        s"""WITH ev AS (
+             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+             FROM events),
+           conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+                    FROM ev WHERE event_type = 'purchase'),
+           touch AS (SELECT user_id, event_id AS touch_id,
+                       ts_us AS touch_ts, event_type AS channel
+                     FROM ev
+                     WHERE event_type IN ('click', 'view', 'signup')),
+           j AS (
+             SELECT conv.conv_id, touch.channel, touch.touch_ts,
+               touch.touch_id
+             FROM conv JOIN touch ON conv.user_id = touch.user_id
+               AND touch.touch_ts < conv.conv_ts
+               AND touch.touch_ts >= conv.conv_ts - $AttrWindowUs),
+           r AS (
+             SELECT *,
+               CAST(row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+             FROM j),
+           c AS (
+             SELECT channel,
+               CASE WHEN rn = 1 THEN 1000 ELSE 0 END AS first_m,
+               CASE WHEN rn = n THEN 1000 ELSE 0 END AS last_m,
+               1000 // n + (CASE WHEN rn <= 1000 % n THEN 1 ELSE 0 END)
+                 AS linear_m,
+               CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+                 WHEN rn = 1 OR rn = n THEN 400
+                 ELSE 200 // (n - 2)
+                   + (CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END)
+               END AS u_m
+             FROM r)
+           SELECT channel,
+             CAST(sum(first_m) AS BIGINT) AS first_mills,
+             CAST(sum(last_m) AS BIGINT) AS last_mills,
+             CAST(sum(linear_m) AS BIGINT) AS linear_mills,
+             CAST(sum(u_m) AS BIGINT) AS u_mills
+           FROM c GROUP BY 1 ORDER BY 1""",
       "q144_attribution_umodel" ->
         // identical U-model algebra: same join/range predicate, same
         // (touch_ts, touch_id) tie-break, same floor share + earliest-

@@ -162,6 +162,11 @@ object TextQueries {
   private[graft] val UnimaxEpochs = 2
   private[graft] val UnimaxPerMille = 750L
 
+  /** q150's coverage checkpoints — ranks that exist at every SF (the
+    * fixture vocabulary is ~31 tokens at each scale). */
+  private[graft] val CovKs = Seq(5L, 10L, 20L)
+  private[graft] val CovMaxK = 20
+
   /** q145's temperature-mix budget: 100% of total tokens. √-weights
     * flatten the shares, so the low-resource langs' targets EXCEED
     * their supply (deficit branch) while en's target stays under its
@@ -719,6 +724,31 @@ object TextQueries {
       graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }),
+
+    // Vocabulary coverage curve — the tokenizer-planning head-mass
+    // report: what share of total token MASS the top-k vocabulary
+    // covers, at k ∈ CovKs. One counting shuffle (vocab-bounded
+    // output), a TakeOrdered top-CovMaxK cut (the q75 shape — each
+    // partition ships k rows, no global sort materialization), then
+    // rank/cumsum over the BOUNDED top frame against a 1-row
+    // broadcast total.
+    "q150_vocab_coverage" -> ((s, dir) => {
+      val tc = docs(s, dir)
+        .select(explode(filter(TextFunctions.tokens(col("text")),
+          t => t =!= "")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = tc.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      tc.orderBy(col("cnt").desc, col("tok")).limit(CovMaxK)
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("mass", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(col("k").isin(CovKs: _*))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("mass"),
+          expr("(1000 * mass) div total").as("coverage_mills"))
+        .orderBy("k")
     }),
 
     // Duplication-mass report — the "how much of my corpus is
@@ -3005,6 +3035,25 @@ object TextQueries {
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(comp) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q150_vocab_coverage" ->
+      // identical rank/cumsum over the full vocab (bounded at oracle
+      // scale), cut to the same checkpoints
+      s"""WITH tc AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest($tokenListSql) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc),
+         r AS (
+           SELECT tok, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS k,
+             sum(cnt) OVER (ORDER BY cnt DESC, tok
+               ROWS UNBOUNDED PRECEDING) AS mass
+           FROM tc)
+         SELECT k, CAST(mass AS BIGINT) AS mass,
+           (1000 * mass) // total AS coverage_mills
+         FROM r CROSS JOIN tot
+         WHERE k IN (${CovKs.mkString(", ")}) ORDER BY k""",
     "q146_dedup_mass" ->
       // the SAME transitive-closure chain, rolled to the size histogram
       s"""WITH RECURSIVE $lshPairsCtes,
