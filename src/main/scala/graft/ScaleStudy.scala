@@ -257,7 +257,17 @@ object ScaleStudy {
     // q143: same pair-graph build; the 3 message-passing rounds ride
     // the support-thinned parts-bounded edge frame — scale-flat like
     // q142's triangle half
-    "q143_pagerank")
+    "q143_pagerank",
+    // q151: 10× orders over the SAME customers — the custkey hash agg
+    // absorbs the growth into a constant customer frame; the three
+    // quintile-threshold chains ride distinct-value histograms
+    // (bounded by customers), scores are broadcast-threshold
+    // projections, output saturates at 125 RFM cells
+    "q151_rfm_segments",
+    // q152: 10× lineitem over the SAME parts — the partkey hash agg
+    // absorbs the growth into a fixed part frame; banding and shares
+    // ride the bounded revenue-value histogram, output is 3 rows
+    "q152_abc_pareto")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -354,6 +354,106 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // RFM customer segmentation (the classic recency / frequency /
+    // monetary report): per customer last-order day, order count and
+    // lifetime cents; each dimension scored 1-5 by EXACT
+    // value-threshold quintiles — the q57/q104 histogram kernel
+    // (threshold t_k = smallest value with cum ≥ ceil(n·k/5), ties
+    // share a score — no per-row global rank), all THREE dimensions
+    // through ONE unpivoted histogram pass (one shuffle, per-dim
+    // windows over value cardinality, never row count), thresholds
+    // riding back as a 1-row broadcast. Recency is scored on the
+    // NEGATED last-order day: recency = max_day − last_day is a
+    // constant shift of −last_day, so quintile thresholds and every
+    // `>` comparison carry over exactly — no extra orders scan for
+    // the max-day anchor. Orders is scanned exactly twice (threshold
+    // pass + scoring pass); output bounded by the ≤ 125 (r, f, m)
+    // cells.
+    "q151_rfm_segments" -> ((s, dir) => {
+      val lastDay =
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS LONG)")
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(lastDay).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+        .select(col("o_custkey"), (-col("last_day")).as("rv"),
+          col("freq"), col("cents"))
+      val dims = Seq("r" -> "tr", "f" -> "tf", "m" -> "tm")
+      val hist = base
+        .select(expr("stack(3, 'r', rv, 'f', freq, 'm', cents) AS (dim, v)"))
+        .groupBy("dim", "v").agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy("dim").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perDim = hist
+        .withColumn("cum", sum(col("cnt")).over(wv))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("dim")))
+        .groupBy("dim")
+        .agg(
+          min(when(col("cum") >= expr("(n * 1 + 4) div 5"), col("v")))
+            .as("t1"),
+          (2 to 4).map(k =>
+            min(when(col("cum") >= expr(s"(n * $k + 4) div 5"), col("v")))
+              .as(s"t$k")): _*)
+      val wideCols = dims.flatMap { case (d, pfx) => (1 to 4).map(k =>
+        max(when(col("dim") === d, col(s"t$k"))).as(s"$pfx$k")) }
+      val thresholds = perDim.groupBy().agg(wideCols.head, wideCols.tail: _*)
+      def ascScore(c: String, pfx: String) =
+        lit(1L) + (1 to 4).map(k =>
+          when(col(c) > col(s"$pfx$k"), 1L).otherwise(0L)).reduce(_ + _)
+      base
+        .crossJoin(broadcast(thresholds))
+        .select(col("o_custkey"), col("cents"),
+          (lit(6L) - ascScore("rv", "tr")).as("r_score"),
+          ascScore("freq", "tf").as("f_score"),
+          ascScore("cents", "tm").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("cents_sum"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // ABC / Pareto analysis (the 80/95 revenue-concentration report):
+    // per-part discounted revenue, parts banded A/B/C by where the
+    // revenue-DESC cumulative mass crosses 80% / 95% of total. The
+    // banding is VALUE-level (every part with the same revenue gets
+    // the same class — tie-invariant, no per-part global rank): one
+    // partkey hash agg, one value-histogram agg, cum/total windows
+    // over the HISTOGRAM (distinct revenue values, never part rows),
+    // then a 3-row class rollup — bounded output end to end, lineitem
+    // scanned once. Threshold compares and the share division run in
+    // DECIMAL(38,0) (HUGEINT in the oracle): 1000×cum overflows int64
+    // at real-warehouse revenue sums.
+    "q152_abc_pareto" -> ((s, dir) => {
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenueCents).as("rev"))
+      val h = pr.groupBy("rev")
+        .agg(count(lit(1)).as("n_parts"),
+          (col("rev") * count(lit(1))).as("mass"))
+      val wc = Window.orderBy(col("rev").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h
+        .withColumn("cum", sum(col("mass")).over(wc))
+        .withColumn("total",
+          sum(col("mass")).over(Window.partitionBy(lit(1))))
+        .withColumn("abc_class",
+          when(expr(
+            "CAST(cum AS DECIMAL(38,0)) * 1000 <= CAST(total AS DECIMAL(38,0)) * 800"),
+            lit("A"))
+            .when(expr(
+              "CAST(cum AS DECIMAL(38,0)) * 1000 <= CAST(total AS DECIMAL(38,0)) * 950"),
+              lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("abc_class")
+        .agg(sum(col("n_parts")).as("n_parts"),
+          sum(col("mass")).as("revenue_cents"),
+          expr("""CAST((CAST(sum(mass) AS DECIMAL(38,0)) * 1000)
+                   div CAST(max(total) AS DECIMAL(38,0)) AS LONG)""")
+            .as("share_mills"))
+        .orderBy("abc_class")
+    }),
+
     // U1/U2 — union distinct of two selection branches.
     "q24_union_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1043,6 +1143,80 @@ object RelationalQueries {
          SELECT session_len, n_sessions,
            (1000 * n_sessions) // sum(n_sessions) OVER () AS share_mills
          FROM h ORDER BY session_len""",
+    "q151_rfm_segments" -> {
+      // three identical histogram-quintile chains + the same
+      // greater-than-threshold score sums
+      def thrCte(name: String, dim: String): String = {
+        val mins = (1 to 4).map(k =>
+          s"min(CASE WHEN cum >= (n * $k + 4) // 5 THEN v END) AS t$k")
+          .mkString(", ")
+        s"""$name AS (
+             SELECT $mins
+             FROM (SELECT v,
+                 sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+                 sum(cnt) OVER () AS n
+               FROM (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS cnt
+                     FROM base GROUP BY 1)))"""
+      }
+      def asc(dim: String, t: String): String =
+        "1 + " + (1 to 4).map(k =>
+          s"(CASE WHEN $dim > $t.t$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+           SELECT o_custkey,
+             (SELECT max(CAST(datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT)) FROM orders)
+               - max(CAST(datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT)) AS recency,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey),
+         ${thrCte("tr", "recency")},
+         ${thrCte("tf", "freq")},
+         ${thrCte("tm", "cents")},
+         scored AS (
+           SELECT o_custkey, cents,
+             CAST(6 - (${asc("recency", "tr")}) AS BIGINT) AS r_score,
+             CAST(${asc("freq", "tf")} AS BIGINT) AS f_score,
+             CAST(${asc("cents", "tm")} AS BIGINT) AS m_score
+           FROM base CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm)
+         SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+         FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+    "q152_abc_pareto" ->
+      // same value-level banding over the revenue histogram; HUGEINT
+      // is the twin of Spark's DECIMAL(38,0) exact threshold/share math
+      s"""WITH pr AS (
+           SELECT l_partkey, $revenueCentsSumSql AS rev
+           FROM lineitem GROUP BY 1),
+         h AS (
+           SELECT rev, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(rev * count(*) AS BIGINT) AS mass
+           FROM pr GROUP BY 1),
+         c AS (
+           SELECT n_parts, mass,
+             sum(mass) OVER (ORDER BY rev DESC ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(mass) OVER () AS total
+           FROM h),
+         cls AS (
+           SELECT CASE
+               WHEN CAST(cum AS HUGEINT) * 1000
+                 <= CAST(total AS HUGEINT) * 800 THEN 'A'
+               WHEN CAST(cum AS HUGEINT) * 1000
+                 <= CAST(total AS HUGEINT) * 950 THEN 'B'
+               ELSE 'C' END AS abc_class,
+             n_parts, mass, total
+           FROM c)
+         SELECT abc_class,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts,
+           CAST(sum(mass) AS BIGINT) AS revenue_cents,
+           CAST((CAST(sum(mass) AS HUGEINT) * 1000)
+             // CAST(max(total) AS HUGEINT) AS BIGINT) AS share_mills
+         FROM cls GROUP BY 1 ORDER BY 1""",
     "q148_interarrival" ->
       // identical gap derivation and rank-threshold arithmetic
       """WITH g AS (

@@ -100,4 +100,31 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).where(col("n") >= 2L).count()
     assert(edges == pairs)
   }
+
+  test("q151 segment grid partitions the customer base; scores stay in 1..5") {
+    val seg = q("q151_rfm_segments")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    assert(seg.agg(sum(col("n_customers"))).head().getLong(0) ==
+      o.select("o_custkey").distinct().count(),
+      "every ordering customer lands in exactly one RFM cell")
+    assert(seg.agg(sum(col("cents_sum"))).head().getLong(0) ==
+      o.agg(sum(floor(col("o_totalprice") * 100).cast("long")))
+        .head().getLong(0),
+      "segment money sums to total order money")
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val mm = seg.agg(min(col(c)), max(col(c))).head()
+      assert(mm.getLong(0) >= 1L && mm.getLong(1) <= 5L, c)
+    }
+  }
+
+  test("q152 ABC classes partition q01's total discounted revenue") {
+    val abc = q("q152_abc_pareto")
+    val q01 = q("q01_pricing_summary")
+    assert(abc.agg(sum(col("revenue_cents"))).head().getLong(0) ==
+      q01.agg(sum(col("revenue_cents"))).head().getLong(0),
+      "A+B+C revenue must equal the q01 revenue total — shared cents kernel")
+    // shares are floor-mills of a partition: sum in (1000-3, 1000]
+    val mills = abc.agg(sum(col("share_mills"))).head().getLong(0)
+    assert(mills > 997L && mills <= 1000L, s"share mills sum $mills")
+  }
 }

@@ -486,4 +486,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"C4 filter should never shuffle:\n${p.take(2000)}")
     assert(p.contains("Scan parquet"), p.take(500))
   }
+
+  test("q151: orders scans exactly twice; all quintile thresholds ride one broadcast") {
+    // one scan feeds the stack-unpivoted histogram (all THREE dims in
+    // one shuffle), one feeds the scoring pass; the 1-row threshold
+    // frame is the only join side — never a SortMergeJoin, never a
+    // threshold chain re-scanning orders per dimension
+    val p = plan("q151_rfm_segments")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"orders should be scanned exactly twice:\n${p.take(2000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "thresholds should ride exactly one 1-row broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q152: one pruned lineitem scan, zero joins — banding rides the histogram") {
+    val p = plan("q152_abc_pareto")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"lineitem should be scanned once:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "ABC banding must not join anything")
+    assert(p.contains("l_partkey") && !p.contains("l_shipdate"),
+      "scan should prune to the 3 referenced columns")
+  }
 }
