@@ -229,7 +229,12 @@ object ScaleStudy {
     "q147_session_depth", "q148_interarrival",
     // q149: the q144 frame with four credit projections — same join,
     // same windows, wider aggregate
-    "q149_attribution_models")
+    "q149_attribution_models",
+    // q153: replicas copy values verbatim, so both value histograms
+    // keep the same (type × value) support with 10× counts — medians
+    // and MAD are replica-invariant, the anchors stay bounded, and
+    // growth is the two scans feeding them
+    "q153_mad_outliers")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

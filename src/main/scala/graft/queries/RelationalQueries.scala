@@ -413,6 +413,63 @@ object RelationalQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // Robust outlier report (median / MAD, the outlier method that
+    // survives the skewed long-tails z-scores choke on): per event
+    // type the EXACT median value, the EXACT median absolute
+    // deviation, and how many events sit beyond the classic 3×MAD
+    // fence. Both medians ride the q57 histogram-selection kernel
+    // (windows over value cardinality, never event rows); the
+    // deviation HISTOGRAM answers both the MAD selection and the
+    // fence count. The median table and the deviation histogram are
+    // eagerly localCheckpoint-anchored (the q53/q89 bounded-anchor
+    // pattern — one row per type; type × distinct deviations): each
+    // is referenced twice downstream and would otherwise re-derive
+    // its whole upstream per reference, so the anchors pin events to
+    // exactly TWO scans. Medians broadcast back on the bounded type
+    // key. Null values excluded on both sides (engine null-sort
+    // order differs).
+    "q153_mad_outliers" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val wv = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = v.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wv))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("median_cents"))
+        .localCheckpoint(true)
+      val hd = v.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("v") - col("median_cents")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val wd = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mad = hd
+        .withColumn("cum", sum(col("cnt")).over(wd))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("d")))
+          .as("mad_cents"), max(col("n")).as("n_events"))
+      hd.join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("median_cents")).as("median_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          coalesce(sum(when(col("d") > lit(3) * col("mad_cents"),
+            col("cnt"))), lit(0L)).as("n_outliers"))
+        .withColumn("outlier_mills",
+          expr("(1000 * n_outliers) div n_events"))
+        .orderBy("event_type")
+    }),
+
     // ABC / Pareto analysis (the 80/95 revenue-concentration report):
     // per-part discounted revenue, parts banded A/B/C by where the
     // revenue-DESC cumulative mass crosses 80% / 95% of total. The
@@ -1186,6 +1243,49 @@ object RelationalQueries {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+    "q153_mad_outliers" ->
+      // same two histogram-selection chains + the same 3×MAD fence
+      """WITH v AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         h AS (
+           SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM v GROUP BY 1, 2),
+         m AS (
+           SELECT event_type,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median_cents
+           FROM (SELECT event_type, v, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+             FROM h)
+           GROUP BY 1),
+         hd AS (
+           SELECT v.event_type, abs(v.v - m.median_cents) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM v JOIN m USING (event_type) GROUP BY 1, 2),
+         md AS (
+           SELECT event_type,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad_cents,
+             max(n) AS n_events
+           FROM (SELECT event_type, d, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+             FROM hd)
+           GROUP BY 1)
+         SELECT hd.event_type,
+           CAST(max(md.n_events) AS BIGINT) AS n_events,
+           CAST(max(m.median_cents) AS BIGINT) AS median_cents,
+           CAST(max(md.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(coalesce(sum(CASE WHEN hd.d > 3 * md.mad_cents
+             THEN hd.cnt END), 0) AS BIGINT) AS n_outliers,
+           CAST((1000 * coalesce(sum(CASE WHEN hd.d > 3 * md.mad_cents
+             THEN hd.cnt END), 0)) // max(md.n_events) AS BIGINT)
+             AS outlier_mills
+         FROM hd
+         JOIN md USING (event_type) JOIN m USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q152_abc_pareto" ->
       // same value-level banding over the revenue histogram; HUGEINT
       // is the twin of Spark's DECIMAL(38,0) exact threshold/share math

@@ -508,4 +508,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("l_partkey") && !p.contains("l_shipdate"),
       "scan should prune to the 3 referenced columns")
   }
+
+  test("q153: downstream of the two anchors nothing re-scans events; medians broadcast") {
+    // med + deviation-histogram are eager localCheckpoint anchors: the
+    // final plan must read ONLY checkpoint RDDs (each doubly-referenced
+    // frame would otherwise re-derive its whole upstream per reference)
+    // and join them back on the bounded type key as broadcasts
+    val p = plan("q153_mad_outliers")
+    assert(!p.contains("Scan parquet"),
+      s"final plan must not re-scan events:\n${p.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), "expected checkpoint anchors")
+  }
 }
