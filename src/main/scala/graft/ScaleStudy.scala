@@ -234,7 +234,12 @@ object ScaleStudy {
     // keep the same (type × value) support with 10× counts — medians
     // and MAD are replica-invariant, the anchors stay bounded, and
     // growth is the two scans feeding them
-    "q153_mad_outliers")
+    "q153_mad_outliers",
+    // q154: replicas copy timestamps verbatim, so the (type, day)
+    // grid is IDENTICAL with 10× daily counts — the rebase window
+    // and OLS sums ride the same bounded grid; growth is the one
+    // pre-agg scan
+    "q154_daily_trend")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

@@ -413,6 +413,59 @@ object RelationalQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // Daily trend regression (is this metric growing?): per event
+    // type the EXACT ordinary-least-squares slope of daily counts
+    // over the day index, in trunc-mills per day, plus r² fit
+    // strength in mills — all in integer arithmetic. One events scan
+    // → bounded (type × day) grid → per-type min-day rebase (window
+    // over the GRID, so x stays small and every magnitude is
+    // day-span × daily-count bounded) → one 5-sum agg; slope =
+    // (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) and r² = num²/(den·denY) in
+    // DECIMAL(38,0) (HUGEINT twin): with x ≤ ~10⁴ days and daily
+    // counts ≤ ~10¹⁰, num ≤ ~10¹⁷ so num²·1000 stays inside 38
+    // digits. Both engines truncate division toward zero, so signed
+    // slopes agree exactly. Types seen on a single day are excluded
+    // (den = 0, no trend is defined); constant-count types report a
+    // perfect flat fit (r² = 1000 by convention, both sides).
+    "q154_daily_trend" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS LONG)")
+            .as("day"))
+        .agg(count(lit(1)).as("y"))
+      val rebased = grid.select(col("event_type"),
+        (col("day") -
+          min(col("day")).over(Window.partitionBy("event_type"))).as("x"),
+        col("y"))
+      rebased.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("y")).as("n_events"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .where(col("n_days") >= 2)
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * n_events) * 1000)
+                  div (CAST(n_days AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx) AS LONG)""")
+            .as("slope_mills_per_day"),
+          expr("""CASE WHEN CAST(n_days AS DECIMAL(38,0)) * syy
+                    - CAST(n_events AS DECIMAL(38,0)) * n_events = 0
+              THEN 1000
+              ELSE CAST(((CAST(n_days AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * n_events)
+                  * (CAST(n_days AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * n_events) * 1000)
+                div ((CAST(n_days AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx)
+                  * (CAST(n_days AS DECIMAL(38,0)) * syy
+                    - CAST(n_events AS DECIMAL(38,0)) * n_events))
+                AS LONG) END""").as("r2_mills"))
+        .orderBy("event_type")
+    }),
+
     // Robust outlier report (median / MAD, the outlier method that
     // survives the skewed long-tails z-scores choke on): per event
     // type the EXACT median value, the EXACT median absolute
@@ -1243,6 +1296,47 @@ object RelationalQueries {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+    "q154_daily_trend" ->
+      // same rebase + 5-sum OLS algebra; HUGEINT twins DECIMAL(38,0),
+      // both divisions truncate toward zero so signed slopes agree
+      """WITH g AS (
+           SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         x AS (
+           SELECT event_type,
+             day - min(day) OVER (PARTITION BY event_type) AS x, y
+           FROM g),
+         a AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS n_events,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM x GROUP BY 1 HAVING count(*) >= 2)
+         SELECT event_type, n_days, n_events,
+           CAST(((CAST(n_days AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * n_events) * 1000)
+             // (CAST(n_days AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+             AS slope_mills_per_day,
+           CASE WHEN CAST(n_days AS HUGEINT) * syy
+                 - CAST(n_events AS HUGEINT) * n_events = 0
+             THEN 1000
+             ELSE CAST(((CAST(n_days AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * n_events)
+                 * (CAST(n_days AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * n_events) * 1000)
+               // ((CAST(n_days AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx)
+                 * (CAST(n_days AS HUGEINT) * syy
+                   - CAST(n_events AS HUGEINT) * n_events)) AS BIGINT)
+             END AS r2_mills
+         FROM a ORDER BY 1""",
     "q153_mad_outliers" ->
       // same two histogram-selection chains + the same 3×MAD fence
       """WITH v AS (

@@ -509,6 +509,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "scan should prune to the 3 referenced columns")
   }
 
+  test("q154: one events scan; the OLS sums aggregate the bounded day grid") {
+    // the min-day rebase window and both aggs ride the (type × day)
+    // grid — events rows pass through exactly one partial-agg scan
+    val p = plan("q154_daily_trend")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events should be scanned once:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "trend regression must not join anything")
+  }
+
   test("q153: downstream of the two anchors nothing re-scans events; medians broadcast") {
     // med + deviation-histogram are eager localCheckpoint anchors: the
     // final plan must read ONLY checkpoint RDDs (each doubly-referenced
