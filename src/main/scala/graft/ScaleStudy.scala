@@ -239,7 +239,11 @@ object ScaleStudy {
     // grid is IDENTICAL with 10× daily counts — the rebase window
     // and OLS sums ride the same bounded grid; growth is the one
     // pre-agg scan
-    "q154_daily_trend")
+    "q154_daily_trend",
+    // q155: the DOW pivot happens inside the type agg — partial
+    // aggregation absorbs the 10× rows map-side; the profile frame
+    // is a constant 35 cells
+    "q155_dow_seasonality")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

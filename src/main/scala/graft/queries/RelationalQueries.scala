@@ -413,6 +413,42 @@ object RelationalQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // Day-of-week seasonality profile + EXACT chi-square uniformity
+    // statistic (does this event type have a weekly rhythm, and how
+    // strong?): the 7 DOW bins come from a conditional-sum pivot
+    // inside ONE per-type aggregate — no densification join, zero-
+    // count bins are first-class (a groupBy(dow) would silently drop
+    // them and understate chi²) — so events passes through exactly
+    // one scan and one bounded type-keyed shuffle. χ² against the
+    // uniform null is Σ(O−n/7)²/(n/7) = Σ(7·O_d−n)²/(7n), an exact
+    // integer identity computed in DECIMAL(38,0) mills ((7O−n)² ≤
+    // 36n² overflows int64 at real event volumes); the 35-row
+    // profile carries per-bin floor-mills shares. Spark dayofweek is
+    // 1-7 (Sun=1), DuckDB's 0-6 (Sun=0) — the −1 shift is the parity
+    // contract.
+    "q155_dow_seasonality" -> ((s, dir) => {
+      val dows = 0 to 6
+      val perType = t(s, dir, "events")
+        .select(col("event_type"),
+          (dayofweek(col("ts").cast("date")) - 1).cast("long").as("dw"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dows.map(d => sum(when(col("dw") === d, 1L).otherwise(0L))
+            .as(s"o$d")): _*)
+      val sq = dows.map(d =>
+        s"""CAST(7 * o$d - n AS DECIMAL(38,0))
+            * CAST(7 * o$d - n AS DECIMAL(38,0))""").mkString(" + ")
+      val stacked = dows.map(d => s"${d}L, o$d").mkString(", ")
+      perType
+        .withColumn("chi2_mills",
+          expr(s"CAST((1000 * ($sq)) div (7 * CAST(n AS DECIMAL(38,0))) AS LONG)"))
+        .select(Seq(col("event_type"), col("n").as("n_events"),
+          col("chi2_mills"),
+          expr(s"stack(7, $stacked)").as(Seq("dow", "n_dow"))): _*)
+        .withColumn("share_mills", expr("(1000 * n_dow) div n_events"))
+        .orderBy("event_type", "dow")
+    }),
+
     // Daily trend regression (is this metric growing?): per event
     // type the EXACT ordinary-least-squares slope of daily counts
     // over the day index, in trunc-mills per day, plus r² fit
@@ -1295,6 +1331,35 @@ object RelationalQueries {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+    "q155_dow_seasonality" -> {
+      // same conditional-sum pivot (zero-count bins first-class) +
+      // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL
+      // unpivot is the stack() twin
+      val os = (0 to 6).map(d =>
+        s"CAST(sum(CASE WHEN dw = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+        .mkString(", ")
+      val sq = (0 to 6).map(d =>
+        s"CAST(7 * o$d - n AS HUGEINT) * CAST(7 * o$d - n AS HUGEINT)")
+        .mkString(" + ")
+      val arms = (0 to 6).map(d =>
+        s"""SELECT event_type, n AS n_events, chi2_mills,
+              CAST($d AS BIGINT) AS dow, o$d AS n_dow FROM c""")
+        .mkString(" UNION ALL ")
+      s"""WITH p AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n, $os
+           FROM (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dw
+                 FROM events)
+           GROUP BY 1),
+         c AS (
+           SELECT event_type, n,
+             CAST((1000 * ($sq)) // (7 * CAST(n AS HUGEINT)) AS BIGINT)
+               AS chi2_mills,
+             o0, o1, o2, o3, o4, o5, o6
+           FROM p)
+         SELECT event_type, n_events, chi2_mills, dow,
+           n_dow, (1000 * n_dow) // n_events AS share_mills
+         FROM ($arms) ORDER BY event_type, dow"""
     },
     "q154_daily_trend" ->
       // same rebase + 5-sum OLS algebra; HUGEINT twins DECIMAL(38,0),

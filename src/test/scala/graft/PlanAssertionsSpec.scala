@@ -509,6 +509,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "scan should prune to the 3 referenced columns")
   }
 
+  test("q155: one events scan, no joins — DOW bins pivot inside the type agg") {
+    // the conditional-sum pivot makes zero-count bins first-class
+    // without a densification join; stack() explodes the bounded
+    // per-type frame back to 35 rows
+    val p = plan("q155_dow_seasonality")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events should be scanned once:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "seasonality must not join anything")
+    assert(p.contains("Generate"), "expected a stack() Generate")
+  }
+
   test("q154: one events scan; the OLS sums aggregate the bounded day grid") {
     // the min-day rebase window and both aggs ride the (type × day)
     // grid — events rows pass through exactly one partial-agg scan
