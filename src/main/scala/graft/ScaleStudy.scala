@@ -180,7 +180,10 @@ object ScaleStudy {
     "q145_temperature_mix",
     // q150: one token-count shuffle (the bijection grows the vocab
     // 10× but the TakeOrdered cut still ships k rows per partition)
-    "q150_vocab_coverage")
+    "q150_vocab_coverage",
+    // q156: the same count-shuffle growth; the head cut, rank window
+    // and OLS sums ride the constant ZipfK frame
+    "q156_zipf_fit")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

@@ -329,6 +329,12 @@ object TextQueries {
   private[graft] val ChunkTokens = 32
   private[graft] val ChunkOverlap = 8
 
+  /** q156's fit width: top-25 head of the rank-frequency curve. Below
+    * the fixture's ~31-token vocabulary so the cut BINDS (and the
+    * (cnt DESC, tok) tie-break is oracle-exercised) at every SF; at
+    * corpus scale the head is where Zipf fits are read anyway. */
+  private[graft] val ZipfK = 25
+
   /** q86's passage-window geometry: 16-token windows anchored at
     * positions whose token md5-buckets to 0 mod 4 (content-defined
     * starts — alignment-invariant detection). On the sf0.01 fixture
@@ -749,6 +755,51 @@ object TextQueries {
         .select(col("k"), col("mass"),
           expr("(1000 * mass) div total").as("coverage_mills"))
         .orderBy("k")
+    }),
+
+    // Zipf-law fit of the vocabulary (the tokenizer-planning sanity
+    // check "is this corpus natural language?"): OLS of log2(freq)
+    // against log2(rank) over the top-[[ZipfK]] rank-frequency head —
+    // slope ≈ −1000 mills for Zipfian text. Ranks and frequencies go
+    // through the EXACT Mitchell log2-millibits kernel (q95/q127's),
+    // the fit through the q154 integer OLS algebra in DECIMAL(38,0),
+    // so the whole statistic is bit-identical cross-engine with zero
+    // float math. One token-count shuffle, a TakeOrdered k-cut, the
+    // rank window and all five sums over the BOUNDED top frame;
+    // output is one row.
+    "q156_zipf_fit" -> ((s, dir) => {
+      val wr = Window.orderBy(col("cnt").desc, col("tok"))
+      val pts = tokStream(s, dir)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(ZipfK)
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .select(TextFunctions.log2Mills(col("rk")).as("x"),
+          TextFunctions.log2Mills(col("cnt")).as("y"))
+      pts
+        .agg(count(lit(1)).as("k_fit"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .where(col("k_fit") >= 2)
+        .select(col("k_fit"),
+          expr("""CAST(((CAST(k_fit AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)
+                  div (CAST(k_fit AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx) AS LONG)""")
+            .as("zipf_slope_mills"),
+          expr("""CASE WHEN CAST(k_fit AS DECIMAL(38,0)) * syy
+                    - CAST(sy AS DECIMAL(38,0)) * sy = 0
+              THEN 1000
+              ELSE CAST(((CAST(k_fit AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy)
+                  * (CAST(k_fit AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)
+                div ((CAST(k_fit AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx)
+                  * (CAST(k_fit AS DECIMAL(38,0)) * syy
+                    - CAST(sy AS DECIMAL(38,0)) * sy))
+                AS LONG) END""").as("r2_mills"))
     }),
 
     // Duplication-mass report — the "how much of my corpus is
@@ -3035,6 +3086,54 @@ object TextQueries {
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(comp) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q156_zipf_fit" -> {
+      // the shared Mitchell twin on rank and count + the q154 OLS
+      // algebra in HUGEINT — zero float math on either side
+      def mitchell(x: String) =
+        s"""(1000 * (length(printf('%b', $x)) - 1)
+           + (1000 * ($x - (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT))))
+             // (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT)))"""
+      s"""WITH tc AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM $sqlTokRows WHERE tok <> '' GROUP BY tok),
+         top AS (
+           SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS rk
+           FROM tc ORDER BY cnt DESC, tok LIMIT $ZipfK),
+         pts AS (
+           SELECT CAST(${mitchell("rk")} AS BIGINT) AS x,
+             CAST(${mitchell("cnt")} AS BIGINT) AS y
+           FROM top),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_fit,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM pts HAVING count(*) >= 2)
+         SELECT k_fit,
+           CAST(((CAST(k_fit AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy) * 1000)
+             // (CAST(k_fit AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+             AS zipf_slope_mills,
+           CASE WHEN CAST(k_fit AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy = 0
+             THEN 1000
+             ELSE CAST(((CAST(k_fit AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy)
+                 * (CAST(k_fit AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy) * 1000)
+               // ((CAST(k_fit AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx)
+                 * (CAST(k_fit AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy)) AS BIGINT)
+             END AS r2_mills
+         FROM a"""
+    },
     "q150_vocab_coverage" ->
       // identical rank/cumsum over the full vocab (bounded at oracle
       // scale), cut to the same checkpoints

@@ -509,6 +509,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "scan should prune to the 3 referenced columns")
   }
 
+  test("q156: the head cut is a TakeOrdered; the fit never joins or re-scans") {
+    val p = plan("q156_zipf_fit")
+    assert(p.contains("TakeOrdered"),
+      s"top-k head must be a partial TakeOrdered cut:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), "the Zipf fit must not join anything")
+  }
+
   test("q155: one events scan, no joins — DOW bins pivot inside the type agg") {
     // the conditional-sum pivot makes zero-count bins first-class
     // without a densification join; stack() explodes the bounded
