@@ -284,7 +284,11 @@ object ScaleStudy {
     // q152: 10× lineitem over the SAME parts — the partkey hash agg
     // absorbs the growth into a fixed part frame; banding and shares
     // ride the bounded revenue-value histogram, output is 3 rows
-    "q152_abc_pareto")
+    "q152_abc_pareto",
+    // q157: 10× orders over the SAME customers — the custkey agg
+    // absorbs the growth; the dim join and the Gini histogram stay
+    // customer-bounded
+    "q157_nation_gini")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -413,6 +413,47 @@ object RelationalQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // Revenue-inequality report: the EXACT Gini coefficient of
+    // customer lifetime value per nation — the concentration metric
+    // that tells a marketplace how top-heavy each geography's
+    // customer base is (complements q152's global ABC banding).
+    // Computed entirely from the per-nation VALUE HISTOGRAM via the
+    // sorted-rank identity Σᵢ i·xᵢ = Σ_v v·(c·C_before + c(c+1)/2),
+    // i.e. G = (Σ_v v·c·(2·C_b + c + 1) − (n+1)·T) / (n·T) — so the
+    // only per-customer work is one custkey agg and one equi-join to
+    // the customer dim (both sides corpus-sized, deliberately a
+    // shuffle join); the cum windows and Gini algebra ride the
+    // nation-partitioned histogram (value cardinality, never
+    // customer rows) in DECIMAL(38,0). Customers with no orders are
+    // out of frame (LTV undefined). Output: one row per nation.
+    "q157_nation_gini" -> ((s, dir) => {
+      val ltv = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val byNation = ltv
+        .join(cust, ltv("o_custkey") === cust("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("v"))
+      val w = Window.partitionBy("nation").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byNation.groupBy("nation", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cb", sum(col("c")).over(w) - col("c"))
+        .groupBy("nation")
+        .agg(sum(col("c")).as("n_customers"),
+          sum(col("v") * col("c")).as("total_cents"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * c * (2 * cb + c + 1)"))
+            .as("num"))
+        .where(col("total_cents") > 0)
+        .select(col("nation"), col("n_customers"), col("total_cents"),
+          expr("""CAST((1000 * (num
+                    - CAST(n_customers + 1 AS DECIMAL(38,0)) * total_cents))
+                  div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)
+                  AS LONG)""").as("gini_mills"))
+        .orderBy("nation")
+    }),
+
     // Day-of-week seasonality profile + EXACT chi-square uniformity
     // statistic (does this event type have a weekly rhythm, and how
     // strong?): the 7 DOW bins come from a conditional-sum pivot
@@ -1332,6 +1373,39 @@ object RelationalQueries {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+    "q157_nation_gini" ->
+      // the same sorted-rank histogram identity; HUGEINT twins the
+      // DECIMAL(38,0) products
+      """WITH ltv AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         bn AS (
+           SELECT n.n_name AS nation, ltv.v
+           FROM ltv
+           JOIN customer c ON ltv.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         h AS (
+           SELECT nation, v, CAST(count(*) AS BIGINT) AS c
+           FROM bn GROUP BY 1, 2),
+         x AS (
+           SELECT nation, v, c,
+             sum(c) OVER (PARTITION BY nation ORDER BY v
+               ROWS UNBOUNDED PRECEDING) - c AS cb
+           FROM h),
+         a AS (
+           SELECT nation,
+             CAST(sum(c) AS BIGINT) AS n_customers,
+             CAST(sum(v * c) AS BIGINT) AS total_cents,
+             sum(CAST(v AS HUGEINT) * c * (2 * cb + c + 1)) AS num
+           FROM x GROUP BY 1 HAVING sum(v * c) > 0)
+         SELECT nation, n_customers, total_cents,
+           CAST((1000 * (num
+                 - CAST(n_customers + 1 AS HUGEINT) * total_cents))
+             // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT)
+             AS gini_mills
+         FROM a ORDER BY 1""",
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL

@@ -509,6 +509,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "scan should prune to the 3 referenced columns")
   }
 
+  test("q157: three scans (orders, customer, nation); Gini rides the histogram") {
+    // one custkey agg + one equi-join to the dim + the nation
+    // broadcast — the cum window and Gini algebra touch only the
+    // nation-partitioned value histogram
+    val p = plan("q157_nation_gini")
+    assert("Scan parquet".r.findAllIn(p).size == 3, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+    assert(p.contains("Window"), "expected the histogram cum window")
+  }
+
   test("q156: the head cut is a TakeOrdered; the fit never joins or re-scans") {
     val p = plan("q156_zipf_fit")
     assert(p.contains("TakeOrdered"),
