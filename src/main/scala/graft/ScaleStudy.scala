@@ -183,7 +183,11 @@ object ScaleStudy {
     "q150_vocab_coverage",
     // q156: the same count-shuffle growth; the head cut, rank window
     // and OLS sums ride the constant ZipfK frame
-    "q156_zipf_fit")
+    "q156_zipf_fit",
+    // q158: the bijection mints disjoint replica bigrams, so the
+    // first-seen agg grows 10× in keys while the decile rollup stays
+    // a ≤ 10-row frame — the gram-count shuffle is the growth
+    "q158_vocab_growth")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

@@ -802,6 +802,34 @@ object TextQueries {
                 AS LONG) END""").as("r2_mills"))
     }),
 
+    // Vocabulary-growth curve (the Heaps-law companion to q156's Zipf
+    // fit — how fast does the corpus keep minting NEW phrases?): each
+    // word BIGRAM is attributed to the decile of the corpus where it
+    // FIRST appears (min doc_id through one gram-keyed agg), then
+    // rolled to new grams per decile with the running vocabulary
+    // size. Flat new-gram mass across deciles screams template/
+    // duplicated content; natural text decays. Bigrams, not unigrams,
+    // so the curve BINDS on the fixtures (the ~31-token unigram vocab
+    // saturates in decile 0). One corpus gram scan + one gram-keyed
+    // agg; the decile bounds ride a 1-row min/max broadcast and the
+    // cumsum rides the ≤ 10-row frame.
+    "q158_vocab_growth" -> ((s, dir) => {
+      val firstSeen = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.wordNGrams(lower(col("text")), 2)).as("g"))
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val bounds = docs(s, dir)
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      val wb = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      firstSeen.crossJoin(broadcast(bounds))
+        .withColumn("bucket", least(lit(9L),
+          expr("((first_doc - mn) * 10) div (mx - mn + 1)")))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new_grams"))
+        .withColumn("cum_vocab", sum(col("n_new_grams")).over(wb))
+        .orderBy("bucket")
+    }),
+
     // Duplication-mass report — the "how much of my corpus is
     // duplicated" summary every dedup run ends with: the q53
     // components rolled to a cluster-size histogram (size → clusters,
@@ -3086,6 +3114,32 @@ object TextQueries {
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(comp) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q158_vocab_growth" ->
+      // same first-seen attribution + decile arithmetic on the SAME
+      // lowered bigram constructor; the min/max subquery twins the
+      // 1-row broadcast
+      s"""WITH dt AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ') AS l
+           FROM documents),
+         fs AS (
+           SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM (SELECT doc_id, unnest($wordBigramsAllSql) AS g FROM dt)
+           GROUP BY g),
+         b AS (
+           SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+             CAST(max(doc_id) AS BIGINT) AS mx
+           FROM documents),
+         d AS (
+           SELECT least(9, ((first_doc - mn) * 10) // (mx - mn + 1))
+               AS bucket
+           FROM fs CROSS JOIN b)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_new_grams,
+           CAST(sum(count(*)) OVER (ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         FROM d GROUP BY bucket ORDER BY bucket""",
     "q156_zipf_fit" -> {
       // the shared Mitchell twin on rank and count + the q154 OLS
       // algebra in HUGEINT — zero float math on either side

@@ -509,6 +509,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "scan should prune to the 3 referenced columns")
   }
 
+  test("q158: first-seen agg + 1-row bounds broadcast, nothing else") {
+    val p = plan("q158_vocab_growth")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"documents scanned twice (grams + bounds):\n${p.take(2000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "decile bounds must ride one 1-row broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q157: three scans (orders, customer, nation); Gini rides the histogram") {
     // one custkey agg + one equi-join to the dim + the nation
     // broadcast — the cum window and Gini algebra touch only the
