@@ -505,29 +505,48 @@ object ScaleStudy {
     q01(spark, sfDir).count()
     val gauge = bestOf(3)(q01(spark, sfDir).count())
 
-    val out = families.map {
-      case "docs" =>
-        synthesize(spark, sfDir, synthDir)
-        s""""docs":{${measure(spark, HeavyQueries, sfDir, synthDir)}}"""
-      case "events" =>
-        synthesizeEvents(spark, sfDir, synthEvDir)
-        s""""events":{${measure(spark, EventQueries, sfDir, synthEvDir)}}"""
-      case "rel" =>
-        synthesizeRelational(spark, sfDir, synthRelDir)
-        s""""rel":{${measure(spark, RelQueries, sfDir, synthRelDir)}}"""
-      case "deep" =>
-        // second document step: sf1 (50k) -> sf10 (500k, 100 replicas),
-        // where the checkpoint/index WRITE dominates q53/q86
-        synthesize(spark, sfDir, synthDir)
-        synthesize(spark, sfDir, deepDir, replicas = 100)
-        s""""deep":{${measure(spark, DeepQueries, synthDir, deepDir)}}"""
-      case "build" =>
-        // synthesize the document corpora only (no measurements) — the
-        // CorpusTimer sf1/sf10 end-to-end runs consume these directly
-        synthesize(spark, sfDir, synthDir)
-        synthesize(spark, sfDir, deepDir, replicas = 100)
-        s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
-      case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
+    // `docs:q158_vocab_growth,q156_zipf_fit` runs only the listed
+    // queries of a family (they must already be queued in the family's
+    // Seq — the queue is the scale contract, the subset is just a
+    // faster re-measure of part of it)
+    def subset(all: Seq[String], filter: String): Seq[String] =
+      if (filter.isEmpty) all
+      else {
+        val wanted = filter.split(',').toSeq
+        val unknown = wanted.filterNot(all.contains)
+        require(unknown.isEmpty,
+          s"not queued in this family: ${unknown.mkString(",")}")
+        all.filter(wanted.contains)
+      }
+
+    val out = families.map { fam =>
+      val (name, filter) = fam.span(_ != ':') match {
+        case (n, f) => (n, f.stripPrefix(":"))
+      }
+      name match {
+        case "docs" =>
+          synthesize(spark, sfDir, synthDir)
+          s""""docs":{${measure(spark, subset(HeavyQueries, filter), sfDir, synthDir)}}"""
+        case "events" =>
+          synthesizeEvents(spark, sfDir, synthEvDir)
+          s""""events":{${measure(spark, subset(EventQueries, filter), sfDir, synthEvDir)}}"""
+        case "rel" =>
+          synthesizeRelational(spark, sfDir, synthRelDir)
+          s""""rel":{${measure(spark, subset(RelQueries, filter), sfDir, synthRelDir)}}"""
+        case "deep" =>
+          // second document step: sf1 (50k) -> sf10 (500k, 100 replicas),
+          // where the checkpoint/index WRITE dominates q53/q86
+          synthesize(spark, sfDir, synthDir)
+          synthesize(spark, sfDir, deepDir, replicas = 100)
+          s""""deep":{${measure(spark, subset(DeepQueries, filter), synthDir, deepDir)}}"""
+        case "build" =>
+          // synthesize the document corpora only (no measurements) — the
+          // CorpusTimer sf1/sf10 end-to-end runs consume these directly
+          synthesize(spark, sfDir, synthDir)
+          synthesize(spark, sfDir, deepDir, replicas = 100)
+          s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
+        case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
+      }
     }.mkString(",")
 
     println(s"""{"study":"10x-data-dominant","gauge_q01":${cs(gauge)},$out}""")
