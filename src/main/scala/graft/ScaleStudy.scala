@@ -292,7 +292,11 @@ object ScaleStudy {
     // q157: 10× orders over the SAME customers — the custkey agg
     // absorbs the growth; the dim join and the Gini histogram stay
     // customer-bounded
-    "q157_nation_gini")
+    "q157_nation_gini",
+    // q159: the same custkey-agg absorption; both skyline phases ride
+    // the customer-bounded frame (bucketed windows, then a candidate
+    // set bounded by the staircase sizes)
+    "q159_customer_skyline")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -454,6 +454,47 @@ object RelationalQueries {
         .orderBy("nation")
     }),
 
+    // EXACT Pareto skyline (best-customer frontier): the set of
+    // customers no one else dominates on (lifetime value, last-order
+    // recency) — both maximized; p dominates q iff p.v >= q.v AND
+    // p.d >= q.d with at least one strict. The all-pairs NOT EXISTS
+    // the oracle runs is O(n²); the engine instead uses the
+    // divide-and-merge identity skyline(S) = skyline(∪_b skyline(S_b)):
+    // phase 1 computes each bucket's skyline with PARALLEL windows
+    // (partitioned by custkey-hash bucket — for integer v, the DESC
+    // RANGE frame ending at -1 is exactly "rows with strictly larger
+    // v", so survive = no higher-v row has d >= mine, and no same-v
+    // row has d > mine); phase 2 re-runs the same two windows over
+    // the surviving candidates only. The single-partition phase-2
+    // window is safe because 2-D bucket skylines are small (each is
+    // a strictly-decreasing staircase in d); at 1000-executor scale
+    // the corpus-sized work is ONE custkey hash agg + one bucketed
+    // window exchange. Any globally-dominated candidate is dominated
+    // by a transitive chain ending at a candidate, so phase 2 is
+    // exact, never approximate.
+    "q159_customer_skyline" -> ((s, dir) => {
+      val a = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("ltv_cents"),
+          max(col("o_orderdate").cast("date")).as("d"))
+      def skyline(df: DataFrame, part: Seq[String]): DataFrame = {
+        val higher = Window.partitionBy(part.map(col): _*)
+          .orderBy(col("ltv_cents").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val sameV = Window.partitionBy((part :+ "ltv_cents").map(col): _*)
+        df.withColumn("hd", max(col("d")).over(higher))
+          .withColumn("md", max(col("d")).over(sameV))
+          .where((col("hd").isNull || col("hd") < col("d")) &&
+            col("d") === col("md"))
+          .drop("hd", "md")
+      }
+      val local = skyline(a.withColumn("b", pmod(col("o_custkey"), lit(32))),
+        Seq("b")).drop("b")
+      skyline(local, Seq.empty)
+        .select(col("o_custkey"), col("ltv_cents"),
+          date_format(col("d"), "yyyy-MM-dd").as("last_day"))
+        .orderBy("o_custkey")
+    }),
+
     // Day-of-week seasonality profile + EXACT chi-square uniformity
     // statistic (does this event type have a weekly rhythm, and how
     // strong?): the 7 DOW bins come from a conditional-sum pivot
@@ -1406,6 +1447,24 @@ object RelationalQueries {
              // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT)
              AS gini_mills
          FROM a ORDER BY 1""",
+    "q159_customer_skyline" ->
+      // the oracle checks dominance the O(n²) way — deliberately a
+      // DIFFERENT algorithm from the engine's divide-and-merge
+      // windows, so a staircase-logic bug cannot self-confirm
+      """WITH a AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS ltv_cents,
+             max(CAST(o_orderdate AS DATE)) AS d
+           FROM orders GROUP BY 1)
+         SELECT q.o_custkey, q.ltv_cents,
+           strftime(q.d, '%Y-%m-%d') AS last_day
+         FROM a q
+         WHERE NOT EXISTS (
+           SELECT 1 FROM a p
+           WHERE p.ltv_cents >= q.ltv_cents AND p.d >= q.d
+             AND (p.ltv_cents > q.ltv_cents OR p.d > q.d))
+         ORDER BY 1""",
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL

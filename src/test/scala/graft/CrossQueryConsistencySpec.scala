@@ -127,4 +127,28 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     val mills = abc.agg(sum(col("share_mills"))).head().getLong(0)
     assert(mills > 997L && mills <= 1000L, s"share mills sum $mills")
   }
+
+  test("q159 skyline is an antichain containing both axis maxima") {
+    val sky = q("q159_customer_skyline").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("ltv_cents"),
+        r.getAs[String]("last_day")))
+    assert(sky.nonEmpty)
+    // no frontier point dominates another (independent of the oracle's
+    // NOT EXISTS — this pins the engine's staircase algebra directly)
+    for (p <- sky; q2 <- sky if p != q2)
+      assert(!(p._2 >= q2._2 && p._3 >= q2._3 &&
+        (p._2 > q2._2 || p._3 > q2._3)),
+        s"$p dominates $q2 inside the frontier")
+    // the global ltv argmax and recency argmax are always undominated
+    val a = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("v"),
+        date_format(max(col("o_orderdate").cast("date")), "yyyy-MM-dd")
+          .as("d"))
+    val mm = a.agg(max(col("v")), max(col("d"))).head()
+    assert(sky.map(_._2).max == mm.getLong(0),
+      "frontier must contain the max-ltv customer")
+    assert(sky.map(_._3).max == mm.getString(1),
+      "frontier must contain the most-recent customer")
+  }
 }
