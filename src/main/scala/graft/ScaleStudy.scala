@@ -296,7 +296,11 @@ object ScaleStudy {
     // q159: the same custkey-agg absorption; both skyline phases ride
     // the customer-bounded frame (bucketed windows, then a candidate
     // set bounded by the staircase sizes)
-    "q159_customer_skyline")
+    "q159_customer_skyline",
+    // q160: both partial-state aggs absorb the 10× facts map-side
+    // (OrderOffset ≡ 0 mod 7 keeps the base/delta split residues);
+    // the refresh join rides the customer-bounded view frames
+    "q160_ivm_refresh")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

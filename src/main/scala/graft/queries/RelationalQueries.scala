@@ -495,6 +495,44 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // Incremental view maintenance: refresh a per-customer order view
+    // by MERGING the stored base-snapshot aggregate with a delta-batch
+    // aggregate — the algebra a materialized view / streaming refresh
+    // runs instead of rescanning history. The deterministic split
+    // (o_orderkey % 7) stands in for snapshot-vs-new-batch; each side
+    // aggregates to its own partial state (count/sum are additive,
+    // max composes via greatest), and the refresh is ONE full-outer
+    // equi-join on the view key with null-safe combination — at scale
+    // the delta side is tiny, so the join broadcasts and the refresh
+    // cost is independent of history size. The oracle recomputes the
+    // view DIRECTLY over all facts: hash equality proves the
+    // partial-state merge is lossless, including customers present in
+    // only one side and the derived avg recomputed post-merge (avg is
+    // NOT additive — deriving it from merged sums is the contract).
+    "q160_ivm_refresh" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def part(df: DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("c"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+            .as("op"),
+          max(col("o_orderdate").cast("date")).as("d"))
+      val base = part(o.where(pmod(col("o_orderkey"), lit(7)) =!= 0))
+      val delta = part(o.where(pmod(col("o_orderkey"), lit(7)) === 0))
+      base.as("b").join(delta.as("d"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("b.c"), lit(0L)) + coalesce(col("d.c"), lit(0L)))
+            .as("total_cents"),
+          (coalesce(col("b.op"), lit(0L)) + coalesce(col("d.op"), lit(0L)))
+            .as("n_open"),
+          date_format(greatest(coalesce(col("b.d"), col("d.d")),
+            coalesce(col("d.d"), col("b.d"))), "yyyy-MM-dd").as("last_day"))
+        .withColumn("avg_cents", expr("total_cents div n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // Day-of-week seasonality profile + EXACT chi-square uniformity
     // statistic (does this event type have a weekly rhythm, and how
     // strong?): the 7 DOW bins come from a conditional-sum pivot
@@ -1465,6 +1503,21 @@ object RelationalQueries {
            WHERE p.ltv_cents >= q.ltv_cents AND p.d >= q.d
              AND (p.ltv_cents > q.ltv_cents OR p.d > q.d))
          ORDER BY 1""",
+    "q160_ivm_refresh" ->
+      // the oracle recomputes the view DIRECTLY over all facts — no
+      // split, no merge — so parity proves the engine's partial-state
+      // refresh algebra lossless
+      """SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_open,
+           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS last_day,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL

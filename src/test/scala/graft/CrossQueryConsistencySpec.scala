@@ -151,4 +151,15 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     assert(sky.map(_._3).max == mm.getString(1),
       "frontier must contain the most-recent customer")
   }
+
+  test("q160's merged view totals equal q151's money partition") {
+    val v = q("q160_ivm_refresh")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    assert(v.agg(sum(col("total_cents"))).head().getLong(0) ==
+      o.agg(sum(floor(col("o_totalprice") * 100).cast("long")))
+        .head().getLong(0),
+      "base+delta merge must conserve total money — shared cents kernel")
+    assert(v.agg(sum(col("n_orders"))).head().getLong(0) == o.count(),
+      "base+delta merge must conserve order count")
+  }
 }
