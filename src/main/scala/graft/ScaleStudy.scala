@@ -300,7 +300,11 @@ object ScaleStudy {
     // q160: both partial-state aggs absorb the 10× facts map-side
     // (OrderOffset ≡ 0 mod 7 keeps the base/delta split residues);
     // the refresh join rides the customer-bounded view frames
-    "q160_ivm_refresh")
+    "q160_ivm_refresh",
+    // q161: the digit pivot happens inside the priority agg — partial
+    // aggregation absorbs the 10× orders map-side; the profile frame
+    // is a constant 45 cells (q155's shape)
+    "q161_benford_digits")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

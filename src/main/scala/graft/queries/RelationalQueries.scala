@@ -30,6 +30,14 @@ object RelationalQueries {
   private[graft] val revenueCentsSumSql: String =
     "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
 
+  /** Benford's law log10(1 + 1/d), d = 1..9, as ROUNDED mills — the
+    * rounding makes them sum to exactly 1000, so expected digit counts
+    * partition n exactly (the floor variant sums to 995 and would
+    * leak 5 mills of expectation). Shared verbatim by the q161 oracle
+    * via string interpolation — never hand-copy. */
+  private[graft] val BenfordMills: Seq[Int] =
+    Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A2/A10 — grouped aggregate with exact integer measures (hash agg,
     // partial+final; one shuffle on the two grouping keys).
@@ -531,6 +539,46 @@ object RelationalQueries {
             coalesce(col("d.d"), col("b.d"))), "yyyy-MM-dd").as("last_day"))
         .withColumn("avg_cents", expr("total_cents div n_orders"))
         .orderBy("o_custkey")
+    }),
+
+    // Benford first-digit audit (the classic fabricated-numbers
+    // screen): per order priority, the EXACT first-significant-digit
+    // distribution of order money vs Benford's law, plus an integer
+    // χ²-style divergence statistic. The 9 digit bins come from a
+    // conditional-sum pivot inside ONE per-priority aggregate (zero
+    // bins first-class — q155's precedent), so orders passes through
+    // one scan and one bounded shuffle. Benford's log10(1+1/d) lives
+    // as ROUNDED-MILLS constants [[BenfordMills]] that sum to exactly
+    // 1000, so expected counts are n·p_d div-free in the statistic
+    // Σ_d (1000·O_d − n·p_d)² div p_d div (1000·n) — every product in
+    // DECIMAL(38,0)/HUGEINT ((1000·O−n·p)² ≤ 1e6·n² overflows int64
+    // at real volumes). First digit is string-head of the cents
+    // BIGINT — cents > 0 for all orders, so no zero-digit branch.
+    "q161_benford_digits" -> ((s, dir) => {
+      val digits = 1 to 9
+      val perP = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("long").as("fd"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          digits.map(d => sum(when(col("fd") === d, 1L).otherwise(0L))
+            .as(s"o$d")): _*)
+      val terms = digits.map { d =>
+        val p = BenfordMills(d - 1)
+        s"""(CAST(1000 * o$d - n * $p AS DECIMAL(38,0))
+            * CAST(1000 * o$d - n * $p AS DECIMAL(38,0))) div $p"""
+      }.mkString(" + ")
+      val stacked = digits.map(d =>
+        s"${d}L, o$d, ${BenfordMills(d - 1)}L").mkString(", ")
+      perP
+        .withColumn("stat_mills",
+          expr(s"CAST(($terms) div (1000 * CAST(n AS DECIMAL(38,0))) AS LONG)"))
+        .select(Seq(col("o_orderpriority"), col("n").as("n_orders"),
+          col("stat_mills"),
+          expr(s"stack(9, $stacked)").as(Seq("digit", "n_digit", "exp_mills"))): _*)
+        .withColumn("share_mills", expr("(1000 * n_digit) div n_orders"))
+        .orderBy("o_orderpriority", "digit")
     }),
 
     // Day-of-week seasonality profile + EXACT chi-square uniformity
@@ -1518,6 +1566,38 @@ object RelationalQueries {
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
              AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_cents
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q161_benford_digits" -> {
+      // same conditional-sum pivot + the same mills constants
+      // (interpolated from BenfordMills, never hand-copied); HUGEINT
+      // twins the DECIMAL(38,0) squares
+      val os = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN fd = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+        .mkString(", ")
+      val terms = (1 to 9).map { d =>
+        val p = BenfordMills(d - 1)
+        s"""(CAST(1000 * o$d - n * $p AS HUGEINT)
+             * CAST(1000 * o$d - n * $p AS HUGEINT)) // $p"""
+      }.mkString(" + ")
+      val arms = (1 to 9).map { d =>
+        s"""SELECT o_orderpriority, n AS n_orders, stat_mills,
+              CAST($d AS BIGINT) AS digit, o$d AS n_digit,
+              CAST(${BenfordMills(d - 1)} AS BIGINT) AS exp_mills,
+              (1000 * o$d) // n AS share_mills FROM x"""
+      }.mkString(" UNION ALL ")
+      s"""WITH f AS (
+            SELECT o_orderpriority,
+              CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                AS VARCHAR), 1, 1) AS BIGINT) AS fd
+            FROM orders),
+          p AS (
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, $os
+            FROM f GROUP BY 1),
+          x AS (
+            SELECT *, CAST(($terms) // (1000 * CAST(n AS HUGEINT))
+              AS BIGINT) AS stat_mills
+            FROM p)
+          $arms ORDER BY o_orderpriority, digit"""
+    },
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL
