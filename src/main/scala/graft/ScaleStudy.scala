@@ -187,7 +187,11 @@ object ScaleStudy {
     // q158: the bijection mints disjoint replica bigrams, so the
     // first-seen agg grows 10× in keys while the decile rollup stays
     // a ≤ 10-row frame — the gram-count shuffle is the growth
-    "q158_vocab_growth")
+    "q158_vocab_growth",
+    // q162: two bounded sketch builds (map-side combine crushes the
+    // explode) + vocab-bounded exact aggs; the sketch join is depth×
+    // width-sized at ANY corpus — growth is the two token scans
+    "q162_cms_joinsize")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

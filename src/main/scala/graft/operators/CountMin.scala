@@ -74,6 +74,30 @@ object CountMin {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Inner-product (equi-join size) estimate from two sketches built
+    * with the SAME depth/width (Cormode & Muthukrishnan §4.2):
+    * |A ⋈ B| = Σ_t fA(t)·fB(t) ≈ min over rows of Σ_bucket cA·cB.
+    * Never under-estimates (collisions only add mass); exceeds the
+    * truth by more than (e/width)·N_a·N_b with probability ≤
+    * e^(-depth). Returns ONE row `(est_join long)`. The per-row sums
+    * are densified over all `depth` rows — a row where the sketches
+    * share no bucket must contribute 0 to the min, not vanish from
+    * it. Both inputs are ≤ depth×width rows, so the join, the group
+    * and the min are all sketch-sized — the estimate never touches
+    * either corpus. */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth=$depth must be >= 1")
+    val perRow = skA.as("x").join(skB.as("y"),
+        col("x.row") === col("y.row") && col("x.bucket") === col("y.bucket"))
+      .groupBy(col("x.row").as("row"))
+      .agg(sum(expr("CAST(x.cnt AS DECIMAL(38,0)) * y.cnt")).as("ip"))
+    val rowsD = skA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+    broadcast(rowsD).join(perRow, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("est_join"))
+  }
+
   /** Point-query estimates for `probes(itemCol)`: min over the sketch
     * rows of the probe's bucket counts (missing bucket = 0). Output is
     * ROW-PRESERVING — one result row per probe row, duplicates

@@ -323,6 +323,14 @@ object TextQueries {
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
            FROM documents)"""
 
+  /** `sqlTokRows` with the q162 doc_id-parity side key carried along —
+    * the same lowered whitespace tokenization, one occurrence row per
+    * token. */
+  private[graft] val sqlTokRowsSided: String =
+    s"""(SELECT doc_id % 2 AS side, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents)"""
+
   /** q85's window geometry: 32-token windows sharing 8 tokens — over
     * the fixture's 10-99-token docs this exercises the single-chunk
     * (n <= 32), multi-chunk, and short-tail edges in one run. */
@@ -828,6 +836,52 @@ object TextQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n_new_grams"))
         .withColumn("cum_vocab", sum(col("n_new_grams")).over(wb))
         .orderBy("bucket")
+    }),
+
+    // CMS join-size estimation (Cormode & Muthukrishnan §4.2) — the
+    // sketch a cost-based optimizer consults BEFORE running an
+    // equi-join: |A ⋈ B| = Σ_t fA(t)·fB(t) estimated from the two
+    // sides' Count-Min sketches as min_r Σ_w cA[r][w]·cB[r][w]. The
+    // two sides are the doc_id-parity halves' token streams; each
+    // sketch is ONE bounded counting shuffle (q84's build), the
+    // inner product is a (row,bucket) equi-join of two ≤ depth×width
+    // tables — at 100 TB the estimate costs two corpus scans and a
+    // sketch-sized join, never the join itself. The exact Σ fA·fB
+    // (what the estimate predicts) rides two vocab-bounded hash aggs.
+    // Guarantees, recomputed by the oracle with identical arithmetic
+    // rather than pinned: est >= exact always (collisions only add);
+    // est <= exact + ceil((e/w)·N_a·N_b) w.p. 1 − e^-depth, N_a/N_b
+    // read from the sketches' own row-0 totals (no extra scan), the
+    // N_a·N_b product in DECIMAL(38,0)/HUGEINT (overflows int64 at
+    // ~3e9 tokens per side).
+    "q162_cms_joinsize" -> ((s, dir) => {
+      import graft.operators.CountMin
+      val toks = docsSpread(s, dir)
+        .select(pmod(col("doc_id"), lit(2)).as("side"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .where(col("tok") =!= "")
+      val a = toks.where(col("side") === 0).select("tok")
+      val b = toks.where(col("side") === 1).select("tok")
+      val skA = CountMin.sketch(a, "tok", CmsDepth, CmsWidth)
+      val skB = CountMin.sketch(b, "tok", CmsDepth, CmsWidth)
+      val est = CountMin.joinSizeEstimate(skA, skB, CmsDepth)
+      val exact = a.groupBy("tok").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("tok").agg(count(lit(1)).as("cb")), "tok")
+        .agg(coalesce(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")),
+          lit(0).cast("decimal(38,0)")).cast("long").as("exact_join"))
+      val totals = skA.where(col("row") === 0).agg(sum("cnt").as("n_a"))
+        .crossJoin(broadcast(
+          skB.where(col("row") === 0).agg(sum("cnt").as("n_b"))))
+      val den = CountMin.EpsDen * CmsWidth
+      est.crossJoin(broadcast(exact)).crossJoin(broadcast(totals))
+        .withColumn("eps_bound",
+          expr(s"""CAST((CAST(${CountMin.EpsNum} AS DECIMAL(38,0))
+                   * n_a * n_b + ${den - 1}) div $den AS BIGINT)"""))
+        .withColumn("ge_exact", col("est_join") >= col("exact_join"))
+        .withColumn("within_eps",
+          col("est_join") <= col("exact_join") + col("eps_bound"))
+        .select("n_a", "n_b", "exact_join", "est_join", "eps_bound",
+          "ge_exact", "within_eps")
     }),
 
     // Duplication-mass report — the "how much of my corpus is
@@ -2190,6 +2244,56 @@ object TextQueries {
          CROSS JOIN tot
          GROUP BY p.tok, p.cnt, tot.n_tok
          ORDER BY p.cnt DESC, p.tok""",
+    "q162_cms_joinsize" ->
+      // full bit-for-bit recompute of BOTH sketches, the min-row inner
+      // product (densified over all depth rows), the exact Σ fA·fB and
+      // both guarantee flags via the shared sqlCmsBucket contract —
+      // the flags are RECOMPUTED with the engine's own arithmetic
+      // (q84's fixture-sensitivity note applied), so parity never
+      // depends on the probabilistic bound holding
+      s"""WITH tokrows AS (
+            SELECT side, tok FROM $sqlTokRowsSided WHERE tok <> ''),
+          rows_d AS (SELECT CAST(unnest(range($CmsDepth)) AS INT) AS r),
+          ska AS (
+            SELECT r, ${sqlCmsBucket("tok", "r")} AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tokrows, rows_d WHERE side = 0 GROUP BY 1, 2),
+          skb AS (
+            SELECT r, ${sqlCmsBucket("tok", "r")} AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tokrows, rows_d WHERE side = 1 GROUP BY 1, 2),
+          prod AS (
+            SELECT a.r AS r, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS ip
+            FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket
+            GROUP BY 1),
+          est AS (
+            SELECT CAST(min(coalesce(prod.ip, 0)) AS BIGINT) AS est_join
+            FROM rows_d LEFT JOIN prod ON rows_d.r = prod.r),
+          ex AS (
+            SELECT CAST(coalesce(sum(CAST(x.ca AS HUGEINT) * y.cb), 0)
+              AS BIGINT) AS exact_join
+            FROM (SELECT tok, count(*) AS ca FROM tokrows
+                  WHERE side = 0 GROUP BY 1) x
+            JOIN (SELECT tok, count(*) AS cb FROM tokrows
+                  WHERE side = 1 GROUP BY 1) y USING (tok)),
+          tot AS (
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM tokrows WHERE side = 0)
+                AS n_a,
+              (SELECT CAST(count(*) AS BIGINT) FROM tokrows WHERE side = 1)
+                AS n_b),
+          sel AS (
+            SELECT n_a, n_b, exact_join, est_join,
+              CAST((${graft.operators.CountMin.EpsNum}
+                    * CAST(n_a AS HUGEINT) * n_b
+                    + ${graft.operators.CountMin.EpsDen * CmsWidth - 1})
+                   // ${graft.operators.CountMin.EpsDen * CmsWidth}
+                AS BIGINT) AS eps_bound
+            FROM est, ex, tot)
+          SELECT n_a, n_b, exact_join, est_join, eps_bound,
+            est_join >= exact_join AS ge_exact,
+            est_join <= exact_join + eps_bound AS within_eps
+          FROM sel""",
     "q85_chunk_windows" ->
       // full window recompute: same whitespace tokenization as
       // sqlTokRows but WITHOUT lower() (chunk digests are content-

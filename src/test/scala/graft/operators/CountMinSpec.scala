@@ -147,4 +147,45 @@ class CountMinSpec extends AnyFunSuite {
       CountMin.estimate(sk, Seq("a").toDF("other"), "tok", Depth, Width)
     }
   }
+
+  test("joinSizeEstimate >= exact inner product; exact at ample width") {
+    val a = corpus
+    val b = (10 to 60).flatMap(i => Seq.fill(120 / i)(s"w$i"))
+    val exact = a.groupBy(identity).map { case (t, xs) =>
+      xs.size.toLong * b.count(_ == t) }.sum
+    val skA = CountMin.sketch(a.toDF("tok"), "tok", Depth, Width)
+    val skB = CountMin.sketch(b.toDF("tok"), "tok", Depth, Width)
+    val est = CountMin.joinSizeEstimate(skA, skB, Depth)
+      .head().getAs[Long]("est_join")
+    assert(est >= exact, s"inner product must never under-estimate")
+    // width 4096 >> 80 distinct tokens: with 4 independent rows a
+    // colliding pair in EVERY row is vanishingly unlikely — and this
+    // is a fixed fixture, so the equality is deterministic once green
+    val wide = 4096
+    val estWide = CountMin.joinSizeEstimate(
+      CountMin.sketch(a.toDF("tok"), "tok", Depth, wide),
+      CountMin.sketch(b.toDF("tok"), "tok", Depth, wide), Depth)
+      .head().getAs[Long]("est_join")
+    assert(estWide == exact, s"ample width: $estWide != $exact")
+  }
+
+  test("joinSizeEstimate densifies: disjoint streams at width 1 row-collide") {
+    // disjoint vocabularies: exact join size 0; at width 1 every row
+    // collides into bucket 0, so the estimate is Na*Nb — the measured
+    // worst case — while a HONEST zero appears at ample width
+    val a = Seq("x1", "x2", "x3").toDF("tok")
+    val b = Seq("y1", "y2").toDF("tok")
+    val est1 = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "tok", Depth, 1),
+      CountMin.sketch(b, "tok", Depth, 1), Depth)
+      .head().getAs[Long]("est_join")
+    assert(est1 == 6L, s"width-1 inner product must be Na*Nb, got $est1")
+    val estW = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "tok", Depth, Width),
+      CountMin.sketch(b, "tok", Depth, Width), Depth)
+      .head().getAs[Long]("est_join")
+    // densification: if any row shares no bucket the min must see 0;
+    // and the estimate can never go below the true 0 anyway
+    assert(estW >= 0L && estW <= 6L)
+  }
 }
