@@ -567,4 +567,39 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
     assert(p.contains("Scan ExistingRDD"), "expected checkpoint anchors")
   }
+
+  test("q159: phase-1 skyline windows are bucket-PARTITIONED; one orders scan") {
+    // the scale claim is that the staircase test runs in parallel per
+    // bucket before the bounded global pass — a plan whose FIRST
+    // window sorts on [ltv_cents DESC] without the bucket key would
+    // be the single-partition O(n log n) shape the divide-and-merge
+    // exists to avoid
+    val p = plan("q159_customer_skyline")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"orders should be scanned once:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "the skyline never joins anything")
+    val firstWindow = p.linesIterator.filter(_.contains("Window "))
+      .toSeq.lastOption.getOrElse("")  // plan prints leaves last
+    assert(firstWindow.contains("b#") || p.contains("hashpartitioning(b#"),
+      s"phase-1 window must partition by the bucket key:\n$firstWindow")
+  }
+
+  test("q160: the IVM refresh is one full-outer merge over two partial aggs") {
+    val p = plan("q160_ivm_refresh")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"base and delta each scan once:\n${p.take(2000)}")
+    assert(p.contains("FullOuter"), "refresh must be a full-outer merge")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both sides must partial+final aggregate before the merge")
+  }
+
+  test("q162: the sketch join never touches a corpus-sized side") {
+    // both sketches are ≤ depth×width rows; the inner-product join and
+    // the row densification must be broadcast-sized, and the only
+    // corpus-sized work is the two token-count scans
+    val p = plan("q162_cms_joinsize")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "sketch-sized sides must broadcast")
+  }
 }
