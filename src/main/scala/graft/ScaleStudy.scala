@@ -308,7 +308,12 @@ object ScaleStudy {
     // q161: the digit pivot happens inside the priority agg — partial
     // aggregation absorbs the 10× orders map-side; the profile frame
     // is a constant 45 cells (q155's shape)
-    "q161_benford_digits")
+    "q161_benford_digits",
+    // q163: the CDC batch grows 10× (strided seqs over the SAME
+    // customers — the max-seq winner is replica 9's, deterministic);
+    // the rank window cuts partial top-1 per key, the apply join is
+    // customer-bounded — growth is the batch scan + rank exchange
+    "q163_cdc_apply")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -44,6 +44,56 @@ object Merge {
           .otherwise("unchanged").as("action"): _*)
   }
 
+  /** Apply a CDC (change-data-capture) batch to a snapshot — the
+    * Delta/Hudi-style merge: `ops` carries `(key, seqCol, opCol,
+    * payload…)` rows where opCol is 'U' (upsert) or 'D' (delete
+    * tombstone); per key the HIGHEST seqCol op wins (callers must
+    * guarantee seq is unique per key — a real CDC log's LSN), then
+    *  - latest 'D'            → the key is absent from the result,
+    *  - latest 'U', key known → snapshot row with payload columns
+    *                            overridden, `cdc_src` = "updated",
+    *  - latest 'U', key new   → payload-only row (non-payload snapshot
+    *    columns null — the honest shape of a partial insert),
+    *    `cdc_src` = "inserted",
+    *  - no op for the key     → snapshot row, `cdc_src` = "snapshot".
+    * `last_seq` carries the winning seq (−1 for untouched rows — the
+    * harness's null-int sentinel convention). Payload columns must be
+    * a subset of snapshot columns (same names = same meaning).
+    *
+    * Scale shape: the latest-op argmax is a per-key rank window (the
+    * W4 kernel — WindowGroupLimit cuts partial top-1 before the
+    * exchange) over the CDC BATCH, which in steady state is tiny next
+    * to the snapshot; the apply is then ONE full-outer equi-join on
+    * the key. Nothing driver-side, no iteration. */
+  def applyCdc(snapshot: DataFrame, ops: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = ops.columns.filterNot(Seq(key, seqCol, opCol).contains)
+    payload.foreach(c => require(snapshot.columns.contains(c),
+      s"payload column '$c' has no snapshot counterpart"))
+    Seq("cdc_src", "last_seq", "__rn").foreach(r =>
+      require(!snapshot.columns.contains(r), s"snapshot column '$r' is reserved"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = ops.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val out: Seq[org.apache.spark.sql.Column] =
+      coalesce(col(s"s.$key"), col(s"l.$key")).as(key) +:
+      (snapshot.columns.filterNot(_ == key).map { c =>
+        if (payload.contains(c))
+          when(col(s"l.$opCol") === "U", col(s"l.$c"))
+            .otherwise(col(s"s.$c")).as(c)
+        else col(s"s.$c").as(c)
+      }.toSeq :+
+      when(col(s"l.$opCol").isNull, "snapshot")
+        .when(col(s"s.$key").isNull, "inserted")
+        .otherwise("updated").as("cdc_src") :+
+      coalesce(col(s"l.$seqCol"), lit(-1L)).as("last_seq"))
+    snapshot.as("s")
+      .join(latest.as("l"), col(s"s.$key") === col(s"l.$key"), "full_outer")
+      .where(col(s"l.$opCol").isNull || col(s"l.$opCol") =!= "D")
+      .select(out: _*)
+  }
+
   /** The update/insert fork as explicit semi/anti joins (J4):
     * (updates, inserts). */
   def splitUpsert(incoming: DataFrame, existing: DataFrame, keys: Seq[String])

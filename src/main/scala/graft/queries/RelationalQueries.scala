@@ -581,6 +581,32 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "digit")
     }),
 
+    // CDC apply (the Delta/Hudi merge): a sequence-ordered change
+    // batch — upserts plus delete tombstones — applied to the customer
+    // snapshot through [[graft.operators.Merge.applyCdc]]. The change
+    // stream is derived deterministically from orders (seq =
+    // o_orderkey, every 13th key a tombstone, the rest upserts
+    // carrying the order's cents as the new current_cents), so the
+    // oracle can rebuild it verbatim. Latest-op-wins is the W4 rank
+    // kernel over the BATCH (WindowGroupLimit partial top-1); the
+    // apply is one full-outer key join; tombstoned customers vanish,
+    // untouched ones keep snapshot values with the −1 seq sentinel.
+    // The fixture's FK totality means no 'inserted' rows here — that
+    // branch is pinned by DedupMergeSpec on a toy batch.
+    "q163_cdc_apply" -> ((s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long"),
+          cents(col("c_acctbal")).as("current_cents"))
+      val ops = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, "D").otherwise("U")
+          .as("op"),
+        cents(col("o_totalprice")).as("current_cents"))
+      graft.operators.Merge.applyCdc(snap, ops, "c_custkey", "seq", "op")
+        .orderBy("c_custkey")
+    }),
+
     // Day-of-week seasonality profile + EXACT chi-square uniformity
     // statistic (does this event type have a weekly rhythm, and how
     // strong?): the 7 DOW bins come from a conditional-sum pivot
@@ -1598,6 +1624,30 @@ object RelationalQueries {
             FROM p)
           $arms ORDER BY o_orderpriority, digit"""
     },
+    "q163_cdc_apply" ->
+      // the same derived change stream, applied the declarative way
+      // (rank + left join + CASE) — parity proves the operator's
+      // full-outer merge, tombstone filter and payload override
+      """WITH cdc AS (
+           SELECT o_custkey AS k, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         latest AS (
+           SELECT k, seq, op, v FROM (
+             SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+               AS rn FROM cdc) WHERE rn = 1)
+         SELECT c.c_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CASE WHEN l.op = 'U' THEN l.v
+                ELSE CAST(floor(c.c_acctbal * 100) AS BIGINT)
+           END AS current_cents,
+           CASE WHEN l.op IS NULL THEN 'snapshot' ELSE 'updated' END
+             AS cdc_src,
+           coalesce(l.seq, -1) AS last_seq
+         FROM customer c LEFT JOIN latest l ON c.c_custkey = l.k
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY 1""",
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL

@@ -416,4 +416,33 @@ class DedupMergeSpec extends AnyFunSuite {
       out(0).getAs[String]("title") == "oat milk")
     assert(out(0).getAs[String]("ext_id").startsWith("NEW-"))
   }
+
+  test("applyCdc: every branch — update, insert, tombstone, untouched, D-then-U") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "name", "v")
+    val ops = Seq(
+      (1L, 100L, "U", 11L),            // update
+      (2L, 101L, "D", 0L),             // tombstone
+      (5L, 102L, "U", 55L),            // insert (key not in snapshot)
+      (3L, 103L, "D", 0L),             // D then U: the LATER U wins
+      (3L, 104L, "U", 33L)
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.applyCdc(snap, ops, "k", "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"),
+        r.getAs[Long]("v"), r.getAs[String]("cdc_src"),
+        r.getAs[Long]("last_seq")))
+    assert(out.toSeq == Seq(
+      (1L, "a", 11L, "updated", 100L),
+      (3L, "c", 33L, "updated", 104L), // latest seq wins over the D
+      (4L, "d", 40L, "snapshot", -1L),
+      (5L, null, 55L, "inserted", 102L)), out.mkString("; "))
+    // reserved-column + unknown-payload guards fail loud
+    intercept[IllegalArgumentException] {
+      Merge.applyCdc(snap.withColumnRenamed("name", "cdc_src"), ops, "k", "seq", "op")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.applyCdc(snap, ops.withColumnRenamed("v", "nope"), "k", "seq", "op")
+    }
+  }
 }
