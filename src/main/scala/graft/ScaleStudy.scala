@@ -254,7 +254,12 @@ object ScaleStudy {
     // q155: the DOW pivot happens inside the type agg — partial
     // aggregation absorbs the 10× rows map-side; the profile frame
     // is a constant 35 cells
-    "q155_dow_seasonality")
+    "q155_dow_seasonality",
+    // q164: replicas copy values verbatim — the (type, v) histogram
+    // keeps its support with 10× counts and the 128-bin sketch is
+    // types-bounded by construction; growth is the two scans (q153's
+    // shape)
+    "q164_hist_quantiles")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

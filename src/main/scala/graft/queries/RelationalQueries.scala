@@ -607,6 +607,63 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Bounded-memory quantile estimation with a DETERMINISTIC error
+    // gate — the sketch the exact-percentile kernel (q57/q81) trades
+    // against at 100 TB: per event type, p50/p90/p99 of value cents
+    // estimated from a 128-bin EQUI-WIDTH histogram whose state is
+    // types × 128 cells no matter the corpus (partial agg absorbs the
+    // scan), vs the exact quantiles from the value histogram. The
+    // estimate is the LOWER EDGE of the first bin whose cumulative
+    // count reaches ceil(q·n/100); the exact quantile provably lives
+    // in that bin, so 0 <= exact − est <= ceil(W/128) ALWAYS — an
+    // error bound that needs no probability, recomputed (not pinned)
+    // by the oracle. Two corpus scans: the value histogram (feeds
+    // exact + the min/max frame) and the binning scan against the
+    // broadcast per-type stats. All arithmetic in int64 (spans ×128
+    // stay far under 2^63 at real cents magnitudes).
+    "q164_hist_quantiles" -> ((s, dir) => {
+      val B = 128
+      val pcts = Seq(50, 90, 99)
+      val ev = t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v"))
+      val vh = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val stats = vh.groupBy("event_type").agg(
+        sum("c").as("n"), min("v").as("mn"), max("v").as("mx"))
+      def target(p: Int) = expr(s"($p * n + 99) div 100")
+      val wv = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val exCols = pcts.map(p =>
+        min(when(col("cum") >= target(p), col("v"))).as(s"ex$p"))
+      val exacts = vh.withColumn("cum", sum(col("c")).over(wv))
+        .join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(exCols.head, exCols.tail: _*)
+      val wb = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val binCols = pcts.map(p =>
+        min(when(col("cum") >= target(p), col("bin"))).as(s"bin$p"))
+      val ests = ev.join(broadcast(stats), "event_type")
+        .withColumn("bin", expr(s"((v - mn) * $B) div (mx - mn + 1)"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wb))
+        .join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(binCols.head, binCols.tail: _*)
+      val stacked = pcts.map(p => s"${p}L, ex$p, bin$p").mkString(", ")
+      exacts.join(ests, "event_type").join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("n"), col("mn"), col("mx"),
+          expr(s"stack(${pcts.size}, $stacked)")
+            .as(Seq("pct", "exact_cents", "bin")))
+        .withColumn("est_cents",
+          expr(s"mn + (bin * (mx - mn + 1) + ${B - 1}) div $B"))
+        .withColumn("bin_w", expr(s"(mx - mn + $B) div $B"))
+        .withColumn("err", col("exact_cents") - col("est_cents"))
+        .withColumn("within_bin",
+          col("err") >= 0 && col("err") <= col("bin_w"))
+        .drop("bin")
+        .orderBy("event_type", "pct")
+    }),
+
     // Day-of-week seasonality profile + EXACT chi-square uniformity
     // statistic (does this event type have a weekly rhythm, and how
     // strong?): the 7 DOW bins come from a conditional-sum pivot
@@ -1648,6 +1705,63 @@ object RelationalQueries {
          FROM customer c LEFT JOIN latest l ON c.c_custkey = l.k
          WHERE l.op IS NULL OR l.op <> 'D'
          ORDER BY 1""",
+    "q164_hist_quantiles" -> {
+      // full recompute of both paths — exact from the value histogram,
+      // estimate from the 128-bin equi-width histogram — with the same
+      // integer lower-edge and ceil-width arithmetic; the error gate
+      // is recomputed, never pinned
+      val pcts = Seq(50, 90, 99)
+      val exs = pcts.map(p =>
+        s"min(CASE WHEN cum >= ($p * n + 99) // 100 THEN v END) AS ex$p")
+        .mkString(", ")
+      val bins = pcts.map(p =>
+        s"min(CASE WHEN cum >= ($p * n + 99) // 100 THEN bin END) AS bin$p")
+        .mkString(", ")
+      val arms = pcts.map(p =>
+        s"""SELECT event_type, n, mn, mx, CAST($p AS BIGINT) AS pct,
+              ex$p AS exact_cents, bin$p AS bin FROM j""").mkString(" UNION ALL ")
+      s"""WITH ev AS (
+            SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events),
+          vh AS (
+            SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+            FROM ev GROUP BY 1, 2),
+          st AS (
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+              min(v) AS mn, max(v) AS mx
+            FROM vh GROUP BY 1),
+          vc AS (
+            SELECT event_type, v, sum(c) OVER (PARTITION BY event_type
+              ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM vh),
+          ex AS (
+            SELECT vc.event_type, $exs
+            FROM vc JOIN st USING (event_type) GROUP BY 1),
+          bh AS (
+            SELECT ev.event_type,
+              ((v - mn) * 128) // (mx - mn + 1) AS bin,
+              CAST(count(*) AS BIGINT) AS c
+            FROM ev JOIN st USING (event_type) GROUP BY 1, 2),
+          bc AS (
+            SELECT event_type, bin, sum(c) OVER (PARTITION BY event_type
+              ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bh),
+          es AS (
+            SELECT bc.event_type, $bins
+            FROM bc JOIN st USING (event_type) GROUP BY 1),
+          j AS (
+            SELECT st.event_type, n, mn, mx, ex.*, es.*
+            FROM st JOIN ex USING (event_type) JOIN es USING (event_type)),
+          stacked AS ($arms)
+          SELECT event_type, n, mn, mx, pct, exact_cents,
+            mn + (bin * (mx - mn + 1) + 127) // 128 AS est_cents,
+            (mx - mn + 128) // 128 AS bin_w,
+            exact_cents - (mn + (bin * (mx - mn + 1) + 127) // 128) AS err,
+            exact_cents - (mn + (bin * (mx - mn + 1) + 127) // 128) >= 0
+              AND exact_cents - (mn + (bin * (mx - mn + 1) + 127) // 128)
+                  <= (mx - mn + 128) // 128 AS within_bin
+          FROM stacked ORDER BY event_type, pct"""
+    },
     "q155_dow_seasonality" -> {
       // same conditional-sum pivot (zero-count bins first-class) +
       // the same Σ(7O−n)²/(7n) integer identity; the 7-way UNION ALL
