@@ -302,6 +302,10 @@ object ScaleStudy {
     // absorbs the growth; the dim join and the Gini histogram stay
     // customer-bounded
     "q157_nation_gini",
+    // q165: same pair-graph build as q142/q143; the 4 BFS rounds ride
+    // the support-thinned parts-bounded edge frame — scale-flat like
+    // the PageRank rounds, the exponent is the pair-graph build
+    "q165_bfs_hops",
     // q159: the same custkey-agg absorption; both skyline phases ride
     // the customer-bounded frame (bucketed windows, then a candidate
     // set bounded by the staircase sizes)

@@ -1148,6 +1148,46 @@ object RelationalQueries {
         .orderBy("part")
     }),
 
+    // Multi-source BFS hop distance (the traversal member of the graph
+    // family: q53 components, q142 triangles, q143 PageRank): distance
+    // in hops from the [[BfsSeedK]] top-degree vertices (tie-break id)
+    // over the same support-thinned co-purchase graph, computed as
+    // [[BfsMaxHops]] unrolled min-label rounds — each round is ONE
+    // keyed shuffle of the parts-bounded edge frame joined to the
+    // current frontier (the q143 message-passing shape), merged with
+    // the standing labels through a full-outer min (null-safe via the
+    // coalesce-pair identity, q160's precedent — no engine-specific
+    // NULL semantics in least()). Vertices unreached within the hop
+    // budget report −1, the honest capped-BFS answer (and the
+    // harness's null-int sentinel). The seed rank window rides the
+    // parts-bounded degree frame.
+    "q165_bfs_hops" -> ((s, dir) => {
+      val cp = coPairCounts(s, dir)
+        .where(col("n_orders") >= CoPairMinSupport)
+      val e = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionByName(
+          cp.select(col("part_b").as("src"), col("part_a").as("dst")))
+      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val seeds = deg.withColumn("rn",
+          row_number().over(Window.orderBy(col("deg").desc, col("v"))))
+        .where(col("rn") <= BfsSeedK)
+      var dist = seeds.select(col("v"), lit(0L).as("dist"))
+      (1 to BfsMaxHops).foreach { _ =>
+        val next = e.join(dist.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), (col("dist") + 1L).as("nd"))
+          .groupBy("v").agg(min(col("nd")).as("nd"))
+        dist = dist.as("a").join(next.as("b"), Seq("v"), "full_outer")
+          .select(col("v"),
+            least(coalesce(col("a.dist"), col("b.nd")),
+              coalesce(col("b.nd"), col("a.dist"))).as("dist"))
+      }
+      deg.join(dist, Seq("v"), "left")
+        .select(col("v").as("part"),
+          coalesce(col("dist"), lit(-1L)).as("dist"),
+          col("deg").as("degree"))
+        .orderBy("part")
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -1187,6 +1227,12 @@ object RelationalQueries {
 
   /** q143's unrolled PageRank rounds. */
   private[graft] val PrIters = 3
+
+  /** q165's BFS geometry: multi-source from the top-[[BfsSeedK]]
+    * degree vertices, distances capped at [[BfsMaxHops]] unrolled
+    * rounds (unreached → −1). */
+  private[graft] val BfsSeedK = 3
+  private[graft] val BfsMaxHops = 4
 
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
@@ -1279,6 +1325,37 @@ object RelationalQueries {
          SELECT p$PrIters.v AS part,
            CAST(p$PrIters.p AS BIGINT) AS pr_micros, d.deg AS degree
          FROM p$PrIters JOIN d ON p$PrIters.v = d.v
+         ORDER BY part"""
+    },
+    "q165_bfs_hops" -> {
+      // identical unrolled min-label rounds; the coalesce-pair least
+      // sidesteps any engine-specific NULL handling in least()
+      val rounds = (1 to BfsMaxHops).map { k =>
+        s"""n$k AS (
+             SELECT e.dst AS v, min(d${k - 1}.dist) + 1 AS nd
+             FROM e JOIN d${k - 1} ON e.src = d${k - 1}.v GROUP BY 1),
+           d$k AS (
+             SELECT coalesce(a.v, b.v) AS v,
+               least(coalesce(a.dist, b.nd), coalesce(b.nd, a.dist))
+                 AS dist
+             FROM d${k - 1} a FULL OUTER JOIN n$k b ON a.v = b.v)"""
+      }.mkString(",\n")
+      s"""WITH $coPairSql,
+         ed AS (SELECT part_a, part_b FROM cp
+                WHERE n_orders >= $CoPairMinSupport),
+         e AS (SELECT part_a AS src, part_b AS dst FROM ed
+               UNION ALL SELECT part_b, part_a FROM ed),
+         d AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM e
+               GROUP BY 1),
+         s AS (SELECT v FROM (
+                 SELECT v, row_number() OVER (ORDER BY deg DESC, v) AS rn
+                 FROM d) WHERE rn <= $BfsSeedK),
+         d0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM s),
+         $rounds
+         SELECT d.v AS part,
+           CAST(coalesce(d$BfsMaxHops.dist, -1) AS BIGINT) AS dist,
+           d.deg AS degree
+         FROM d LEFT JOIN d$BfsMaxHops ON d.v = d$BfsMaxHops.v
          ORDER BY part"""
     },
     "q131_rollup_totals" ->

@@ -152,6 +152,19 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
       "frontier must contain the most-recent customer")
   }
 
+  test("q165 BFS labels: exactly BfsSeedK zeros, hop budget respected, " +
+      "frontier is sound against q143's degree frame") {
+    val d = q("q165_bfs_hops").collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("dist")))
+    assert(d.count(_._2 == 0L) == 3, "exactly the seeds are at hop 0")
+    assert(d.forall { case (_, h) => h == -1L || (h >= 0L && h <= 4L) })
+    // the vertex frame is the same graph q143 ranks: identical parts
+    val pr = q("q143_pagerank").select("part").collect()
+      .map(_.getAs[Long]("part")).toSet
+    assert(d.map(_._1).toSet == pr,
+      "BFS and PageRank must label the SAME vertex frame")
+  }
+
   test("q160's merged view totals equal q151's money partition") {
     val v = q("q160_ivm_refresh")
     val o = spark.read.parquet(s"$dir/orders.parquet")
