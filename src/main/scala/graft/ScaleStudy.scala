@@ -259,7 +259,11 @@ object ScaleStudy {
     // keeps its support with 10× counts and the 128-bin sketch is
     // types-bounded by construction; growth is the two scans (q153's
     // shape)
-    "q164_hist_quantiles")
+    "q164_hist_quantiles",
+    // q166: replicas copy ts/values verbatim — the (type, day) bar
+    // grid is constant with 10× counts and the struct-min/max folds
+    // are partial-aggregable; growth is the one scan (q155's shape)
+    "q166_ohlc_bars")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

@@ -1164,9 +1164,16 @@ object RelationalQueries {
     "q165_bfs_hops" -> ((s, dir) => {
       val cp = coPairCounts(s, dir)
         .where(col("n_orders") >= CoPairMinSupport)
+      // eager checkpoint (the q53/q153 iterative-loop contract): the
+      // edge frame is referenced by all BfsMaxHops rounds AND the
+      // degree frame — without the cut, every round's subtree rebuilds
+      // the whole per-order pair generation (measured 5.0 s → 2.7 s
+      // at sf0.1). The frame is support-thinned and parts-bounded, so
+      // the materialization is small.
       val e = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionByName(
           cp.select(col("part_b").as("src"), col("part_a").as("dst")))
+        .localCheckpoint(true)
       val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val seeds = deg.withColumn("rn",
           row_number().over(Window.orderBy(col("deg").desc, col("v"))))
@@ -1186,6 +1193,33 @@ object RelationalQueries {
           coalesce(col("dist"), lit(-1L)).as("dist"),
           col("deg").as("degree"))
         .orderBy("part")
+    }),
+
+    // OHLC bars (the time-series rollup every metrics store ships):
+    // per (event type, day) the opening/high/low/closing value plus
+    // volume — computed in ONE hash aggregate, no window: open/close
+    // are min/max over the struct (ts, event_id, v), whose
+    // lexicographic ordering is associative and therefore PARTIAL-
+    // AGGREGABLE (each map task folds its slice; the exchange carries
+    // one struct per cell) — at 100 TB this is a single combine-
+    // friendly pass where the textbook row_number-window formulation
+    // (the oracle, deliberately) would shuffle every event. event_id
+    // breaks ts ties deterministically.
+    "q166_ohlc_bars" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"), col("ts"), col("event_id"),
+        cents(col("value")).as("v"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      ev.groupBy("event_type", "day").agg(
+          min(struct(col("ts"), col("event_id"), col("v")))
+            .getField("v").as("open_cents"),
+          max(col("v")).as("high_cents"),
+          min(col("v")).as("low_cents"),
+          max(struct(col("ts"), col("event_id"), col("v")))
+            .getField("v").as("close_cents"),
+          count(lit(1)).as("n_events"),
+          sum(col("v")).as("vol_cents"))
+        .orderBy("event_type", "day")
     }),
 
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
@@ -1358,6 +1392,29 @@ object RelationalQueries {
          FROM d LEFT JOIN d$BfsMaxHops ON d.v = d$BfsMaxHops.v
          ORDER BY part"""
     },
+    "q166_ohlc_bars" ->
+      // the textbook row_number formulation — a deliberately DIFFERENT
+      // algorithm from the engine's struct-min/max fold, so an
+      // ordering bug in the associative form cannot self-confirm
+      """WITH e AS (
+           SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             strftime(ts, '%Y-%m-%d') AS day
+           FROM events),
+         x AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+               ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, day
+               ORDER BY ts DESC, event_id DESC) AS rnd
+           FROM e)
+         SELECT event_type, day,
+           CAST(max(CASE WHEN rna = 1 THEN v END) AS BIGINT) AS open_cents,
+           max(v) AS high_cents, min(v) AS low_cents,
+           CAST(max(CASE WHEN rnd = 1 THEN v END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS BIGINT) AS vol_cents
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q131_rollup_totals" ->
       // same ANSI ROLLUP + GROUPING bitmask (first key = high bit in
       // both engines), same sentinel coalesce
