@@ -263,7 +263,12 @@ object ScaleStudy {
     // q166: replicas copy ts/values verbatim — the (type, day) bar
     // grid is constant with 10× counts and the struct-min/max folds
     // are partial-aggregable; growth is the one scan (q155's shape)
-    "q166_ohlc_bars")
+    "q166_ohlc_bars",
+    // q167: the per-user conversion fold grows with the user replicas
+    // but the 2×2 contingency fold absorbs it to ONE row; q168: the
+    // lead window replicates exactly per disjoint user replica (the
+    // q148 exchange shape), the type frame stays bounded
+    "q167_ab_lift", "q168_time_weighted_avg")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */

@@ -1222,6 +1222,80 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // A/B experiment lift report: users assigned to variants by the
+    // deterministic split user_id % 2, conversion = any purchase
+    // event; per-variant conversion rates, the rate lift, and the 2×2
+    // contingency chi-square — all in EXACT integer mills: χ² =
+    // N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), products in
+    // DECIMAL(38,0)/HUGEINT (valid to ~10⁷ users before 38 digits
+    // saturate — past that a real deployment tests on rate deltas,
+    // not raw cells; the fixture is exact). One user-keyed distinct
+    // agg absorbs the corpus, then the 2×2 table is a conditional-sum
+    // fold to ONE row — the whole report is two bounded aggregates.
+    "q167_ab_lift" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      perUser.groupBy()
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+            .as("conv_b"))
+        .withColumn("rate_a_mills", expr("(1000 * conv_a) div users_a"))
+        .withColumn("rate_b_mills", expr("(1000 * conv_b) div users_b"))
+        .withColumn("lift_mills",
+          col("rate_b_mills") - col("rate_a_mills"))
+        .withColumn("chi2_mills", expr(
+          """CAST((1000 * (users_a + users_b)
+               * CAST(conv_a * (users_b - conv_b)
+                      - conv_b * (users_a - conv_a) AS DECIMAL(38,0))
+               * CAST(conv_a * (users_b - conv_b)
+                      - conv_b * (users_a - conv_a) AS DECIMAL(38,0)))
+             div nullif(CAST(users_a AS DECIMAL(38,0)) * users_b
+                  * (conv_a + conv_b)
+                  * (users_a + users_b - conv_a - conv_b), 0)
+             AS LONG)"""))
+    }),
+
+    // Time-weighted average (the metrics-store kernel a plain mean
+    // gets WRONG when samples arrive unevenly): treat each user's
+    // value stream per event type as piecewise-constant until the
+    // next sample — weight = Δt to the next event in exact epoch
+    // micros (lead over the user-keyed window, the q148 exchange
+    // shape) — then POOL per type: twa = Σ v·Δt div Σ Δt, products
+    // in DECIMAL(38,0)/HUGEINT (cents × day-scale micros ≈ 10¹⁹
+    // overflows int64 immediately). Users with a single event of a
+    // type carry no interval and drop out of the pooled weights —
+    // the honest piecewise-constant answer. Output: one row per
+    // type, with the unweighted mean beside the TWA so the report
+    // SHOWS the sampling-bias correction.
+    "q168_time_weighted_avg" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts_us"), cents(col("value")).as("v"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      ev.withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CASE WHEN dt IS NOT NULL THEN CAST(v AS DECIMAL(38,0)) * dt END"))
+            .as("__wsum"),
+          coalesce(sum(col("dt")), lit(0L)).as("span_us"),
+          sum(col("v")).as("__vsum"))
+        // −1 sentinel when no interval exists (every user sampled the
+        // type at most once) — the harness's null-int convention
+        .withColumn("twa_cents", expr(
+          "CAST(coalesce(__wsum div nullif(CAST(span_us AS DECIMAL(38,0)), 0), -1) AS LONG)"))
+        .withColumn("mean_cents", expr("__vsum div n_events"))
+        .drop("__wsum", "__vsum")
+        .orderBy("event_type")
+    }),
+
     // Z-order clustering key (Morton interleave, graft.functions.ZOrder):
     // quantize (l_orderkey, l_partkey) to 2^bits, interleave, and roll
     // up per top-8-bit z-bucket. The min/max envelopes per bucket SHOW
@@ -1415,6 +1489,67 @@ object RelationalQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(v) AS BIGINT) AS vol_cents
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q167_ab_lift" ->
+      // same per-user distinct conversion fold, same exact 2×2
+      // algebra; HUGEINT twins DECIMAL(38,0), nullif twins the
+      // degenerate all-converted/none-converted guard
+      """WITH pu AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS users_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS users_b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM pu),
+         r AS (
+           SELECT *, (1000 * conv_a) // users_a AS rate_a_mills,
+             (1000 * conv_b) // users_b AS rate_b_mills
+           FROM t)
+         SELECT users_a, conv_a, users_b, conv_b,
+           rate_a_mills, rate_b_mills,
+           rate_b_mills - rate_a_mills AS lift_mills,
+           CAST((1000 * (users_a + users_b)
+                 * CAST(conv_a * (users_b - conv_b)
+                        - conv_b * (users_a - conv_a) AS HUGEINT)
+                 * CAST(conv_a * (users_b - conv_b)
+                        - conv_b * (users_a - conv_a) AS HUGEINT))
+               // nullif(CAST(users_a AS HUGEINT) * users_b
+                    * (conv_a + conv_b)
+                    * (users_a + users_b - conv_a - conv_b), 0)
+             AS BIGINT) AS chi2_mills
+         FROM r""",
+    "q168_time_weighted_avg" ->
+      // same user-keyed lead window, same pooled Σv·Δt / ΣΔt algebra;
+      // HUGEINT twins DECIMAL(38,0); epoch_us(ts) is the shared exact
+      // micros domain (q80's precedent)
+      """WITH e AS (
+           SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         x AS (
+           SELECT *, lead(ts_us) OVER (PARTITION BY user_id, event_type
+             ORDER BY ts_us, event_id) - ts_us AS dt
+           FROM e),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             sum(CASE WHEN dt IS NOT NULL
+                 THEN CAST(v AS HUGEINT) * dt END) AS ws,
+             CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_us,
+             CAST(sum(v) AS BIGINT) AS vs
+           FROM x GROUP BY 1)
+         SELECT event_type, n_events, span_us,
+           CAST(coalesce(ws // nullif(CAST(span_us AS HUGEINT), 0), -1)
+             AS BIGINT) AS twa_cents,
+           vs // n_events AS mean_cents
+         FROM a ORDER BY 1""",
     "q131_rollup_totals" ->
       // same ANSI ROLLUP + GROUPING bitmask (first key = high bit in
       // both engines), same sentinel coalesce
