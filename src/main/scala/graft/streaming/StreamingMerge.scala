@@ -66,4 +66,55 @@ object StreamingMerge {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming CDC apply: an AvailableNow stream of change ops
+    * `(key, seqCol, opCol, payload…)` folded into the keyed state
+    * table via [[Merge.applyCdc]] per micro-batch — the streaming twin
+    * of the q163 batch operator. State bootstraps from `snapshotDir`
+    * on the first batch; each batch's output (with its `cdc_src` /
+    * `last_seq` bookkeeping dropped) becomes the next batch's
+    * snapshot, staged-and-swapped like [[run]].
+    *
+    * Composition contract (StreamingMergeSpec): when op files arrive
+    * in seq order — a CDC log's delivery guarantee — the final state
+    * equals the ONE-SHOT `applyCdc(snapshot, allOps)` on the snapshot
+    * columns. The single documented divergence: a key DELETED in an
+    * earlier batch and re-upserted in a later one resurrects with
+    * null non-payload columns (the snapshot row is genuinely gone),
+    * where the one-shot apply — seeing the whole log at once — keeps
+    * the snapshot's non-payload columns because the late U supersedes
+    * the D. Both are defensible CDC semantics; the spec pins each. */
+  def runCdc(
+      spark: SparkSession,
+      inDir: String,
+      opsSchema: org.apache.spark.sql.types.StructType,
+      checkpoint: String,
+      targetDir: String,
+      snapshotDir: String,
+      key: String,
+      seqCol: String,
+      opCol: String): Unit = {
+    val stream = spark.readStream.schema(opsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val state: DataFrame =
+          (try spark.read.parquet(targetDir)
+           catch { case _: Exception => spark.read.parquet(snapshotDir) })
+            .drop("cdc_src", "last_seq")
+        val merged = Merge.applyCdc(state, batch, key, seqCol, opCol)
+        val staging = targetDir + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(tgt, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
