@@ -593,6 +593,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "both sides must partial+final aggregate before the merge")
   }
 
+  test("q166: OHLC is ONE hash aggregate — no window, no join, one scan") {
+    // the struct-min/max fold is the whole point: partial-aggregable
+    // open/close, vs the oracle's row_number-window formulation
+    val p = plan("q166_ohlc_bars")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Window"), "open/close must fold in the agg, not a window")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q167: one events scan feeds the user fold; the 2x2 is a 1-row fold") {
+    val p = plan("q167_ab_lift")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q168: one events scan through one user-keyed lead window") {
+    val p = plan("q168_time_weighted_avg")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert("Window".r.findAllIn(p).size >= 1 && !p.contains("Join"),
+      p.take(2000))
+  }
+
   test("q162: the sketch join never touches a corpus-sized side") {
     // both sketches are ≤ depth×width rows; the inner-product join and
     // the row densification must be broadcast-sized, and the only
