@@ -268,7 +268,10 @@ object ScaleStudy {
     // but the 2×2 contingency fold absorbs it to ONE row; q168: the
     // lead window replicates exactly per disjoint user replica (the
     // q148 exchange shape), the type frame stays bounded
-    "q167_ab_lift", "q168_time_weighted_avg")
+    "q167_ab_lift", "q168_time_weighted_avg",
+    // q170: two user-keyed aggs + one user equi-join, all replica-
+    // exact; the histogram window rides delta cardinality
+    "q170_funnel_latency")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
@@ -327,6 +330,10 @@ object ScaleStudy {
     // aggregation absorbs the 10× orders map-side; the profile frame
     // is a constant 45 cells (q155's shape)
     "q161_benford_digits",
+    // q169: the strided l_orderkey multiplies ORDERS, so per-order
+    // triple generation stays k_o³-bounded while instances grow 10×
+    // and supports concentrate on the same part grid (q141's shape)
+    "q169_frequent_triples",
     // q163: the CDC batch grows 10× (strided seqs over the SAME
     // customers — the max-seq winner is replica 9's, deterministic);
     // the rank window cuts partial top-1 per key, the apply join is

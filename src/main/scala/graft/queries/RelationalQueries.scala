@@ -1222,6 +1222,67 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Frequent 3-itemsets (the A-priori level above q141's pairs):
+    // per-order sorted part sets generate ordered triples ARRAY-SIDE
+    // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
+    // 3-way row join — then one hash agg on the triple key, support
+    // floor, and a TakeOrdered top-K with a full deterministic
+    // tie-break. The oracle is the naive 3-way self-join twin: parity
+    // proves the nested slice/transform generation emits each ordered
+    // triple exactly once.
+    "q169_frequent_triples" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          flatten(transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            (y, j) =>
+              transform(slice(col("ps"), i + j + lit(3), size(col("ps"))),
+                z => struct(x.as("part_a"), y.as("part_b"),
+                  z.as("part_c")))))))).as("tr"))
+        .select(col("tr.part_a"), col("tr.part_b"), col("tr.part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= TripleMinSupport)
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"),
+          col("part_c"))
+        .limit(CoPairTopK)
+    }),
+
+    // Funnel time-to-convert distribution (the product-analytics
+    // latency metric): per user, first click → first purchase AT OR
+    // AFTER it; the delta distribution reported as exact p50/p90/max
+    // through the value-histogram selection kernel (q57's shape) in
+    // epoch micros. Two user-keyed aggs + one user equi-join (the
+    // purchase scan joins the broadcast-sized converting-click frame
+    // only after its own user agg at scale — here the frame is
+    // user-bounded either way); the histogram window rides delta
+    // cardinality, never user rows.
+    "q170_funnel_latency" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val c = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts_us")).as("cts"))
+      val tt = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts_us") >= col("cts"))
+        .groupBy("user_id")
+        .agg((min(col("ts_us")) - min(col("cts"))).as("tt"))
+      val n1 = tt.agg(count(lit(1)).as("n"))
+      val wv = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, 0)
+      tt.groupBy("tt").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(n1))
+        .groupBy()
+        .agg(max(col("n")).as("n_converted"),
+          min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("tt")))
+            .as("p50_us"),
+          min(when(col("cum") >= expr("(90 * n + 99) div 100"), col("tt")))
+            .as("p90_us"),
+          max(col("tt")).as("max_us"))
+    }),
+
     // A/B experiment lift report: users assigned to variants by the
     // deterministic split user_id % 2, conversion = any purchase
     // event; per-variant conversion rates, the rate lift, and the 2×2
@@ -1341,6 +1402,11 @@ object RelationalQueries {
     * rounds (unreached → −1). */
   private[graft] val BfsSeedK = 3
   private[graft] val BfsMaxHops = 4
+
+  /** q169's 3-itemset support floor (2 keeps the report non-trivial at
+    * sf0.01/sf0.1; an empty frontier at sf0.001 is a legitimate
+    * 0-row twin). */
+  private[graft] val TripleMinSupport = 2L
 
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
@@ -1489,6 +1555,49 @@ object RelationalQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(v) AS BIGINT) AS vol_cents
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q169_frequent_triples" ->
+      // the naive 3-way self-join twin with a rank cut (LIMIT-after-
+      // filter has engine-defined order; the rank predicate is the
+      // deterministic form)
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         t3 AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS n_orders
+           FROM li a
+           JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           JOIN li c ON b.l_orderkey = c.l_orderkey
+             AND b.l_partkey < c.l_partkey
+           GROUP BY 1, 2, 3),
+         f AS (SELECT * FROM t3 WHERE n_orders >= $TripleMinSupport),
+         r AS (SELECT *, row_number() OVER (ORDER BY n_orders DESC,
+             part_a, part_b, part_c) AS rn FROM f)
+         SELECT part_a, part_b, part_c, n_orders FROM r
+         WHERE rn <= $CoPairTopK
+         ORDER BY n_orders DESC, part_a, part_b, part_c""",
+    "q170_funnel_latency" ->
+      // same two-agg + histogram-selection recompute in epoch micros
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         c AS (
+           SELECT user_id, min(ts_us) AS cts FROM e
+           WHERE event_type = 'click' GROUP BY 1),
+         tt AS (
+           SELECT e.user_id, min(e.ts_us) - min(c.cts) AS tt
+           FROM e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts_us >= c.cts
+           GROUP BY 1),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt),
+         h AS (SELECT tt, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1),
+         hc AS (SELECT tt, sum(c) OVER (ORDER BY tt
+             ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         SELECT max(n) AS n_converted,
+           min(CASE WHEN cum >= (50 * n + 99) // 100 THEN tt END)
+             AS p50_us,
+           min(CASE WHEN cum >= (90 * n + 99) // 100 THEN tt END)
+             AS p90_us,
+           max(tt) AS max_us
+         FROM hc CROSS JOIN n1""",
     "q167_ab_lift" ->
       // same per-user distinct conversion fold, same exact 2×2
       // algebra; HUGEINT twins DECIMAL(38,0), nullif twins the
