@@ -1222,6 +1222,82 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995 —
+    // the OTHER classic blocking family, complementing the LSH/prefix/
+    // SimHash blockers): sort records by a blocking key, compare each
+    // record only against its next [[SnmWindow]] neighbors in rank
+    // order, verify candidates with exact token-set Jaccard. The rank
+    // window rides the parts-bounded dim frame (the q136/q142
+    // documented shape; at fact scale SNM sorts range-partitioned and
+    // windows within partitions + boundary overlap); the neighbor
+    // join is an equi-join on rank+offset — W·N candidates, never N².
+    // Offsets come from a tiny exploded literal array, so the pair
+    // stream stays a single narrow plan.
+    "q171_sorted_neighborhood" -> ((s, dir) => {
+      val toks = (c: org.apache.spark.sql.Column) =>
+        array_distinct(split(c, " "))
+      val r = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("p_name"), col("p_partkey"))))
+      val offs = explode(array((1 to SnmWindow).map(lit): _*)).as("off")
+      val left = r.select(col("rn"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"), offs)
+        .withColumn("rn2", col("rn") + col("off"))
+      left.join(r.select(col("rn").as("rn2"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b")),
+          Seq("rn2"))
+        .withColumn("inter",
+          size(array_intersect(toks(col("name_a")), toks(col("name_b")))))
+        .withColumn("j_mills", expr(
+          """(1000 * inter) div (size(array_distinct(split(name_a, ' ')))
+             + size(array_distinct(split(name_b, ' '))) - inter)"""))
+        .where(col("j_mills") >= SnmMinJaccardMills)
+        .select(col("id_a"), col("id_b"), col("j_mills"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Referential-integrity audit (the ETL data-quality gate a
+    // warehouse runs after every load): orphan counts for every FK
+    // edge of the star schema plus the soft events→customer edge —
+    // each edge is ONE left join + conditional count (small dims
+    // broadcast; the lineitem→orders edge is deliberately a shuffle
+    // join — both sides corpus-sized), unioned into a bounded report.
+    // The events edge exercises the orphan branch for real (user ids
+    // outside the customer key range).
+    "q172_fk_audit" -> ((s, dir) => {
+      def edge(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val d0 = dim.select(col(pk).as("__pk")).distinct()
+        val d = if (bcast) broadcast(d0) else d0
+        fact.select(col(fk).as("__fk"))
+          .join(d, col("__fk") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L))
+              .as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_rows"),
+            col("n_orphans"), (col("n_orphans") === 0L).as("ok"))
+      }
+      val li = t(s, dir, "lineitem")
+      Seq(
+        edge("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true),
+        edge("events.user_id->customer", t(s, dir, "events"),
+          "user_id", t(s, dir, "customer"), "c_custkey", bcast = true),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", bcast = false),
+        edge("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey", bcast = true),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey", bcast = true),
+        edge("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey", bcast = true),
+        edge("supplier.s_nationkey->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true)
+      ).reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1408,6 +1484,13 @@ object RelationalQueries {
     * 0-row twin). */
   private[graft] val TripleMinSupport = 2L
 
+  /** q171's sorted-neighborhood geometry: compare each record against
+    * its next [[SnmWindow]] rank neighbors; keep pairs with token-set
+    * Jaccard ≥ [[SnmMinJaccardMills]] (333 = one shared token of
+    * two-token names). */
+  private[graft] val SnmWindow = 3
+  private[graft] val SnmMinJaccardMills = 333L
+
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
     * ARRAY-SIDE (pair mass Σ k_o², never |lineitem|²) → one pair-key
@@ -1555,6 +1638,60 @@ object RelationalQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(v) AS BIGINT) AS vol_cents
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q171_sorted_neighborhood" ->
+      // same rank window + offset join; intersection via
+      // list_filter/list_contains (ta is distinct so the filter count
+      // IS |∩|), union by inclusion-exclusion — the exact twin of
+      // array_intersect/array_distinct
+      s"""WITH r AS (
+           SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+           FROM part),
+         pr AS (
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             list_distinct(string_split(a.p_name, ' ')) AS ta,
+             list_distinct(string_split(b.p_name, ' ')) AS tb
+           FROM r a JOIN r b
+             ON b.rn BETWEEN a.rn + 1 AND a.rn + $SnmWindow),
+         j AS (
+           SELECT id_a, id_b,
+             CAST(len(list_filter(ta, x -> list_contains(tb, x)))
+               AS BIGINT) AS inter,
+             CAST(len(ta) + len(tb) AS BIGINT) AS stot
+           FROM pr)
+         SELECT id_a, id_b,
+           (1000 * inter) // (stot - inter) AS j_mills
+         FROM j WHERE (1000 * inter) // (stot - inter)
+           >= $SnmMinJaccardMills
+         ORDER BY id_a, id_b""",
+    "q172_fk_audit" -> {
+      def edgeSql(name: String, fact: String, fk: String,
+          dim: String, pk: String): String =
+        s"""SELECT '$name' AS fk_edge,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+              sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+            FROM $fact f
+            LEFT JOIN (SELECT DISTINCT $pk FROM $dim) d
+              ON f.$fk = d.$pk"""
+      Seq(
+        edgeSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"),
+        edgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey")
+      ).mkString(" UNION ALL ") + " ORDER BY fk_edge"
+    },
     "q169_frequent_triples" ->
       // the naive 3-way self-join twin with a rank cut (LIMIT-after-
       // filter has engine-defined order; the rank predicate is the
