@@ -615,6 +615,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q171: SNM pairs come from an explode + equi-join, never a range join") {
+    // the whole point of sorted-neighborhood blocking is W·N candidate
+    // pairs via an equi-join on rank+offset; a BroadcastNestedLoopJoin
+    // (the `BETWEEN rn+1 AND rn+w` range shape the oracle uses) would
+    // be the N² scan the blocker exists to avoid
+    val p = plan("q171_sorted_neighborhood")
+    assert(p.contains("Generate explode"),
+      s"offsets must be an exploded literal array:\n${p.take(2000)}")
+    assert(!p.contains("NestedLoop"),
+      s"neighbor pairing must be an equi-join on rank+offset:\n${p.take(2000)}")
+  }
+
+  test("q172: six dim edges broadcast; lineitem->orders stays a shuffle join") {
+    // each FK edge is ONE left join + conditional count; the six
+    // small-dim edges must broadcast BY HINT, and the one
+    // corpus-x-corpus edge (lineitem->orders) must NOT be hinted —
+    // broadcasting orders at 100 TB would OOM every executor. At test
+    // SF the size threshold would broadcast orders too, so disable it:
+    // what survives is exactly the explicit contract.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q172_fk_audit")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 6, p.take(3000))
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+        s"lineitem->orders must be a shuffle join:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("q162: the sketch join never touches a corpus-sized side") {
     // both sketches are ≤ depth×width rows; the inner-product join and
     // the row densification must be broadcast-sized, and the only
