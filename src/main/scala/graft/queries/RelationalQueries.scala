@@ -1298,6 +1298,165 @@ object RelationalQueries {
         .orderBy("fk_edge")
     }),
 
+    // Column profiling (the Deequ/Great-Expectations analyzer a
+    // warehouse runs on every new dataset): per-column row count, null
+    // count, exact distinct count, string min/max, and the modal value
+    // with its frequency. The scalable shape is ONE unpivot (stack) to
+    // (col_name, value) rows followed by a TWO-LEVEL hash aggregate —
+    // level 1 groups (col_name, value) so the per-column distinct/top
+    // never needs a distinct agg or a window over the corpus; level 2
+    // folds the bounded (col_name, value)-cardinality frame. Values
+    // are profiled as strings (the profiler's universal domain); the
+    // nullable derived column exercises the null branch for real.
+    // Modal tie-break: max(struct(cnt, v)) — highest count, then
+    // highest value, deterministic in both engines.
+    "q173_column_profile" -> ((s, dir) => {
+      val long = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_custkey").cast("string").as("o_custkey_s"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          when(col("o_orderstatus") === "F", lit(null: String))
+            .otherwise(col("o_orderstatus")).as("o_status_nullable"))
+        .selectExpr("""stack(5,
+          'o_orderstatus', o_orderstatus,
+          'o_orderpriority', o_orderpriority,
+          'o_custkey', o_custkey_s,
+          'o_orderdate', o_orderdate_s,
+          'o_status_nullable', o_status_nullable) AS (col_name, v)""")
+      long.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(
+          sum(col("c")).as("n_rows"),
+          sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          max(when(col("v").isNotNull, struct(col("c"), col("v"))))
+            .as("top"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"),
+          col("top.v").as("top_v"), col("top.c").as("top_n"))
+        .orderBy("col_name")
+    }),
+
+    // Join-key skew diagnostics (the report that sizes
+    // operators/SkewJoin.scala's salting): per-key frequencies, the
+    // top-[[SkewTopK]] hottest keys with their corpus share in mills,
+    // and the salt factor = ceil(cnt / avg) that would flatten each
+    // key to the mean partition load. One key-keyed hash agg absorbs
+    // the corpus; the rank window cuts partial top-k per partition
+    // (WindowGroupLimit) before the single-key exchange; the totals
+    // frame is 1 row, broadcast.
+    "q174_skew_report" -> ((s, dir) => {
+      val k = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = k.agg(sum(col("cnt")).as("n_total"),
+        count(lit(1)).as("n_keys"))
+      k.withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("user_id"))))
+        .where(col("rk") <= SkewTopK)
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("user_id"), col("cnt"),
+          expr("(1000 * cnt) div n_total").as("share_mills"),
+          expr("(cnt * n_keys + n_total - 1) div n_total")
+            .as("salt_factor"))
+        .orderBy("rk")
+    }),
+
+    // Multi-step funnel (view → click → purchase, strictly ordered
+    // within user): a user clears step k only with an event chain
+    // t_view ≤ t_click ≤ t_purchase — greedy earliest-feasible
+    // timestamps are existence-optimal, so step k is ONE conditional
+    // min over events ≥ the step-(k−1) anchor. Three user-keyed aggs
+    // chained by user equi-joins (one-row-per-user frames — corpus
+    // cardinality, deliberately shuffle joins, never broadcast); the
+    // final report folds three 1-row counts with exact mills rates.
+    "q175_funnel_steps" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("vts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts_us") >= col("vts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("cts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts_us") >= col("cts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("pts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          expr("(1000 * n_click) div n_view").as("conv_vc_mills"),
+          expr("(1000 * n_purchase) div n_click").as("conv_cp_mills"),
+          expr("(1000 * n_purchase) div n_view").as("conv_vp_mills"))
+    }),
+
+    // Retention cohort matrix (the product-analytics staple): cohort =
+    // a user's first active calendar week (absolute epoch-week index —
+    // exact integer day div 7, no engine week-of-year semantics), age
+    // = weeks since cohort; cell = distinct active users, retention in
+    // mills of the cohort size. Shape: one user-keyed min agg, one
+    // user equi-join back to events (corpus-sized, shuffle), a
+    // (cohort, age, user) distinct, then a bounded
+    // calendar-weeks² matrix; cohort sizes join back as a broadcast
+    // (bounded by calendar weeks).
+    "q176_retention_cohorts" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
+        .select(col("user_id"),
+          expr("ts_us div 86400000000 div 7").as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = first.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("n_cohort"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_wk", "age_weeks").agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("age_weeks"), col("n_active"),
+          col("n_cohort"),
+          expr("(1000 * n_active) div n_cohort").as("retention_mills"))
+        .orderBy("cohort_wk", "age_weeks")
+    }),
+
+    // Distribution-drift report (the ML-ops gate between two load
+    // periods): orders split at the exact midpoint day of the date
+    // range (1-row min/max agg, broadcast), o_totalprice histogrammed
+    // into fixed [[DriftBinCents]]-wide bins, per-bin period shares in
+    // exact mills and their absolute gap, plus the total-variation
+    // distance (TVD = Σ|p−q| div 2) repeated per row via one window
+    // over the BOUNDED bin frame. Everything is exact integer math —
+    // no logs, no float shares — so the gate is reproducible across
+    // engines.
+    "q177_drift_report" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(o_orderdate AS DATE)").as("d"))
+      val anchor = o.agg(
+        expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
+          .as("mid_day"))
+      val binned = o.crossJoin(broadcast(anchor))
+        .select(
+          expr(s"price_cents div $DriftBinCents").as("bin"),
+          when(expr("datediff(d, DATE '1970-01-01')") < col("mid_day"), lit(1L))
+            .otherwise(lit(0L)).as("in_a"))
+        .groupBy("bin")
+        .agg(sum(col("in_a")).as("n_a"),
+          sum(lit(1L) - col("in_a")).as("n_b"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      binned
+        .crossJoin(broadcast(binned.agg(
+          sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          expr("(1000 * n_a) div tot_a").as("share_a_mills"),
+          expr("(1000 * n_b) div tot_b").as("share_b_mills"))
+        .withColumn("gap_mills",
+          abs(col("share_a_mills") - col("share_b_mills")))
+        .withColumn("tvd_mills",
+          (sum(col("gap_mills")).over(w) / 2).cast("long"))
+        .orderBy("bin")
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1490,6 +1649,13 @@ object RelationalQueries {
     * two-token names). */
   private[graft] val SnmWindow = 3
   private[graft] val SnmMinJaccardMills = 333L
+
+  /** q174's hot-key report depth. */
+  private[graft] val SkewTopK = 10
+
+  /** q177's fixed histogram bin width: $25,000 in cents (~20 bins over
+    * the TPC-H totalprice range). */
+  private[graft] val DriftBinCents = 2500000L
 
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
@@ -1692,6 +1858,124 @@ object RelationalQueries {
           "nation", "n_nationkey")
       ).mkString(" UNION ALL ") + " ORDER BY fk_edge"
     },
+    "q173_column_profile" ->
+      // same unpivot + two-level aggregate; the modal tie-break is the
+      // row_number twin of max(struct(c, v))
+      """WITH long AS (
+           SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+           UNION ALL SELECT 'o_status_nullable', nullif(o_orderstatus, 'F') FROM orders),
+         g AS (
+           SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+           FROM long GROUP BY 1, 2),
+         top AS (
+           SELECT col_name, v, c,
+             row_number() OVER (PARTITION BY col_name
+               ORDER BY c DESC, v DESC) AS rn
+           FROM g WHERE v IS NOT NULL),
+         lvl2 AS (
+           SELECT col_name,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+             min(v) AS min_v, max(v) AS max_v
+           FROM g GROUP BY 1)
+         SELECT l.col_name, l.n_rows, l.n_null, l.n_distinct,
+           l.min_v, l.max_v, t.v AS top_v, t.c AS top_n
+         FROM lvl2 l JOIN top t ON l.col_name = t.col_name AND t.rn = 1
+         ORDER BY l.col_name""",
+    "q174_skew_report" ->
+      s"""WITH k AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM k),
+         r AS (
+           SELECT user_id, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+               AS BIGINT) AS rk
+           FROM k)
+         SELECT rk, user_id, cnt,
+           (1000 * cnt) // n_total AS share_mills,
+           (cnt * n_keys + n_total - 1) // n_total AS salt_factor
+         FROM r, tot WHERE rk <= $SkewTopK ORDER BY rk""",
+    "q175_funnel_steps" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         v AS (
+           SELECT user_id, min(ts_us) AS vts FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts_us) AS cts
+           FROM e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts_us >= v.vts GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts_us) AS pts
+           FROM e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us >= c.cts GROUP BY 1)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           (1000 * (SELECT count(*) FROM c))
+             // (SELECT count(*) FROM v) AS conv_vc_mills,
+           (1000 * (SELECT count(*) FROM p))
+             // (SELECT count(*) FROM c) AS conv_cp_mills,
+           (1000 * (SELECT count(*) FROM p))
+             // (SELECT count(*) FROM v) AS conv_vp_mills""",
+    "q176_retention_cohorts" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+         sz AS (
+           SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
+           FROM f GROUP BY 1),
+         act AS (
+           SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS age_weeks,
+             e.user_id
+           FROM e JOIN f ON e.user_id = f.user_id),
+         m AS (
+           SELECT cohort_wk, age_weeks, CAST(count(*) AS BIGINT) AS n_active
+           FROM act GROUP BY 1, 2)
+         SELECT m.cohort_wk, m.age_weeks, m.n_active, sz.n_cohort,
+           (1000 * m.n_active) // sz.n_cohort AS retention_mills
+         FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk
+         ORDER BY m.cohort_wk, m.age_weeks""",
+    "q177_drift_report" ->
+      s"""WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day FROM orders),
+         anchor AS (
+           SELECT (min(day) + max(day)) // 2 AS mid_day FROM o),
+         b AS (
+           SELECT price_cents // $DriftBinCents AS bin,
+             CASE WHEN day < (SELECT mid_day FROM anchor)
+               THEN 1 ELSE 0 END AS in_a
+           FROM o),
+         h AS (
+           SELECT bin, CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - in_a) AS BIGINT) AS n_b
+           FROM b GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+             CAST(sum(n_b) AS BIGINT) AS tot_b FROM h),
+         sh AS (
+           SELECT bin, n_a, n_b,
+             (1000 * n_a) // tot_a AS share_a_mills,
+             (1000 * n_b) // tot_b AS share_b_mills,
+             abs((1000 * n_a) // tot_a - (1000 * n_b) // tot_b)
+               AS gap_mills
+           FROM h, tot)
+         SELECT bin, n_a, n_b, share_a_mills, share_b_mills, gap_mills,
+           CAST(sum(gap_mills) OVER () // 2 AS BIGINT) AS tvd_mills
+         FROM sh ORDER BY bin""",
     "q169_frequent_triples" ->
       // the naive 3-way self-join twin with a rank cut (LIMIT-after-
       // filter has engine-defined order; the rank predicate is the
