@@ -1363,60 +1363,26 @@ object RelationalQueries {
         .orderBy("rk")
     }),
 
-    // Multi-step funnel (view → click → purchase, strictly ordered
-    // within user): a user clears step k only with an event chain
-    // t_view ≤ t_click ≤ t_purchase — greedy earliest-feasible
-    // timestamps are existence-optimal, so step k is ONE conditional
-    // min over events ≥ the step-(k−1) anchor. Three user-keyed aggs
-    // chained by user equi-joins (one-row-per-user frames — corpus
-    // cardinality, deliberately shuffle joins, never broadcast); the
-    // final report folds three 1-row counts with exact mills rates.
+    // Funnel conversion-rate report: the aggregate layer over the
+    // gated Funnel.funnel operator (q119's kernel, REUSED not forked
+    // — a different step set, view → click → purchase, and the
+    // summary the analyst actually reads). stage ≥ k counts fold the
+    // one-row-per-user funnel frame to ONE row; step-to-step and
+    // end-to-end conversion in exact mills.
     "q175_funnel_steps" -> ((s, dir) => {
       val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
         .select(col("user_id"), col("event_type"), col("ts_us"))
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts_us")).as("vts"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, Seq("user_id")).where(col("ts_us") >= col("vts"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("cts"))
-      val p = ev.where(col("event_type") === "purchase")
-        .join(c, Seq("user_id")).where(col("ts_us") >= col("cts"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("pts"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
-        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      graft.operators.Funnel
+        .funnel(ev, "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .agg(
+          sum(when(col("stage") >= 1L, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("stage") >= 2L, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("stage") >= 3L, 1L).otherwise(0L)).as("n_purchase"))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
           expr("(1000 * n_click) div n_view").as("conv_vc_mills"),
           expr("(1000 * n_purchase) div n_click").as("conv_cp_mills"),
           expr("(1000 * n_purchase) div n_view").as("conv_vp_mills"))
-    }),
-
-    // Retention cohort matrix (the product-analytics staple): cohort =
-    // a user's first active calendar week (absolute epoch-week index —
-    // exact integer day div 7, no engine week-of-year semantics), age
-    // = weeks since cohort; cell = distinct active users, retention in
-    // mills of the cohort size. Shape: one user-keyed min agg, one
-    // user equi-join back to events (corpus-sized, shuffle), a
-    // (cohort, age, user) distinct, then a bounded
-    // calendar-weeks² matrix; cohort sizes join back as a broadcast
-    // (bounded by calendar weeks).
-    "q176_retention_cohorts" -> ((s, dir) => {
-      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
-        .select(col("user_id"),
-          expr("ts_us div 86400000000 div 7").as("wk"))
-      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-      val sizes = first.groupBy("cohort_wk")
-        .agg(count(lit(1)).as("n_cohort"))
-      ev.join(first, Seq("user_id"))
-        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"),
-          col("user_id"))
-        .distinct()
-        .groupBy("cohort_wk", "age_weeks").agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), Seq("cohort_wk"))
-        .select(col("cohort_wk"), col("age_weeks"), col("n_active"),
-          col("n_cohort"),
-          expr("(1000 * n_active) div n_cohort").as("retention_mills"))
-        .orderBy("cohort_wk", "age_weeks")
     }),
 
     // Distribution-drift report (the ML-ops gate between two load
@@ -1905,6 +1871,8 @@ object RelationalQueries {
            (cnt * n_keys + n_total - 1) // n_total AS salt_factor
          FROM r, tot WHERE rk <= $SkewTopK ORDER BY rk""",
     "q175_funnel_steps" ->
+      // the strictly-after (ts > prev) iterated-min recompute of
+      // Funnel.funnel, folded to the one-row rate report
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
          v AS (
@@ -1913,11 +1881,11 @@ object RelationalQueries {
          c AS (
            SELECT e.user_id, min(e.ts_us) AS cts
            FROM e JOIN v ON e.user_id = v.user_id
-           WHERE e.event_type = 'click' AND e.ts_us >= v.vts GROUP BY 1),
+           WHERE e.event_type = 'click' AND e.ts_us > v.vts GROUP BY 1),
          p AS (
            SELECT e.user_id, min(e.ts_us) AS pts
            FROM e JOIN c ON e.user_id = c.user_id
-           WHERE e.event_type = 'purchase' AND e.ts_us >= c.cts GROUP BY 1)
+           WHERE e.event_type = 'purchase' AND e.ts_us > c.cts GROUP BY 1)
          SELECT
            (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
            (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
@@ -1928,25 +1896,6 @@ object RelationalQueries {
              // (SELECT count(*) FROM c) AS conv_cp_mills,
            (1000 * (SELECT count(*) FROM p))
              // (SELECT count(*) FROM v) AS conv_vp_mills""",
-    "q176_retention_cohorts" ->
-      """WITH e AS (
-           SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk
-           FROM events),
-         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
-         sz AS (
-           SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
-           FROM f GROUP BY 1),
-         act AS (
-           SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS age_weeks,
-             e.user_id
-           FROM e JOIN f ON e.user_id = f.user_id),
-         m AS (
-           SELECT cohort_wk, age_weeks, CAST(count(*) AS BIGINT) AS n_active
-           FROM act GROUP BY 1, 2)
-         SELECT m.cohort_wk, m.age_weeks, m.n_active, sz.n_cohort,
-           (1000 * m.n_active) // sz.n_cohort AS retention_mills
-         FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk
-         ORDER BY m.cohort_wk, m.age_weeks""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
