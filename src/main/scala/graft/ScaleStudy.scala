@@ -271,7 +271,11 @@ object ScaleStudy {
     "q167_ab_lift", "q168_time_weighted_avg",
     // q170: two user-keyed aggs + one user equi-join, all replica-
     // exact; the histogram window rides delta cardinality
-    "q170_funnel_latency")
+    "q170_funnel_latency",
+    // q174: the per-key agg absorbs the 10× rows map-side (disjoint
+    // user replicas → 10× keys with the same per-key counts); the
+    // top-k is a TakeOrdered cut and the totals reuse the agg exchange
+    "q174_skew_report")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
@@ -338,7 +342,17 @@ object ScaleStudy {
     // customers — the max-seq winner is replica 9's, deterministic);
     // the rank window cuts partial top-1 per key, the apply join is
     // customer-bounded — growth is the batch scan + rank exchange
-    "q163_cdc_apply")
+    "q163_cdc_apply",
+    // q173: 10× orders copy status/priority/date verbatim over the
+    // SAME customers, so the level-1 (col, value) support is constant
+    // with 10× counts — partial aggregation absorbs the growth
+    // map-side and the struct-max level-2 rides the bounded frame
+    "q173_column_profile",
+    // q177: same verbatim-copy argument — the bin histogram keeps its
+    // ~20-bin support with 10× counts, the midpoint anchor is
+    // replica-invariant, and both corpus passes are map-side-combined
+    // scans; the checkpointed bin frame bounds everything downstream
+    "q177_drift_report")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -1401,6 +1401,10 @@ object RelationalQueries {
       val anchor = o.agg(
         expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
           .as("mid_day"))
+      // the ~20-row bin frame is referenced by both the totals fold
+      // and the share projection — eagerly checkpoint it (the q153
+      // doubly-referenced-frame rule) so orders scans exactly twice
+      // (anchor + histogram), never once per downstream reference
       val binned = o.crossJoin(broadcast(anchor))
         .select(
           expr(s"price_cents div $DriftBinCents").as("bin"),
@@ -1409,6 +1413,7 @@ object RelationalQueries {
         .groupBy("bin")
         .agg(sum(col("in_a")).as("n_a"),
           sum(lit(1L) - col("in_a")).as("n_b"))
+        .localCheckpoint(true)
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       binned
         .crossJoin(broadcast(binned.agg(

@@ -644,6 +644,53 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q173: profiling is one scan + stack, no join, no corpus window") {
+    // the profiler's promise: per-column distinct and mode come from
+    // the level-1 (col, value) hash aggregate — never a distinct agg
+    // or a window over the corpus. The struct-max level-2 runs as a
+    // partial+final SortAggregate over the value-bounded frame.
+    val p = plan("q173_column_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), "no corpus-wide window in a profiler")
+    assert(p.contains("Generate"), "expected the stack unpivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "level-1 must partial+final hash aggregate")
+    assert("SortAggregate".r.findAllIn(p).size >= 2,
+      "level-2 struct-max must partial-aggregate before its exchange")
+  }
+
+  test("q174: top-k is a TakeOrdered cut and the totals reuse the key agg") {
+    // skewReport's promise: the rank never globally sorts the key
+    // frame (TakeOrderedAndProject caps it at k per partition), and
+    // the 1-row totals fold must REUSE the per-key aggregate's
+    // exchange, not re-scan events (reuse materializes only in the
+    // final adaptive plan — execute first)
+    val p = plan("q174_skew_report")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"rank must cut partial top-k:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    val df = SparkEntry.queries("q174_skew_report")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      "totals branch must reuse the per-key agg exchange:\n" + fp.take(3000))
+  }
+
+  test("q177: drift joins are broadcast-only and the bin frame is reused") {
+    // the report's promise: the corpus is scanned for the anchor and
+    // the histogram — never again for totals (the bounded bin frame's
+    // exchange is reused); every join carries a 1-row or bin-bounded
+    // side, so nothing may sort-merge
+    val df = SparkEntry.queries("q177_drift_report")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(!fp.contains("CartesianProduct"), fp.take(3000))
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"orders must scan at most twice (anchor + histogram):\n${fp.take(3000)}")
+  }
+
   test("q162: the sketch join never touches a corpus-sized side") {
     // both sketches are ≤ depth×width rows; the inner-product join and
     // the row densification must be broadcast-sized, and the only
