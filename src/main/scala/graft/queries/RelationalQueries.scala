@@ -1428,6 +1428,132 @@ object RelationalQueries {
         .orderBy("bin")
     }),
 
+    // Equi-depth discretizer (the ML feature-prep staple): k-quantile
+    // boundaries computed EXACTLY via the q57 histogram-selection
+    // kernel (value at rank ceil(i·n/k) — the window rides value
+    // cardinality, never rows), then rows are assigned bin = number of
+    // boundaries strictly below the value via ONE broadcast array
+    // (k−1 longs) and a codegen'd filter+size — no range join, no
+    // per-row boundary shuffle. Report = per-bin counts and value
+    // ranges (≈ n/k each by construction; duplicates make the
+    // imbalance visible and deterministic).
+    "q178_equidepth_bins" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+      val hist = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wv))
+        .withColumn("n", sum(col("cnt")).over(wall))
+      // boundary i (1..k-1) = smallest value whose cum ≥ ceil(i·n/k)
+      val bounds = cum
+        .select(explode(array((1 until EquiDepthK).map(lit): _*)).as("i"),
+          col("v"), col("cum"), col("n"))
+        .where(col("cum") >= expr(s"(i * n + ${EquiDepthK - 1}) div $EquiDepthK"))
+        .groupBy("i").agg(min(col("v")).as("b"))
+        .agg(sort_array(collect_list(col("b"))).as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .select(col("v"),
+          size(filter(col("bs"), b => b < col("v"))).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+        .orderBy("bin")
+    }),
+
+    // Dimension-coverage audit (q172's complement — the OTHER
+    // direction of referential quality): for each dimension, how many
+    // members are actually referenced by the fact table. One distinct
+    // hash agg on the fact FK (output ≤ dim cardinality), one left
+    // join dim←refs (dim-sized both sides, un-hinted — AQE broadcasts
+    // while it fits), a conditional-count fold per edge, unioned into
+    // a bounded report.
+    "q179_dim_coverage" -> ((s, dir) => {
+      def edge(name: String, dim: DataFrame, pk: String,
+          fact: DataFrame, fk: String): DataFrame = {
+        val refs = fact.select(col(fk).as("__ref")).distinct()
+        dim.select(col(pk).as("__pk"))
+          .join(refs, col("__pk") === col("__ref"), "left")
+          .agg(count(lit(1)).as("n_members"),
+            count(col("__ref")).as("n_referenced"))
+          .select(lit(name).as("dim_edge"), col("n_members"),
+            col("n_referenced"),
+            expr("(1000 * n_referenced) div n_members")
+              .as("coverage_mills"))
+      }
+      val li = t(s, dir, "lineitem")
+      Seq(
+        edge("customer<-orders", t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey"),
+        edge("customer<-events", t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "events"), "user_id"),
+        edge("nation<-customer", t(s, dir, "nation"), "n_nationkey",
+          t(s, dir, "customer"), "c_nationkey"),
+        edge("part<-lineitem", t(s, dir, "part"), "p_partkey",
+          li, "l_partkey"),
+        edge("supplier<-lineitem", t(s, dir, "supplier"), "s_suppkey",
+          li, "l_suppkey")
+      ).reduce(_ unionByName _)
+        .orderBy("dim_edge")
+    }),
+
+    // "Also bought" recommendation table (the serving layer over
+    // q141's co-purchase kernel, REUSED not forked): symmetrize the
+    // ordered pair supports, keep pairs at the q141 support floor,
+    // then top-[[AlsoBoughtK]] neighbors per part — the rank filter
+    // cuts partial top-k per partition (WindowGroupLimit) before the
+    // part-keyed exchange. Deterministic tie-break (support desc,
+    // neighbor asc).
+    "q180_also_bought" -> ((s, dir) => {
+      val pairs = coPairCounts(s, dir)
+        .where(col("n_orders") >= CoPairMinSupport)
+      val sym = pairs
+        .select(col("part_a").as("p"), col("part_b").as("rec"),
+          col("n_orders"))
+        .unionByName(pairs.select(col("part_b").as("p"),
+          col("part_a").as("rec"), col("n_orders")))
+      sym.withColumn("rk", row_number().over(
+          Window.partitionBy("p")
+            .orderBy(col("n_orders").desc, col("rec"))))
+        .where(col("rk") <= AlsoBoughtK)
+        .select(col("p"), col("rk"), col("rec"), col("n_orders"))
+        .orderBy("p", "rk")
+    }),
+
+    // Winsorized statistics (robust feature prep): per event type,
+    // p01/p99 boundaries via the q57 histogram-selection kernel, then
+    // the clipped mean computed FROM THE HISTOGRAM itself —
+    // sum(clamp(v)·cnt) — so the corpus is scanned exactly once and
+    // everything downstream rides the (type × value) histogram frame.
+    // Mean and winsorized mean in exact floored cents.
+    "q181_winsorized_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val hist = ev.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("event_type")
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wv))
+        .withColumn("n", sum(col("cnt")).over(wt))
+      val lo = cum.where(col("cum") >= expr("(1 * n + 99) div 100"))
+        .groupBy("event_type").agg(min(col("cents")).as("lo_cents"))
+      val hi = cum.where(col("cum") >= expr("(99 * n + 99) div 100"))
+        .groupBy("event_type").agg(min(col("cents")).as("hi_cents"))
+      hist.join(broadcast(lo), Seq("event_type"))
+        .join(broadcast(hi), Seq("event_type"))
+        .withColumn("clipped",
+          greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("n_events"),
+          max(col("lo_cents")).as("lo_cents"),
+          max(col("hi_cents")).as("hi_cents"),
+          expr("sum(cents * cnt) div sum(cnt)").as("mean_cents"),
+          expr("sum(clipped * cnt) div sum(cnt)").as("wmean_cents"))
+        .orderBy("event_type")
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1623,6 +1749,12 @@ object RelationalQueries {
 
   /** q174's hot-key report depth. */
   private[graft] val SkewTopK = 10
+
+  /** q178's bin count (deciles). */
+  private[graft] val EquiDepthK = 10
+
+  /** q180's recommendations per part. */
+  private[graft] val AlsoBoughtK = 3
 
   /** q177's fixed histogram bin width: $25,000 in cents (~20 bins over
     * the TPC-H totalprice range). */
@@ -1901,6 +2033,99 @@ object RelationalQueries {
              // (SELECT count(*) FROM c) AS conv_cp_mills,
            (1000 * (SELECT count(*) FROM p))
              // (SELECT count(*) FROM v) AS conv_vp_mills""",
+    "q178_equidepth_bins" ->
+      // same histogram-selection boundaries; bin assignment via a
+      // correlated boundary count — the twin of size(filter(bs, <))
+      s"""WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+         c AS (
+           SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM h),
+         bidx AS (SELECT unnest(range(1, $EquiDepthK)) AS i),
+         bset AS (
+           SELECT i, min(v) AS b FROM bidx, c
+           WHERE cum >= (i * n + ${EquiDepthK - 1}) // $EquiDepthK
+           GROUP BY i),
+         a AS (
+           SELECT v,
+             (SELECT CAST(count(*) AS BIGINT) FROM bset WHERE bset.b < o.v)
+               AS bin
+           FROM o)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+           min(v) AS min_cents, max(v) AS max_cents
+         FROM a GROUP BY 1 ORDER BY 1""",
+    "q179_dim_coverage" -> {
+      def edgeSql(name: String, dim: String, pk: String,
+          fact: String, fk: String): String =
+        s"""SELECT '$name' AS dim_edge,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(count(r.$fk) AS BIGINT) AS n_referenced,
+              (1000 * count(r.$fk)) // count(*) AS coverage_mills
+            FROM $dim d
+            LEFT JOIN (SELECT DISTINCT $fk FROM $fact) r
+              ON d.$pk = r.$fk"""
+      Seq(
+        edgeSql("customer<-orders", "customer", "c_custkey",
+          "orders", "o_custkey"),
+        edgeSql("customer<-events", "customer", "c_custkey",
+          "events", "user_id"),
+        edgeSql("nation<-customer", "nation", "n_nationkey",
+          "customer", "c_nationkey"),
+        edgeSql("part<-lineitem", "part", "p_partkey",
+          "lineitem", "l_partkey"),
+        edgeSql("supplier<-lineitem", "supplier", "s_suppkey",
+          "lineitem", "l_suppkey")
+      ).mkString(" UNION ALL ") + " ORDER BY dim_edge"
+    },
+    "q180_also_bought" ->
+      s"""WITH $coPairSql,
+         fp AS (SELECT * FROM cp WHERE n_orders >= $CoPairMinSupport),
+         sym AS (
+           SELECT part_a AS p, part_b AS rec, n_orders FROM fp
+           UNION ALL
+           SELECT part_b AS p, part_a AS rec, n_orders FROM fp),
+         r AS (
+           SELECT p, rec, n_orders,
+             row_number() OVER (PARTITION BY p
+               ORDER BY n_orders DESC, rec) AS rk
+           FROM sym)
+         SELECT p, rk, rec, n_orders FROM r
+         WHERE rk <= $AlsoBoughtK ORDER BY p, rk""",
+    "q181_winsorized_stats" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         h AS (
+           SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+           FROM ev GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM h),
+         lo AS (
+           SELECT event_type, min(cents) AS lo_cents FROM c
+           WHERE cum >= (1 * n + 99) // 100 GROUP BY 1),
+         hi AS (
+           SELECT event_type, min(cents) AS hi_cents FROM c
+           WHERE cum >= (99 * n + 99) // 100 GROUP BY 1)
+         SELECT h.event_type,
+           CAST(sum(h.cnt) AS BIGINT) AS n_events,
+           max(lo.lo_cents) AS lo_cents,
+           max(hi.hi_cents) AS hi_cents,
+           sum(h.cents * h.cnt) // sum(h.cnt) AS mean_cents,
+           sum(greatest(least(h.cents, hi.hi_cents), lo.lo_cents) * h.cnt)
+             // sum(h.cnt) AS wmean_cents
+         FROM h
+         JOIN lo ON h.event_type = lo.event_type
+         JOIN hi ON h.event_type = hi.event_type
+         GROUP BY 1 ORDER BY 1""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
