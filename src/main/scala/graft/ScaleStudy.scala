@@ -275,7 +275,12 @@ object ScaleStudy {
     // q174: the per-key agg absorbs the 10× rows map-side (disjoint
     // user replicas → 10× keys with the same per-key counts); the
     // top-k is a TakeOrdered cut and the totals reuse the agg exchange
-    "q174_skew_report")
+    "q174_skew_report",
+    // q181: replicas copy values verbatim — the (type, cents)
+    // histogram keeps its support with 10× counts, boundaries are
+    // replica-invariant, and the clipped fold rides the histogram
+    // (one corpus scan, runtime-reused exchange — plan-contract)
+    "q181_winsorized_stats")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
@@ -352,7 +357,11 @@ object ScaleStudy {
     // ~20-bin support with 10× counts, the midpoint anchor is
     // replica-invariant, and both corpus passes are map-side-combined
     // scans; the checkpointed bin frame bounds everything downstream
-    "q177_drift_report")
+    "q177_drift_report",
+    // q178: verbatim-copied prices keep the value-histogram support
+    // constant with 10× counts → replica-invariant decile boundaries;
+    // growth is the two scans (histogram + broadcast-probe assignment)
+    "q178_equidepth_bins")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */

@@ -691,6 +691,46 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"orders must scan at most twice (anchor + histogram):\n${fp.take(3000)}")
   }
 
+  test("q178: bin assignment is a broadcast array probe, never a range join") {
+    // the discretizer's promise: rows meet the k−1 boundaries through
+    // ONE broadcast of a collected array (a 1-row frame) and a
+    // codegen'd filter+size — a SortMergeJoin or per-row boundary
+    // shuffle here would ship the corpus for 9 longs
+    val df = SparkEntry.queries("q178_equidepth_bins")(spark, dir)
+    df.collect()
+    // adaptive toString prints Final AND Initial sections — count
+    // scans in the final section only
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin") || fp.contains("BroadcastHashJoin"),
+      s"bounds must broadcast:\n${fp.take(3000)}")
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"orders scans at most twice (histogram + assignment):\n${fp.take(3000)}")
+  }
+
+  test("q180: the recommendation rank cuts partial top-k per part") {
+    val p = plan("q180_also_bought")
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      s"rank must cut before the part exchange:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q181: lo/hi/fold all reuse ONE histogram exchange at runtime") {
+    // winsorize's promise: the corpus is scanned once into the
+    // (type, cents) histogram; the p01 branch, p99 branch and the
+    // clipped-mean fold must all consume that SAME exchange (static
+    // planning shows three subtrees; reuse only materializes in the
+    // final adaptive plan — execute first), and the boundary joins are
+    // type-bounded broadcasts
+    val df = SparkEntry.queries("q181_winsorized_stats")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert("ReusedExchange|ReusedQueryStage".r.findAllIn(fp).size >= 2,
+      s"histogram exchange must be reused by both boundary branches:\n${fp.take(3000)}")
+  }
+
   test("q162: the sketch join never touches a corpus-sized side") {
     // both sketches are ≤ depth×width rows; the inner-product join and
     // the row densification must be broadcast-sized, and the only
