@@ -1554,6 +1554,136 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Association rules (Agrawal & Srikant 1994, the rule layer above
+    // q141's pair supports, kernel REUSED not forked): every
+    // support-floored pair yields both directional rules a→b / b→a
+    // with confidence = supp(ab)/supp(a) and lift =
+    // supp(ab)·N/(supp(a)·supp(b)), both in exact floored mills —
+    // the lift product runs in DECIMAL(38,0) (HUGEINT twin) because
+    // 1000·supp·N overflows int64 at real corpus sizes. Item supports
+    // are one part-keyed hash agg SEMI-JOINED down to the rule
+    // vertices (edges-bounded, broadcast-safe at any scale — never
+    // the full part dimension); N rides a 1-row broadcast. Top-K by
+    // (lift, conf, rule) with a full deterministic tie-break.
+    "q182_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = coPairCounts(s, dir)
+        .where(col("n_orders") >= CoPairMinSupport)
+      val verts = pairs.select(col("part_a").as("p"))
+        .unionByName(pairs.select(col("part_b").as("p"))).distinct()
+      val supp = li.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("supp"))
+        .join(broadcast(verts), Seq("p"), "left_semi")
+      val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n"))
+      val rules = pairs.select(col("part_a").as("ante"),
+          col("part_b").as("cons"), col("n_orders").as("supp_pair"))
+        .unionByName(pairs.select(col("part_b").as("ante"),
+          col("part_a").as("cons"), col("n_orders").as("supp_pair")))
+      rules
+        .join(broadcast(supp.select(col("p").as("ante"),
+          col("supp").as("supp_ante"))), Seq("ante"))
+        .join(broadcast(supp.select(col("p").as("cons"),
+          col("supp").as("supp_cons"))), Seq("cons"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("ante"), col("cons"), col("supp_pair"),
+          col("supp_ante"), col("supp_cons"),
+          expr("(1000 * supp_pair) div supp_ante").as("conf_mills"),
+          expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * supp_pair * n)
+                div (CAST(supp_ante AS DECIMAL(38,0)) * supp_cons)
+                AS BIGINT)""").as("lift_mills"))
+        .orderBy(col("lift_mills").desc, col("conf_mills").desc,
+          col("ante"), col("cons"))
+        .limit(AssocTopK)
+    }),
+
+    // Theil–Sen robust trend (Sen 1968) of weekly revenue: slope =
+    // lower median over ALL pair slopes, intercept = lower median of
+    // the per-week residuals at that slope. The weekly frame is
+    // calendar-bounded (~340 rows at EVERY SF — [[TsWeekDays]]), so
+    // the all-pairs slope mass is SF-constant ~58k, generated by a
+    // bounded broadcast-nested-loop self-join, never |orders|². Both
+    // medians run through the q57 histogram-selection kernel (window
+    // over value cardinality). Slopes are floored mills with explicit
+    // truncate-toward-zero sign handling (den > 0 always): Spark div
+    // and DuckDB // agree only on non-negative operands.
+    "q183_theil_sen" -> ((s, dir) => {
+      val weekly = t(s, dir, "orders")
+        .groupBy(expr(
+          s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $TsWeekDays")
+          .as("wk"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+        // calendar-bounded frame referenced three times (pairs twice +
+        // residuals + count) — the q153 doubly-referenced-frame rule
+        .localCheckpoint(true)
+      val pairs = weekly.as("a")
+        .join(broadcast(weekly.as("b")), col("a.wk") < col("b.wk"))
+        .select((col("b.cents") - col("a.cents")).as("num"),
+          (col("b.wk") - col("a.wk")).as("den"))
+      val slopes = pairs.select(
+        when(col("num") >= 0, expr("(1000 * num) div den"))
+          .otherwise(-expr("(1000 * (-num)) div den")).as("m"))
+      val med = lowerMedian(slopes, "m")
+      val resid = weekly.crossJoin(broadcast(med))
+        .select((lit(1000L) * col("cents") - col("med") * col("wk"))
+          .as("ic"))
+      val imed = lowerMedian(resid, "ic")
+      weekly.agg(count(lit(1)).as("n_weeks"))
+        .crossJoin(broadcast(med.select(col("n_vals").as("n_pairs"),
+          col("med").as("slope_mills_wk"))))
+        .crossJoin(broadcast(imed.select(col("med").as("icept_cents_mills"))))
+    }),
+
+    // Kaplan–Meier survival curve (Kaplan & Meier 1958) of customer
+    // lifetime: per-customer first→last order span in 30-day buckets;
+    // churn is OBSERVED only [[ChurnGraceDays]] before the corpus max
+    // date, later customers are right-censored (the estimator's whole
+    // point — a naive churn rate over-counts recent cohorts as
+    // retained). Risk sets come from ONE reverse-cumulative window
+    // over the ~80-row bucket frame; the survival product S' =
+    // (S·(n−d)) div n is a SEQUENTIAL integer recurrence in micros,
+    // folded array-side over the bounded frame in one codegen'd
+    // aggregate() — the DuckDB twin is a recursive CTE running the
+    // identical recurrence, so every step is bit-equal. Orders scans
+    // exactly twice (per-customer spans + the 1-row max-date anchor).
+    "q184_kaplan_meier" -> ((s, dir) => {
+      def day(c: String) =
+        s"datediff(CAST($c AS DATE), DATE '1970-01-01')"
+      val cust = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(expr(s"min(${day("o_orderdate")})").as("fd"),
+          expr(s"max(${day("o_orderdate")})").as("ld"))
+      val anchor = t(s, dir, "orders")
+        .agg(expr(s"max(${day("o_orderdate")})").as("md"))
+      val ev = cust.crossJoin(broadcast(anchor))
+        .select(expr(s"(ld - fd) div $LifetimeBucketDays").as("t"),
+          when(col("ld") <= col("md") - ChurnGraceDays, lit(1L))
+            .otherwise(lit(0L)).as("died"))
+      val b = ev.groupBy("t")
+        .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
+      val wr = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.withColumn("n", sum(col("d") + col("c")).over(wr))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("d"), col("c"), col("n")))).as("bs"))
+        .select(explode(expr(
+          """aggregate(bs,
+               struct(CAST(1000000 AS BIGINT) AS s,
+                 CAST(array() AS
+                   ARRAY<STRUCT<t: BIGINT, n: BIGINT, d: BIGINT,
+                     c: BIGINT, surv: BIGINT>>) AS out),
+               (acc, x) -> struct(
+                 (acc.s * (x.n - x.d)) div x.n AS s,
+                 concat(acc.out, array(struct(x.t AS t, x.n AS n,
+                   x.d AS d, x.c AS c,
+                   (acc.s * (x.n - x.d)) div x.n AS surv))) AS out),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.t").as("t_months"), col("r.n").as("n_risk"),
+          col("r.d").as("n_died"), col("r.c").as("n_censored"),
+          col("r.surv").as("surv_micros"))
+        .orderBy("t_months")
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1755,6 +1885,36 @@ object RelationalQueries {
 
   /** q180's recommendations per part. */
   private[graft] val AlsoBoughtK = 3
+
+  /** q182's rule-report size. */
+  private[graft] val AssocTopK = 20
+
+  /** q183's trend bucket: weekly revenue (day-since-epoch div 7) keeps
+    * the frame calendar-bounded (~340 weeks at every SF) so the
+    * all-pairs slope mass is SF-CONSTANT (~58k pairs), never |orders|². */
+  private[graft] val TsWeekDays = 7
+
+  /** q184's survival geometry: lifetimes bucketed to 30-day months;
+    * churn is OBSERVED only when the last order predates the corpus
+    * max date by more than [[ChurnGraceDays]] — later customers are
+    * right-censored, the distinction Kaplan–Meier exists to handle. */
+  private[graft] val LifetimeBucketDays = 30
+  private[graft] val ChurnGraceDays = 90
+
+  /** Lower-median selection via the q57 histogram kernel: one hash agg
+    * on the value, cumulative window over VALUE CARDINALITY (never row
+    * count), min value with cum ≥ (n+1) div 2. Returns a 1-row frame
+    * (med, n_vals) — broadcast it back. */
+  private def lowerMedian(vals: DataFrame, c: String): DataFrame = {
+    val hist = vals.groupBy(c).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist.withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("n", sum(col("cnt")).over(wt))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col(c)).as("med"), max(col("n")).as("n_vals"))
+  }
 
   /** q177's fixed histogram bin width: $25,000 in cents (~20 bins over
     * the TPC-H totalprice range). */
@@ -2126,6 +2286,102 @@ object RelationalQueries {
          JOIN lo ON h.event_type = lo.event_type
          JOIN hi ON h.event_type = hi.event_type
          GROUP BY 1 ORDER BY 1""",
+    "q182_assoc_rules" ->
+      // HUGEINT twins DECIMAL(38,0) for the lift product (q90's
+      // int64-overflow precedent); li is coPairSql's distinct
+      // (order, part) frame, reused for item supports and N
+      s"""WITH $coPairSql,
+         fp AS (SELECT * FROM cp WHERE n_orders >= $CoPairMinSupport),
+         isupp AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS supp
+                   FROM li GROUP BY 1),
+         nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                FROM li),
+         rules AS (
+           SELECT part_a AS ante, part_b AS cons, n_orders AS supp_pair
+           FROM fp
+           UNION ALL
+           SELECT part_b, part_a, n_orders FROM fp)
+         SELECT r.ante, r.cons, r.supp_pair,
+           a.supp AS supp_ante, c.supp AS supp_cons,
+           (1000 * r.supp_pair) // a.supp AS conf_mills,
+           CAST((CAST(1000 AS HUGEINT) * r.supp_pair * nn.n)
+             // (CAST(a.supp AS HUGEINT) * c.supp) AS BIGINT) AS lift_mills
+         FROM rules r
+         JOIN isupp a ON r.ante = a.p
+         JOIN isupp c ON r.cons = c.p
+         CROSS JOIN nn
+         ORDER BY lift_mills DESC, conf_mills DESC, ante, cons
+         LIMIT $AssocTopK""",
+    "q183_theil_sen" ->
+      // same weekly frame, naive pair self-join, same histogram-median
+      // selection; the CASE keeps slope division truncate-toward-zero
+      // in both engines (// floors, div truncates on negatives)
+      s"""WITH wkly AS (
+           SELECT datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) // $TsWeekDays AS wk,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         p AS (
+           SELECT b.cents - a.cents AS num, b.wk - a.wk AS den
+           FROM wkly a JOIN wkly b ON a.wk < b.wk),
+         sl AS (
+           SELECT CASE WHEN num >= 0 THEN (1000 * num) // den
+             ELSE -((1000 * (-num)) // den) END AS m FROM p),
+         h1 AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM sl
+                GROUP BY 1),
+         c1 AS (SELECT m, CAST(sum(cnt) OVER (ORDER BY m) AS BIGINT)
+                  AS cum, CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM h1),
+         med AS (SELECT min(m) AS slope, max(n) AS n_pairs FROM c1
+                 WHERE cum >= (n + 1) // 2),
+         r AS (SELECT 1000 * w.cents - med.slope * w.wk AS ic
+               FROM wkly w CROSS JOIN med),
+         h2 AS (SELECT ic, CAST(count(*) AS BIGINT) AS cnt FROM r
+                GROUP BY 1),
+         c2 AS (SELECT ic, CAST(sum(cnt) OVER (ORDER BY ic) AS BIGINT)
+                  AS cum, CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM h2),
+         imed AS (SELECT min(ic) AS icept FROM c2
+                  WHERE cum >= (n + 1) // 2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM wkly) AS n_weeks,
+           med.n_pairs, med.slope AS slope_mills_wk,
+           imed.icept AS icept_cents_mills
+         FROM med CROSS JOIN imed""",
+    "q184_kaplan_meier" ->
+      // identical risk sets and the IDENTICAL integer survival
+      // recurrence, run as a recursive CTE over the bucket index —
+      // each step's floor division is bit-equal to the Spark fold
+      s"""WITH RECURSIVE cust AS (
+           SELECT o_custkey,
+             datediff('day', DATE '1970-01-01',
+               CAST(min(o_orderdate) AS DATE)) AS fd,
+             datediff('day', DATE '1970-01-01',
+               CAST(max(o_orderdate) AS DATE)) AS ld
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(ld) AS md FROM cust),
+         ev AS (
+           SELECT (ld - fd) // $LifetimeBucketDays AS t,
+             CASE WHEN ld <= (SELECT md FROM mx) - $ChurnGraceDays
+               THEN 1 ELSE 0 END AS died
+           FROM cust),
+         b AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+                 CAST(sum(1 - died) AS BIGINT) AS c
+               FROM ev GROUP BY 1),
+         bn AS (SELECT t, d, c,
+                  CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+                  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+                FROM b),
+         km AS (
+           SELECT i, t, d, c, n, (1000000 * (n - d)) // n AS surv
+           FROM bn WHERE i = 1
+           UNION ALL
+           SELECT bn.i, bn.t, bn.d, bn.c, bn.n,
+             (km.surv * (bn.n - bn.d)) // bn.n
+           FROM km, bn WHERE bn.i = km.i + 1)
+         SELECT t AS t_months, n AS n_risk, d AS n_died,
+           c AS n_censored, surv AS surv_micros
+         FROM km ORDER BY t_months""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,

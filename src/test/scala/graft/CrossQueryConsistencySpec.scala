@@ -175,4 +175,48 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     assert(v.agg(sum(col("n_orders"))).head().getLong(0) == o.count(),
       "base+delta merge must conserve order count")
   }
+
+  test("q182 rules are sound against q141's pair supports") {
+    // every rule's pair support must appear verbatim in the q141
+    // kernel, confidence can never exceed 1000 mills, and both
+    // directions of a pair carry the SAME pair support
+    val rules = q("q182_assoc_rules").collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      assert(r.getAs[Long]("conf_mills") <= 1000L,
+        "confidence is a probability")
+      assert(r.getAs[Long]("supp_pair") <= r.getAs[Long]("supp_ante"),
+        "pair support bounded by item support")
+      assert(r.getAs[Long]("supp_pair") <= r.getAs[Long]("supp_cons"))
+    }
+    val pairs = q("q141_copurchase_pairs").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Long]("n_orders")).toMap
+    rules.foreach { r =>
+      val (a, b) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"))
+      val k = if (a < b) (a, b) else (b, a)
+      pairs.get(k).foreach(s => assert(s == r.getAs[Long]("supp_pair"),
+        s"rule ($a→$b) disagrees with the q141 kernel on pair support"))
+    }
+  }
+
+  test("q184 survival: non-increasing, fully-accounted risk sets") {
+    val rows = q("q184_kaplan_meier").collect()
+    // S is a product of factors ≤ 1 — strictly non-increasing in t
+    rows.map(_.getAs[Long]("surv_micros")).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "survival must not increase")
+      case _ =>
+    }
+    // the risk set at the first bucket is every customer exactly once
+    val nCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == nCust,
+      "everyone is at risk at t=0")
+    assert(rows.map(r => r.getAs[Long]("n_died") +
+      r.getAs[Long]("n_censored")).sum == nCust,
+      "every customer dies or censors in exactly one bucket")
+    // micros floor: survival stays within [0, 1e6]
+    rows.foreach(r => assert(r.getAs[Long]("surv_micros") >= 0L &&
+      r.getAs[Long]("surv_micros") <= 1000000L))
+  }
 }

@@ -691,6 +691,53 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"orders must scan at most twice (anchor + histogram):\n${fp.take(3000)}")
   }
 
+  test("q182: rule joins are broadcast-only and the report is a TakeOrdered cut") {
+    // the rule layer's promise: item supports are semi-joined down to
+    // the rule vertices (edges-bounded) and broadcast — the corpus
+    // never sort-merges for a 20-row report — and the top-K is a
+    // TakeOrderedAndProject, never a global sort
+    val df = SparkEntry.queries("q182_assoc_rules")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("TakeOrderedAndProject"),
+      s"top-K must be a partial TakeOrdered cut:\n${fp.take(3000)}")
+    assert("Scan parquet".r.findAllIn(fp).size <= 3,
+      s"lineitem scans at most thrice (pairs + supports + N):\n${fp.take(3000)}")
+  }
+
+  test("q183: the pair space rides the checkpointed weekly frame only") {
+    // Theil–Sen's promise: orders materializes ONCE into the
+    // calendar-bounded weekly checkpoint; the SF-constant pair
+    // self-join is a bounded broadcast nested loop; no parquet scan
+    // and no sort-merge survives into the final plan
+    val df = SparkEntry.queries("q183_theil_sen")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must broadcast the bounded frame:\n${fp.take(3000)}")
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the weekly checkpoint:\n${fp.take(3000)}")
+  }
+
+  test("q184: survival folds over the bucket frame; orders scans at most twice") {
+    // Kaplan–Meier's promise: the corpus contributes one per-customer
+    // span agg and one 1-row max-date anchor; risk sets and the
+    // sequential survival product live entirely on the ~80-row bucket
+    // frame (array-side fold), so no sort-merge join exists
+    val df = SparkEntry.queries("q184_kaplan_meier")(spark, dir)
+    df.collect()
+    // count the FINAL plan only — AQE's toString appends the initial
+    // plan, which would double-count every scan
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"orders must scan at most twice (spans + anchor):\n${fp.take(3000)}")
+  }
+
   test("q178: bin assignment is a broadcast array probe, never a range join") {
     // the discretizer's promise: rows meet the k−1 boundaries through
     // ONE broadcast of a collected array (a 1-row frame) and a
