@@ -361,7 +361,22 @@ object ScaleStudy {
     // q178: verbatim-copied prices keep the value-histogram support
     // constant with 10× counts → replica-invariant decile boundaries;
     // growth is the two scans (histogram + broadcast-probe assignment)
-    "q178_equidepth_bins")
+    "q178_equidepth_bins",
+    // q182: rides q141's pair kernel (k_o²-bounded generation, supports
+    // concentrate on the same part grid); item supports are a part-keyed
+    // hash agg absorbed map-side, rules/vertices stay edges-bounded
+    "q182_assoc_rules",
+    // q183: orders replicas copy o_orderdate verbatim → the weekly frame
+    // keeps its calendar-bounded ~340-week support with 10× cents sums;
+    // the SF-CONSTANT pair space and both medians ride the checkpoint,
+    // so growth is exactly the one corpus scan
+    "q183_theil_sen",
+    // q184: 10× orders over the SAME customers — the per-customer
+    // min/max span agg absorbs the growth map-side into a constant
+    // customer frame (replicas copy dates verbatim, so fd/ld and the
+    // whole bucket geometry are replica-invariant); the survival fold
+    // rides the ~80-row bucket frame
+    "q184_kaplan_meier")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */
