@@ -1684,6 +1684,93 @@ object RelationalQueries {
         .orderBy("t_months")
     }),
 
+    // EWMA forecast (Brown's simple exponential smoothing) of daily
+    // revenue: s_1 = 1000·v_1, s_t = (α·1000·v_t + (1000−α)·s_{t−1})
+    // div 1000 with α = [[EwmaAlphaMills]], everything in exact
+    // milli-cents; the one-step-ahead forecast for day t IS s_{t−1},
+    // so err_mc = |1000·v_t − s_{t−1}| (−1 sentinel on the first day,
+    // which has no forecast). The recurrence is SEQUENTIAL, so it
+    // folds array-side over the calendar-bounded daily frame (~2,400
+    // rows at EVERY SF — the q184 fold shape) in one codegen'd
+    // aggregate(); the α·1000·v product runs in DECIMAL(38,0) (HUGEINT
+    // twin) because milli-cents × mills overflows int64 at real daily
+    // revenue. Orders scans exactly once. The DuckDB twin is a
+    // recursive CTE running the identical integer recurrence.
+    "q185_ewma_forecast" -> ((s, dir) => {
+      val a = EwmaAlphaMills
+      val daily = t(s, dir, "orders")
+        .groupBy(expr(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+      val step = s"""CAST((CAST($a AS DECIMAL(38,0)) * x.cents * 1000
+            + ${1000 - a} * acc.s) div 1000 AS BIGINT)"""
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("ds"))
+        .select(explode(expr(
+          s"""aggregate(ds,
+               struct(CAST(-1 AS BIGINT) AS s,
+                 CAST(array() AS
+                   ARRAY<STRUCT<day: BIGINT, cents: BIGINT,
+                     ewma_mc: BIGINT, err_mc: BIGINT>>) AS out),
+               (acc, x) -> struct(
+                 CASE WHEN acc.s < 0 THEN 1000 * x.cents
+                      ELSE $step END AS s,
+                 concat(acc.out, array(struct(x.day AS day,
+                   x.cents AS cents,
+                   CASE WHEN acc.s < 0 THEN 1000 * x.cents
+                        ELSE $step END AS ewma_mc,
+                   CASE WHEN acc.s < 0 THEN CAST(-1 AS BIGINT)
+                        ELSE abs(1000 * x.cents - acc.s) END
+                     AS err_mc))) AS out),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.day").as("day"), col("r.cents").as("cents"),
+          col("r.ewma_mc").as("ewma_mc"), col("r.err_mc").as("err_mc"))
+        .orderBy("day")
+    }),
+
+    // CUSUM changepoint detection (Page 1954) on daily revenue: the
+    // cumulative sum of deviations from the series mean needs NO
+    // recurrence — it's one cumulative window over the
+    // calendar-bounded daily frame; the changepoint is the day of
+    // maximum |CUSUM| (min-day tie-break via the struct-max trick).
+    // Mean and cumsum run in DECIMAL(38,0)/HUGEINT — Σ1000·cents over
+    // thousands of days overflows int64 at real revenue — and every
+    // division has non-negative operands (the mean), so Spark div and
+    // DuckDB // agree. The calendar-bounded daily frame is referenced
+    // twice (mean anchor + the cumsum) — the q153 doubly-referenced-
+    // frame rule — so it checkpoints and orders scans exactly ONCE.
+    "q186_cusum_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(expr(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+        .localCheckpoint(true)
+      val m = daily.agg(expr(
+          """CAST((CAST(1000 AS DECIMAL(38,0)) * sum(cents))
+             div count(*) AS BIGINT)""").as("mean_mc"),
+        count(lit(1)).as("n_days"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.crossJoin(broadcast(m))
+        .withColumn("dev", expr(
+          "CAST(1000 AS DECIMAL(38,0)) * cents - mean_mc"))
+        .withColumn("cusum",
+          sum(col("dev")).over(wc).cast("decimal(38,0)"))
+        .agg(max(col("n_days")).as("n_days"),
+          max(col("mean_mc")).as("mean_mc"),
+          max(struct(abs(col("cusum")).as("a"), (-col("day")).as("nd"),
+            col("cusum").as("c"))).as("mx"))
+        .select(col("n_days"), col("mean_mc"),
+          (-col("mx.nd")).as("cp_day"),
+          col("mx.c").cast("long").as("cusum_mc"),
+          col("mx.a").cast("long").as("max_abs_cusum_mc"))
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1900,6 +1987,10 @@ object RelationalQueries {
     * right-censored, the distinction Kaplan–Meier exists to handle. */
   private[graft] val LifetimeBucketDays = 30
   private[graft] val ChurnGraceDays = 90
+
+  /** q185's smoothing weight α in mills: 0.3 — the classic "responsive
+    * but not jumpy" simple-exponential-smoothing default. */
+  private[graft] val EwmaAlphaMills = 300L
 
   /** Lower-median selection via the q57 histogram kernel: one hash agg
     * on the value, cumulative window over VALUE CARDINALITY (never row
@@ -2382,6 +2473,54 @@ object RelationalQueries {
          SELECT t AS t_months, n AS n_risk, d AS n_died,
            c AS n_censored, surv AS surv_micros
          FROM km ORDER BY t_months""",
+    "q185_ewma_forecast" ->
+      // the IDENTICAL integer recurrence as a recursive CTE over the
+      // day index; HUGEINT twins DECIMAL(38,0) for the α·1000·v
+      // product, all operands non-negative so // and div agree
+      s"""WITH RECURSIVE d AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         ix AS (SELECT day, cents,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+                FROM d),
+         r AS (
+           SELECT i, day, cents, 1000 * cents AS s,
+             CAST(-1 AS BIGINT) AS err
+           FROM ix WHERE i = 1
+           UNION ALL
+           SELECT ix.i, ix.day, ix.cents,
+             CAST((CAST($EwmaAlphaMills AS HUGEINT) * ix.cents * 1000
+               + ${1000 - EwmaAlphaMills} * r.s) // 1000 AS BIGINT),
+             abs(1000 * ix.cents - r.s)
+           FROM r JOIN ix ON ix.i = r.i + 1)
+         SELECT day, cents, s AS ewma_mc, err AS err_mc
+         FROM r ORDER BY day""",
+    "q186_cusum_changepoint" ->
+      // same mean anchor, same HUGEINT cumulative window; the
+      // changepoint row comes from a fully-ordered LIMIT 1 (abs DESC,
+      // day ASC) — the twin of Spark's max(struct(abs, -day)) pick
+      s"""WITH d AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST((CAST(1000 AS HUGEINT) * sum(cents))
+                   // count(*) AS BIGINT) AS mean_mc,
+                 CAST(count(*) AS BIGINT) AS n_days
+               FROM d),
+         c AS (SELECT day,
+                 CAST(sum(CAST(1000 AS HUGEINT) * cents - mean_mc)
+                   OVER (ORDER BY day) AS BIGINT) AS cusum
+               FROM d CROSS JOIN m),
+         cp AS (SELECT day AS cp_day, cusum AS cusum_mc,
+                  abs(cusum) AS max_abs_cusum_mc
+                FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1)
+         SELECT n_days, mean_mc, cp_day, cusum_mc, max_abs_cusum_mc
+         FROM m CROSS JOIN cp""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -200,6 +200,29 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("q185/q186 agree on the daily revenue frame") {
+    val ew = q("q185_ewma_forecast").collect()
+    val cp = q("q186_cusum_changepoint").head()
+    // same frame: one EWMA row per day, q186 counted the same days
+    assert(cp.getAs[Long]("n_days") == ew.length.toLong)
+    // q186's mean is the exact floored milli-cent mean of q185's cents
+    val cents = ew.map(_.getAs[Long]("cents"))
+    assert(cp.getAs[Long]("mean_mc") ==
+      (BigInt(1000) * cents.map(BigInt(_)).sum / cents.length).toLong)
+    // smoothing is a convex combination: EWMA stays inside the running
+    // envelope of the series (min/max of prefix, in milli-cents)
+    var (lo, hi) = (Long.MaxValue, Long.MinValue)
+    ew.foreach { r =>
+      lo = math.min(lo, r.getAs[Long]("cents"))
+      hi = math.max(hi, r.getAs[Long]("cents"))
+      val s = r.getAs[Long]("ewma_mc")
+      assert(s >= 1000L * lo - 1000 && s <= 1000L * hi,
+        s"EWMA left the prefix envelope at day ${r.getAs[Long]("day")}")
+    }
+    // the changepoint day exists in the daily frame
+    assert(ew.exists(_.getAs[Long]("day") == cp.getAs[Long]("cp_day")))
+  }
+
   test("q184 survival: non-increasing, fully-accounted risk sets") {
     val rows = q("q184_kaplan_meier").collect()
     // S is a product of factors ≤ 1 — strictly non-increasing in t

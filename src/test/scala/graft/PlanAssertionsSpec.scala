@@ -738,6 +738,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"orders must scan at most twice (spans + anchor):\n${fp.take(3000)}")
   }
 
+  test("q185: the EWMA fold rides one orders scan, no join at all") {
+    // the smoothing recurrence is array-side over the calendar-bounded
+    // daily frame: one corpus scan into the day agg, a single-partition
+    // collect_list, zero joins of any kind
+    val df = SparkEntry.queries("q185_ewma_forecast")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("Join"), s"no join belongs here:\n${fp.take(3000)}")
+    assert("Scan parquet".r.findAllIn(fp).size == 1,
+      s"orders must scan exactly once:\n${fp.take(3000)}")
+  }
+
+  test("q186: mean + cusum both ride the checkpointed daily frame") {
+    // the doubly-referenced daily frame checkpoints (q153 rule): no
+    // parquet scan survives into the final plan, the mean anchor is a
+    // broadcast, and no sort-merge join exists
+    val df = SparkEntry.queries("q186_cusum_changepoint")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the daily checkpoint:\n${fp.take(3000)}")
+    assert(fp.contains("BroadcastNestedLoopJoin") ||
+      fp.contains("BroadcastExchange"),
+      s"the 1-row mean anchor must broadcast:\n${fp.take(3000)}")
+  }
+
   test("q178: bin assignment is a broadcast array probe, never a range join") {
     // the discretizer's promise: rows meet the k−1 boundaries through
     // ONE broadcast of a collected array (a 1-row frame) and a
