@@ -1771,6 +1771,51 @@ object RelationalQueries {
           col("mx.a").cast("long").as("max_abs_cusum_mc"))
     }),
 
+    // Autocorrelation function (Box–Jenkins diagnostics) of daily
+    // revenue at lags 1..[[AcfMaxLag]]: ACF(L) = Σ(x_t−m)(x_{t−L}−m)
+    // / Σ(x_t−m)², deviations in exact milli-cents against the
+    // series mean, products and sums in DECIMAL(38,0)/HUGEINT. Pairs
+    // come from ONE broadcast self-join of the checkpointed
+    // calendar-bounded daily frame on a day-difference range predicate
+    // (≤ MaxLag·n pairs, SF-constant) — day GAPS simply contribute no
+    // pair at that lag, and the denominator is the full-series sum of
+    // squares (the standard estimator). Sign-split division keeps
+    // truncate-toward-zero identical across engines. Orders scans once.
+    "q187_autocorrelation" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(expr(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+        .localCheckpoint(true)
+      val m = daily.agg(expr(
+        """CAST((CAST(1000 AS DECIMAL(38,0)) * sum(cents))
+           div count(*) AS BIGINT)""").as("mean_mc"))
+      val dev = daily.crossJoin(broadcast(m))
+        .select(col("day"),
+          expr("CAST(1000 AS DECIMAL(38,0)) * cents - mean_mc").as("d"))
+        .localCheckpoint(true)
+      val den = dev.agg(sum(col("d") * col("d")).cast("decimal(38,0)")
+        .as("den"))
+      dev.as("a")
+        .join(broadcast(dev.as("b")),
+          col("a.day") - col("b.day") >= 1 &&
+          col("a.day") - col("b.day") <= AcfMaxLag)
+        .select((col("a.day") - col("b.day")).as("lag"),
+          (col("a.d") * col("b.d")).as("p"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("p")).cast("decimal(38,0)").as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          expr("""CASE WHEN num >= 0
+              THEN CAST((1000 * num) div den AS BIGINT)
+              ELSE -CAST((1000 * (-num)) div den AS BIGINT)
+            END""").as("acf_mills"))
+        .orderBy("lag")
+    }),
+
     // Frequent 3-itemsets (the A-priori level above q141's pairs):
     // per-order sorted part sets generate ordered triples ARRAY-SIDE
     // — mass Σ k_o³/6 with k_o bounded by items-per-order, never a
@@ -1991,6 +2036,10 @@ object RelationalQueries {
   /** q185's smoothing weight α in mills: 0.3 — the classic "responsive
     * but not jumpy" simple-exponential-smoothing default. */
   private[graft] val EwmaAlphaMills = 300L
+
+  /** q187's deepest lag: one week of daily-revenue autocorrelations
+    * (the horizon q155's day-of-week seasonality makes interesting). */
+  private[graft] val AcfMaxLag = 7L
 
   /** Lower-median selection via the q57 histogram kernel: one hash agg
     * on the value, cumulative window over VALUE CARDINALITY (never row
@@ -2521,6 +2570,33 @@ object RelationalQueries {
                 FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1)
          SELECT n_days, mean_mc, cp_day, cusum_mc, max_abs_cusum_mc
          FROM m CROSS JOIN cp""",
+    "q187_autocorrelation" ->
+      // same deviations, same lagged self-join, same sign-split
+      // division; HUGEINT twins DECIMAL(38,0) throughout
+      s"""WITH d AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST((CAST(1000 AS HUGEINT) * sum(cents))
+                 // count(*) AS BIGINT) AS mean_mc FROM d),
+         dv AS (SELECT day,
+                  CAST(1000 AS HUGEINT) * cents - mean_mc AS dd
+                FROM d CROSS JOIN m),
+         dn AS (SELECT sum(dd * dd) AS den FROM dv),
+         nm AS (SELECT a.day - b.day AS lag,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  sum(a.dd * b.dd) AS num
+                FROM dv a JOIN dv b
+                  ON a.day - b.day BETWEEN 1 AND $AcfMaxLag
+                GROUP BY 1)
+         SELECT lag, n_pairs,
+           CASE WHEN num >= 0 THEN CAST((1000 * num) // den AS BIGINT)
+             ELSE -CAST((1000 * (-num)) // den AS BIGINT) END
+             AS acf_mills
+         FROM nm CROSS JOIN dn
+         ORDER BY lag""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,

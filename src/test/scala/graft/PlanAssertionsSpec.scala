@@ -767,6 +767,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the 1-row mean anchor must broadcast:\n${fp.take(3000)}")
   }
 
+  test("q187: the lag pairs ride the checkpointed deviation frame only") {
+    // ACF's promise: orders materializes once into the daily
+    // checkpoint; the ≤ MaxLag·n pair space is a bounded broadcast
+    // nested loop over the deviation checkpoint; no parquet scan and
+    // no sort-merge join survives into the final plan
+    val df = SparkEntry.queries("q187_autocorrelation")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"lag pairing must broadcast the bounded frame:\n${fp.take(3000)}")
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the checkpoints:\n${fp.take(3000)}")
+  }
+
   test("q178: bin assignment is a broadcast array probe, never a range join") {
     // the discretizer's promise: rows meet the k−1 boundaries through
     // ONE broadcast of a collected array (a 1-row frame) and a
