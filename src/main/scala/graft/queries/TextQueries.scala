@@ -1059,6 +1059,79 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared_keys"))
         .orderBy("source_a", "source_b")
     }),
+    // Jensen–Shannon divergence between source token distributions
+    // (Lin 1991 — the symmetric, bounded corpus-comparison measure a
+    // mixture designer reads before blending sources): JSD(P,Q) =
+    // ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), in EXACT integer millibits via
+    // the shared Mitchell log2 kernel (q95/q102/q127's). Per shared
+    // token, log2(p/m) = L(2·ca·Nb) − L(ca·Nb + cb·Na) on integer
+    // args; tokens private to one source contribute EXACTLY 1000·cnt
+    // (L(2u) = L(u) + 1000 is exact in Mitchell), so the one-sided
+    // mass needs no outer join — it's the closed-form correction
+    // 1000·(N − Σ_shared c). Pair generation is the q129 array-side
+    // pattern: ONE token-keyed hash agg collects the ≤|sources|
+    // per-token count list, pairs explode bounded by sources²; the
+    // 20-row totals broadcast. Sums ride DECIMAL(38,0)/HUGEINT with
+    // sign-split division; int64 bounds the L args at Na·Nb < 2⁶³
+    // (≈3·10⁹ tokens/source — rescale counts past that, the DSIR
+    // precedent). Pairs sharing zero vocabulary are absent by
+    // construction (their JSD is exactly 1 bit). The oracle is the
+    // naive token self-join twin — parity proves the array-side
+    // generation lossless.
+    "q188_source_jsd" -> ((s, dir) => {
+      val tc = docsSpread(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        // the (source, tok) count table feeds BOTH the totals and the
+        // pair generation — checkpoint it (the q153 doubly-referenced
+        // rule) or the corpus scans and token-shuffles twice; it's the
+        // aggregated unigram table, vocab·|sources|-sized, far smaller
+        // than the corpus it summarizes
+        .localCheckpoint(true)
+      val totals = tc.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val pairs = tc.groupBy("tok")
+        .agg(sort_array(collect_list(struct(col("source"), col("cnt"))))
+          .as("sc"))
+        .select(explode(flatten(transform(col("sc"), (a, i) =>
+          transform(slice(col("sc"), i + lit(2), size(col("sc"))),
+            b => struct(a.getField("source").as("source_a"),
+              b.getField("source").as("source_b"),
+              a.getField("cnt").as("ca"), b.getField("cnt").as("cb"))))))
+          .as("p"))
+        .select(col("p.source_a"), col("p.source_b"),
+          col("p.ca"), col("p.cb"))
+      val mArg = col("ca") * col("nb") + col("cb") * col("na")
+      val dLa = TextFunctions.log2Mills(lit(2L) * col("ca") * col("nb")) -
+        TextFunctions.log2Mills(mArg)
+      val dLb = TextFunctions.log2Mills(lit(2L) * col("cb") * col("na")) -
+        TextFunctions.log2Mills(mArg)
+      def signDiv(x: String, d: String) = expr(
+        s"""CASE WHEN $x >= 0 THEN CAST(($x) div ($d) AS BIGINT)
+            ELSE -CAST((-($x)) div ($d) AS BIGINT) END""")
+      pairs
+        .join(broadcast(totals.select(col("source").as("source_a"),
+          col("n").as("na"))), Seq("source_a"))
+        .join(broadcast(totals.select(col("source").as("source_b"),
+          col("n").as("nb"))), Seq("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_toks"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          sum((col("ca") * dLa).cast("decimal(38,0)")).as("da"),
+          sum((col("cb") * dLb).cast("decimal(38,0)")).as("db"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .withColumn("sum_a",
+          expr("da + CAST(1000 AS DECIMAL(38,0)) * (na - sca)"))
+        .withColumn("sum_b",
+          expr("db + CAST(1000 AS DECIMAL(38,0)) * (nb - scb)"))
+        .select(col("source_a"), col("source_b"), col("n_shared_toks"),
+          signDiv("sum_a", "na").as("kl_a_mills"),
+          signDiv("sum_b", "nb").as("kl_b_mills"),
+          signDiv("sum_a * nb + sum_b * na",
+            "2 * CAST(na AS DECIMAL(38,0)) * nb").as("jsd_mills"))
+        .orderBy("source_a", "source_b")
+    }),
     // Token-entropy quality gate (TextAnalysis.tokenEntropy): Shannon
     // entropy over each doc's own token distribution in exact Mitchell
     // millibits — n·L(n) − Σ c·L(c), no window, no join; flags docs
@@ -1900,6 +1973,54 @@ object TextQueries {
            CAST(count(*) AS BIGINT) AS n_shared_keys
          FROM ks a JOIN ks b ON a.k = b.k AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q188_source_jsd" -> {
+      // the naive token self-join twin of the array-side pair
+      // generation; the IDENTICAL Mitchell algebra on integer args,
+      // HUGEINT sums, the same closed-form one-sided correction and
+      // sign-split divisions
+      def mitchell(x: String) =
+        s"""(1000 * (length(printf('%b', $x)) - 1)
+           + (1000 * (($x) - (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT))))
+             // (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT)))"""
+      def signDiv(x: String, d: String) =
+        s"""CASE WHEN $x >= 0 THEN CAST(($x) // ($d) AS BIGINT)
+            ELSE -CAST((-($x)) // ($d) AS BIGINT) END"""
+      s"""WITH dt AS (
+           SELECT source, unnest($tokenListSql) AS tok FROM documents),
+         tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM dt WHERE tok <> '' GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM tc GROUP BY 1),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                  a.cnt AS ca, b.cnt AS cb
+                FROM tc a JOIN tc b
+                  ON a.tok = b.tok AND a.source < b.source),
+         wt AS (SELECT pr.*, ta.n AS na, tb.n AS nb FROM pr
+                JOIN tot ta ON pr.source_a = ta.source
+                JOIN tot tb ON pr.source_b = tb.source),
+         ag AS (SELECT source_a, source_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_toks,
+                  CAST(sum(ca) AS BIGINT) AS sca,
+                  CAST(sum(cb) AS BIGINT) AS scb,
+                  sum(CAST(ca AS HUGEINT) * (${mitchell("2*ca*nb")}
+                    - ${mitchell("ca*nb + cb*na")})) AS da,
+                  sum(CAST(cb AS HUGEINT) * (${mitchell("2*cb*na")}
+                    - ${mitchell("ca*nb + cb*na")})) AS db,
+                  max(na) AS na, max(nb) AS nb
+                FROM wt GROUP BY 1, 2),
+         fin AS (SELECT source_a, source_b, n_shared_toks, na, nb,
+                   da + CAST(1000 AS HUGEINT) * (na - sca) AS sum_a,
+                   db + CAST(1000 AS HUGEINT) * (nb - scb) AS sum_b
+                 FROM ag)
+         SELECT source_a, source_b, n_shared_toks,
+           ${signDiv("sum_a", "na")} AS kl_a_mills,
+           ${signDiv("sum_b", "nb")} AS kl_b_mills,
+           ${signDiv("sum_a * nb + sum_b * na",
+             "2 * CAST(na AS HUGEINT) * nb")} AS jsd_mills
+         FROM fin ORDER BY source_a, source_b"""
+    },
     "q127_token_entropy" -> {
       // the shared Mitchell twin (printf('%b') / << / //) applied to
       // cnt and n; entropy re-derived through the same n·L(n) − Σ c·L(c)

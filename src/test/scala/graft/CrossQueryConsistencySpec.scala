@@ -223,6 +223,28 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     assert(ew.exists(_.getAs[Long]("day") == cp.getAs[Long]("cp_day")))
   }
 
+  test("q188 JSD: bounded, near-symmetric halves, every source pair present") {
+    val rows = q("q188_source_jsd").collect()
+    val srcs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    // every pair shares vocabulary on this corpus → all C(n,2) rows
+    assert(rows.length.toLong == srcs * (srcs - 1) / 2)
+    rows.foreach { r =>
+      val (ka, kb, j) = (r.getAs[Long]("kl_a_mills"),
+        r.getAs[Long]("kl_b_mills"), r.getAs[Long]("jsd_mills"))
+      // JSD ∈ [0, 1 bit] and KL(·‖M) ≥ 0 in exact math; Mitchell's
+      // piecewise log2 (error ≤ 86 mills/bit) can push a near-zero
+      // divergence a few mills negative — allow that slack both ends
+      assert(j >= -100L && j <= 1100L, s"JSD out of [0,1] bits: $j")
+      assert(ka >= -100L && kb >= -100L,
+        s"KL(·‖M) must be non-negative up to Mitchell slack: $ka / $kb")
+      // the halves recombine: jsd = (kl_a + kl_b)/2 up to independent
+      // flooring of the three divisions
+      assert(math.abs(2 * j - (ka + kb)) <= 4L,
+        s"JSD must be the mean of its KL halves: $j vs ($ka, $kb)")
+    }
+  }
+
   test("q184 survival: non-increasing, fully-accounted risk sets") {
     val rows = q("q184_kaplan_meier").collect()
     // S is a product of factors ≤ 1 — strictly non-increasing in t

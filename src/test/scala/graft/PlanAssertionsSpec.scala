@@ -783,6 +783,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"everything must ride the checkpoints:\n${fp.take(3000)}")
   }
 
+  test("q188: totals and pairs both ride the checkpointed count table") {
+    // JSD's promise: the corpus tokenizes and shuffles into the
+    // (source, tok) count table ONCE (checkpointed — no parquet scan
+    // survives), the per-source totals broadcast (and the second
+    // broadcast is runtime-reused), and no sort-merge join exists —
+    // pair generation is array-side per token
+    val df = SparkEntry.queries("q188_source_jsd")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the count-table checkpoint:\n${fp.take(3000)}")
+    assert(fp.contains("ReusedExchange"),
+      s"the twin totals broadcast must be runtime-reused:\n${fp.take(3000)}")
+  }
+
   test("q178: bin assignment is a broadcast array probe, never a range join") {
     // the discretizer's promise: rows meet the k−1 boundaries through
     // ONE broadcast of a collected array (a 1-row frame) and a
