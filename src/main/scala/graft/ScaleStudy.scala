@@ -191,7 +191,13 @@ object ScaleStudy {
     // q162: two bounded sketch builds (map-side combine crushes the
     // explode) + vocab-bounded exact aggs; the sketch join is depth×
     // width-sized at ANY corpus — growth is the two token scans
-    "q162_cms_joinsize")
+    "q162_cms_joinsize",
+    // q188: the (source, tok) count table grows with the salted vocab
+    // (10× — each replica's tokens are disjoint), so the checkpointed
+    // unigram table, the per-token pair explode and the pair agg all
+    // grow linearly while sources stay 20 and the totals broadcast
+    // stays 20 rows; growth is the token scan + the count-table agg
+    "q188_source_jsd")
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -376,7 +382,14 @@ object ScaleStudy {
     // customer frame (replicas copy dates verbatim, so fd/ld and the
     // whole bucket geometry are replica-invariant); the survival fold
     // rides the ~80-row bucket frame
-    "q184_kaplan_meier")
+    "q184_kaplan_meier",
+    // q185/q186/q187: orders replicas copy o_orderdate verbatim, so
+    // the calendar-bounded daily frame keeps its ~2,400-day support
+    // with 10× cents sums — the EWMA fold, the CUSUM window and the
+    // ACF pair space are all SF-CONSTANT downstream of the one
+    // (q185/q186) or one checkpointed (q187) corpus scan
+    "q185_ewma_forecast", "q186_cusum_changepoint",
+    "q187_autocorrelation")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */
