@@ -1428,6 +1428,100 @@ object RelationalQueries {
         .orderBy("bin")
     }),
 
+    // Population Stability Index (the model-monitoring drift metric
+    // read next to q177's TVD): PSI = Σ_bins (p_i − q_i)·log2(p_i/q_i)
+    // in EXACT integer micro-bits via the shared Mitchell kernel —
+    // per bin the term is ((na'·NB' − nb'·NA')·(L(na'·NB') −
+    // L(nb'·NA'))) / (NA'·NB') with Laplace +1 per present bin (the
+    // q95 smoothing precedent; zero-side bins would make PSI
+    // undefined), numerators in DECIMAL(38,0)/HUGEINT. Every term is
+    // PROVABLY ≥ 0 (Mitchell is monotone, so both factors share sign)
+    // — no sign-split needed. Same midpoint anchor, same
+    // [[DriftBinCents]] bins, same checkpointed bin frame as q177;
+    // int64 bounds the L args at NA'·NB' < 2⁶³ (≈3·10⁹ rows per
+    // period — rescale counts past that, the q188 precedent).
+    "q189_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(o_orderdate AS DATE)").as("d"))
+      val anchor = o.agg(
+        expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
+          .as("mid_day"))
+      val binned = o.crossJoin(broadcast(anchor))
+        .select(
+          expr(s"price_cents div $DriftBinCents").as("bin"),
+          when(expr("datediff(d, DATE '1970-01-01')") < col("mid_day"), lit(1L))
+            .otherwise(lit(0L)).as("in_a"))
+        .groupBy("bin")
+        .agg(sum(col("in_a")).as("n_a"),
+          sum(lit(1L) - col("in_a")).as("n_b"))
+        .localCheckpoint(true)
+      val tot = binned.agg(sum(col("n_a")).as("tot_a"),
+        sum(col("n_b")).as("tot_b"), count(lit(1)).as("n_bins"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("x", expr("(n_a + 1) * (tot_b + n_bins)"))
+        .withColumn("y", expr("(n_b + 1) * (tot_a + n_bins)"))
+        .select(col("tot_a"), col("tot_b"), col("n_bins"),
+          ((col("x") - col("y")).cast("decimal(38,0)") *
+            (graft.functions.TextFunctions.log2Mills(col("x")) -
+             graft.functions.TextFunctions.log2Mills(col("y"))))
+            .as("num"))
+        .groupBy("tot_a", "tot_b", "n_bins")
+        .agg(sum(col("num")).cast("decimal(38,0)").as("s"))
+        .select(col("n_bins"), col("tot_a").as("n_a"),
+          col("tot_b").as("n_b"),
+          expr("""CAST((1000 * s) div
+              (CAST(tot_a + n_bins AS DECIMAL(38,0)) * (tot_b + n_bins))
+            AS BIGINT)""").as("psi_micros"))
+    }),
+
+    // Mann–Whitney U (the nonparametric two-sample location test —
+    // the drift battery's rank-based member next to q177's TVD and
+    // q189's PSI, immune to the long tails that break mean tests):
+    // EXACT doubled-U from the joint value histogram, 2U_A =
+    // Σ_v 2·na(v)·cumB(<v) + na(v)·nb(v) — ties counted half, no
+    // rank midpoint floats anywhere. The cumulative window rides
+    // VALUE CARDINALITY (the q57 histogram-selection kernel), never
+    // row count; accumulators in DECIMAL(38,0)/HUGEINT. Report:
+    // exact 2U both directions (they must sum to 2·na·nb — the
+    // classic identity, spec-pinned), the common-language effect
+    // size and the signed rank-biserial correlation in mills
+    // (sign-split division).
+    "q190_mannwhitney_u" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')").as("dd"))
+      val anchor = o.agg(
+        expr("(min(dd) + max(dd)) div 2").as("mid_day"))
+      val hist = o.crossJoin(broadcast(anchor))
+        .select(col("v"),
+          when(col("dd") < col("mid_day"), lit(1L)).otherwise(lit(0L))
+            .as("in_a"))
+        .groupBy("v")
+        .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+      val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum_b", coalesce(sum(col("nb")).over(wv), lit(0L)))
+        .select(col("na"), col("nb"),
+          expr("""CAST(2 AS DECIMAL(38,0)) * na * cum_b + CAST(na AS
+            DECIMAL(38,0)) * nb""").as("t2"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(col("t2")).cast("decimal(38,0)").as("u2_a"))
+        .select(col("n_a"), col("n_b"),
+          col("u2_a").cast("long").as("u2_a"),
+          expr("""CAST(CAST(2 AS DECIMAL(38,0)) * n_a * n_b - u2_a
+            AS BIGINT)""").as("u2_b"),
+          expr("""CAST((1000 * u2_a) div
+            (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)""")
+            .as("cles_mills"),
+          expr("""CASE WHEN 2 * u2_a - CAST(2 AS DECIMAL(38,0)) * n_a * n_b >= 0
+              THEN CAST((1000 * (2 * u2_a - CAST(2 AS DECIMAL(38,0)) * n_a * n_b))
+                div (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)
+              ELSE -CAST((1000 * (CAST(2 AS DECIMAL(38,0)) * n_a * n_b - 2 * u2_a))
+                div (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)
+            END""").as("rank_biserial_mills"))
+    }),
+
     // Equi-depth discretizer (the ML feature-prep staple): k-quantile
     // boundaries computed EXACTLY via the q57 histogram-selection
     // kernel (value at rank ceil(i·n/k) — the window rides value
@@ -1633,6 +1727,43 @@ object RelationalQueries {
         .crossJoin(broadcast(med.select(col("n_vals").as("n_pairs"),
           col("med").as("slope_mills_wk"))))
         .crossJoin(broadcast(imed.select(col("med").as("icept_cents_mills"))))
+    }),
+
+    // Mann–Kendall trend test (Mann 1945; Kendall) — the significance
+    // companion to q183's Theil–Sen slope, on the SAME calendar-bounded
+    // weekly revenue frame: S = Σ_{i<j} sign(x_j − x_i) over the
+    // SF-constant ~58k pair space (bounded broadcast nested loop),
+    // Kendall's τ_a = S/(n(n−1)/2) in sign-split mills, and the
+    // tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    // (kept ×18 so it stays an exact integer; tie groups come from one
+    // value-cardinality hash agg on the weekly frame). All products in
+    // DECIMAL(38,0)/HUGEINT. Orders scans once into the checkpoint.
+    "q191_mann_kendall" -> ((s, dir) => {
+      val weekly = t(s, dir, "orders")
+        .groupBy(expr(
+          s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $TsWeekDays")
+          .as("wk"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+        .localCheckpoint(true)
+      val sStat = weekly.as("a")
+        .join(broadcast(weekly.as("b")), col("a.wk") < col("b.wk"))
+        .agg(sum(signum(col("b.cents") - col("a.cents")).cast("long"))
+          .as("s_stat"), count(lit(1)).as("n_pairs"))
+      val ties = weekly.groupBy("cents").agg(count(lit(1)).as("tc"))
+        .agg(sum(expr(
+          """CAST(tc AS DECIMAL(38,0)) * (tc - 1) * (2 * tc + 5)"""))
+          .cast("decimal(38,0)").as("tie_term"),
+          count(lit(1)).as("n_weeks"))
+      sStat.crossJoin(broadcast(ties))
+        .select(col("n_weeks"), col("n_pairs"), col("s_stat"),
+          expr("""CASE WHEN s_stat >= 0
+              THEN CAST((1000 * CAST(s_stat AS DECIMAL(38,0))) div n_pairs AS BIGINT)
+              ELSE -CAST((1000 * CAST(-s_stat AS DECIMAL(38,0))) div n_pairs AS BIGINT)
+            END""").as("tau_a_mills"),
+          expr("""CAST(CAST(n_weeks AS DECIMAL(38,0)) * (n_weeks - 1)
+              * (2 * n_weeks + 5) - coalesce(tie_term, 0)
+            AS BIGINT)""").as("var18"))
     }),
 
     // Kaplan–Meier survival curve (Kaplan & Meier 1958) of customer
@@ -2597,6 +2728,111 @@ object RelationalQueries {
              AS acf_mills
          FROM nm CROSS JOIN dn
          ORDER BY lag""",
+    "q189_psi_drift" -> {
+      // the same bins, anchor and Laplace smoothing; HUGEINT twins
+      // DECIMAL(38,0), the Mitchell twin on the same integer args
+      def mitchell(x: String) =
+        s"""(1000 * (length(printf('%b', $x)) - 1)
+           + (1000 * (($x) - (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT))))
+             // (CAST(1 AS BIGINT)
+               << CAST(length(printf('%b', $x)) - 1 AS INT)))"""
+      s"""WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS dd
+           FROM orders),
+         a AS (SELECT (min(dd) + max(dd)) // 2 AS mid_day FROM o),
+         b AS (
+           SELECT price_cents // $DriftBinCents AS bin,
+             CAST(sum(CASE WHEN dd < (SELECT mid_day FROM a)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN dd < (SELECT mid_day FROM a)
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM o GROUP BY 1),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                 CAST(sum(n_b) AS BIGINT) AS tot_b,
+                 CAST(count(*) AS BIGINT) AS n_bins
+               FROM b),
+         x AS (SELECT (n_a + 1) * (tot_b + n_bins) AS x,
+                 (n_b + 1) * (tot_a + n_bins) AS y,
+                 tot_a, tot_b, n_bins
+               FROM b CROSS JOIN t),
+         s AS (SELECT tot_a, tot_b, n_bins,
+                 sum(CAST(x - y AS HUGEINT)
+                   * (${mitchell("x")} - ${mitchell("y")})) AS s
+               FROM x GROUP BY 1, 2, 3)
+         SELECT n_bins, tot_a AS n_a, tot_b AS n_b,
+           CAST((1000 * s) // (CAST(tot_a + n_bins AS HUGEINT)
+             * (tot_b + n_bins)) AS BIGINT) AS psi_micros
+         FROM s"""
+    },
+    "q190_mannwhitney_u" ->
+      // same joint value histogram, same cumulative-below window,
+      // same doubled-U algebra; HUGEINT twins DECIMAL(38,0) and the
+      // rank-biserial keeps the sign-split truncation
+      """WITH o AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+             datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS dd
+           FROM orders),
+         a AS (SELECT (min(dd) + max(dd)) // 2 AS mid_day FROM o),
+         h AS (
+           SELECT v,
+             CAST(sum(CASE WHEN dd < (SELECT mid_day FROM a)
+               THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN dd < (SELECT mid_day FROM a)
+               THEN 0 ELSE 1 END) AS BIGINT) AS nb
+           FROM o GROUP BY 1),
+         c AS (SELECT na, nb,
+                 coalesce(CAST(sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_b
+               FROM h),
+         s AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                 CAST(sum(nb) AS BIGINT) AS n_b,
+                 sum(CAST(2 AS HUGEINT) * na * cum_b
+                   + CAST(na AS HUGEINT) * nb) AS u2_a
+               FROM c)
+         SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+           CAST(CAST(2 AS HUGEINT) * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           CAST((1000 * u2_a) // (CAST(2 AS HUGEINT) * n_a * n_b)
+             AS BIGINT) AS cles_mills,
+           CASE WHEN 2 * u2_a - CAST(2 AS HUGEINT) * n_a * n_b >= 0
+             THEN CAST((1000 * (2 * u2_a - CAST(2 AS HUGEINT) * n_a * n_b))
+               // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT)
+             ELSE -CAST((1000 * (CAST(2 AS HUGEINT) * n_a * n_b - 2 * u2_a))
+               // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT)
+           END AS rank_biserial_mills
+         FROM s""",
+    "q191_mann_kendall" ->
+      // same weekly frame, naive pair self-join, same tie-corrected
+      // variance algebra; HUGEINT twins DECIMAL(38,0)
+      s"""WITH wkly AS (
+           SELECT datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) // $TsWeekDays AS wk,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         p AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                   WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+               FROM wkly a JOIN wkly b ON a.wk < b.wk),
+         ti AS (SELECT sum(CAST(tc AS HUGEINT) * (tc - 1)
+                    * (2 * tc + 5)) AS tie_term,
+                  CAST(count(*) AS BIGINT) AS n_weeks
+                FROM (SELECT cents, CAST(count(*) AS BIGINT) AS tc
+                      FROM wkly GROUP BY 1))
+         SELECT n_weeks, n_pairs, s_stat,
+           CASE WHEN s_stat >= 0
+             THEN CAST((1000 * CAST(s_stat AS HUGEINT)) // n_pairs AS BIGINT)
+             ELSE -CAST((1000 * CAST(-s_stat AS HUGEINT)) // n_pairs AS BIGINT)
+           END AS tau_a_mills,
+           CAST(CAST(n_weeks AS HUGEINT) * (n_weeks - 1)
+             * (2 * n_weeks + 5) - coalesce(tie_term, 0) AS BIGINT)
+             AS var18
+         FROM p CROSS JOIN ti""",
     "q177_drift_report" ->
       s"""WITH o AS (
            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -245,6 +245,44 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("the drift battery (q177/q189/q190) agrees on the period split") {
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    // q189's totals account for every order, PSI is provably ≥ 0,
+    // and its bin count is exactly q177's bin frame
+    val psi = q("q189_psi_drift").head()
+    assert(psi.getAs[Long]("n_a") + psi.getAs[Long]("n_b") == nOrders)
+    assert(psi.getAs[Long]("psi_micros") >= 0L)
+    assert(psi.getAs[Long]("n_bins") == q("q177_drift_report").count())
+    // q190's U identity: U_A + U_B = n_a·n_b (doubled on both sides),
+    // totals account for every order, effect size is a probability
+    val u = q("q190_mannwhitney_u").head()
+    val (na, nb) = (u.getAs[Long]("n_a"), u.getAs[Long]("n_b"))
+    assert(na + nb == nOrders)
+    assert(u.getAs[Long]("u2_a") + u.getAs[Long]("u2_b") == 2L * na * nb,
+      "U_A + U_B must equal n_a*n_b")
+    assert(u.getAs[Long]("cles_mills") >= 0L &&
+      u.getAs[Long]("cles_mills") <= 1000L)
+  }
+
+  test("q191 Mann-Kendall sits on q183's weekly frame") {
+    val mk = q("q191_mann_kendall").head()
+    val ts = q("q183_theil_sen").head()
+    val n = mk.getAs[Long]("n_weeks")
+    assert(n == ts.getAs[Long]("n_weeks"),
+      "both tests must see the same weekly frame")
+    assert(mk.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    assert(math.abs(mk.getAs[Long]("s_stat")) <= mk.getAs[Long]("n_pairs"))
+    assert(mk.getAs[Long]("var18") >= 0L)
+    // a trend both estimators can see must agree in direction: when
+    // |tau| is decisive (beyond ties/noise), its sign matches the
+    // Theil-Sen slope's
+    val (tau, slope) = (mk.getAs[Long]("tau_a_mills"),
+      ts.getAs[Long]("slope_mills_wk"))
+    if (math.abs(tau) > 100 && slope != 0L)
+      assert(tau.sign == slope.sign,
+        s"decisive tau ($tau) must agree with the Theil-Sen slope ($slope)")
+  }
+
   test("q184 survival: non-increasing, fully-accounted risk sets") {
     val rows = q("q184_kaplan_meier").collect()
     // S is a product of factors ≤ 1 — strictly non-increasing in t

@@ -800,6 +800,48 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the twin totals broadcast must be runtime-reused:\n${fp.take(3000)}")
   }
 
+  test("q189: PSI rides the checkpointed bin frame; orders scans at most twice") {
+    // the drift-battery shape (q177's): anchor + histogram-into-
+    // checkpoint are the only corpus passes; the Mitchell fold and the
+    // final division ride the ~20-row bin frame; no sort-merge join
+    val df = SparkEntry.queries("q189_psi_drift")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"orders must scan at most twice (anchor + histogram):\n${fp.take(3000)}")
+  }
+
+  test("q190: the U window rides value cardinality; orders scans at most twice") {
+    // Mann–Whitney's promise: the cumulative window runs over the
+    // joint VALUE histogram (q57 kernel), never over rows; anchor +
+    // histogram are the only corpus passes; no sort-merge join
+    val df = SparkEntry.queries("q190_mannwhitney_u")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"orders must scan at most twice (anchor + histogram):\n${fp.take(3000)}")
+  }
+
+  test("q191: S pairs and tie groups both ride the weekly checkpoint") {
+    // Mann–Kendall's promise: orders materializes once into the
+    // calendar-bounded weekly checkpoint; the SF-constant pair space
+    // is a bounded broadcast nested loop; the tie agg rides the same
+    // checkpoint — no parquet scan, no sort-merge join in the final plan
+    val df = SparkEntry.queries("q191_mann_kendall")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must broadcast the bounded frame:\n${fp.take(3000)}")
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the weekly checkpoint:\n${fp.take(3000)}")
+  }
+
   test("q178: bin assignment is a broadcast array probe, never a range join") {
     // the discretizer's promise: rows meet the k−1 boundaries through
     // ONE broadcast of a collected array (a 1-row frame) and a
