@@ -389,7 +389,14 @@ object ScaleStudy {
     // ACF pair space are all SF-CONSTANT downstream of the one
     // (q185/q186) or one checkpointed (q187) corpus scan
     "q185_ewma_forecast", "q186_cusum_changepoint",
-    "q187_autocorrelation")
+    "q187_autocorrelation",
+    // q189/q190: verbatim-copied prices and dates keep the PSI bin
+    // frame and the Mann-Whitney value histogram at constant support
+    // with 10× counts (replica-invariant midpoint anchor) — growth is
+    // the two corpus passes each; q191: the weekly checkpoint keeps
+    // its calendar-bounded support, the SF-constant pair space and the
+    // tie agg ride it — growth is the one scan (q183's shape)
+    "q189_psi_drift", "q190_mannwhitney_u", "q191_mann_kendall")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */
