@@ -47,6 +47,10 @@ object TextQueries {
     * verified) at sf0.01, where the hottest bucket holds ~50 docs. */
   private[graft] val LshBucketCap = 32
 
+  /** q192's ground-truth Jaccard floor: low enough that the audit
+    * buckets span the banding's S-curve knee (recall ≈ 0 → ≈ 1). */
+  private[graft] val LshAuditMinJac = 300
+
   /** q68's candidate-bucket cap: small enough that the boilerplate
     * cluster (~24 identical docs at sf0.01) binds it, so the star path
     * of the capped PPJoin is oracle-exercised. */
@@ -726,6 +730,49 @@ object TextQueries {
     // document sample.
     "q35_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // LSH S-curve audit — the measurement that tells a dedup operator
+    // whether its banding is tuned: empirical recall of the REAL q35
+    // pipeline (2 bands × 4 rows, star-capped buckets) against exact
+    // Jaccard ground truth, bucketed by similarity decile, at BOTH
+    // semantics the pipeline offers: direct pair recall (was the pair
+    // itself emitted) and CLOSURE recall (did the two docs land in the
+    // same q53 component — the dedup contract the star-cap actually
+    // preserves). Ground truth is the lossless PPJoin kernel (q36's)
+    // at the LOW [[LshAuditMinJac]] floor so the curve spans the
+    // S-curve's knee (pairwise theory p(J) = 1−(1−J⁴)²; closure
+    // recall dominates it, and the GAP between the two columns is the
+    // measured price of star-capping — pair-completeness traded for
+    // closure, visible per bucket). The LSH side is the IDENTICAL q35
+    // helper and the q53 components kernel — caps, salts and label
+    // propagation are what's audited, not a re-derivation. Joins are
+    // pair-keyed / id-keyed over candidate-bounded frames; recalls in
+    // exact floored mills.
+    "q192_lsh_scurve" -> ((s, dir) => {
+      val subset = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+      val truth = graft.operators.Dedup.jaccardPairs(
+        subset, "text", "doc_id", minJaccardMills = LshAuditMinJac)
+      val lsh = lshPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val comp = graft.operators.Dedup
+        .connectedComponents(lshPairs(s, dir))
+      truth.join(lsh, Seq("id_a", "id_b"), "left")
+        .join(comp.select(col("id").as("id_a"), col("comp").as("ca")),
+          Seq("id_a"), "left")
+        .join(comp.select(col("id").as("id_b"), col("comp").as("cb")),
+          Seq("id_b"), "left")
+        .withColumn("chit",
+          when(col("ca").isNotNull && col("ca") === col("cb"), lit(1L))
+            .otherwise(lit(0L)))
+        .groupBy(expr("jac_mills div 100").as("bucket_lo_hmills"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_pair"),
+          sum(col("chit")).as("n_closure"))
+        .withColumn("recall_pair_mills", expr("(1000 * n_pair) div n_true"))
+        .withColumn("recall_closure_mills",
+          expr("(1000 * n_closure) div n_true"))
+        .orderBy("bucket_lo_hmills")
+    }),
 
     // Dedup GROUPS: connected components over the q35 pair graph (keep
     // min id per component, drop the rest) — min-label propagation, one
@@ -3323,6 +3370,49 @@ object TextQueries {
     "q35_lsh_pairs" ->
       s"""WITH $lshPairsCtes
          SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""",
+    "q192_lsh_scurve" -> {
+      // ground truth is the NAIVE all-pairs Jaccard twin (parity
+      // proves the PPJoin prefix lossless at the audit floor); the LSH
+      // side is the shared q35 CTE chain and q53's recursive-closure
+      // twin, so the capped banding AND the label propagation are
+      // what's audited on both engines
+      val jm = "floor(1000 * len(list_intersect(a.toks, b.toks)) " +
+        "/ (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))"
+      s"""WITH RECURSIVE $lshPairsCtes,
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r
+           JOIN edges e ON e.src = r.id),
+         cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         d AS (SELECT doc_id, $sqlTokSet AS toks
+               FROM documents WHERE doc_id % 5 = 0),
+         tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST($jm AS BIGINT) AS jac_mills
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE $jm >= $LshAuditMinJac),
+         au AS (SELECT tr.jac_mills // 100 AS bucket_lo_hmills,
+                  CAST(count(*) AS BIGINT) AS n_true,
+                  CAST(sum(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_pair,
+                  CAST(sum(CASE WHEN ca.comp IS NOT NULL
+                    AND ca.comp = cb.comp THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_closure
+                FROM tr
+                LEFT JOIN pairs p
+                  ON tr.id_a = p.id_a AND tr.id_b = p.id_b
+                LEFT JOIN cmp ca ON tr.id_a = ca.id
+                LEFT JOIN cmp cb ON tr.id_b = cb.id
+                GROUP BY 1)
+         SELECT bucket_lo_hmills, n_true, n_pair, n_closure,
+           (1000 * n_pair) // n_true AS recall_pair_mills,
+           (1000 * n_closure) // n_true AS recall_closure_mills
+         FROM au ORDER BY bucket_lo_hmills"""
+    },
     "q53_dedup_components" ->
       // transitive closure by label propagation: every node reaches its
       // whole component through the bidirectional edge list; min over

@@ -283,6 +283,29 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
         s"decisive tau ($tau) must agree with the Theil-Sen slope ($slope)")
   }
 
+  test("q192 S-curve: closure dominates pairs, exact dups always close") {
+    val rows = q("q192_lsh_scurve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the star-cap's contract: it may drop pairs but never closure —
+      // a direct LSH pair implies same component, so closure ≥ pair
+      assert(r.getAs[Long]("n_closure") >= r.getAs[Long]("n_pair"),
+        s"closure must dominate direct pairs at bucket ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_pair") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("recall_closure_mills") <= 1000L)
+    }
+    // identical docs share every band verbatim → both reach the
+    // bucket hub → provably same component: bucket 10 closes at 1000
+    rows.find(_.getAs[Long]("bucket_lo_hmills") == 10L).foreach(r =>
+      assert(r.getAs[Long]("recall_closure_mills") == 1000L,
+        "exact duplicates must always land in one component"))
+    // and q53 must agree: the audit's "same component" verdicts come
+    // from the same kernel q53 gates
+    val nComp = q("q53_dedup_components")
+      .select("component").distinct().count()
+    assert(nComp > 0)
+  }
+
   test("q184 survival: non-increasing, fully-accounted risk sets") {
     val rows = q("q184_kaplan_meier").collect()
     // S is a product of factors ≤ 1 — strictly non-increasing in t
