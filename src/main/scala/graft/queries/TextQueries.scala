@@ -752,10 +752,11 @@ object TextQueries {
       val subset = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
       val truth = graft.operators.Dedup.jaccardPairs(
         subset, "text", "doc_id", minJaccardMills = LshAuditMinJac)
-      val lsh = lshPairs(s, dir)
-        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-      val comp = graft.operators.Dedup
-        .connectedComponents(lshPairs(s, dir))
+      // the LSH pair graph feeds BOTH the direct-hit join and the
+      // closure computation — checkpoint it once (the q153 rule)
+      val lp = lshPairs(s, dir).localCheckpoint(true)
+      val lsh = lp.select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val comp = graft.operators.Dedup.connectedComponents(lp)
       truth.join(lsh, Seq("id_a", "id_b"), "left")
         .join(comp.select(col("id").as("id_a"), col("comp").as("ca")),
           Seq("id_a"), "left")
