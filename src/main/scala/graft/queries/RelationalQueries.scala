@@ -1729,6 +1729,62 @@ object RelationalQueries {
         .crossJoin(broadcast(imed.select(col("med").as("icept_cents_mills"))))
     }),
 
+    // Lead–lag cross-correlation (the Box–Jenkins CCF companion to
+    // q187's ACF): does view activity LEAD purchases? Per lag L in
+    // −[[CcfMaxLag]]..+[[CcfMaxLag]], the SIGNED squared Pearson
+    // correlation of the paired series (view_t, purchase_{t+L}) —
+    // the q154 5-sum algebra PER LAG over its own aligned pair set
+    // (each lag's means are its own window's, the statistically
+    // correct alignment), squaring instead of sqrt so everything
+    // stays exact DECIMAL(38,0)/HUGEINT; sign restored from the
+    // covariance term. Pairs ride ONE broadcast self-join of the
+    // checkpointed daily (x, y) frame on a day-difference range —
+    // ≤ (2·MaxLag+1)·n pairs, SF-constant. Counts keep the squared
+    // terms well under 10³⁸ to ~10⁶ events/day/type (q154's bound —
+    // rescale units past that). Events scans once.
+    "q193_crosscorrelation" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(expr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .localCheckpoint(true)
+      grid.as("a")
+        .join(broadcast(grid.as("b")),
+          col("b.day") - col("a.day") >= -CcfMaxLag &&
+          col("b.day") - col("a.day") <= CcfMaxLag)
+        .select((col("b.day") - col("a.day")).as("lag"),
+          col("a.x").as("x"), col("b.y").as("y"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .select(col("lag"), col("n").as("n_days"),
+          expr("""CASE
+              WHEN (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                   * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) = 0
+                THEN CAST(0 AS BIGINT)
+              WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy >= 0
+                THEN CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                    * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)
+                  div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                    * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy))
+                  AS BIGINT)
+              ELSE -CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                    * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)
+                  div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                    * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy))
+                  AS BIGINT)
+            END""").as("r2_signed_mills"))
+        .orderBy("lag")
+    }),
+
     // Mann–Kendall trend test (Mann 1945; Kendall) — the significance
     // companion to q183's Theil–Sen slope, on the SAME calendar-bounded
     // weekly revenue frame: S = Σ_{i<j} sign(x_j − x_i) over the
