@@ -2228,6 +2228,11 @@ object RelationalQueries {
     * (the horizon q155's day-of-week seasonality makes interesting). */
   private[graft] val AcfMaxLag = 7L
 
+  /** q193's lag window: ±one week of view→purchase cross-correlation,
+    * matching [[AcfMaxLag]]'s horizon so the two studies share a
+    * calendar scale. The pair space is ≤ (2·lag+1)·n_days — SF-constant. */
+  private[graft] val CcfMaxLag = 7L
+
   /** Lower-median selection via the q57 histogram kernel: one hash agg
     * on the value, cumulative window over VALUE CARDINALITY (never row
     * count), min value with cum ≥ (n+1) div 2. Returns a 1-row frame
@@ -2861,6 +2866,46 @@ object RelationalQueries {
                // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT)
            END AS rank_biserial_mills
          FROM s""",
+    "q193_crosscorrelation" ->
+      // same daily (views, purchases) grid, same ±lag range self-join,
+      // same sign-split squared-Pearson integer algebra; HUGEINT twins
+      // DECIMAL(38,0), quotient magnitude is always ≥0 so DuckDB's //
+      // and Spark's div agree exactly
+      s"""WITH g AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01',
+               CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+         p AS (SELECT b.day - a.day AS lag, a.x AS x, b.y AS y
+               FROM g a JOIN g b
+                 ON b.day - a.day BETWEEN -$CcfMaxLag AND $CcfMaxLag),
+         s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+               FROM p GROUP BY 1)
+         SELECT lag, n AS n_days,
+           CASE
+             WHEN (CAST(n AS HUGEINT) * sxx - sx * sx)
+                  * (CAST(n AS HUGEINT) * syy - sy * sy) = 0
+               THEN CAST(0 AS BIGINT)
+             WHEN CAST(n AS HUGEINT) * sxy - sx * sy >= 0
+               THEN CAST(((CAST(n AS HUGEINT) * sxy - sx * sy)
+                   * (CAST(n AS HUGEINT) * sxy - sx * sy) * 1000)
+                 // ((CAST(n AS HUGEINT) * sxx - sx * sx)
+                   * (CAST(n AS HUGEINT) * syy - sy * sy)) AS BIGINT)
+             ELSE -CAST(((CAST(n AS HUGEINT) * sxy - sx * sy)
+                   * (CAST(n AS HUGEINT) * sxy - sx * sy) * 1000)
+                 // ((CAST(n AS HUGEINT) * sxx - sx * sx)
+                   * (CAST(n AS HUGEINT) * syy - sy * sy)) AS BIGINT)
+           END AS r2_signed_mills
+         FROM s ORDER BY lag""",
     "q191_mann_kendall" ->
       // same weekly frame, naive pair self-join, same tie-corrected
       // variance algebra; HUGEINT twins DECIMAL(38,0)

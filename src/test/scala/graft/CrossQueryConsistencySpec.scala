@@ -325,4 +325,34 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("surv_micros") >= 0L &&
       r.getAs[Long]("surv_micros") <= 1000000L))
   }
+
+  test("q193 CCF: full lag grid, Cauchy-Schwarz bound, lag-0 = Pearson²") {
+    val rows = q("q193_crosscorrelation").collect()
+    // the join covers every lag in [-CcfMaxLag, CcfMaxLag] exactly once
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-7L to 7L),
+      "one row per lag, -7..7, ordered")
+    rows.foreach { r =>
+      // Cauchy-Schwarz: r² ≤ 1 → |r2_signed_mills| ≤ 1000
+      assert(math.abs(r.getAs[Long]("r2_signed_mills")) <= 1000L)
+      assert(r.getAs[Long]("n_days") > 0L)
+    }
+    // n_days is lag-symmetric: |D ∩ (D−L)| = |D ∩ (D+L)| via t ↦ t+L
+    val n = rows.map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n_days")).toMap
+    (1L to 7L).foreach(l => assert(n(l) == n(-l),
+      s"pair count must be symmetric at lag ±$l"))
+    // lag 0 pairs x_t with y_t — its value must be the floating-point
+    // Pearson² of the same daily grid, sign applied, within the integer
+    // floor's tolerance
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(expr("CAST(ts AS DATE)"))
+      .agg(sum(when(col("event_type") === "view", 1.0).otherwise(0.0)).as("x"),
+        sum(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("y"))
+    val rho = daily.stat.corr("x", "y")
+    val expected = math.signum(rho) * rho * rho * 1000.0
+    val got = rows.find(_.getAs[Long]("lag") == 0L).get
+      .getAs[Long]("r2_signed_mills")
+    assert(math.abs(got - expected) <= 2.0,
+      s"lag-0 CCF ($got mills) must match Pearson² ($expected)")
+  }
 }

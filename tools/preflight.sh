@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate — run as the LAST action of every session, before
+# the round ends. A round-8 postmortem: the end-of-round snapshot swept
+# in a never-compiled WIP query, sbt failed at compile, and the whole
+# round's driver verification was voided. This script makes that class
+# of failure impossible: it refuses to pass unless the EXACT current
+# tree compiles (main + test), every registered query dumps, and every
+# dump hash-matches its DuckDB oracle twin.
+#
+# Usage:
+#   tools/preflight.sh              # full gate at sf0.01 (the driver's tier)
+#   tools/preflight.sh sf0.001      # quick gate on the smoke tier
+#   tools/preflight.sh sf0.01 q193_crosscorrelation q84_minhash_err
+#                                   # gate only the named queries (iteration)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF="${1:-sf0.01}"
+shift || true
+SF_DIR="/root/testdata/$SF"
+OUT_DIR="/tmp/preflight_verify_$SF"
+
+echo "== preflight 1/3: sbt Test/compile (main + test must compile at HEAD+worktree)"
+sbt -batch "Test/compile" >/tmp/preflight_compile.log 2>&1 \
+  || { tail -30 /tmp/preflight_compile.log; echo "PREFLIGHT FAIL: compile"; exit 1; }
+
+echo "== preflight 2/3: graft.Verify → $OUT_DIR ($SF)"
+rm -rf "$OUT_DIR"
+sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $*" >/tmp/preflight_verify.log 2>&1 \
+  || { tail -30 /tmp/preflight_verify.log; echo "PREFLIGHT FAIL: verify"; exit 1; }
+if grep -q '\[verify\].*failed' /tmp/preflight_verify.log; then
+  grep '\[verify\].*failed' /tmp/preflight_verify.log
+  echo "PREFLIGHT FAIL: one or more queries threw during dump"
+  exit 1
+fi
+
+echo "== preflight 3/3: DuckDB oracle compare"
+python3 tools/compare_oracle.py "$OUT_DIR" "$SF_DIR" "$@" \
+  || { echo "PREFLIGHT FAIL: oracle mismatch"; exit 1; }
+
+echo "PREFLIGHT PASS ($SF)"
