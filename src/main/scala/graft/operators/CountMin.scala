@@ -79,12 +79,17 @@ object CountMin {
     * |A ⋈ B| = Σ_t fA(t)·fB(t) ≈ min over rows of Σ_bucket cA·cB.
     * Never under-estimates (collisions only add mass); exceeds the
     * truth by more than (e/width)·N_a·N_b with probability ≤
-    * e^(-depth). Returns ONE row `(est_join long)`. The per-row sums
-    * are densified over all `depth` rows — a row where the sketches
-    * share no bucket must contribute 0 to the min, not vanish from
-    * it. Both inputs are ≤ depth×width rows, so the join, the group
-    * and the min are all sketch-sized — the estimate never touches
-    * either corpus. */
+    * e^(-depth). Returns ONE row `(est_join long)`, SATURATED at
+    * Long.MaxValue: the inner products live in DECIMAL(38,0) (they
+    * pass 2⁶³ near the documented ~3e9-tokens-per-side bound where
+    * N_a·N_b ≈ 9e18), and without the clamp a non-ANSI cast would
+    * silently turn an above-range estimate into NULL. A saturated
+    * Long.MaxValue still reads correctly as "this join is enormous"
+    * for the cost model consulting it. The per-row sums are densified
+    * over all `depth` rows — a row where the sketches share no bucket
+    * must contribute 0 to the min, not vanish from it. Both inputs
+    * are ≤ depth×width rows, so the join, the group and the min are
+    * all sketch-sized — the estimate never touches either corpus. */
   def joinSizeEstimate(skA: DataFrame, skB: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1, s"depth=$depth must be >= 1")
     val perRow = skA.as("x").join(skB.as("y"),
@@ -94,7 +99,9 @@ object CountMin {
     val rowsD = skA.sparkSession.range(depth)
       .select(col("id").cast("int").as("row"))
     broadcast(rowsD).join(perRow, Seq("row"), "left")
-      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)")))
+      .agg(least(
+          min(coalesce(col("ip"), lit(0).cast("decimal(38,0)"))),
+          lit(Long.MaxValue).cast("decimal(38,0)"))
         .cast("long").as("est_join"))
   }
 

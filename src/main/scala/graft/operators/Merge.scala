@@ -47,8 +47,12 @@ object Merge {
   /** Apply a CDC (change-data-capture) batch to a snapshot — the
     * Delta/Hudi-style merge: `ops` carries `(key, seqCol, opCol,
     * payload…)` rows where opCol is 'U' (upsert) or 'D' (delete
-    * tombstone); per key the HIGHEST seqCol op wins (callers must
-    * guarantee seq is unique per key — a real CDC log's LSN), then
+    * tombstone); per key the HIGHEST seqCol op wins (a real CDC log's
+    * LSN is unique per key; if a caller feeds duplicate (key, seq)
+    * pairs anyway, the tie breaks DETERMINISTICALLY — op desc so 'U'
+    * beats 'D', then the payload struct desc — never by arbitrary
+    * partition order, so results are stable across runs and engines),
+    * then
     *  - latest 'D'            → the key is absent from the result,
     *  - latest 'U', key known → snapshot row with payload columns
     *                            overridden, `cdc_src` = "updated",
@@ -72,8 +76,14 @@ object Merge {
       s"payload column '$c' has no snapshot counterpart"))
     Seq("cdc_src", "last_seq", "__rn").foreach(r =>
       require(!snapshot.columns.contains(r), s"snapshot column '$r' is reserved"))
+    // total order: seq desc, then op desc ('U' > 'D'), then the payload
+    // struct desc — duplicate (key, seq) pairs tie-break the same way
+    // everywhere instead of by arbitrary partition order
+    val tieBreak = col(opCol).desc +:
+      (if (payload.nonEmpty) Seq(struct(payload.map(col).toSeq: _*).desc)
+       else Nil)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(seqCol).desc)
+      .partitionBy(col(key)).orderBy(col(seqCol).desc +: tieBreak: _*)
     val latest = ops.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val out: Seq[org.apache.spark.sql.Column] =

@@ -3478,7 +3478,8 @@ object RelationalQueries {
            FROM orders),
          latest AS (
            SELECT k, seq, op, v FROM (
-             SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+             SELECT *, row_number() OVER (PARTITION BY k
+                 ORDER BY seq DESC, op DESC, v DESC)
                AS rn FROM cdc) WHERE rn = 1)
          SELECT c.c_custkey,
            CAST(c.c_nationkey AS BIGINT) AS c_nationkey,

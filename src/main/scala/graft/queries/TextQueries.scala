@@ -2375,20 +2375,15 @@ object TextQueries {
       // full bit-for-bit recompute of the sketch AND the estimates via
       // the shared sqlCmsBucket hash contract — an engine-side bucket
       // drift, count drift, or min-row mistake all hash-fail; over_ok
-      // additionally pins the structural overcount guarantee, and
-      // within_eps is pinned LITERALLY TRUE: the oracle recomputes
-      // eps_bound (same rational-e integer math as CountMin.epsBound)
-      // but asserts the guarantee rather than recomputing the flag, so
-      // an engine-side geometry regression that inflates an estimate
-      // past ceil((e/width)·N) hash-fails loudly.
-      // FIXTURE SENSITIVITY: the ε bound is probabilistic — violation
-      // probability ≤ e^-depth ≈ 1.8% per probe at CmsDepth=4 — so the
-      // literal TRUE is a property of THIS corpus + CmsSeed geometry
-      // (verified by CountMinSpec's undersized-width canary), not a
-      // universal invariant. If a future fixture or VocabTopK change
-      // flips it, the correct fix is to recompute the flag here as
-      // `min(coalesce(sk.bcnt,0)) - p.cnt <= eps_bound` (matching the
-      // engine's derivation), not to widen the sketch to force TRUE
+      // pins the structural overcount guarantee, and within_eps is
+      // RECOMPUTED with the engine's own derivation (est ≤ cnt +
+      // ceil((e/width)·N), same rational-e integer math as
+      // CountMin.epsBound) — NOT pinned TRUE, so a fixture or
+      // VocabTopK change that legitimately flips a probe (violation
+      // probability ≤ e^-depth ≈ 1.8% per probe at CmsDepth=4) stays
+      // in agreement on both sides, while an engine-side geometry
+      // regression still hash-fails through cms_est/eps_bound parity.
+      // CountMinSpec's undersized-width canary keeps the flag honest.
       s"""WITH tokrows AS (SELECT tok FROM $sqlTokRows WHERE tok <> ''),
          rows_d AS (SELECT CAST(unnest(range($CmsDepth)) AS INT) AS r),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tokrows),
@@ -2401,18 +2396,21 @@ object TextQueries {
            FROM tokrows GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK),
          probes AS (
            SELECT e.tok, e.cnt, r, ${sqlCmsBucket("e.tok", "r")} AS bucket
-           FROM exact e, rows_d)
-         SELECT p.tok, p.cnt,
-           min(coalesce(sk.bcnt, 0)) AS cms_est,
-           CAST((${graft.operators.CountMin.EpsNum} * tot.n_tok
-                 + ${graft.operators.CountMin.EpsDen * CmsWidth - 1})
-                // ${graft.operators.CountMin.EpsDen * CmsWidth} AS BIGINT) AS eps_bound,
-           min(coalesce(sk.bcnt, 0)) >= p.cnt AS over_ok,
-           TRUE AS within_eps
-         FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
-         CROSS JOIN tot
-         GROUP BY p.tok, p.cnt, tot.n_tok
-         ORDER BY p.cnt DESC, p.tok""",
+           FROM exact e, rows_d),
+         est AS (
+           SELECT p.tok, p.cnt,
+             min(coalesce(sk.bcnt, 0)) AS cms_est,
+             CAST((${graft.operators.CountMin.EpsNum} * tot.n_tok
+                   + ${graft.operators.CountMin.EpsDen * CmsWidth - 1})
+                  // ${graft.operators.CountMin.EpsDen * CmsWidth} AS BIGINT) AS eps_bound
+           FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+           CROSS JOIN tot
+           GROUP BY p.tok, p.cnt, tot.n_tok)
+         SELECT tok, cnt, cms_est, eps_bound,
+           cms_est >= cnt AS over_ok,
+           cms_est <= cnt + eps_bound AS within_eps
+         FROM est
+         ORDER BY cnt DESC, tok""",
     "q162_cms_joinsize" ->
       // full bit-for-bit recompute of BOTH sketches, the min-row inner
       // product (densified over all depth rows), the exact Σ fA·fB and
@@ -2436,7 +2434,8 @@ object TextQueries {
             FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket
             GROUP BY 1),
           est AS (
-            SELECT CAST(min(coalesce(prod.ip, 0)) AS BIGINT) AS est_join
+            SELECT CAST(least(min(coalesce(prod.ip, 0)),
+                CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS est_join
             FROM rows_d LEFT JOIN prod ON rows_d.r = prod.r),
           ex AS (
             SELECT CAST(coalesce(sum(CAST(x.ca AS HUGEINT) * y.cb), 0)

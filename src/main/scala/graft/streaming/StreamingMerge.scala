@@ -20,6 +20,57 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingMerge {
 
+  private def hadoopFs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Crash-safe staged swap: parquet has no transaction, so the swap
+    * keeps the invariant that at EVERY instant at least one of
+    * `targetDir` / `targetDir + "__old"` holds a complete state, and
+    * [[readState]] prefers `targetDir`. A naive delete-then-rename has
+    * a window where a crash loses the target entirely and the
+    * checkpoint already marks earlier batches committed — state would
+    * silently reset. Order here: (1) move the live target ASIDE (one
+    * rename), (2) move staging IN (one rename), (3) drop the aside.
+    * A crash between (1) and (2) recovers the pre-batch state from the
+    * aside dir and the engine replays the uncommitted batch (both
+    * merge kernels are idempotent on replay); a crash between (2) and
+    * (3) leaves a stale aside that the next swap clears. */
+  private def swapIn(
+      spark: SparkSession, staging: String, targetDir: String): Unit = {
+    val fs = hadoopFs(spark)
+    val tgt = new org.apache.hadoop.fs.Path(targetDir)
+    val aside = new org.apache.hadoop.fs.Path(targetDir + "__old")
+    // fs.rename reports failure by RETURNING false (HDFS semantics) —
+    // a silent false followed by the aside delete would lose state, so
+    // every rename is require-checked.
+    if (fs.exists(tgt)) { // an existing aside is stale — tgt is live
+      fs.delete(aside, true)
+      require(fs.rename(tgt, aside), s"rename $tgt -> $aside failed")
+    } // else: a prior swap crashed mid-way; aside IS the live state —
+      // keep it until the new target lands
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), tgt),
+      s"rename $staging -> $tgt failed")
+    fs.delete(aside, true)
+    ()
+  }
+
+  /** Read the live state: the target if present, else the aside dir a
+    * mid-swap crash left behind, else `fallback` (first batch only).
+    * The presence checks are explicit `fs.exists` — a transient read
+    * failure of an EXISTING target propagates and fails the batch
+    * instead of silently resetting state to the bootstrap snapshot. */
+  private def readState(
+      spark: SparkSession, targetDir: String)(
+      fallback: => DataFrame): DataFrame = {
+    val fs = hadoopFs(spark)
+    if (fs.exists(new org.apache.hadoop.fs.Path(targetDir)))
+      spark.read.parquet(targetDir)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(targetDir + "__old")))
+      spark.read.parquet(targetDir + "__old")
+    else fallback
+  }
+
   /** Run an AvailableNow streaming upsert of `inDir` parquet into
     * `targetDir`, keyed by `keys`, merging `valueCols` (incoming wins). */
   def run(
@@ -36,8 +87,7 @@ object StreamingMerge {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val existing: DataFrame =
-          try spark.read.parquet(targetDir)
-          catch { case _: Exception => // first batch: empty target
+          readState(spark, targetDir) { // first batch: empty target
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
           }
@@ -52,16 +102,11 @@ object StreamingMerge {
         // are rows absent from this batch — they stay in the target).
         val merged = Merge.reconcile(existing, deduped, keys, valueCols)
           .drop("action")
-        // write to a staging dir then swap — parquet has no transaction;
-        // a table format would make this a single MERGE INTO commit.
+        // staged write + crash-safe swap (see swapIn) — a table format
+        // would make this a single MERGE INTO commit.
         val staging = targetDir + "__staging"
         merged.write.mode("overwrite").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(tgt, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
-        ()
+        swapIn(spark, staging, targetDir)
       }
       .start()
     q.awaitTermination()
@@ -100,19 +145,19 @@ object StreamingMerge {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // exists-gated read: the snapshot bootstrap fires ONLY when no
+        // target (and no mid-swap aside) exists — first batch. A
+        // transient read failure of a live target now fails the batch
+        // loudly; the old catch-all would have silently reset state to
+        // the original snapshot while the checkpoint already marked
+        // earlier batches committed, permanently dropping their ops.
         val state: DataFrame =
-          (try spark.read.parquet(targetDir)
-           catch { case _: Exception => spark.read.parquet(snapshotDir) })
+          readState(spark, targetDir)(spark.read.parquet(snapshotDir))
             .drop("cdc_src", "last_seq")
         val merged = Merge.applyCdc(state, batch, key, seqCol, opCol)
         val staging = targetDir + "__staging"
         merged.write.mode("overwrite").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(tgt, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
-        ()
+        swapIn(spark, staging, targetDir)
       }
       .start()
     q.awaitTermination()

@@ -445,4 +445,25 @@ class DedupMergeSpec extends AnyFunSuite {
       Merge.applyCdc(snap, ops.withColumnRenamed("v", "nope"), "k", "seq", "op")
     }
   }
+
+  test("applyCdc: duplicate (key, seq) ties break deterministically") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v")
+    // key 1: U and D share seq 100 → op desc means the U wins, every
+    // run, regardless of input partition order; key 2: two Us share
+    // seq 200 → the greater payload struct wins
+    val ops = Seq(
+      (1L, 100L, "D", 0L), (1L, 100L, "U", 11L),
+      (2L, 200L, "U", 21L), (2L, 200L, "U", 22L)
+    ).toDF("k", "seq", "op", "v")
+    def run(o: org.apache.spark.sql.DataFrame) =
+      Merge.applyCdc(snap, o, "k", "seq", "op")
+        .orderBy("k").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+          r.getAs[String]("cdc_src"))).toSeq
+    val expected = Seq((1L, 11L, "updated"), (2L, 22L, "updated"))
+    assert(run(ops) == expected)
+    // reversed input order and a different partitioning: same answer
+    assert(run(ops.orderBy(col("seq").desc, col("v").asc).repartition(7))
+      == expected)
+  }
 }

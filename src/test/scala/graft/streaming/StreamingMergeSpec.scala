@@ -98,4 +98,36 @@ class StreamingMergeSpec extends AnyFunSuite {
       .select("k", "name", "v").as[(Long, String, Long)].collect().toSeq
     assert(oneShot == Seq((1L, "a", 12L)))
   }
+
+  test("streaming CDC recovers a mid-swap crash from the aside dir") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("cdc3").toString
+    val snap = s"$dir/snap"; val in = s"$dir/in"
+    val cp = s"$dir/cp"; val target = s"$dir/state"
+    Seq((1L, "a", 10L)).toDF("k", "name", "v").write.parquet(snap)
+    Seq((1L, 100L, "U", 11L)).toDF("k", "seq", "op", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    StreamingMerge.runCdc(spark, in, schema, cp, target, snap,
+      "k", "seq", "op")
+    // simulate a crash between the swap's two renames: the live target
+    // was moved aside but the new one never landed. The committed
+    // checkpoint will NOT replay the batch — with the old catch-all
+    // fallback the next run would silently reset to the ORIGINAL
+    // snapshot (v=10), permanently dropping the committed op.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(target), new Path(target + "__old")))
+    Seq((2L, 200L, "U", 20L)).toDF("k", "seq", "op", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    StreamingMerge.runCdc(spark, in, schema, cp, target, snap,
+      "k", "seq", "op")
+    val out = spark.read.parquet(target)
+      .select("k", "name", "v").orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 11L), (2L, null, 20L)),
+      s"recovered state must keep the committed op: $out")
+    // the successful swap clears the aside dir
+    assert(!fs.exists(new Path(target + "__old")))
+  }
 }
