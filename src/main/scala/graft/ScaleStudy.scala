@@ -286,7 +286,12 @@ object ScaleStudy {
     // histogram keeps its support with 10× counts, boundaries are
     // replica-invariant, and the clipped fold rides the histogram
     // (one corpus scan, runtime-reused exchange — plan-contract)
-    "q181_winsorized_stats")
+    "q181_winsorized_stats",
+    // q193: events replicas copy ts verbatim → the daily (views,
+    // purchases) grid keeps its calendar-bounded support with 10×
+    // counts; the ±7-lag broadcast self-join pair space is SF-CONSTANT
+    // downstream of the checkpoint — growth is the one events scan
+    "q193_crosscorrelation")
 
   /** The relational family: the salted skew join and the two-broadcast-
     * dim rollup — the shapes every q01-q28 aggregate shares. */
@@ -396,12 +401,7 @@ object ScaleStudy {
     // the two corpus passes each; q191: the weekly checkpoint keeps
     // its calendar-bounded support, the SF-constant pair space and the
     // tie agg ride it — growth is the one scan (q183's shape)
-    "q189_psi_drift", "q190_mannwhitney_u", "q191_mann_kendall",
-    // q193: events replicas copy ts verbatim → the daily (views,
-    // purchases) grid keeps its calendar-bounded support with 10×
-    // counts; the ±7-lag broadcast self-join pair space is SF-CONSTANT
-    // downstream of the checkpoint — growth is the one events scan
-    "q193_crosscorrelation")
+    "q189_psi_drift", "q190_mannwhitney_u", "q191_mann_kendall")
 
   /** The checkpoint-write-dominated plans re-measured at the deep
     * (sf1 → sf10) step. */
