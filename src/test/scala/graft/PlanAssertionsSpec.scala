@@ -783,6 +783,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"everything must ride the checkpoints:\n${fp.take(3000)}")
   }
 
+  test("q193: the ±lag pairs ride the checkpointed daily grid only") {
+    // CCF's promise (q187's contract on the cross-series twin): events
+    // materializes once into the daily (x, y) checkpoint; the
+    // ≤ (2·lag+1)·n pair space is a bounded broadcast nested loop over
+    // that checkpoint; no parquet scan and no sort-merge join survives
+    val df = SparkEntry.queries("q193_crosscorrelation")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin"),
+      s"lag pairing must broadcast the bounded frame:\n${fp.take(3000)}")
+    assert(!fp.contains("Scan parquet"),
+      s"everything must ride the checkpoint:\n${fp.take(3000)}")
+  }
+
   test("q188: totals and pairs both ride the checkpointed count table") {
     // JSD's promise: the corpus tokenizes and shuffles into the
     // (source, tok) count table ONCE (checkpointed — no parquet scan
