@@ -78,9 +78,24 @@ object Merge {
       require(!snapshot.columns.contains(r), s"snapshot column '$r' is reserved"))
     // total order: seq desc, then op desc ('U' > 'D'), then the payload
     // struct desc — duplicate (key, seq) pairs tie-break the same way
-    // everywhere instead of by arbitrary partition order
+    // everywhere instead of by arbitrary partition order. Only
+    // ORDERABLE payload columns join the struct: a map-typed payload
+    // column cannot be a sort key (analysis error), and excluding it
+    // must not break callers whose seq values are unique anyway.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => orderable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          orderable(a.elementType)
+        case _ => true
+      }
+    val sortablePayload = payload.filter(c =>
+      orderable(ops.schema(c).dataType))
     val tieBreak = col(opCol).desc +:
-      (if (payload.nonEmpty) Seq(struct(payload.map(col).toSeq: _*).desc)
+      (if (sortablePayload.nonEmpty)
+        Seq(struct(sortablePayload.map(col).toSeq: _*).desc)
        else Nil)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(seqCol).desc +: tieBreak: _*)

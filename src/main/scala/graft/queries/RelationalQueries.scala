@@ -1750,9 +1750,14 @@ object RelationalQueries {
     // stays exact DECIMAL(38,0)/HUGEINT; sign restored from the
     // covariance term. Pairs ride ONE broadcast self-join of the
     // checkpointed daily (x, y) frame on a day-difference range —
-    // ≤ (2·MaxLag+1)·n pairs, SF-constant. Counts keep the squared
-    // terms well under 10³⁸ to ~10⁶ events/day/type (q154's bound —
-    // rescale units past that). Events scans once.
+    // ≤ (2·MaxLag+1)·n pairs, SF-constant. Overflow envelope: the
+    // squared numerator (n·sxy − sx·sy)²·1000 is QUARTIC in the daily
+    // count C and quadratic in n_days (worst case ≈ (n²C²)²·1000), so
+    // q154's quadratic bound does NOT transfer — the safe joint bound
+    // is n_days·C ≲ 5.6×10⁸ (≈ 2×10⁵ events/day/type on this corpus's
+    // ~2,400-day grid; rescale units — count in thousands — past
+    // that, or Spark's non-ANSI decimal silently NULLs where DuckDB's
+    // HUGEINT errors). Events scans once.
     "q193_crosscorrelation" -> ((s, dir) => {
       val grid = t(s, dir, "events")
         .where(col("event_type").isin("view", "purchase"))
@@ -2240,9 +2245,10 @@ object RelationalQueries {
   private[graft] val AcfMaxLag = 7L
 
   /** q193's lag window: ±one week of view→purchase cross-correlation,
-    * matching [[AcfMaxLag]]'s horizon so the two studies share a
-    * calendar scale. The pair space is ≤ (2·lag+1)·n_days — SF-constant. */
-  private[graft] val CcfMaxLag = 7L
+    * structurally tied to [[AcfMaxLag]] so the two studies always share
+    * a calendar scale (CrossQueryConsistencySpec pins the −7..7 grid).
+    * The pair space is ≤ (2·lag+1)·n_days — SF-constant. */
+  private[graft] val CcfMaxLag = AcfMaxLag
 
   /** Lower-median selection via the q57 histogram kernel: one hash agg
     * on the value, cumulative window over VALUE CARDINALITY (never row

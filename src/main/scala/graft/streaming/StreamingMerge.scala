@@ -33,19 +33,32 @@ object StreamingMerge {
     * silently reset. Order here: (1) move the live target ASIDE (one
     * rename), (2) move staging IN (one rename), (3) drop the aside.
     * A crash between (1) and (2) recovers the pre-batch state from the
-    * aside dir and the engine replays the uncommitted batch (both
-    * merge kernels are idempotent on replay); a crash between (2) and
-    * (3) leaves a stale aside that the next swap clears. */
+    * aside dir and the engine replays the uncommitted batch; a crash
+    * between (2) and (3) leaves a stale aside that the next swap
+    * clears. Replay semantics: the KEY/VALUE state of both merge
+    * kernels is idempotent (re-applying a batch reproduces the same
+    * rows), so a post-swap pre-checkpoint crash replays to identical
+    * data; the one divergence is applyCdc's `cdc_src` bookkeeping,
+    * which relabels that batch's freshly inserted keys "updated" on
+    * such a replay (the key now exists in the re-read state) — the
+    * label is honest about what the replayed apply saw, and the
+    * key/seq/payload columns are unchanged. */
   private def swapIn(
       spark: SparkSession, staging: String, targetDir: String): Unit = {
     val fs = hadoopFs(spark)
     val tgt = new org.apache.hadoop.fs.Path(targetDir)
     val aside = new org.apache.hadoop.fs.Path(targetDir + "__old")
-    // fs.rename reports failure by RETURNING false (HDFS semantics) —
-    // a silent false followed by the aside delete would lose state, so
-    // every rename is require-checked.
+    // fs.rename AND fs.delete report failure by RETURNING false (HDFS
+    // semantics). Both pre-rename steps are require-checked: a silent
+    // false from the stale-aside delete would make the next rename
+    // nest the live target INSIDE the aside dir (HDFS renames into an
+    // existing destination directory) and a later reader would pick up
+    // the stale remnants. The final cleanup delete is allowed to fail
+    // soft — tgt is live at that point and the NEXT swap's
+    // require-checked delete clears the stale aside.
     if (fs.exists(tgt)) { // an existing aside is stale — tgt is live
-      fs.delete(aside, true)
+      require(!fs.exists(aside) || fs.delete(aside, true),
+        s"delete of stale aside $aside failed")
       require(fs.rename(tgt, aside), s"rename $tgt -> $aside failed")
     } // else: a prior swap crashed mid-way; aside IS the live state —
       // keep it until the new target lands

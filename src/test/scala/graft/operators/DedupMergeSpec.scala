@@ -466,4 +466,17 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(run(ops.orderBy(col("seq").desc, col("v").asc).repartition(7))
       == expected)
   }
+
+  test("applyCdc: non-orderable (map) payload columns still apply") {
+    // the payload-struct tie-break must skip map columns (they cannot
+    // be sort keys) rather than fail analysis for callers whose seq
+    // values are unique anyway
+    val snap = Seq((1L, Map("a" -> "x"), 10L)).toDF("k", "attrs", "v")
+    val ops = Seq((1L, 100L, "U", Map("b" -> "y"), 11L))
+      .toDF("k", "seq", "op", "attrs", "v")
+    val out = Merge.applyCdc(snap, ops, "k", "seq", "op").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("v") == 11L)
+    assert(out.head.getAs[Map[String, String]]("attrs") == Map("b" -> "y"))
+  }
 }

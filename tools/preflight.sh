@@ -34,8 +34,26 @@ if grep -q '\[verify\].*failed' /tmp/preflight_verify.log; then
   exit 1
 fi
 
-echo "== preflight 3/3: DuckDB oracle compare"
-python3 tools/compare_oracle.py "$OUT_DIR" "$SF_DIR" "$@" \
-  || { echo "PREFLIGHT FAIL: oracle mismatch"; exit 1; }
+# a typo'd query name must be a hard failure, not a vacuous pass: Verify
+# silently dumps nothing for unknown names and compare_oracle silently
+# skips them, so check every requested name produced a dump directory
+for q in "$@"; do
+  [ -d "$OUT_DIR/$q" ] \
+    || { echo "PREFLIGHT FAIL: no dump for '$q' (unknown query name?)"; exit 1; }
+done
 
-echo "PREFLIGHT PASS ($SF)"
+echo "== preflight 3/3: DuckDB oracle compare"
+COMPARE_OUT=$(python3 tools/compare_oracle.py "$OUT_DIR" "$SF_DIR" "$@") \
+  || { echo "$COMPARE_OUT"; echo "PREFLIGHT FAIL: oracle mismatch"; exit 1; }
+echo "$COMPARE_OUT"
+# vacuous-pass guard: zero compared queries is a failure, and a partial
+# run must compare exactly the requested names
+PASSED=$(echo "$COMPARE_OUT" | sed -n 's/^\([0-9]*\) passed.*/\1/p' | tail -1)
+[ -n "$PASSED" ] && [ "$PASSED" -gt 0 ] \
+  || { echo "PREFLIGHT FAIL: zero queries compared"; exit 1; }
+if [ "$#" -gt 0 ] && [ "$PASSED" -ne "$#" ]; then
+  echo "PREFLIGHT FAIL: requested $# queries, only $PASSED compared"
+  exit 1
+fi
+
+echo "PREFLIGHT PASS ($SF, $PASSED queries oracle-green)"
