@@ -146,21 +146,35 @@ object BiffReader {
 
   /** BIFF8 unicode string at `pos` (16-bit char count): returns
     * (text, bytesConsumed). Handles the compressed/UTF-16 flag plus
-    * rich-text and far-east extensions (skipped, correctly sized). */
-  private def readUnicodeString(b: Array[Byte], pos: Int): (String, Int) = {
+    * rich-text and far-east extensions (skipped, correctly sized).
+    * `end` (exclusive) is the owning RECORD's payload bound: a string
+    * whose declared length runs past it has spilled into a CONTINUE
+    * record this single-record reader does not follow — reading on
+    * would silently swallow the CONTINUE header bytes as text, so the
+    * overrun is a typed rejection instead (readXls's corrupt-workbook
+    * wrapper surfaces it as UnsupportedFormat). SST strings — the one
+    * place Excel routinely spills — go through the CONTINUE-aware
+    * [[parseSst]], never through here. */
+  private def readUnicodeString(b: Array[Byte], pos: Int,
+      end: Int): (String, Int) = {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    def bound(p: Int): Unit =
+      if (p > end) throw new IllegalStateException(
+        "string spills into a CONTINUE record (unsupported outside SST)")
+    bound(pos + 3)
     val cch = bb.getShort(pos) & 0xFFFF
     val grbit = b(pos + 2) & 0xFF
     var p = pos + 3
     val rich = (grbit & 0x08) != 0
     val ext = (grbit & 0x04) != 0
-    val cRun = if (rich) { val v = bb.getShort(p) & 0xFFFF; p += 2; v } else 0
-    val cbExt = if (ext) { val v = bb.getInt(p); p += 4; v } else 0
+    val cRun = if (rich) { bound(p + 2); val v = bb.getShort(p) & 0xFFFF; p += 2; v } else 0
+    val cbExt = if (ext) { bound(p + 4); val v = bb.getInt(p); p += 4; v } else 0
     val wide = (grbit & 0x01) != 0
     val text =
-      if (wide) { val t = new String(b, p, cch * 2, "UTF-16LE"); p += cch * 2; t }
-      else { val t = new String(b, p, cch, "ISO-8859-1"); p += cch; t }
+      if (wide) { bound(p + cch * 2); val t = new String(b, p, cch * 2, "UTF-16LE"); p += cch * 2; t }
+      else { bound(p + cch); val t = new String(b, p, cch, "ISO-8859-1"); p += cch; t }
     p += cRun * 4 + cbExt
+    bound(p)
     (text, p - pos)
   }
 
@@ -269,9 +283,14 @@ object BiffReader {
     val sheetOffsets = recs.filter(_.id == 0x0085).map(r => bb.getInt(r.at))
     require(sheet >= 1 && sheet <= sheetOffsets.length,
       s"sheet $sheet not found (${sheetOffsets.length} sheets)")
+    // DATEMODE (0x0022): 1 = the Mac 1904 date system — serial 0 is
+    // 1904-01-01 and the Lotus leap bug does not exist; ignoring it
+    // would shift every date cell ~4 years into the past
+    val date1904 = recs.find(_.id == 0x0022)
+      .exists(r => (bb.getShort(r.at) & 0xFFFF) == 1)
     val customDateFmts: Set[Int] = recs.filter(_.id == 0x041E).collect {
       case r if {
-        val code = readUnicodeString(wb, r.at + 2)._1
+        val code = readUnicodeString(wb, r.at + 2, r.at + r.len)._1
         ExcelReader.isDateFormatCode(code)
       } => bb.getShort(r.at) & 0xFFFF
     }.toSet
@@ -289,7 +308,7 @@ object BiffReader {
       grid.getOrElseUpdate(row, mutable.LinkedHashMap[Int, String]())(colIdx) = v
     def num(row: Int, colIdx: Int, ixfe: Int, d: Double): Unit = {
       val s =
-        if (isDateXf(ixfe)) ExcelReader.excelSerialToString(d)
+        if (isDateXf(ixfe)) ExcelReader.excelSerialToString(d, date1904)
         else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
         else d.toString
       cell(row, colIdx, s)
@@ -306,7 +325,7 @@ object BiffReader {
           cell(row, c, sst.lift(bb.getInt(r.at + 6)).getOrElse(""))
         case 0x0204 => // LABEL (inline BIFF8 unicode string)
           val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
-          cell(row, c, readUnicodeString(wb, r.at + 6)._1)
+          cell(row, c, readUnicodeString(wb, r.at + 6, r.at + r.len)._1)
         case 0x0203 => // NUMBER (IEEE double)
           val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
           num(row, c, bb.getShort(r.at + 4) & 0xFFFF, bb.getDouble(r.at + 6))
@@ -336,7 +355,7 @@ object BiffReader {
           } else num(row, c, ixfe, bb.getDouble(r.at + 6))
         case 0x0207 => // STRING: cached text of the preceding string FORMULA
           pendingFormulaCell.foreach { case (row, c) =>
-            cell(row, c, readUnicodeString(wb, r.at)._1)
+            cell(row, c, readUnicodeString(wb, r.at, r.at + r.len)._1)
           }
           pendingFormulaCell = None
         case 0x0205 => // BOOLERR (boolean flavor only; errors -> blank)

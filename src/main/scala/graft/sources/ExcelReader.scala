@@ -84,17 +84,63 @@ object ExcelReader {
     * 60 itself — unrepresentable as a real date — collapses onto
     * 1900-02-28 exactly as openpyxl's `from_excel` does (its `0 <
     * value < 60` bump leaves 60 unadjusted). */
-  private[sources] def excelSerialToString(serial: Double): String = {
+  private[sources] def excelSerialToString(serial: Double,
+      date1904: Boolean = false): String = {
     // the 1900-leap-year bug bump applies to 0 < serial < 60 ONLY:
     // openpyxl's from_excel leaves serial 0 (and negatives) unbumped,
     // rendering 1899-12-30 — parity requires the same two-sided guard.
-    val adj = if (serial > 0 && serial < 60) serial + 1 else serial
+    // The Mac 1904 system (workbookPr date1904 / BIFF DATEMODE=1) has
+    // a different epoch (serial 0 = 1904-01-01) and NO phantom
+    // 1900-02-29, so no bump — exactly openpyxl's CALENDAR_MAC_1904.
+    val adj =
+      if (date1904) serial
+      else if (serial > 0 && serial < 60) serial + 1
+      else serial
     val days = math.floor(adj).toLong
     val secs = math.round((adj - days) * 86400)
-    java.time.LocalDate.of(1899, 12, 30).atStartOfDay
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    epoch.atStartOfDay
       .plusDays(days).plusSeconds(secs)
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** Resolve the Nth (1-based) sheet's part name through
+    * xl/workbook.xml's sheet order and the workbook rels — NEVER by
+    * assuming `sheetN.xml`: deleting or reordering sheets in Excel
+    * keeps part names stable (a workbook whose first sheet was removed
+    * has sheet order [sheet2.xml] — the naive name guess would reject
+    * the file or silently read the wrong sheet). Also reads the
+    * workbookPr date1904 flag in the same pass. Falls back to the
+    * positional name only when the workbook part is absent entirely. */
+  private def resolveSheet(zf: ZipFile, sheet: Int): (String, Boolean) = {
+    val wbOpt = Option(zf.getEntry("xl/workbook.xml"))
+    if (wbOpt.isEmpty) return (s"xl/worksheets/sheet$sheet.xml", false)
+    val wb = parseXml(zf.getInputStream(wbOpt.get))
+    val date1904 = elements(wb, "workbookPr").headOption
+      .map(_.getAttribute("date1904"))
+      .exists(v => v == "1" || v == "true")
+    val rels: Map[String, String] =
+      Option(zf.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+        elements(parseXml(zf.getInputStream(e)), "Relationship")
+          .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
+      }.getOrElse(Map.empty)
+    val sheets = elements(wb, "sheet")
+    val part = sheets.lift(sheet - 1).flatMap { el =>
+      // r:id is namespace-qualified; DOM surfaces it under the
+      // officeDocument relationships namespace or the literal qname
+      val rid = Option(el.getAttributeNS(
+          "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+          "id")).filter(_.nonEmpty)
+        .orElse(Option(el.getAttribute("r:id")).filter(_.nonEmpty))
+      rid.flatMap(rels.get).map { target =>
+        if (target.startsWith("/")) target.stripPrefix("/")
+        else "xl/" + target
+      }
+    }.getOrElse(s"xl/worksheets/sheet$sheet.xml")
+    (part, date1904)
   }
 
   /** Read the sheet grid as rows of (colIndex → text). */
@@ -106,9 +152,10 @@ object ExcelReader {
           elements(parseXml(zf.getInputStream(e)), "si")
             .map(_.getTextContent).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
-      val sheetEntry = Option(zf.getEntry(s"xl/worksheets/sheet$sheet.xml"))
+      val (sheetPart, date1904) = resolveSheet(zf, sheet)
+      val sheetEntry = Option(zf.getEntry(sheetPart))
         .getOrElse(throw new IllegalArgumentException(
-          s"sheet$sheet.xml not found — not a valid workbook"))
+          s"$sheetPart not found — not a valid workbook"))
       val dateStyles = dateStyleIds(zf)
       val doc = parseXml(zf.getInputStream(sheetEntry))
       elements(doc, "row").map { rowEl =>
@@ -136,7 +183,8 @@ object ExcelReader {
                 val isNumeric = t.isEmpty || t == "n"
                 if (isNumeric && style.nonEmpty &&
                     dateStyles.contains(style.toInt))
-                  raw.toDoubleOption.map(excelSerialToString).getOrElse(raw)
+                  raw.toDoubleOption
+                    .map(excelSerialToString(_, date1904)).getOrElse(raw)
                 else raw
               }
             }

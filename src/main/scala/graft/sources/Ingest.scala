@@ -65,16 +65,30 @@ object Ingest {
     Seq("UTF-8", "windows-1252", "ISO-8859-1")
 
   /** Probe the first `probeBytes` of a local file; first charset that
-    * decodes without error wins (BOM-stripped UTF-8 counts as UTF-8). */
+    * decodes without error wins (BOM-stripped UTF-8 counts as UTF-8).
+    * Only the probe window is read (readNBytes — never the whole file
+    * into driver memory), and a malformed sequence inside the LAST
+    * four bytes of a full probe window is forgiven: the fixed-size cut
+    * can split a multibyte UTF-8 character mid-sequence, and treating
+    * that truncation as "not UTF-8" would silently mojibake the whole
+    * file through the windows-1252 fallback. */
   def detectEncoding(path: String, probeBytes: Int = 1024): String = {
-    val all = Files.readAllBytes(Paths.get(path))
-    val head = all.take(probeBytes)
+    val in = Files.newInputStream(Paths.get(path))
+    val head = try in.readNBytes(probeBytes) finally in.close()
+    // a partial read means EOF — the window holds the entire file and
+    // a malformed tail is genuinely malformed, not truncated
+    val truncated = head.length == probeBytes
     EncodingLadder.find { name =>
       val dec: CharsetDecoder = Charset.forName(name).newDecoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
-      try { dec.decode(java.nio.ByteBuffer.wrap(head)); true }
-      catch { case _: Exception => false }
+      val buf = java.nio.ByteBuffer.wrap(head)
+      val out = java.nio.CharBuffer.allocate(head.length + 1)
+      val res = dec.decode(buf, out, true)
+      if (!res.isError) { dec.flush(out); true }
+      // UTF-8 sequences are <= 4 bytes: an error starting within the
+      // last 4 bytes of a truncated window is the cut, not the data
+      else truncated && buf.position() >= head.length - 4
     }.getOrElse("ISO-8859-1") // latin-1 accepts any byte — final fallback
   }
 

@@ -132,9 +132,12 @@ object Incremental {
     import items.sparkSession.implicits._
     items
       .groupByKey { t =>
+        // two digest bytes (not one): a single byte caps effective
+        // shards at 256 — requesting more would silently leave the
+        // extra state stores empty and overload the first 256
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(t.getBytes("UTF-8"))
-        math.floorMod(h(0).toInt, nShards)
+        math.floorMod(((h(0) & 0xff) << 8) | (h(1) & 0xff), nShards)
       }
       .flatMapGroupsWithState[HhState, HhSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -187,10 +190,14 @@ object Incremental {
         col("touch_ts") < col("conv_ts") &&
         col("touch_ts") >= col("conv_ts") - lit(windowUs) &&
         // the TIMESTAMP twin of the micros range — this is the bound
-        // the state manager can reason about for eviction
+        // the state manager can reason about for eviction. MICROSECOND
+        // granularity, never seconds: a floored whole-second interval
+        // would be TIGHTER than the micros predicate (sub-second
+        // windows became unsatisfiable — 0 rows), silently dropping
+        // matches the batch join keeps
         col("touch_t") < col("conv_t") &&
         col("touch_t") >= col("conv_t") - expr(
-          s"INTERVAL ${windowUs / 1000000L} SECONDS"))
+          s"INTERVAL $windowUs MICROSECOND"))
       .select(col("conv_id"), col("touch_id"), col("channel"),
         col("conv_ts"), col("touch_ts"))
   }
@@ -373,7 +380,12 @@ object Incremental {
           .where(col("gopher_ok"))
           .select(col("doc_id"), col("lang"), col("__text").as("text"))
     }
-    val keyed = ruled.withColumn("content_key", md5(col("text")))
+    // contentKey = md5(lower(trim(text))) — the SAME key the batch twin
+    // (Dedup.exact / q29) and the against-corpus exact probe below use;
+    // a raw md5(text) here would admit case/whitespace duplicates the
+    // batch cut is documented to remove
+    val keyed = ruled.withColumn("content_key",
+      TextFunctions.contentKey(col("text")))
     // the gated stream of survivors: plain first-occurrence state, or —
     // with a standing corpus — the q109 classification as STREAM-STATIC
     // joins (the static key set / band index / token sets are stateless

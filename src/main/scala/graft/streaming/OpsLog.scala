@@ -31,22 +31,27 @@ object OpsLog {
       .write.mode("append").partitionBy("log_date").parquet(logDir)
 
   /** Drop partitions older than `retentionDays` relative to the max
-    * log_date present (deterministic, no wall-clock dependency). */
+    * log_date present (deterministic, no wall-clock dependency).
+    * Pure metadata: the max date comes from the `log_date=` partition
+    * directory NAMES — no Spark job, no data-file scan (on a large log
+    * table a max() over the data would read every file to learn what
+    * the directory listing already says) — and a missing/empty logDir
+    * is a no-op, so a first-run cron never crashes. */
   def enforceRetention(spark: SparkSession, logDir: String, retentionDays: Int): Unit = {
-    val dates = spark.read.parquet(logDir)
-      .select(max(col("log_date")).as("mx")).collect()(0)
-    val mx = dates.getDate(0)
-    if (mx != null) {
-      val cutoff = mx.toLocalDate.minusDays(retentionDays.toLong)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val base = new org.apache.hadoop.fs.Path(logDir)
-      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("log_date=")) {
-          val d = java.time.LocalDate.parse(n.stripPrefix("log_date="))
-          if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
-        }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(logDir)
+    if (!fs.exists(base)) return
+    val parts = fs.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("log_date="))
+      .map(p => p -> java.time.LocalDate.parse(
+        p.getName.stripPrefix("log_date=")))
+    if (parts.nonEmpty) {
+      val cutoff = parts.map(_._2).max(Ordering.by[java.time.LocalDate, Long](
+        _.toEpochDay)).minusDays(retentionDays.toLong)
+      parts.foreach { case (p, d) =>
+        if (d.isBefore(cutoff)) fs.delete(p, true)
       }
     }
   }
@@ -85,12 +90,27 @@ object OpsLog {
       .groupBy(window(col("ts"), window_), col("category"))
       .agg(count(lit(1)).as("n"))
 
-  /** ST2: streaming daily usage with a late-data watermark. */
+  /** ST2: streaming daily usage with a late-data watermark — the SAME
+    * output columns as the batch [[dailyUsage]] and the SAME day
+    * bucket under the engine's UTC session contract
+    * (`Tables.configure` REQUIRES spark.sql.session.timeZone=UTC, so
+    * the epoch-aligned 24h tumbling window starts at UTC midnight =
+    * exactly `to_date(ts)`'s day). The window — not a bare
+    * `to_date` grouping — is what lets Append mode evict each day's
+    * state once the watermark passes it; `day` is projected from the
+    * window start so consumers read the two surfaces identically. */
   def streamingDailyUsage(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "24 hours"))
       .agg(
         sum(coalesce(col("bytes"), lit(0L))).as("total_bytes"),
-        count(lit(1)).as("operations"))
+        count(lit(1)).as("operations"),
+        sum(when(col("operation") === "mutation", 1).otherwise(0)).as("mutations"),
+        sum(when(col("operation") === "query", 1).otherwise(0)).as("queries"))
+      .select(to_date(col("window.start")).as("day"),
+        col("total_bytes"), col("operations"),
+        col("mutations"), col("queries"))
+      .withColumn("over_80pct_of_5gb",
+        col("total_bytes") > (0.8 * 5L * 1024 * 1024 * 1024).toLong)
 }

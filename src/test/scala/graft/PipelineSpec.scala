@@ -141,6 +141,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("probe cut mid-multibyte-character still detects UTF-8 (S1)") {
+    // 'é' placed so its two UTF-8 bytes straddle the 1024-byte probe
+    // boundary: a REPORT-mode decoder sees a malformed tail and — before
+    // the truncation-forgiveness fix — fell through to windows-1252,
+    // mojibake-ing the whole file. Genuine malformedness mid-window must
+    // still be rejected (second assert).
+    val content = "businessName,country1\n" + ("x" * (1023 - 22)) + "é more text here\n"
+    assert(content.getBytes(StandardCharsets.UTF_8)(1023) != 'x'.toByte)
+    val path = writeFixture("cut.csv", content, StandardCharsets.UTF_8)
+    assert(Ingest.detectEncoding(path) == "UTF-8")
+    val latin = writeFixture("latin-mid.csv",
+      "businessName,country1\nCafé,FR\n" + ("y" * 1100),
+      StandardCharsets.ISO_8859_1)
+    assert(Ingest.detectEncoding(latin) != "UTF-8")
+  }
+
   test("xlsx container validation rejects non-zip payloads (S3)") {
     val bad = writeFixture("fake.xlsx", "this is not a zip")
     assert(Ingest.validateXlsxContainer(bad).isLeft)

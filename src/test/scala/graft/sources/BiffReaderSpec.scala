@@ -230,4 +230,30 @@ class BiffReaderSpec extends AnyFunSuite {
     assert(BiffReader.decodeRk(0x40040000 | 1) == 0.025)
     assert(BiffReader.decodeRk((-12 << 2) | 2) == -12.0)
   }
+
+  test("DATEMODE=1 (Mac 1904 system) shifts date cells to the 1904 epoch") {
+    // a 1904-system workbook: DATEMODE record in globals, one
+    // date-styled NUMBER cell. Ignoring the flag would render the
+    // date ~4 years early (the openpyxl-divergence bug class).
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1904, 1, 1), java.time.LocalDate.of(2024, 6, 1))
+    def globals(sheetPos: Int): Array[Byte] = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
+      rec(0x0022, u16(1)), // DATEMODE: 1904 system
+      rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),  // XF0 General
+      rec(0x00E0, le(u16(0), u16(14), new Array[Byte](16))), // XF1 date
+      rec(0x0085, le(i32(sheetPos), u16(0),
+        Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
+      rec(0x000A, Array.empty[Byte]))
+    val sheet = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0))),
+      rec(0x0204, le(cellHead(0, 0, 0), ustr("joined"))),
+      rec(0x0203, le(cellHead(1, 0, 1), f64(serial.toDouble))),
+      rec(0x000A, Array.empty[Byte]))
+    val g = globals(0)
+    val p = Files.createTempDirectory("graft-biff-1904").resolve("mac.xls")
+    Files.write(p, buildCfb(globals(g.length) ++ sheet))
+    val r = BiffReader.readXls(spark, p.toString).collect()(0)
+    assert(r.getString(0) == "2024-06-01 00:00:00")
+  }
 }

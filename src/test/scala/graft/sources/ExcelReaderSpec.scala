@@ -127,4 +127,65 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(ExcelReader.colIndex("Z9") == 25)
     assert(ExcelReader.colIndex("AA3") == 26)
   }
+
+  test("1904 date system: workbookPr date1904 shifts the epoch, no leap bump") {
+    // serial algebra first: Mac 1904 epoch, serial 0 = 1904-01-01,
+    // and the phantom-1900-02-29 bump must NOT apply
+    assert(ExcelReader.excelSerialToString(0, date1904 = true)
+      == "1904-01-01 00:00:00")
+    assert(ExcelReader.excelSerialToString(59, date1904 = true)
+      == "1904-02-29 00:00:00") // 1904 really was a leap year
+    val dir = Files.createTempDirectory("graft-xlsx-1904")
+    val path = dir.resolve("mac.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><workbookPr date1904="1"/><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1904, 1, 1), java.time.LocalDate.of(2024, 6, 1))
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>joined</t></is></c></row>
+         |<row r="2"><c r="A2" s="1"><v>$serial</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val row = ExcelReader.readXlsx(spark, path).collect()(0)
+    // without the epoch flag this would render 2020-05-31 (~4y early)
+    assert(row.getString(0) == "2024-06-01 00:00:00")
+  }
+
+  test("sheet parts resolve through workbook rels, not positional names") {
+    // a workbook whose first sheet was deleted in Excel: the only
+    // remaining part is sheet2.xml and the rels map sheet order to it —
+    // the naive sheet1.xml guess would reject this valid file
+    val dir = Files.createTempDirectory("graft-xlsx-rels")
+    val path = dir.resolve("gap.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Kept" sheetId="2" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>Widget</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = ExcelReader.readXlsx(spark, path)
+    assert(df.columns.toSeq == Seq("name"))
+    assert(df.collect()(0).getString(0) == "Widget")
+  }
 }

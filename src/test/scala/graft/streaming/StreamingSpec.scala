@@ -229,6 +229,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(errs.map(r => (r.getString(0), r.getLong(1))).toMap == Map("auth" -> 1L))
   }
 
+  test("streaming daily usage + error windows match their batch twins") {
+    // the two OpsLog streaming surfaces through the REAL engine:
+    // streamingDailyUsage must agree column-for-column with the batch
+    // dailyUsage on watermark-closed days (UTC sessions — the engine
+    // contract — make the 24h tumbling window exactly the to_date day),
+    // and streamingErrorWindows must count per (window, category)
+    val dir = tmp(); val cp1 = tmp(); val cp2 = tmp()
+    val logs = Seq(
+      ("2024-01-01 10:00:00", "ERROR", "network", "mutation", "timeout", 100L),
+      ("2024-01-01 11:00:00", "INFO", "ok", "query", "fine", 10L),
+      ("2024-01-02 10:30:00", "ERROR", "auth", "mutation", "denied", 50L),
+      ("2024-01-03 09:00:00", "INFO", "ok", "query", "fine", 7L))
+      .toDF("ts_s", "level", "category", "operation", "message", "bytes")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withColumn("submission_name", lit("f1"))
+      .select("ts", "level", "category", "operation", "message",
+        "bytes", "submission_name")
+    logs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(OpsLog.LogSchema).parquet(dir)
+
+    val q1 = OpsLog.streamingDailyUsage(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("daily_usage")
+      .option("checkpointLocation", cp1)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val got = spark.table("daily_usage")
+    val batch = OpsLog.dailyUsage(logs)
+    // append emits only watermark-closed days; every emitted day must
+    // equal its batch twin on EVERY column (same names, same values)
+    assert(got.count() > 0 && got.count() <= batch.count())
+    assert(got.columns.sorted.toSeq == batch.columns.sorted.toSeq)
+    val cols = Seq("total_bytes", "operations", "mutations", "queries",
+      "over_80pct_of_5gb")
+    val mism = got.as("g").join(batch.as("b"), Seq("day"))
+      .where(cols.map(c => col(s"g.$c") =!= col(s"b.$c"))
+        .reduce(_ || _))
+    assert(mism.count() == 0, "streaming day must equal its batch twin")
+
+    // full stream (not pre-filtered): the watermark must advance on the
+    // LAST event's ts so the 01-02 window closes; per-category rows let
+    // the assert pick out the error categories
+    val q2 = OpsLog.streamingErrorWindows(stream, "24 hours", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("err_windows")
+      .option("checkpointLocation", cp2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val errs = spark.table("err_windows")
+      .select(to_date($"window.start").as("day"), $"category", $"n")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    // the 01-03 window may be open (watermark); the closed ones exact
+    assert(errs.contains(("2024-01-01", "network", 1L)))
+    assert(errs.contains(("2024-01-02", "auth", 1L)))
+  }
+
   test("state shuffle width = f(keyspace); results are width-invariant") {
     // the sizing math: ceil-divide, clamped to [1, maxPartitions]
     assert(Incremental.partitionsForKeys(0) == 1)
