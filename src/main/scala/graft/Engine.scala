@@ -81,13 +81,12 @@ object Engine {
       df.withColumn(c, Normalize.normEmpty(col(c)))
     }
 
-    val emailOk =
-      if (normed.columns.contains("contactEmail"))
-        Normalize.validEmail(col("contactEmail"))
-      else lit(true)
+    // contactEmail is a RequiredField and missingRequired was checked
+    // empty above, so the column is guaranteed present — no fallback
     val flagged = normed.withColumn("__valid",
       Normalize.validBusinessName(col("businessName")) &&
-        col("country1").isNotNull && emailOk)
+        col("country1").isNotNull &&
+        Normalize.validEmail(col("contactEmail")))
     // member_id must be DETERMINISTIC: r.valid/r.items/r.resolved are
     // separate lazy branches of this plan, and reviewQueue joins resolved
     // back to valid on member_id — monotonically_increasing_id() is
@@ -195,7 +194,14 @@ object Engine {
   final case class UnimaxSelection(
       maxEpochs: Int,
       budgetTokens: Long = 0L,
-      budgetPerMille: Option[Long] = None) extends SelectionPolicy
+      budgetPerMille: Option[Long] = None) extends SelectionPolicy {
+    // "exactly one" is enforced, not just documented: omitting both
+    // would water-fill a zero budget and silently select nothing
+    require((budgetTokens > 0L) != budgetPerMille.isDefined,
+      "set exactly one of budgetTokens (> 0) or budgetPerMille")
+    budgetPerMille.foreach(p => require(p > 0L && p <= 1000L,
+      s"budgetPerMille=$p must be in (0, 1000]"))
+  }
 
   /** Temperature-scaled selection (q145's α = ½ allocator + q137's
     * execution): strata weighted by exact integer isqrt(n_tokens) —
@@ -205,7 +211,12 @@ object Engine {
     * `budgetTokens` or `budgetPerMille` sets the budget. */
   final case class TemperatureSelection(
       budgetTokens: Long = 0L,
-      budgetPerMille: Option[Long] = None) extends SelectionPolicy
+      budgetPerMille: Option[Long] = None) extends SelectionPolicy {
+    require((budgetTokens > 0L) != budgetPerMille.isDefined,
+      "set exactly one of budgetTokens (> 0) or budgetPerMille")
+    budgetPerMille.foreach(p => require(p > 0L && p <= 1000L,
+      s"budgetPerMille=$p must be in (0, 1000]"))
+  }
 
   /** The LLM-corpus counterpart of [[processSubmission]]: one composed
     * entry point for the training-data pipeline the extension family
@@ -329,6 +340,18 @@ object Engine {
     import graft.functions.{TextFunctions, UnicodeNorm}
     def boundary(df: DataFrame): DataFrame =
       if (materializeBoundaries) df.localCheckpoint(true) else df
+
+    // reserved intermediate names (dedupLines / c4Clean outputs join
+    // back against the passthrough columns): an input corpus carrying
+    // one would surface as an opaque AMBIGUOUS_REFERENCE mid-plan —
+    // fail loud at the facade boundary instead, like the operators do
+    val reserved = Seq("clean_text", "n_lines", "n_kept", "n_kept_lines",
+      "kept_text", "n_sentences", "has_lorem", "has_brace", "page_keep")
+    docs.columns.toSeq.intersect(reserved) match {
+      case Seq() => ()
+      case bad => throw new IllegalArgumentException(
+        s"input corpus columns ${bad.mkString(", ")} are reserved by processCorpus")
+    }
 
     // 1-2. NFC first (so line hashing sees canonical bytes), line dedup
     // while newlines are still intact, THEN cleanText — its control-
@@ -507,15 +530,22 @@ object Engine {
     val packed = TextAnalysis.packSequences(
       selected, textCol, idCol, strataCol, packBudget)
 
+    // every OPTIONAL stage appears in the ledger only when it ran — an
+    // audit consumer must be able to tell "ran and dropped nothing"
+    // from "was off" for passage cleaning and decontamination exactly
+    // as it can for the C4/incremental/entropy gates
     val accounting = (Seq(
       ("input", docs)) ++
       (if (c4Rules.isDefined) Seq(("c4_cleaned", c4ed)) else Nil) ++ Seq(
       ("cleaned", cleaned),
       ("non_empty", nonEmpty), ("exact_deduped", exactDeduped)) ++
       (if (againstCorpus.isDefined) Seq(("incremental_new", incremental))
-       else Nil) ++ Seq(
-      ("passage_cleaned", passageClean),
-      ("decontaminated", dedupedB), ("rule_filtered", gopherRuled)) ++
+       else Nil) ++
+      (if (removeDupWindows.isDefined)
+        Seq(("passage_cleaned", passageClean)) else Nil) ++
+      (if (decontamEval.isDefined)
+        Seq(("decontaminated", dedupedB)) else Nil) ++ Seq(
+      ("rule_filtered", gopherRuled)) ++
       (if (minEntropyMillsPerTok.isDefined)
         Seq(("entropy_filtered", ruled)) else Nil) ++ Seq(
       (selLabel, selected),

@@ -221,13 +221,28 @@ object HeaderMapper {
   }
 
   /** P7: the projection a mapping implies — canonical aliases first,
-    * unmapped columns preserved as `unmapped_<h>`. */
+    * unmapped columns preserved as `unmapped_<h>`. Unmapped names are
+    * DEDUPED after normalization ("Notes*" and "Notes:" both normalize
+    * to `notes` — emitting two `unmapped_notes` columns would succeed
+    * here and then crash the first downstream `withColumn` with an
+    * ambiguous reference), an all-symbols header gets a positional
+    * name, and embedded backticks in incoming headers are escaped by
+    * doubling (Spark's quoted-identifier rule). */
   def projection(df: org.apache.spark.sql.DataFrame, m: MappingResult)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    def quoted(in: String) = col(s"`${in.replace("`", "``")}`")
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val unmappedCols = m.unmapped.zipWithIndex.map { case (h, i) =>
+      val base0 = norm(h).replace(' ', '_')
+      val base = if (base0.nonEmpty) s"unmapped_$base0" else s"unmapped_col$i"
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      quoted(h).as(if (n == 0) base else s"${base}_${n + 1}")
+    }
     val cols =
-      m.mapping.toSeq.map { case (in, out) => col(s"`$in`").as(out) } ++
-        m.unmapped.map(h => col(s"`$h`").as(s"unmapped_${norm(h).replace(' ', '_')}"))
+      m.mapping.toSeq.map { case (in, out) => quoted(in).as(out) } ++
+        unmappedCols
     df.select(cols: _*)
   }
 }

@@ -173,6 +173,13 @@ object Multimodal {
     * (`ImageReader.read(i)`). None when no reader claims the payload or
     * it holds zero frames. */
   private[graft] def decodeGifFrames(content: Array[Byte]): Option[IndexedSeq[Float]] =
+    decodeGifFrames(content, 1).map(_.map(_._2))
+
+  /** Decode every `step`-th frame ONLY — frame decode dominates the
+    * per-row cost, so a sampler must never read the frames it skips.
+    * Returns (frame index, mean luminance) pairs. */
+  private[graft] def decodeGifFrames(content: Array[Byte], step: Int)
+      : Option[IndexedSeq[(Int, Float)]] =
     try {
       if (content == null) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -185,7 +192,7 @@ object Multimodal {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           if (n <= 0) None
-          else Some((0 until n).map(i => meanLum(reader.read(i))))
+          else Some((0 until n by step).map(i => i -> meanLum(reader.read(i))))
         } finally reader.dispose()
       } finally iis.close()
     } catch { case _: Exception => None }
@@ -292,7 +299,13 @@ object Multimodal {
           batch.iterator.map { case (id, kind, content) =>
             val bytes = if (content == null) 0L else content.length.toLong
             val (status, feats) = decodeFeaturesStatus(kind, content, dim)
-            val sha = feats.take(2).map(f => f"$f%.3f").mkString(",")
+            // a REAL content fingerprint (md5 of the payload bytes,
+            // first 16 hex chars) — the field's provenance contract;
+            // deriving it from the leading feature values would
+            // collide for distinct payloads with equal feature heads
+            val sha = java.security.MessageDigest.getInstance("MD5")
+              .digest(if (content == null) Array.empty[Byte] else content)
+              .take(8).map(b => f"${b & 0xff}%02x").mkString
             MediaFeatures(id, kind, bytes, sha, status, feats)
           }
         }
@@ -322,10 +335,14 @@ object Multimodal {
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, content, durS) =>
-          decodeGifFrames(content) match {
-            case Some(lums) =>
-              (0 until lums.length by step).map(i =>
-                FrameSample(id, i, decoded = true, Some(lums(i))))
+          // the step is pushed INTO the decode (decodeGifFrames only
+          // reads every step-th frame): decoding all frames and then
+          // discarding (step-1)/step of them would waste the dominant
+          // per-row cost on exactly the frames sampling skips
+          decodeGifFrames(content, step) match {
+            case Some(samples) =>
+              samples.map { case (i, lum) =>
+                FrameSample(id, i, decoded = true, Some(lum)) }
             case None =>
               (0 to durS by step).map(i =>
                 FrameSample(id, i, decoded = false, None))

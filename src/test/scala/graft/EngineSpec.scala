@@ -175,8 +175,13 @@ class EngineSpec extends AnyFunSuite {
       "deduped stage must carry no exact text duplicate")
     val plainLedger = plain.accounting.collect()
       .map(row => row.getString(1) -> row.getLong(2)).toMap
+    // stages that were OFF in this run must be absent from the ledger —
+    // an audit must distinguish "ran, dropped nothing" from "was off"
+    assert(!plainLedger.contains("decontaminated") &&
+      !plainLedger.contains("passage_cleaned"),
+      s"disabled stages must not appear in the ledger: $plainLedger")
     assert(plainLedger("rule_filtered") > 0 &&
-      plainLedger("rule_filtered") < plainLedger("decontaminated"),
+      plainLedger("rule_filtered") < plainLedger("exact_deduped"),
       s"Gopher gate must bind without emptying the corpus: $plainLedger")
     val withoutR = tokensById(plain.deduped)
     val common = withR.keySet & withoutR.keySet

@@ -82,4 +82,35 @@ class HeaderMapperSpec extends AnyFunSuite {
       HeaderMapper.mapHeaders(Seq("x"), overrides = Map("x" -> "notAField"))
     }
   }
+
+  test("projection dedupes colliding unmapped names and escapes backticks") {
+    import org.apache.spark.sql.functions.lit
+    val spark = graft.SparkTestSession.spark
+    // "Zzqx*" and "Zzqx:" both normalize to `zzqx` (chosen to defeat
+    // the fuzzy inference — "Notes" would map to a canonical field);
+    // an all-symbols header normalizes to ""; a header with an
+    // embedded backtick must be escaped, not break the quoted
+    // identifier
+    val df = spark.range(1)
+      .withColumn("Business Name", lit("Acme"))
+      .withColumn("Country 1", lit("US"))
+      .withColumn("Contact Email", lit("a@b.co"))
+      .withColumn("Zzqx*", lit("n1"))
+      .withColumn("Zzqx:", lit("n2"))
+      .withColumn("##", lit("n3"))
+      .withColumn("size`qty", lit("n4"))
+      .drop("id")
+    val m = HeaderMapper.mapHeaders(df.columns.toIndexedSeq)
+    val out = HeaderMapper.projection(df, m)
+    // duplicate-free output schema — downstream withColumn must not
+    // hit an ambiguous reference
+    assert(out.columns.distinct.length == out.columns.length,
+      out.columns.mkString(","))
+    assert(out.columns.count(_.startsWith("unmapped_zzqx")) == 2)
+    val row = out.collect()(0)
+    val byName = out.columns.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
+    assert(byName("unmapped_zzqx") == "n1")
+    assert(byName("unmapped_zzqx_2") == "n2")
+    assert(Seq("n3", "n4").forall(byName.values.toSet.contains))
+  }
 }

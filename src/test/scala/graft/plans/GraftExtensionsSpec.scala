@@ -88,6 +88,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit("the quick fox")).as("k"))
         .as[String].head()
       assert(r4._2 == ckCol, "SQL content_key must equal the Column API")
+      // fixed-arity builders reject wrong arity with a DESCRIPTIVE
+      // error (not a raw IndexOutOfBounds) and never silently drop args
+      val tooFew = intercept[Exception] {
+        spark.sql("SELECT token_set_ratio('a')").collect()
+      }
+      assert(tooFew.getMessage.contains("token_set_ratio") ||
+        tooFew.getMessage.contains("argument"), tooFew.getMessage)
+      val tooMany = intercept[Exception] {
+        spark.sql("SELECT nfc_normalize('a', 'b')").collect()
+      }
+      assert(tooMany.getMessage.contains("nfc_normalize") ||
+        tooMany.getMessage.contains("argument"), tooMany.getMessage)
     } finally {
       // leave the shared session for other suites
     }
