@@ -414,7 +414,10 @@ class StreamingSpec extends AnyFunSuite {
         keepColumns = Seq("__text"))
       .where(col("gopher_ok"))
       .select(col("doc_id"), col("__text").as("text"))
-    val twin = ruledB.withColumn("content_key", md5(col("text")))
+    // contentKey (md5 of lower/trim) — the SAME key Dedup.exact/q29 and
+    // the gate use, so the store is directly comparable to a batch cut
+    val twin = ruledB
+      .withColumn("content_key", TextFunctions.contentKey(col("text")))
       .groupBy("content_key").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "content_key").as[(Long, String)].collect().toMap
     assert(kept() == twin, "streaming store must equal the batch twin")
