@@ -54,15 +54,33 @@ object Bench {
     }
     // The driver captures only a bounded 2000-byte TAIL of stdout: the
     // summary line must stay well under that or its head gets truncated
-    // and the round's bench goes unparsed (this happened twice). Hence
-    // centisecond precision, a basename-only sf, qNN-prefix query keys
-    // (the full names live in SparkEntry.queries; prefixes are unique),
-    // and nothing nested.
-    def cs(v: Double): String = // locale-pinned: "0.50", never "0,50"
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
+    // and the round's bench goes unparsed (this happened twice — and at
+    // 192 queries the full map alone is >2300 bytes, so "all queries at
+    // centisecond precision" no longer fits). The line therefore keeps
+    // the SLOWEST queries that fit a fixed byte budget and reconciles
+    // the rest through omitted_n/omitted_total (total always covers all
+    // queries; sentinel −1 failures are always included regardless of
+    // budget so a broken query can never be silently dropped). The FULL
+    // per-query map still prints, one line earlier — safe to truncate,
+    // available whenever stdout is captured unbounded (local runs).
+    def cs(v: Double): String = Timing.cs(v) // locale-pinned: "0.50", never "0,50"
+    def entry(k: String, v: Double): String =
+      "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)
+    val fullQs = results.map { case (k, v, _) => entry(k, v) }
       .mkString("{", ",", "}")
+    val MapByteBudget = 1500
+    val (failed, ok) = results.partition(_._2 < 0)
+    val keptB = new scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    failed.foreach { case (k, v, _) => keptB += (k -> v) }
+    var bytes = keptB.map { case (k, v) => entry(k, v).length + 1 }.sum
+    ok.sortBy(-_._2).foreach { case (k, v, _) =>
+      val e = entry(k, v).length + 1
+      if (bytes + e <= MapByteBudget) { keptB += (k -> v); bytes += e }
+    }
+    val kept = keptB.sortBy(_._1)
+    val keptNames = kept.map(_._1).toSet
+    val omitted = results.filterNot(r => keptNames(r._1))
+    val qs = kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel in the per-query map but must
     // not SUBTRACT from the total (a broken query must never look fast)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -75,7 +93,8 @@ object Bench {
     val gaugeWarm = results.collectFirst {
       case (n, _, w) if n.startsWith("q01") => w }.getOrElse(-1.0)
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs,"sf":"$sfName","gauge_q01_warm":${cs(gaugeWarm)},"warm_total":${cs(warmTotal)}}""")
+    println(s"""{"metric":"full_query_map","queries":$fullQs}""")
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"omitted_n":${omitted.length},"omitted_total":${cs(omitted.map(_._2).filter(_ >= 0).sum)},"sf":"$sfName","gauge_q01_warm":${cs(gaugeWarm)},"warm_total":${cs(warmTotal)}}""")
     spark.stop()
   }
 }

@@ -518,6 +518,12 @@ object ScaleStudy {
       val ev = spark.read.parquet(s"$srcDir/events.parquet")
       val guard = ev.agg(max(col("event_id")).as("me"),
         max(col("user_id")).as("mu")).head()
+      // max() over zero rows is null, and getAs[Long] would unbox it to
+      // 0L — silently "passing" the offset guards and building an EMPTY
+      // synth corpus whose exponents are all garbage. Fail loud instead
+      // (the docs builder's require(count > 0) precedent).
+      require(!guard.isNullAt(0),
+        s"$srcDir/events.parquet is empty — cannot synthesize")
       require(guard.getAs[Long]("me") < EventOffset,
         s"source event_id ${guard.getAs[Long]("me")} >= EventOffset $EventOffset")
       require(guard.getAs[Long]("mu") < UserOffset,
@@ -574,28 +580,40 @@ object ScaleStudy {
     }
 
   private def bestOf(runs: Int)(body: => Unit): Double =
-    (1 to runs).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }.min
+    Timing.bestOf(runs)(body)
 
-  private def cs(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def cs(v: Double): String = Timing.cs(v)
 
-  /** warm + best-of-3 at both dirs; returns the JSON fragment. */
+  /** warm + best-of-3 at both dirs; returns the JSON fragment. One
+    * failing query (OOM at the 10× dir, a synth table it can't read)
+    * must NOT discard every measurement already taken — the study's
+    * single output line prints only after all families complete, so an
+    * uncaught throw here would lose hours of base+synth timings. The
+    * failed query reports {"error": "..."} and the study continues
+    * (Bench's per-query −1-sentinel precedent). */
   private def measure(spark: SparkSession, names: Seq[String],
       baseDir: String, synthDir: String): String =
     names.map { name =>
-      val fn = SparkEntry.queries(name)
-      fn(spark, baseDir).count() // warm: codegen + planning
-      val t0 = bestOf(3)(fn(spark, baseDir).count())
-      fn(spark, synthDir).count()
-      val t1 = bestOf(3)(fn(spark, synthDir).count())
-      // a base time rounding to 0 would format the exponent as
-      // 'Infinity'/'NaN' — invalid JSON; emit null for unmeasurable
-      val exp = math.log10(t1 / t0)
-      val expS =
-        if (t0 > 0 && java.lang.Double.isFinite(exp)) cs(exp) else "null"
-      s""""${name.takeWhile(_ != '_')}":{"base":${cs(t0)},"synth":${cs(t1)},"exp":$expS}"""
+      val key = "\"" + name.takeWhile(_ != '_') + "\""
+      try {
+        val fn = SparkEntry.queries(name)
+        fn(spark, baseDir).count() // warm: codegen + planning
+        val t0 = bestOf(3)(fn(spark, baseDir).count())
+        fn(spark, synthDir).count()
+        val t1 = bestOf(3)(fn(spark, synthDir).count())
+        // a base time rounding to 0 would format the exponent as
+        // 'Infinity'/'NaN' — invalid JSON; emit null for unmeasurable
+        val exp = math.log10(t1 / t0)
+        val expS =
+          if (t0 > 0 && java.lang.Double.isFinite(exp)) cs(exp) else "null"
+        s"""$key:{"base":${cs(t0)},"synth":${cs(t1)},"exp":$expS}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+          val msg = e.getClass.getSimpleName
+            .replace("\\", "").replace("\"", "'")
+          s"""$key:{"error":"$msg"}"""
+      }
     }.mkString(",")
 
   def main(args: Array[String]): Unit = {
@@ -658,7 +676,13 @@ object ScaleStudy {
       }
     }.mkString(",")
 
-    println(s"""{"study":"10x-data-dominant","gauge_q01":${cs(gauge)},$out}""")
+    // gauge twice — once before synthesis, once after the LAST
+    // measurement: a co-tenant load spike that lands mid-study (after a
+    // clean startup gauge) would otherwise masquerade as super-linear
+    // exponents with a "clean" gauge in the artifact (the round-4/5
+    // misadjudication mode)
+    val gaugeEnd = bestOf(3)(q01(spark, sfDir).count())
+    println(s"""{"study":"10x-data-dominant","gauge_q01":${cs(gauge)},"gauge_q01_end":${cs(gaugeEnd)},$out}""")
     spark.stop()
   }
 }

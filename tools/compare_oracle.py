@@ -12,16 +12,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-        # normalize ints/floats: int-like floats -> int64, hugeint -> int64
+            # parquet LIST columns come back as np.ndarray from BOTH
+            # pd.read_parquet and duckdb .df() — without ndarray here the
+            # tuple conversion never fires and sort_values raises
+            # "truth value of an array is ambiguous"
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+        # normalize ints/floats: int-like floats -> int64. Gate at 2**53
+        # (float64's exact-integer ceiling), NOT higher: above it the
+        # float path is already lossy, so casting would compare rounded
+        # values — a spark-exact int64 vs a duck-rounded float would
+        # spuriously fail (or two lossy sides could mask a real diff)
         if str(df[c].dtype).startswith("float"):
             s = df[c].dropna()
-            if len(s) and (s == s.round()).all() and s.abs().max() < 2**62:
+            if len(s) and (s == s.round()).all() and s.abs().max() < 2**53:
                 df[c] = df[c].astype("Int64")
         if str(df[c].dtype).startswith("datetime"):
+            # spark-written TIMESTAMP_MICROS reads back tz-aware
+            # (datetime64[ns, UTC]); astype to a naive dtype raises —
+            # strip the zone explicitly (UTC sessions, engine contract)
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == bool:
             df[c] = df[c].astype("boolean")

@@ -10,7 +10,7 @@
 # Usage:
 #   tools/preflight.sh              # full gate at sf0.01 (the driver's tier)
 #   tools/preflight.sh sf0.001      # quick gate on the smoke tier
-#   tools/preflight.sh sf0.01 q193_crosscorrelation q84_minhash_err
+#   tools/preflight.sh sf0.01 q193_crosscorrelation q84_cms_counts
 #                                   # gate only the named queries (iteration)
 set -euo pipefail
 cd "$(dirname "$0")/.."
