@@ -1522,6 +1522,13 @@ object SparkEntry {
            FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id
            ORDER BY a2.vec_id""",
       "q43_approx_distinct" ->
+        // within_bound IS pinned TRUE here, unlike q83/q84: the flag
+        // compares Spark's HLL estimate (engine-internal, not
+        // recomputable in DuckDB) to the exact count under the rsd
+        // bound. HLL is deterministic for fixed data, so the pin is
+        // stable per fixture; if a regenerated fixture ever flips it,
+        // relax THIS oracle to drop the flag (rows-only on the
+        // estimate is impossible cross-engine), never widen the rsd.
         """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            TRUE AS within_bound
            FROM events GROUP BY event_type ORDER BY event_type""",

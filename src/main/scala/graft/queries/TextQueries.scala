@@ -2364,13 +2364,21 @@ object TextQueries {
          WHERE tok <> ''
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
     "q83_heavy_hitters" ->
-      // the semantic definition is q75's exact top-k; the pinned-TRUE
-      // flag makes an unprovable (or broken) two-pass run hash-fail
-      s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
-         TRUE AS provably_exact
-         FROM $sqlTokRows
-         WHERE tok <> ''
-         GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK""",
+      // the semantic definition is q75's exact top-k; provably_exact is
+      // RECOMPUTED with the engine's own arithmetic (cnt_k · counters >
+      // N — HeavyHitters.topKExact's gate), not pinned TRUE: a fixture
+      // change that legitimately flips the provability flag must stay
+      // in agreement on both sides (q84's fixture-sensitivity rule),
+      // while a broken two-pass run still fails through the rows
+      // themselves
+      s"""WITH t AS (SELECT tok FROM $sqlTokRows WHERE tok <> ''),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+         k AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+               GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK)
+         SELECT tok, cnt,
+           (min(cnt) OVER ()) * $HhCounters > tot.n AS provably_exact
+         FROM k CROSS JOIN tot
+         ORDER BY cnt DESC, tok""",
     "q84_cms_counts" ->
       // full bit-for-bit recompute of the sketch AND the estimates via
       // the shared sqlCmsBucket hash contract — an engine-side bucket
