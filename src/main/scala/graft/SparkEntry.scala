@@ -2131,10 +2131,11 @@ object SparkEntry {
              CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS errors
            FROM results""",
       "q62_payload_bytes" ->
+        // octet_length twin of the engine's byte count (encode -> BLOB)
         """SELECT c_custkey,
-           CAST(length(CAST(to_json(struct_pack(
+           CAST(octet_length(encode(CAST(to_json(struct_pack(
              c_custkey := c_custkey, c_name := c_name,
-             c_mktsegment := c_mktsegment)) AS VARCHAR)) AS BIGINT) AS payload_bytes
+             c_mktsegment := c_mktsegment)) AS VARCHAR))) AS BIGINT) AS payload_bytes
            FROM customer ORDER BY c_custkey""",
       "q46_sql_similarity" ->
         // token_set_ratio('small ring') sorted token set is constant:

@@ -50,7 +50,12 @@ object Normalize {
   def validEmail(c: Column): Column =
     c.isNull || c.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
 
-  /** F6 — three-band decision routing on a 0-100 score. */
+  /** F6 — three-band decision routing on a 0-100 score. A NULL score
+    * falls through both comparisons into "rejected" — deliberately the
+    * same convention as EntityResolution's zero-candidate path (no
+    * candidates = score 0 = auto-reject); a caller that must
+    * distinguish "unscored" from "scored low" should gate on
+    * `score.isNull` BEFORE banding. */
   def decisionBand(
       score: Column,
       autoResolve: Double = 97.0,
@@ -59,7 +64,8 @@ object Normalize {
       .when(score >= autoReject, "review")
       .otherwise("rejected")
 
-  /** F9 — confidence band for display (high/medium/low). */
+  /** F9 — confidence band for display (high/medium/low; NULL scores
+    * read "low" — [[decisionBand]]'s convention). */
   def confidenceBand(
       score: Column,
       high: Double = 90.0,
@@ -85,7 +91,13 @@ object Normalize {
       .when(m.rlike("auth|permission|denied|unauthorized|forbidden"), "auth")
       .when(m.rlike("schema|column|field|type mismatch"), "schema")
       .when(m.rlike("duplicate|conflict|already exists"), "conflict")
-      .when(m.rlike("quota|limit|rate|throttle"), "quota")
+      // multi-word PHRASES, the reference's own keyword shapes
+      // (`app/error_utils.py:68`: 'daily limit', 'quota exceeded',
+      // 'rate limit', 'too many requests') — bare `rate`/`limit`/`quota`
+      // substrings would misfile "generate"/"delimiter"/"quotation"
+      .when(m.rlike(
+        "daily limit|quota exceeded|rate limit|too many requests|throttle"),
+        "quota")
       .when(m.rlike("parse|decode|encoding|malformed|invalid json"), "parse")
       .when(m.rlike("not found|missing|no such"), "missing")
       .when(m.rlike("disk|memory|resource|oom"), "resource")
@@ -99,6 +111,10 @@ object Normalize {
       c.isNotNull && length(c) > 20 && c.rlike("^[A-Za-z0-9+/=]+$"),
       lit("***MASKED***")).otherwise(c)
 
-  /** F12 — payload size estimate in bytes of the JSON form of a struct. */
-  def payloadBytes(c: Column): Column = length(to_json(c)).cast("long")
+  /** F12 — payload size estimate in BYTES of the JSON form of a struct:
+    * octet_length, not length — character count would under-report
+    * multi-byte UTF-8 payloads (3× for CJK-heavy text) against the
+    * wire/storage size the estimate exists to bound. */
+  def payloadBytes(c: Column): Column =
+    call_function("octet_length", to_json(c)).cast("long")
 }

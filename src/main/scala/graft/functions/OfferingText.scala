@@ -85,7 +85,16 @@ object OfferingText {
     collapseWs(regexp_replace(c, PunctClass, ""))
 
   /** Title-case with stop-word lowering; first word always capitalized;
-    * hyphen/dot-separated sub-parts each capitalized. */
+    * hyphen/dot-separated sub-parts each capitalized.
+    *
+    * NOTE (reference quirk, faithfully reproduced): this pass runs
+    * AFTER the variant rewrites and — like the reference's
+    * `word.capitalize()` (`app/etl.py:819`, Python capitalize lowers
+    * the tail) — it clobbers the Variants table's mixed-case canonical
+    * forms: "coq10" → variant "CoQ10" → title-case "Coq10", exactly
+    * the reference's output. The table's casing is documentation of
+    * the canonical NAME; the pipeline's final casing is the
+    * reference's, and q64's oracle pins it. */
   def smartTitleCase(c: Column): Column = {
     // capitalize each -/. separated sub-part (initcap only breaks on
     // whitespace, so hyphen/dot parts need their own pass). The

@@ -25,9 +25,12 @@ object TextFunctions {
     * (exact), the fraction an integer floor division — never a float,
     * so the value is bit-identical in any engine (the DuckDB twin
     * spells printf('%b') / << / //). Approximation error ≤ 0.086 bits.
-    * q = 0 reads as q = 1 (mills 0) — callers pre-scale so genuine
-    * inputs stay ≥ 1. The shared kernel of the unigram code-length
-    * score (q95) and skip-gram PMI (q102). */
+    * PRECONDITION q ≥ 1: q = 0 does NOT read as a neutral 0 — the
+    * formula yields −1000 (e = 0, fraction 1000·(0−1) >> 0), and the
+    * DuckDB twins compute the same −1000, so parity holds but the
+    * value is meaningless; callers pre-scale/smooth so genuine inputs
+    * stay ≥ 1 (every in-repo caller does). The shared kernel of the
+    * unigram code-length score (q95) and skip-gram PMI (q102). */
   def log2Mills(q: Column): Column = {
     val e = (length(conv(q.cast("string"), 10, 2)) - 1).cast("long")
     val p = call_function("shiftleft", lit(1L), e.cast("int"))
@@ -161,13 +164,16 @@ object TextFunctions {
     * a deterministic n-gram/stopword heuristic; marker lists are
     * caller-supplied (broadcast-sized). */
   def langIdHeuristic(toks: Column, markers: Map[String, Seq[String]]): Column = {
+    require(markers.nonEmpty, "langIdHeuristic needs at least one language")
     // score(lang) = number of tokens that are in the lang's marker list
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words: _*)))
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
-    // argmax by (hits, then lexicographically-last lang for stability)
-    val best = greatest(scored: _*)
+    // argmax by (hits, then lexicographically-last lang for stability).
+    // greatest() demands >= 2 args — a single-language screen is valid,
+    // its sole candidate IS the max
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 }

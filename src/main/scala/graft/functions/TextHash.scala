@@ -33,9 +33,20 @@ object TextHash {
 
   /** Tokenization matching `split(lower(trim(text)), "\s+")` + distinct
     * (Java regex split with -1 limit — empty text yields one "" token,
-    * exactly like Spark's split). */
-  private def tokensOf(s: String): Array[String] =
-    s.trim.toLowerCase.split("\\s+", -1).distinct
+    * exactly like Spark's split). The trim strips SPACES ONLY: Spark's
+    * `trim` and DuckDB's `trim` both strip U+0020 exclusively, while
+    * Java's `String.trim` strips every char ≤ U+0020 — a document with
+    * a trailing `\n` would tokenize to ["foo"] here but ["foo", ""] in
+    * the column form and the oracle, silently diverging q33-q35's
+    * MinHash/SimHash signatures. `toLowerCase()` (default locale) is
+    * deliberate: Spark's UTF8String.toLowerCase delegates to exactly
+    * that for non-ASCII. */
+  private def tokensOf(s: String): Array[String] = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).toLowerCase.split("\\s+", -1).distinct
+  }
 
   /** Kernel: min(md5(tok + "#" + seed)) per seed, one tokenization. */
   def minhashKernel(text: UTF8String, seeds: Array[Int]): ArrayData = {
@@ -140,6 +151,9 @@ object TextHash {
     column(RollingFingerprint(expression(c)))
 
   case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
+    // md5 hex has 32 chars — one parity bit each; fail at PLAN time,
+    // not with a StringIndexOutOfBounds mid-job in generated code
+    require(bits >= 1 && bits <= 32, s"bits=$bits must be in 1..32")
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
     override protected def nullSafeEval(v: Any): Any =

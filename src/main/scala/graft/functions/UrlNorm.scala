@@ -46,7 +46,11 @@ object UrlNorm {
       "\\?" + TrackingParams + "=[^&]*&", "?"),
       "\\?" + TrackingParams + "=[^&]*$", "")
     val healed = rr(noTrack, "[?&]+$", "")
-    rr(rr(healed, "://www\\.", "://"), "/+$", "")
+    // the www strip is START-ANCHORED: it drops only the LEADING host
+    // label — unanchored, a URL embedded in a query-parameter VALUE
+    // (?to=https://www.b.com) would also be rewritten, conflating the
+    // dedup keys of genuinely different resources
+    rr(rr(healed, "^([a-z0-9+.-]+)://www\\.", "$1://"), "/+$", "")
   }
 
   def canonicalizeUrl(u: Column): Column =

@@ -55,6 +55,12 @@ object VectorFunctions {
     * `floor(1000000 * signum(d) * d * d / den)` (left-assoc double
     * chain), so the oracle twin in any ANSI engine matches bit-for-bit. */
   def cosineSqScaledKernel(a: ArrayData, b: ArrayData): Long = {
+    // a ragged pair must fail loud: UnsafeArrayData.getLong past
+    // numElements has NO bounds check — it would read adjacent buffer
+    // memory and silently rank garbage into a KNN top-k
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
     val n = a.numElements()
     var d = 0L; var na = 0L; var nb = 0L
     var i = 0

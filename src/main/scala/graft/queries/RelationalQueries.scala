@@ -3286,7 +3286,7 @@ object RelationalQueries {
              WHEN regexp_matches(lower(msg), 'auth|permission|denied|unauthorized|forbidden') THEN 'auth'
              WHEN regexp_matches(lower(msg), 'schema|column|field|type mismatch') THEN 'schema'
              WHEN regexp_matches(lower(msg), 'duplicate|conflict|already exists') THEN 'conflict'
-             WHEN regexp_matches(lower(msg), 'quota|limit|rate|throttle') THEN 'quota'
+             WHEN regexp_matches(lower(msg), 'daily limit|quota exceeded|rate limit|too many requests|throttle') THEN 'quota'
              WHEN regexp_matches(lower(msg), 'parse|decode|encoding|malformed|invalid json') THEN 'parse'
              WHEN regexp_matches(lower(msg), 'not found|missing|no such') THEN 'missing'
              WHEN regexp_matches(lower(msg), 'disk|memory|resource|oom') THEN 'resource'

@@ -2820,7 +2820,8 @@ object TextQueries {
                   'g') AS u FROM c3),
          c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '', 'g') AS u
                 FROM c4),
-         c6 AS (SELECT doc_id, regexp_replace(u, '://www\\.', '://', 'g') AS u
+         c6 AS (SELECT doc_id, regexp_replace(u,
+                  '^([a-z0-9+.-]+)://www\\.', '\\1://', 'g') AS u
                 FROM c5),
          c7 AS (SELECT doc_id, regexp_replace(u, '/+$$', '', 'g') AS u
                 FROM c6)
