@@ -216,7 +216,6 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(
         e.where(col("vec_id") % 100 === 0), e,
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 1)
-        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
     // Deterministic k-means (2 Lloyd rounds, integer centroids) — the
@@ -2113,7 +2112,7 @@ object SparkEntry {
                 >= ${graft.operators.SemanticGuard.MinLenRatio})
                AS semantic_ok
            FROM reviews
-           WHERE approved IS NULL AND NOT ignored
+           WHERE approved IS NULL AND NOT coalesce(ignored, false)
              AND score >= ${graft.operators.SemanticGuard.DefaultHigh}
              AND score < ${graft.operators.SemanticGuard.DefaultAutoResolve}
              AND suggested_title IS NOT NULL

@@ -61,6 +61,7 @@ object Bpe {
       .localCheckpoint(true)
 
     var seq = words.select(col("freq"), col("seq"))
+    var prevPin = words // blocks the current seq projection reads
     val merges = Seq.newBuilder[Row]
     var r = 1
     var exhausted = false
@@ -81,8 +82,24 @@ object Bpe {
         val parts = pair.split(" ", 2)
         val (l, rt) = (parts(0), parts(1))
         merges += Row(r.toLong, l, rt, l + rt, w)
+        // lit()-based replace, the same path encode() applies: no SQL
+        // string re-parse, so symbols containing backslashes or quotes
+        // round-trip verbatim (expr("replace(seq,'...')") would run
+        // Spark SQL escape processing and mangle '\\b' into backspace).
         seq = seq.withColumn("seq",
-          expr(s"replace(seq, ${sqlStr(s" $l  $rt ")}, ${sqlStr(s" ${l + rt} ")})"))
+          replace(col("seq"), lit(s" $l  $rt "), lit(s" ${l + rt} ")))
+        // re-pin the vocab frame periodically: without this each round's
+        // collect() replays every prior replace (O(rounds²) work and an
+        // unboundedly nested expression tree); with it the per-round cost
+        // stays flat, as the module doc promises. The frame is
+        // vocab-bounded, so the eager checkpoint is cheap. Unpersist the
+        // prior pin once the new one is materialized (the q53 chain
+        // discipline) so long runs don't accumulate stale vocab copies.
+        if (r % BpeCheckpointEvery == 0) {
+          seq = seq.localCheckpoint(true)
+          prevPin.unpersist()
+          prevPin = seq
+        }
         r += 1
       }
     }
@@ -90,9 +107,9 @@ object Bpe {
       spark.sparkContext.parallelize(merges.result(), 1), outSchema)
   }
 
-  /** SQL single-quoted literal (symbols come from corpus tokens and may
-    * contain quotes). */
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Rounds between eager re-pins of the segmentation frame — bounds
+    * the nested-replace expression depth and keeps per-round cost flat. */
+  private val BpeCheckpointEvery = 24
 
   /** Apply learned merges to tokenize a corpus — the ENCODE half of
     * BPE (what the trained tokenizer does to every document at

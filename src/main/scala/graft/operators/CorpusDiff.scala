@@ -26,15 +26,21 @@ object CorpusDiff {
     * `status` ∈ added | removed | changed | unchanged. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // side presence is an explicit marker, never key nullability:
+    // contentKey(NULL text) is NULL, and a null-text doc present on one
+    // side must still read as present (else it misclassifies as
+    // added/removed). Matches the oracle's `o.doc_id IS NULL` semantics.
     val o = oldSnap.select(col(idCol),
-      TextFunctions.contentKey(col(textCol)).as("old_key"))
+      TextFunctions.contentKey(col(textCol)).as("old_key"),
+      lit(true).as("__old_present"))
     val n = newSnap.select(col(idCol),
-      TextFunctions.contentKey(col(textCol)).as("new_key"))
+      TextFunctions.contentKey(col(textCol)).as("new_key"),
+      lit(true).as("__new_present"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("old_key").isNull, lit("added"))
-          .when(col("new_key").isNull, lit("removed"))
-          .when(col("old_key") === col("new_key"), lit("unchanged"))
+        when(col("__old_present").isNull, lit("added"))
+          .when(col("__new_present").isNull, lit("removed"))
+          .when(col("old_key") <=> col("new_key"), lit("unchanged"))
           .otherwise(lit("changed")))
       .select(col(idCol), col("status"),
         coalesce(col("old_key"), lit("")).as("old_key"),

@@ -34,12 +34,20 @@ object ItemExplode {
       .where(col("raw_value").isNotNull)
       .select(
         keyCols.map(col) :+ col("kind") :+
-          explode(split(col("raw_value"), splitPattern)).as("fragment"): _*)
-      .withColumn("item_name", trim(col("fragment")))
+          posexplode(split(col("raw_value"), splitPattern))
+            .as(Seq("__pos", "__frag")): _*)
+      .withColumn("item_name", trim(col("__frag")))
       .where(length(col("item_name")) > 0)
       .withColumn("item_key", lower(col("item_name")))
-      .dropDuplicates(keyCols ++ Seq("kind", "item_key"))
-      .drop("fragment")
+      // "first-seen original casing" for real: argmin by fragment
+      // position within the cell — dropDuplicates would keep an
+      // ARBITRARY row, so the surviving casing (and every downstream
+      // content hash) would vary run to run
+      .groupBy((keyCols ++ Seq("kind", "item_key")).map(col): _*)
+      .agg(min(struct(col("__pos"), col("item_name"))).as("__first"))
+      .select(
+        (keyCols ++ Seq("kind")).map(col) :+
+          col("__first.item_name").as("item_name") :+ col("item_key"): _*)
   }
 
   /** Pure-column variant for a single multi-valued column. */

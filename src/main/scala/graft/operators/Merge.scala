@@ -26,15 +26,30 @@ object Merge {
       incoming: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
+    require(!compareCols.contains("present"),
+      "compare column name 'present' is reserved by reconcile " +
+        "(it would alias to the __e_present/__i_present markers)")
+    // presence is an explicit marker per side, never inferred from data
+    // nullability: a row whose compare columns are ALL NULL (e.g. an
+    // update-to-null pushed through StreamingMerge.upsertSink) is still
+    // present on its side.
     val e = existing.select(
-      keys.map(col) ++ compareCols.map(c => col(c).as(s"__e_$c")): _*)
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"__e_$c"))
+        :+ lit(true).as("__e_present"): _*)
     val i = incoming.select(
-      keys.map(col) ++ compareCols.map(c => col(c).as(s"__i_$c")): _*)
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"__i_$c"))
+        :+ lit(true).as("__i_present"): _*)
     val j = e.join(i, keys, "full_outer")
-    val ePresent = compareCols.map(c => col(s"__e_$c").isNotNull).reduce(_ || _)
-    val iPresent = compareCols.map(c => col(s"__i_$c").isNotNull).reduce(_ || _)
+    val ePresent = coalesce(col("__e_present"), lit(false))
+    val iPresent = coalesce(col("__i_present"), lit(false))
+    // changed compares the MERGED value against existing, not raw
+    // incoming vs existing: merged = coalesce(incoming, existing) never
+    // writes NULL over a value, so an incoming NULL must read
+    // "unchanged", not a phantom update that pushPreview/splitUpsert
+    // would emit as a spurious external mutation.
     val changed = compareCols
-      .map(c => !(col(s"__e_$c") <=> col(s"__i_$c"))).reduce(_ || _)
+      .map(c => !(coalesce(col(s"__i_$c"), col(s"__e_$c")) <=> col(s"__e_$c")))
+      .reduce(_ || _)
     val merged = compareCols.map(c => coalesce(col(s"__i_$c"), col(s"__e_$c")).as(c))
     j.select(
       keys.map(col) ++ merged :+

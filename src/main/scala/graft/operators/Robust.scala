@@ -33,7 +33,7 @@ object Robust {
     require(loNum.toLong * hiDen <= hiNum.toLong * loDen,
       s"lower bound $loNum/$loDen above upper $hiNum/$hiDen")
     val reserved = Seq("lo", "hi", "clipped", "is_outlier",
-      "__cnt", "__cum", "__n")
+      "__cnt", "__cum", "__n", "__strata_b")
     Seq(strataCol, valueCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val h = df.where(col(valueCol).isNotNull)
@@ -48,7 +48,13 @@ object Robust {
     val bounds = r.groupBy(strataCol).agg(
       min(when(col("__cum") >= rk(loNum, loDen), col(valueCol))).as("lo"),
       min(when(col("__cum") >= rk(hiNum, hiDen), col(valueCol))).as("hi"))
-    df.join(broadcast(bounds), Seq(strataCol), "left")
+    // null-safe key match: a NULL stratum is a legal bin (the
+    // budgetSelectKernel precedent) — a plain equi-join would leave its
+    // rows without bounds, passing outliers through unclipped.
+    df.join(
+        broadcast(bounds.withColumnRenamed(strataCol, "__strata_b")),
+        col(strataCol) <=> col("__strata_b"), "left")
+      .drop("__strata_b")
       .withColumn("clipped",
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("lo")), col("hi"))))

@@ -66,7 +66,10 @@ object SemanticGuard {
       high: Double = DefaultHigh,
       autoResolve: Double = DefaultAutoResolve): DataFrame =
     reviews
-      .where(col("approved").isNull && !col("ignored"))
+      // a never-populated ignored flag means "not ignored" — the same
+      // coalesce Reports.processedRows applies; !NULL would be NULL and
+      // silently drop an approvable row from the batch-approve set
+      .where(col("approved").isNull && !coalesce(col("ignored"), lit(false)))
       .where(col(scoreCol) >= high && col(scoreCol) < autoResolve)
       .where(col(suggestedCol).isNotNull)
       .withColumn("semantic_ok", isSemanticallyValid(col(itemCol), col(suggestedCol)))

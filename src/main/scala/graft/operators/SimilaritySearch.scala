@@ -34,7 +34,7 @@ object SimilaritySearch {
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
@@ -60,13 +60,21 @@ object SimilaritySearch {
     * of a per-task join. Shared by the IVF quantizer and k-means init so
     * the two cannot drift. */
   private def seedCentroids(
-      c: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Long, Seq[Long])] =
+      c: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Long, Seq[Long])] = {
+    // the numeric-id contract pqTopK states at its own entry, enforced
+    // here for every seeded path (ivfTopK / kmeansAssignments /
+    // semanticDedup): a string id would cast to NULL and surface as an
+    // opaque NPE at the seed collect.
+    require(c.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric (got ${c.schema(idCol).dataType})")
     c.orderBy(md5(col(idCol).cast("string")))
       .limit(k)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+  }
 
   /** Budget on the inline centroid path: cells × dims literal nodes.
     * The inline plan embeds one literal per centroid component; past
@@ -166,7 +174,7 @@ object SimilaritySearch {
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
@@ -291,7 +299,7 @@ object SimilaritySearch {
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
   }
@@ -409,10 +417,21 @@ object SimilaritySearch {
         (lit(s * ksub) + element_at(col("__codes"), s + 1) + 1).cast("int")))
       .reduce(_ + _)
 
+  /** The numeric-id contract, checked on the RAW schema — pq/ivfpq cast
+    * idCol to long before seedCentroids ever sees it, so without this a
+    * string id casts to NULL and dies as an opaque NPE at the seed
+    * collect instead of a diagnostic. */
+  private def requireNumericId(df: DataFrame, idCol: String, who: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$who: idCol '$idCol' must be numeric (got ${df.schema(idCol).dataType})")
+
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
+    requireNumericId(corpus, idCol, "pqTopK")
+    requireNumericId(queries, idCol, "pqTopK")
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub > 0 && iters > 0 && k > 0,
       s"ksub=$ksub, iters=$iters, k=$k must be positive")
@@ -460,6 +479,8 @@ object SimilaritySearch {
       nCells: Int = 8, nProbe: Int = 2,
       m: Int = 4, ksub: Int = 8, iters: Int = 2, dim: Int = 64,
       coarseIters: Int = 2): DataFrame = {
+    requireNumericId(corpus, idCol, "ivfPqTopK")
+    requireNumericId(queries, idCol, "ivfPqTopK")
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(nCells > 0 && nProbe > 0 && ksub > 0 && iters > 0 && k > 0 &&
         coarseIters > 0,

@@ -1312,7 +1312,10 @@ object TextAnalysis {
       .withColumn("has_lorem",
         lower(coalesce(col(textCol), lit(""))).contains("lorem ipsum"))
       .withColumn("has_brace",
-        coalesce(col(textCol), lit("")).contains("{"))
+        // Raffel et al. 2020 §2.2 removes any page with a curly
+        // bracket — either side, not just '{'
+        coalesce(col(textCol), lit("")).contains("{") ||
+          coalesce(col(textCol), lit("")).contains("}"))
       .withColumn("page_keep",
         !col("has_lorem") && !col("has_brace") &&
           col("n_sentences") >= minSentences)

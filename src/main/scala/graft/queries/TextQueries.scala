@@ -2119,9 +2119,9 @@ object TextQueries {
            CAST(length(regexp_replace(kt, '[^.!?]', '', 'g')) AS BIGINT)
              AS n_sentences,
            contains(lower(t), 'lorem ipsum') AS has_lorem,
-           contains(t, '{') AS has_brace,
+           (contains(t, '{') OR contains(t, '}')) AS has_brace,
            (NOT contains(lower(t), 'lorem ipsum')
-             AND NOT contains(t, '{')
+             AND NOT (contains(t, '{') OR contains(t, '}'))
              AND length(regexp_replace(kt, '[^.!?]', '', 'g'))
                >= ${TextAnalysis.C4MinSentences}) AS page_keep
          FROM k ORDER BY doc_id""",
@@ -2213,7 +2213,7 @@ object TextQueries {
          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.old_key = n.new_key THEN 'unchanged'
+                WHEN o.old_key IS NOT DISTINCT FROM n.new_key THEN 'unchanged'
                 ELSE 'changed' END AS status,
            coalesce(old_key, '') AS old_key,
            coalesce(new_key, '') AS new_key
@@ -2964,7 +2964,7 @@ object TextQueries {
          SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
            least(greatest(d.n_chars, b.lo), b.hi) AS clipped,
            (d.n_chars < b.lo OR d.n_chars > b.hi) AS is_outlier
-         FROM documents d JOIN b USING (lang)
+         FROM documents d LEFT JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
          WHERE d.n_chars IS NOT NULL
          ORDER BY d.doc_id""",
     "q113_mixture_plan" -> {
