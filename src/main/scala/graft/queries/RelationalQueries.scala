@@ -624,8 +624,12 @@ object RelationalQueries {
     "q164_hist_quantiles" -> ((s, dir) => {
       val B = 128
       val pcts = Seq(50, 90, 99)
-      val ev = t(s, dir, "events").select(col("event_type"),
-        floor(col("value") * 100).cast("long").as("v"))
+      // value IS NOT NULL on BOTH sides: a NULL histogram row sorts
+      // NULLS FIRST in Spark but LAST in DuckDB, shifting every cum
+      // rank (the q153 discipline)
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"))
       val vh = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
       val stats = vh.groupBy("event_type").agg(
         sum("c").as("n"), min("v").as("mn"), max("v").as("mx"))
@@ -728,9 +732,12 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_days"),
           sum(col("y")).as("n_events"),
           sum(col("x")).as("sx"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          // products in DECIMAL(38,0) (the q193 discipline): y is a
+          // daily count, so a plain long y*y silently wraps past 2^63
+          // at ~3e9 events/day — inside this query's own envelope
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
         .where(col("n_days") >= 2)
         .select(col("event_type"), col("n_days"), col("n_events"),
           expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * sxy
@@ -989,7 +996,12 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
         .select(
           col("c_mktsegment"),
-          col("F_n").as("n_f"), col("O_n").as("n_o"), col("P_n").as("n_p"),
+          // PivotFirst emits NULL for a never-seen (segment, status)
+          // cell; the oracle's count(*) FILTER returns 0 — coalesce
+          // counts like the cents columns
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"),
           coalesce(col("F_cents"), lit(0L)).as("cents_f"),
           coalesce(col("O_cents"), lit(0L)).as("cents_o"),
           coalesce(col("P_cents"), lit(0L)).as("cents_p"))
@@ -1258,11 +1270,14 @@ object RelationalQueries {
       left.join(r.select(col("rn").as("rn2"),
           col("p_partkey").as("id_b"), col("p_name").as("name_b")),
           Seq("rn2"))
+        // sa/sb from the SAME toks rule as inter — one tokenization
+        // definition, evaluated once per side
+        .withColumn("sa", size(toks(col("name_a"))))
+        .withColumn("sb", size(toks(col("name_b"))))
         .withColumn("inter",
           size(array_intersect(toks(col("name_a")), toks(col("name_b")))))
-        .withColumn("j_mills", expr(
-          """(1000 * inter) div (size(array_distinct(split(name_a, ' ')))
-             + size(array_distinct(split(name_b, ' '))) - inter)"""))
+        .withColumn("j_mills",
+          expr("(1000 * inter) div (sa + sb - inter)"))
         .where(col("j_mills") >= SnmMinJaccardMills)
         .select(col("id_a"), col("id_b"), col("j_mills"))
         .orderBy("id_a", "id_b")
@@ -1406,25 +1421,7 @@ object RelationalQueries {
     // no logs, no float shares — so the gate is reproducible across
     // engines.
     "q177_drift_report" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
-        expr("CAST(o_orderdate AS DATE)").as("d"))
-      val anchor = o.agg(
-        expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
-          .as("mid_day"))
-      // the ~20-row bin frame is referenced by both the totals fold
-      // and the share projection — eagerly checkpoint it (the q153
-      // doubly-referenced-frame rule) so orders scans exactly twice
-      // (anchor + histogram), never once per downstream reference
-      val binned = o.crossJoin(broadcast(anchor))
-        .select(
-          expr(s"price_cents div $DriftBinCents").as("bin"),
-          when(expr("datediff(d, DATE '1970-01-01')") < col("mid_day"), lit(1L))
-            .otherwise(lit(0L)).as("in_a"))
-        .groupBy("bin")
-        .agg(sum(col("in_a")).as("n_a"),
-          sum(lit(1L) - col("in_a")).as("n_b"))
-        .localCheckpoint(true)
+      val binned = driftBinned(s, dir)
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       binned
         .crossJoin(broadcast(binned.agg(
@@ -1448,25 +1445,13 @@ object RelationalQueries {
     // undefined), numerators in DECIMAL(38,0)/HUGEINT. Every term is
     // PROVABLY ≥ 0 (Mitchell is monotone, so both factors share sign)
     // — no sign-split needed. Same midpoint anchor, same
-    // [[DriftBinCents]] bins, same checkpointed bin frame as q177;
-    // int64 bounds the L args at NA'·NB' < 2⁶³ (≈3·10⁹ rows per
-    // period — rescale counts past that, the q188 precedent).
+    // [[DriftBinCents]] bins, same checkpointed bin frame as q177.
+    // Envelope: log2Mills computes 1000·(q − 2^e) in int64, so the L
+    // args are bounded at NA'·NB' ≲ 2⁵³ ≈ 9·10¹⁵ — roughly 10⁸ rows
+    // per period, NOT the naive 2⁶³ product bound; rescale counts
+    // past that (the q188 precedent).
     "q189_psi_drift" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
-        expr("CAST(o_orderdate AS DATE)").as("d"))
-      val anchor = o.agg(
-        expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
-          .as("mid_day"))
-      val binned = o.crossJoin(broadcast(anchor))
-        .select(
-          expr(s"price_cents div $DriftBinCents").as("bin"),
-          when(expr("datediff(d, DATE '1970-01-01')") < col("mid_day"), lit(1L))
-            .otherwise(lit(0L)).as("in_a"))
-        .groupBy("bin")
-        .agg(sum(col("in_a")).as("n_a"),
-          sum(lit(1L) - col("in_a")).as("n_b"))
-        .localCheckpoint(true)
+      val binned = driftBinned(s, dir)
       val tot = binned.agg(sum(col("n_a")).as("tot_a"),
         sum(col("n_b")).as("tot_b"), count(lit(1)).as("n_bins"))
       binned.crossJoin(broadcast(tot))
@@ -1633,8 +1618,10 @@ object RelationalQueries {
     // everything downstream rides the (type × value) histogram frame.
     // Mean and winsorized mean in exact floored cents.
     "q181_winsorized_stats" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
-        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      // value IS NOT NULL on BOTH sides (the q153 null-sort discipline)
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
       val hist = ev.groupBy("event_type", "cents")
         .agg(count(lit(1)).as("cnt"))
       val wv = Window.partitionBy("event_type").orderBy("cents")
@@ -1713,15 +1700,9 @@ object RelationalQueries {
     // truncate-toward-zero sign handling (den > 0 always): Spark div
     // and DuckDB // agree only on non-negative operands.
     "q183_theil_sen" -> ((s, dir) => {
-      val weekly = t(s, dir, "orders")
-        .groupBy(expr(
-          s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $TsWeekDays")
-          .as("wk"))
-        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
-          .as("cents"))
-        // calendar-bounded frame referenced three times (pairs twice +
-        // residuals + count) — the q153 doubly-referenced-frame rule
-        .localCheckpoint(true)
+      // calendar-bounded frame referenced three times (pairs twice +
+      // residuals + count) — the q153 doubly-referenced-frame rule
+      val weekly = weeklyRevenueCents(s, dir).localCheckpoint(true)
       val pairs = weekly.as("a")
         .join(broadcast(weekly.as("b")), col("a.wk") < col("b.wk"))
         .select((col("b.cents") - col("a.cents")).as("num"),
@@ -1811,13 +1792,7 @@ object RelationalQueries {
     // value-cardinality hash agg on the weekly frame). All products in
     // DECIMAL(38,0)/HUGEINT. Orders scans once into the checkpoint.
     "q191_mann_kendall" -> ((s, dir) => {
-      val weekly = t(s, dir, "orders")
-        .groupBy(expr(
-          s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $TsWeekDays")
-          .as("wk"))
-        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
-          .as("cents"))
-        .localCheckpoint(true)
+      val weekly = weeklyRevenueCents(s, dir).localCheckpoint(true)
       val sStat = weekly.as("a")
         .join(broadcast(weekly.as("b")), col("a.wk") < col("b.wk"))
         .agg(sum(signum(col("b.cents") - col("a.cents")).cast("long"))
@@ -1901,12 +1876,7 @@ object RelationalQueries {
     // recursive CTE running the identical integer recurrence.
     "q185_ewma_forecast" -> ((s, dir) => {
       val a = EwmaAlphaMills
-      val daily = t(s, dir, "orders")
-        .groupBy(expr(
-          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
-          .as("day"))
-        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
-          .as("cents"))
+      val daily = dailyRevenueCents(s, dir)
       val step = s"""CAST((CAST($a AS DECIMAL(38,0)) * x.cents * 1000
             + ${1000 - a} * acc.s) div 1000 AS BIGINT)"""
       daily
@@ -1946,13 +1916,7 @@ object RelationalQueries {
     // twice (mean anchor + the cumsum) — the q153 doubly-referenced-
     // frame rule — so it checkpoints and orders scans exactly ONCE.
     "q186_cusum_changepoint" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .groupBy(expr(
-          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
-          .as("day"))
-        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
-          .as("cents"))
-        .localCheckpoint(true)
+      val daily = dailyRevenueCents(s, dir).localCheckpoint(true)
       val m = daily.agg(expr(
           """CAST((CAST(1000 AS DECIMAL(38,0)) * sum(cents))
              div count(*) AS BIGINT)""").as("mean_mc"),
@@ -1985,13 +1949,7 @@ object RelationalQueries {
     // squares (the standard estimator). Sign-split division keeps
     // truncate-toward-zero identical across engines. Orders scans once.
     "q187_autocorrelation" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
-        .groupBy(expr(
-          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
-          .as("day"))
-        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
-          .as("cents"))
-        .localCheckpoint(true)
+      val daily = dailyRevenueCents(s, dir).localCheckpoint(true)
       val m = daily.agg(expr(
         """CAST((CAST(1000 AS DECIMAL(38,0)) * sum(cents))
            div count(*) AS BIGINT)""").as("mean_mc"))
@@ -2268,6 +2226,52 @@ object RelationalQueries {
   /** q177's fixed histogram bin width: $25,000 in cents (~20 bins over
     * the TPC-H totalprice range). */
   private[graft] val DriftBinCents = 2500000L
+
+  /** Calendar-bounded daily revenue frame (day-since-epoch, cents) —
+    * the ONE builder behind the q185/q186/q187 time-series studies
+    * (~2,400 rows at EVERY SF), so the three always analyze the same
+    * series. Callers checkpoint per their own reference count. */
+  private def dailyRevenueCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(expr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+        .as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+        .as("cents"))
+
+  /** Calendar-bounded weekly revenue frame (wk, cents) — q183/q191
+    * share it so Theil–Sen and Mann–Kendall always study the SAME
+    * series (the cross-query contract their comments promise). */
+  private def weeklyRevenueCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(expr(
+        s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $TsWeekDays")
+        .as("wk"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+        .as("cents"))
+
+  /** q177/q189's shared drift frame: orders split at the exact midpoint
+    * day (1-row broadcast anchor), price histogrammed into
+    * [[DriftBinCents]] bins → (bin, n_a, n_b). Eagerly checkpointed —
+    * both queries reference it more than once (the q153
+    * doubly-referenced-frame rule) — so TVD and PSI provably gate on
+    * the SAME bins and the SAME anchor. */
+  private def driftBinned(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+      expr("CAST(o_orderdate AS DATE)").as("d"))
+    val anchor = o.agg(
+      expr("(min(datediff(d, DATE '1970-01-01')) + max(datediff(d, DATE '1970-01-01'))) div 2")
+        .as("mid_day"))
+    o.crossJoin(broadcast(anchor))
+      .select(
+        expr(s"price_cents div $DriftBinCents").as("bin"),
+        when(expr("datediff(d, DATE '1970-01-01')") < col("mid_day"), lit(1L))
+          .otherwise(lit(0L)).as("in_a"))
+      .groupBy("bin")
+      .agg(sum(col("in_a")).as("n_a"), sum(lit(1L) - col("in_a")).as("n_b"))
+      .localCheckpoint(true)
+  }
 
   /** q141/q142's co-purchase pair support counts: distinct per-order
     * part sets (bounded by items/order) → ordered pairs generated
@@ -2608,7 +2612,7 @@ object RelationalQueries {
       """WITH ev AS (
            SELECT event_type,
              CAST(floor(value * 100) AS BIGINT) AS cents
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
          h AS (
            SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
            FROM ev GROUP BY 1, 2),
@@ -3304,7 +3308,8 @@ object RelationalQueries {
               THEN '***MASKED***' ELSE event_type END AS type_unmasked
          FROM events ORDER BY event_id""",
     "q21_json_extract" ->
-      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      """SELECT event_id,
+           CAST(nullif(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
     "q22_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -3526,7 +3531,7 @@ object RelationalQueries {
               ex$p AS exact_cents, bin$p AS bin FROM j""").mkString(" UNION ALL ")
       s"""WITH ev AS (
             SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
           vh AS (
             SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
             FROM ev GROUP BY 1, 2),
@@ -3613,9 +3618,9 @@ object RelationalQueries {
              CAST(count(*) AS BIGINT) AS n_days,
              CAST(sum(y) AS BIGINT) AS n_events,
              CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
            FROM x GROUP BY 1 HAVING count(*) >= 2)
          SELECT event_type, n_days, n_events,
            CAST(((CAST(n_days AS HUGEINT) * sxy
