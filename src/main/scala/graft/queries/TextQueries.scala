@@ -594,7 +594,10 @@ object TextQueries {
     // values are NOT emitted (GK merge order is engine/run-specific);
     // the bound is the portable surface.
     "q81_quantile_sketch" -> ((s, dir) => {
+      // n_chars IS NOT NULL on BOTH sides (the q153 null-sort
+      // discipline: Spark cumulates NULLS FIRST, DuckDB LAST)
       val d = docsSpread(s, dir).select(col("lang"), col("n_chars"))
+        .where(col("n_chars").isNotNull)
       val h = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
       val wc = Window.partitionBy("lang").orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -625,15 +628,21 @@ object TextQueries {
           expr(s"CAST(2 * n DIV $QuantileSketchAccuracy + 1 AS BIGINT)")
             .as("max_err"))
       }.reduce(_ unionByName _)
-      // a sketch value's true rank interval is (cum-cnt, cum]
-      exactRows.join(
-          apRows.join(r.select(col("lang"), col("n_chars").as("av"),
-              col("cum"), col("cnt")), Seq("lang", "av"))
-            .select(col("lang"), col("p_mills"),
-              (col("cum") - col("cnt") < col("rk") + col("max_err") &&
-                col("cum") >= col("rk") - col("max_err"))
-                .as("sketch_in_bound")),
-          Seq("lang", "p_mills"))
+      // a sketch value's true rank interval is (cum-cnt, cum]; lang
+      // joins are NULL-SAFE — a NULL stratum is a legal bin, and the
+      // oracle's GROUP BY lang emits it
+      val inBound = apRows.join(
+          r.select(col("lang").as("__lg"), col("n_chars").as("__vv"),
+            col("cum"), col("cnt")),
+          col("lang") <=> col("__lg") && col("av") === col("__vv"))
+        .select(col("lang").as("__lg2"), col("p_mills").as("__pm2"),
+          (col("cum") - col("cnt") < col("rk") + col("max_err") &&
+            col("cum") >= col("rk") - col("max_err"))
+            .as("sketch_in_bound"))
+      exactRows.join(inBound,
+          col("lang") <=> col("__lg2") && col("p_mills") === col("__pm2"))
+        .select(col("lang"), col("p_mills"), col("exact_val"),
+          col("sketch_in_bound"))
         .orderBy("lang", "p_mills")
     }),
 
@@ -706,7 +715,7 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // SimHash signature (16-bit, parity-of-md5-hex-char bit weights).
+    // SimHash signature (8-bit here, parity-of-md5-hex-char bit weights).
     "q33_simhash" -> ((s, dir) => {
       docsSpread(s, dir)
         .select(col("doc_id"), TextFunctions.simhash(col("text"), 8).as("simhash"))
@@ -1724,7 +1733,10 @@ object TextQueries {
           lower(col("text")).as("text"))
         .withColumn("q", TextFunctions.qualityScoreMills(col("text")))
         .withColumn("toks", TextFunctions.tokenCount(col("text")))
-        .withColumn("ck", md5(col("text")))
+        // the ONE exact-dup key contract (q29/q109/q123): contentKey
+        // trims — a second, untrimmed key definition would silently
+        // disagree with the rest of the dedup family
+        .withColumn("ck", TextFunctions.contentKey(col("text")))
       val keys = d.groupBy("ck").agg(min("doc_id").as("keep_id"))
       d.join(keys, Seq("ck"))
         .groupBy("source")
@@ -1938,7 +1950,7 @@ object TextQueries {
       }.mkString(" UNION ALL ")
       s"""WITH h AS (
            SELECT lang, n_chars, count(*) AS cnt
-           FROM documents GROUP BY 1, 2),
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
          r AS (
            SELECT lang, n_chars, cnt,
              sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
@@ -2191,7 +2203,7 @@ object TextQueries {
            SELECT t.*, uni.allocated, sum(t.n_tokens) OVER (
              PARTITION BY t.lang ORDER BY t.q_mills DESC, t.doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM t JOIN uni ON t.lang = uni.stratum)
+           FROM t JOIN uni ON t.lang IS NOT DISTINCT FROM uni.stratum)
          SELECT lang, count(*) AS n_kept,
            CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
            min(q_mills) AS min_quality, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -2936,7 +2948,7 @@ object TextQueries {
            SELECT t.*, b.alloc, sum(n_tokens) OVER (PARTITION BY t.lang
              ORDER BY q_mills DESC, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM t JOIN b ON t.lang = b.lang)
+           FROM t JOIN b ON t.lang IS NOT DISTINCT FROM b.lang)
          SELECT lang, count(*) AS n_kept,
            CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
            min(q_mills) AS min_quality, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -3087,7 +3099,7 @@ object TextQueries {
       // and rollup recomputed independently
       s"""WITH d AS (
            SELECT doc_id, source, lang,
-             lower(text) AS text, md5(lower(text)) AS ck
+             lower(text) AS text, md5(lower(trim(text))) AS ck
            FROM documents),
          m AS (
            SELECT doc_id, length(text) AS len,
