@@ -21,14 +21,27 @@ object SparkEntry {
     * penalties, top-k ranking and three-band routing. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val p = spark.read.parquet(s"$dir/part.parquet")
-    val items = p.where(col("p_partkey") % 3 === 0)
-      .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
-    val dict = p.where(col("p_partkey") % 2 === 0)
+    EntityResolution.resolve(
+      resolveItems(spark, dir), resolveDict(spark, dir), Seq("item_id"))
+  }
+
+  /** The ONE resolution dictionary fixture (title → EXT-id) shared by
+    * entry and the whole q40/q41/q59/q66 family — five hand-copied
+    * builds drifted one edit away from computing different resolution
+    * problems than resolveOracleSql's dict CTE, its DuckDB mirror;
+    * edit the two together. */
+  private def resolveDict(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+      .where(col("p_partkey") % 2 === 0)
       .groupBy(col("p_name").as("title"))
       .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
-    EntityResolution.resolve(items, dict, Seq("item_id"))
-  }
+
+  /** The natural item fixture (every third part) — entry/q40/q41;
+    * q59/q66 perturb their own item names on top of the same base. */
+  private def resolveItems(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+      .where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
 
   /** md5-bucket train/val split of doc_id — the ONE parity-critical
     * split pair (Spark column + DuckDB twin), shared by q54 and q56. */
@@ -43,10 +56,6 @@ object SparkEntry {
     * days), so both the matched and the nulled-out paths are gated. */
   private val AsofMaxGapUs = 259200000000L
 
-  /** q101's interval geometry (epoch micros) — 24 windows of 90 min at
-    * a 60-min stride (overlapping, so edge events multi-match and the
-    * duplicate-free contract is oracle-exercised), blocked at 30-min
-    * buckets (<= 4 bucket rows per interval). Shared with the oracle. */
   /** q128's sessionization gap (q23's 1800 s rule in micros) and the
     * per-session path cap (first 8 events). */
   private val SessionPathGapUs = 1800000000L
@@ -66,6 +75,10 @@ object SparkEntry {
     * distribution). */
   private val AttrWindowUs = 7L * 86400000000L
 
+  /** q101's interval geometry (epoch micros) — 24 windows of 90 min at
+    * a 60-min stride (overlapping, so edge events multi-match and the
+    * duplicate-free contract is oracle-exercised), blocked at 30-min
+    * buckets (<= 4 bucket rows per interval). Shared with the oracle. */
   private val IntervalWindows = 24L
   private val IntervalStrideUs = 3600000000L
   private val IntervalLenUs = 5400000000L
@@ -134,26 +147,17 @@ object SparkEntry {
     // Full resolution pipeline with the custom token_set_ratio /
     // partial_ratio Catalyst expressions + penalties + banding.
     "q40_entity_resolution" -> ((s, dir) => {
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val items = p.where(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
-      val dict = p.where(col("p_partkey") % 2 === 0)
-        .groupBy(col("p_name").as("title"))
-        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
-      EntityResolution.resolve(items, dict, Seq("item_id"))
+      EntityResolution.resolve(
+          resolveItems(s, dir), resolveDict(s, dir), Seq("item_id"))
         .withColumn("alt_digest", altDigest(col("alternatives")))
         .drop("alternatives")
         .orderBy("item_id")
     }),
     // Token-blocked fuzzy resolution — the 100 TB shape (no cross join).
     "q41_blocked_resolution" -> ((s, dir) => {
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val items = p.where(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
-      val dict = p.where(col("p_partkey") % 2 === 0)
-        .groupBy(col("p_name").as("title"))
-        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
-      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+      EntityResolution.resolve(
+          resolveItems(s, dir), resolveDict(s, dir), Seq("item_id"),
+          blocked = true)
         .withColumn("alt_digest", altDigest(col("alternatives")))
         .drop("alternatives")
         .orderBy("item_id")
@@ -170,10 +174,8 @@ object SparkEntry {
         .select(col("p_partkey").as("item_id"),
           concat(col("p_name"), lit(" v"),
             (col("p_partkey") % 5).cast("string")).as("item_name"))
-      val dict = p.where(col("p_partkey") % 2 === 0)
-        .groupBy(col("p_name").as("title"))
-        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
-      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+      EntityResolution.resolve(items, resolveDict(s, dir), Seq("item_id"),
+        blocked = true)
         .withColumn("alt_digest", altDigest(col("alternatives")))
         .drop("alternatives")
         .orderBy("item_id")
@@ -189,10 +191,8 @@ object SparkEntry {
       val items = p.where(col("p_partkey") % 3 === 0 && col("p_partkey") < 150)
         .select(col("p_partkey").as("item_id"),
           regexp_replace(col("p_name"), " ", "").as("item_name"))
-      val dict = p.where(col("p_partkey") % 2 === 0)
-        .groupBy(col("p_name").as("title"))
-        .agg(concat(lit("EXT-"), min(col("p_partkey"))).as("ext_id"))
-      EntityResolution.resolve(items, dict, Seq("item_id"), blocked = true)
+      EntityResolution.resolve(items, resolveDict(s, dir), Seq("item_id"),
+        blocked = true)
         .withColumn("alt_digest", altDigest(col("alternatives")))
         .drop("alternatives")
         .orderBy("item_id")
@@ -1019,6 +1019,15 @@ object SparkEntry {
     s"CASE WHEN len($sa) <= len($sb) THEN (${wins(sa, sb)}) ELSE (${wins(sb, sa)}) END"
   }
 
+  /** Upper-bound state keyspace estimates for the streaming gates'
+    * drain clones, fed to `Incremental.statePartitions` (the testdata
+    * events span days, not years): q44's state key is (hour window ×
+    * event type) — ≤ a few hundred at any fixture sf; q71's is the
+    * user id — ≤ a few thousand. A deployment points the same helper
+    * at its real cardinality estimate instead. */
+  private val Q44WindowKeyspace = 1024L
+  private val Q71UserKeyspace = 16384L
+
   /** The isolated session clone the streaming gates drain in (own
     * SQLConf + temp-view catalog, shared SparkContext): state-store
     * sizing must not leak to concurrent queries on the caller's
@@ -1030,15 +1039,6 @@ object SparkEntry {
     * (spark.sql.streaming.stateStore.rocksdb.* etc.) — is copied
     * through as the whole conf prefix; the RocksDB twin spec drives
     * q44/q71 through this exact path. */
-  /** Upper-bound state keyspace estimates for the streaming gates'
-    * drain clones, fed to `Incremental.statePartitions` (the testdata
-    * events span days, not years): q44's state key is (hour window ×
-    * event type) — ≤ a few hundred at any fixture sf; q71's is the
-    * user id — ≤ a few thousand. A deployment points the same helper
-    * at its real cardinality estimate instead. */
-  private val Q44WindowKeyspace = 1024L
-  private val Q71UserKeyspace = 16384L
-
   private def streamClone(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>

@@ -29,29 +29,29 @@ object VectorQueries {
   private def embSpread(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).repartition(s.sparkContext.defaultParallelism)
 
+  /** q38's near-dup floor in signed cos²·1e6 units (the
+    * cosineSqScaledQ scale): 50000 ≈ |cos| ≥ 0.224 — deliberately low
+    * because the synthetic embeddings are near-orthogonal (max
+    * within-label cos²·1e6 ≈ 160k at sf0.001); a 0.9-cosine floor
+    * (810000) would make the gate vacuous. Edit HERE only — the
+    * oracle SQL interpolates this value. */
+  private[graft] val NearDupCosSqScaledMin = 50000L
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-5 per query vector (exact ANN baseline).
+    // Brute-force cosine top-5 per query vector — THE exact ANN
+    // baseline, delegated to the one shared kernel
+    // (SimilaritySearch.bruteForceTopK) so the spec-verified recall
+    // oracle and this gated twin can never drift.
     "q37_knn_bruteforce" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"),
-          VectorFunctions.quantize(col("embedding")).as("qv"))
-      val c = emb(s, dir).repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id").as("neighbor_id"),
-          VectorFunctions.quantize(col("embedding")).as("cv"))
-      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos_sq_scaled",
-          VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
+      graft.operators.SimilaritySearch.bruteForceTopK(
+          emb(s, dir).where(col("vec_id") % 100 === 0),
+          embSpread(s, dir), "vec_id", "embedding", k = 5)
         .select("query_id", "rank", "neighbor_id", "cos_sq_scaled")
         .orderBy("query_id", "rank")
     }),
 
     // Embedding near-dup pairs, blocked by label, verified by exact
-    // quantized cosine (threshold 0.9² · 1e6).
+    // quantized cosine (floor: [[NearDupCosSqScaledMin]]).
     "q38_embedding_dups" -> ((s, dir) => {
       val e = embSpread(s, dir).where(col("vec_id") % 4 === 0)
         .select(col("label"), col("vec_id"),
@@ -60,7 +60,7 @@ object VectorQueries {
         .where(col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sq_scaled",
           VectorFunctions.cosineSqScaledQ(col("a.q"), col("b.q")))
-        .where(col("cos_sq_scaled") >= 50000)
+        .where(col("cos_sq_scaled") >= NearDupCosSqScaledMin)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("cos_sq_scaled"))
         .orderBy("id_a", "id_b")
@@ -122,7 +122,7 @@ object VectorQueries {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ${cossq("a.q", "b.q")} AS cos_sq_scaled
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE ${cossq("a.q", "b.q")} >= 50000
+         WHERE ${cossq("a.q", "b.q")} >= $NearDupCosSqScaledMin
          ORDER BY id_a, id_b""",
     "q39_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
