@@ -83,4 +83,21 @@ class TextVectorSpec extends AnyFunSuite {
       .as[Boolean].collect()
     assert(rows.toSeq == Seq(true, false, false))
   }
+
+
+  test("batchApprovable: a never-populated ignored flag means NOT ignored") {
+    import graft.operators.SemanticGuard
+    val reviews = Seq(
+      (1L, "whole milk", "skim milk", 92.0, Option.empty[Boolean],
+        Option.empty[Boolean]),            // NULL ignored -> still approvable
+      (2L, "whole milk", "skim milk", 92.0, Option.empty[Boolean],
+        Some(true)),                       // explicitly ignored -> dropped
+      (3L, "whole milk", "skim milk", 99.0, Option.empty[Boolean],
+        Option.empty[Boolean]))            // above autoResolve -> dropped
+      .toDF("review_id", "item_name", "suggested_title", "score",
+        "approved", "ignored")
+    val got = SemanticGuard.batchApprovable(reviews)
+      .select("review_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // !NULL would be NULL and silently drop row 1
+  }
 }

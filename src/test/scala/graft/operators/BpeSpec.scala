@@ -143,4 +143,19 @@ class BpeSpec extends AnyFunSuite {
       }
     }
   }
+
+
+  test("symbols containing backslashes survive merge learning verbatim") {
+    // 'a\\b' seeds the symbol '\\'; an expr()-built replace would run
+    // Spark SQL escape processing and mangle '\\b' into a backspace
+    val docs = Seq("a\\b a\\b").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", rounds = 2)
+      .orderBy("round")
+      .select("left", "right", "merged")
+      .as[(String, String, String)].collect().toSeq
+    assert(merges == Seq(("\\", "b", "\\b"), ("a", "\\b", "a\\b")))
+    val enc = Bpe.encode(docs, "text", "text",
+      merges.map { case (l, r, _) => (l, r) })
+    assert(enc.select("n_subwords").as[Long].head() == 2L) // 'a\\b' twice -> 1 symbol each
+  }
 }

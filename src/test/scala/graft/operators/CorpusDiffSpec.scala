@@ -34,4 +34,25 @@ class CorpusDiffSpec extends AnyFunSuite {
     assert(sum == Map("unchanged" -> 2L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+
+  test("diff: a null-text doc is still PRESENT on its side") {
+    val v1 = Seq((7L, Option.empty[String]), (8L, Some("x")),
+      (9L, Option.empty[String]), (11L, Option.empty[String]))
+      .toDF("id", "text")
+    val v2 = Seq((7L, Some("hi")), (8L, Option.empty[String]),
+      (10L, Option.empty[String]), (11L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = CorpusDiff.diff(v1, v2, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    // key-nullability presence would misread 7 as 'added' and 9 as
+    // 'added'; the explicit side markers classify every case right
+    assert(got == Map(
+      7L -> "changed",   // NULL -> 'hi': present both sides, content differs
+      8L -> "changed",   // 'x' -> NULL
+      9L -> "removed",   // null-text doc present only in v1
+      10L -> "added",    // null-text doc present only in v2
+      11L -> "unchanged" // null-text on BOTH sides: same (absent) content
+    ))
+  }
 }

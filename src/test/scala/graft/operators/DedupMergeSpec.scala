@@ -479,4 +479,30 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("v") == 11L)
     assert(out.head.getAs[Map[String, String]]("attrs") == Map("b" -> "y"))
   }
+
+
+  test("reconcile: presence is a marker, not data nullability — an " +
+      "incoming NULL reads unchanged, never a phantom update") {
+    val existing = Seq((1L, Some("a")), (2L, Some("b"))).toDF("key", "name")
+    val incoming = Seq((1L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("key", "name")
+    val out = Merge.reconcile(existing, incoming, Seq("key"), Seq("name"))
+    val m = out.select("key", "action").as[(Long, String)].collect().toMap
+    // key 1: incoming NULL never overwrites (merged = coalesce), so the
+    //        row is unchanged — a raw NULL<=>'a' compare would have
+    //        emitted a spurious 'update' to the push sink
+    // key 2: absent from incoming — delete-candidate, even though its
+    //        compare column would be NULL after the outer join
+    // key 3: a brand-new key whose ONLY compare column is NULL is still
+    //        present on the incoming side — insert, not delete-candidate
+    assert(m == Map(1L -> "unchanged", 2L -> "delete-candidate",
+      3L -> "insert"))
+    val merged = out.where($"key" === 1L).select("name").as[String].head()
+    assert(merged == "a") // incoming NULL did not clobber the value
+    intercept[IllegalArgumentException] {
+      Merge.reconcile(existing.withColumnRenamed("name", "present"),
+        incoming.withColumnRenamed("name", "present"),
+        Seq("key"), Seq("present"))
+    }
+  }
 }

@@ -44,4 +44,15 @@ class ItemExplodeOfferingsSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(out == Seq("a", "b", "B"))
   }
+
+
+  test("within-row dedup keeps the FIRST-SEEN casing deterministically") {
+    val df = Seq((1L, "APPLE; Apple ;apple; Pear")).toDF("member_id", "products")
+    val out = ItemExplode.explodeItems(df, Seq("member_id"),
+      Seq("product" -> "products"))
+      .select("item_key", "item_name").as[(String, String)].collect().toMap
+    // dropDuplicates would keep an arbitrary casing; the position argmin
+    // pins the first fragment of the cell
+    assert(out == Map("apple" -> "APPLE", "pear" -> "Pear"))
+  }
 }

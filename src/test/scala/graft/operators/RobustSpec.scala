@@ -52,4 +52,20 @@ class RobustSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head.isNullAt(0) && !out.head.getBoolean(1))
   }
+
+
+  test("winsorize: a NULL stratum is a legal bin and receives its bounds") {
+    val df = Seq((Option.empty[String], 1L), (None, 2L), (None, 3L),
+      (None, 4L), (Some("en"), 10L)).toDF("strat", "v")
+    val out = Robust.winsorize(df, "strat", "v", 1, 4, 3, 4)
+      .where($"strat".isNull)
+      .select("v", "lo", "hi", "clipped", "is_outlier")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // n = 4: lo = rank ceil(4/4) = 1, hi = rank ceil(12/4) = 3; a plain
+    // equi-join would leave lo/hi NULL and pass 4 through unflagged
+    assert(out.map(_._2).forall(_ == 1L) && out.map(_._3).forall(_ == 3L))
+    assert(out.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+    assert(out.count(_._5) == 1 && out.find(_._5).get._1 == 4L)
+  }
 }
