@@ -1039,13 +1039,8 @@ object SparkEntry {
     * (spark.sql.streaming.stateStore.rocksdb.* etc.) — is copied
     * through as the whole conf prefix; the RocksDB twin spec drives
     * q44/q71 through this exact path. */
-  private def streamClone(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    s.conf.getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.sql.streaming.stateStore.")) s2.conf.set(k, v)
-    }
-    s2
-  }
+  private def streamClone(s: SparkSession): SparkSession =
+    graft.streaming.Incremental.isolatedClone(s)
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow
     * on a throwaway checkpoint and return the sink table (the shared

@@ -125,6 +125,14 @@ object Incremental {
     * NoTimeout for drain-style runs (the sessionizer's documented
     * eviction note applies unchanged).
     */
+  /** Per-thread MD5 for the hottest per-record path — a
+    * getInstance per record pays the JCE provider lookup + allocation
+    * on every stream item. digest() leaves the instance reset. */
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def streamingHeavyHitters(items: org.apache.spark.sql.Dataset[String],
       counters: Int, nShards: Int): org.apache.spark.sql.Dataset[HhSummary] = {
     require(counters >= 1, s"counters=$counters must be >= 1")
@@ -132,12 +140,14 @@ object Incremental {
     import items.sparkSession.implicits._
     items
       .groupByKey { t =>
-        // two digest bytes (not one): a single byte caps effective
-        // shards at 256 — requesting more would silently leave the
-        // extra state stores empty and overload the first 256
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8"))
-        math.floorMod(((h(0) & 0xff) << 8) | (h(1) & 0xff), nShards)
+        // four digest bytes: fewer silently caps effective shards at
+        // 2^(8·bytes) — the two-byte version of this code left every
+        // state store past 65536 permanently empty while the first 64k
+        // absorbed all load. 32 bits covers any practical shard count.
+        val h = Md5Local.get().digest(t.getBytes("UTF-8"))
+        val w = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
+          ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        math.floorMod(w, nShards)
       }
       .flatMapGroupsWithState[HhState, HhSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -208,7 +218,12 @@ object Incremental {
     * with the SAME squared-integer inequality
     * (m·x − s)²·10⁶ > zMills²·(m·q − s²), computed in BigInt (the
     * driver-side twin of the batch DECIMAL(38,0)) — so on an in-order
-    * stream the drain is row-identical to the batch operator.
+    * stream with UNIQUE (key, tick) pairs the drain is row-identical
+    * to the batch operator. Duplicate ticks are where the two
+    * legitimately differ: the batch RANGE frame keeps every duplicate
+    * row in later baselines, while this state holds one value per tick
+    * (last-writer-wins, see below) — metric streams (per-day rollups)
+    * are unique-per-tick by construction.
     *
     * State per key is the trailing tick→value map, pruned to the
     * lookback window behind the max tick seen — `lookback + 1` entries
@@ -233,18 +248,23 @@ object Incremental {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, it, state: GroupState[ZState]) =>
           var m = state.getOption.map(_.points).getOrElse(Map.empty[Long, Long])
+          var mx = if (m.isEmpty) Long.MinValue else m.keysIterator.max
           val out = it.toSeq.sortBy(p => (p.tick, p.v)).map { p =>
-            val base = m.view
-              .filterKeys(t => t >= p.tick - lookback && t <= p.tick - 1)
-            val n = base.size.toLong
-            val s = base.values.foldLeft(BigInt(0))(_ + _)
-            val q = base.values.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+            // one pass accumulates (n, s, q) — three filterKeys
+            // traversals per point cost ~5x the needed work on dense keys
+            val lo = p.tick - lookback
+            var n = 0L; var s = BigInt(0); var q = BigInt(0)
+            m.foreach { case (t, v) =>
+              if (t >= lo && t <= p.tick - 1) { n += 1; s += v; q += BigInt(v) * v }
+            }
             val dev = BigInt(n) * p.v - s
             val flag = n >= minPoints &&
               dev * dev * 1000000 > BigInt(zMills) * zMills * (n * q - s * s)
             m = m + (p.tick -> p.v)
-            val mx = m.keysIterator.max
-            m = m.filter { case (t, _) => t >= mx - lookback }
+            if (p.tick > mx) { // prune only when the window advanced
+              mx = p.tick
+              m = m.filter { case (t, _) => t >= mx - lookback }
+            }
             ZFlag(key, p.tick, p.v, n, s.toLong, flag)
           }
           state.update(ZState(m))
@@ -352,10 +372,7 @@ object Incremental {
       againstCorpus: Option[DataFrame] = None,
       againstMinJaccardMills: Int = 500): Unit = {
     val session = if (expectedKeys <= 0L) spark else {
-      val s2 = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        if (k.startsWith("spark.sql.streaming.stateStore.")) s2.conf.set(k, v)
-      }
+      val s2 = isolatedClone(spark)
       s2.conf.set("spark.sql.shuffle.partitions",
         statePartitions(spark, expectedKeys).toString)
       s2
@@ -392,6 +409,8 @@ object Incremental {
     // per micro-batch; only the first-seen key state is stateful), and
     // a key the corpus already holds is remembered in state (-1) so
     // later batches drop it without re-probing
+    // corpus-side index frames persisted for the drain, released after
+    val corpusIndexPins = scala.collection.mutable.Buffer.empty[DataFrame]
     val survivors = againstCorpus match {
       case None =>
         keyed.select("doc_id", "lang", "text", "content_key").as[GatedDoc]
@@ -408,23 +427,35 @@ object Incremental {
           }
       case Some(corpus) =>
         val (bands, rowsPerBand) = (2, 4)
+        // the probe key IS content_key (already on every stream row) —
+        // a second md5(lower(trim(text))) column would re-evaluate the
+        // digest per row and ride redundantly through the joins
         val cKeys = corpus
-          .select(TextFunctions.contentKey(col("text")).as("__ak"),
+          .select(TextFunctions.contentKey(col("text")).as("content_key"),
             col("doc_id").as("__cid"))
-          .groupBy("__ak").agg(min("__cid").as("__exact_id"))
+          .groupBy("content_key").agg(min("__cid").as("__exact_id"))
+          .persist()
+        corpusIndexPins += cKeys
+        // persist the three corpus-side index frames: a stream-static
+        // join re-executes the static side EVERY micro-batch — a
+        // 10-batch drain would otherwise rescan (and re-hash) the whole
+        // corpus 30 times for identical results
         val cBands = corpus.select(col("doc_id").as("__cid"),
           posexplode(array((0 until bands).map { b =>
             TextFunctions.minhashBand(
               col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
           }: _*)).as(Seq("__bno", "__bsig")))
+          .persist()
+        corpusIndexPins += cBands
         val cToks = corpus.select(col("doc_id").as("__cid"),
           TextFunctions.tokenSetSorted(col("text")).as("__ct"))
+          .persist()
+        corpusIndexPins += cToks
         val minJac = againstMinJaccardMills
         keyed
-          .withColumn("__ak", TextFunctions.contentKey(col("text")))
           .withColumn("__bt", TextFunctions.tokenSetSorted(col("text")))
           .select(col("doc_id"), col("lang"), col("text"),
-            col("content_key"), col("__ak"), col("__bt"),
+            col("content_key"), col("__bt"),
             posexplode(array((0 until bands).map { b =>
               TextFunctions.minhashBand(
                 col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
@@ -438,7 +469,7 @@ object Incremental {
             .otherwise(floor(lit(1000) * col("__common")
               / (size(col("__bt")) + size(col("__ct")) - col("__common")))
               .cast("long")))
-          .join(cKeys, Seq("__ak"), "left")
+          .join(cKeys, Seq("content_key"), "left")
           .select(col("doc_id"), col("lang"), col("text"),
             col("content_key"), col("__exact_id").as("exact_id"),
             col("__jm").as("jm")).as[CandDoc]
@@ -469,6 +500,26 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    corpusIndexPins.foreach(_.unpersist())
+  }
+
+  /** Isolated session clone for drain-style streaming runs: own SQLConf
+    * + temp-view catalog on the shared SparkContext, so state-store
+    * sizing and memory-sink tables never leak into concurrent queries
+    * on the caller's session. `newSession` starts from CONTEXT defaults,
+    * so the one piece of session-level configuration a caller may
+    * legitimately vary — the state-store provider class (memory vs
+    * RocksDB, the 100 TB state backend) and its tuning knobs — is
+    * copied through as the whole `spark.sql.streaming.stateStore.*`
+    * prefix. The ONE clone rule, shared by [[corpusGate]] and
+    * SparkEntry's q44/q71 bench drains (two inline copies of this logic
+    * had already drifted once). */
+  def isolatedClone(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql.streaming.stateStore.")) s2.conf.set(k, v)
+    }
+    s2
   }
 
   /** Session-conf key overriding [[statePartitions]] — lets a caller

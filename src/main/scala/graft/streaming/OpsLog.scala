@@ -38,15 +38,23 @@ object OpsLog {
     * the directory listing already says) — and a missing/empty logDir
     * is a no-op, so a first-run cron never crashes. */
   def enforceRetention(spark: SparkSession, logDir: String, retentionDays: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(logDir)
+    // the filesystem OF logDir, never the default FS: with
+    // fs.defaultFS=hdfs and an s3a:// log dir the default handle throws
+    // "Wrong FS" (or worse, exists() = false on a local default makes
+    // retention a silent permanent no-op)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
     val parts = fs.listStatus(base).toSeq
       .map(_.getPath)
       .filter(_.getName.startsWith("log_date="))
-      .map(p => p -> java.time.LocalDate.parse(
-        p.getName.stripPrefix("log_date=")))
+      .flatMap { p =>
+        // skip unparseable suffixes (e.g. log_date=__HIVE_DEFAULT_PARTITION__
+        // from a null-ts row) instead of letting one bad directory throw
+        // DateTimeParseException and kill every future retention run
+        scala.util.Try(java.time.LocalDate.parse(
+          p.getName.stripPrefix("log_date="))).toOption.map(p -> _)
+      }
     if (parts.nonEmpty) {
       val cutoff = parts.map(_._2).max(Ordering.by[java.time.LocalDate, Long](
         _.toEpochDay)).minusDays(retentionDays.toLong)

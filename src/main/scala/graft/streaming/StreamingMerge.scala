@@ -20,9 +20,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingMerge {
 
-  private def hadoopFs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+  /** The filesystem OF THE PATH, never FileSystem.get's default FS:
+    * with fs.defaultFS=hdfs and an s3a:// target (or vice versa) the
+    * default-FS handle throws "Wrong FS" on every exists/rename and the
+    * crash-safe swap never commits a batch. */
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Crash-safe staged swap: parquet has no transaction, so the swap
     * keeps the invariant that at EVERY instant at least one of
@@ -45,7 +49,7 @@ object StreamingMerge {
     * key/seq/payload columns are unchanged. */
   private def swapIn(
       spark: SparkSession, staging: String, targetDir: String): Unit = {
-    val fs = hadoopFs(spark)
+    val fs = fsOf(spark, targetDir)
     val tgt = new org.apache.hadoop.fs.Path(targetDir)
     val aside = new org.apache.hadoop.fs.Path(targetDir + "__old")
     // fs.rename AND fs.delete report failure by RETURNING false (HDFS
@@ -76,7 +80,7 @@ object StreamingMerge {
   private def readState(
       spark: SparkSession, targetDir: String)(
       fallback: => DataFrame): DataFrame = {
-    val fs = hadoopFs(spark)
+    val fs = fsOf(spark, targetDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(targetDir)))
       spark.read.parquet(targetDir)
     else if (fs.exists(new org.apache.hadoop.fs.Path(targetDir + "__old")))
