@@ -367,15 +367,8 @@ object BiffReader {
     }
 
     require(grid.nonEmpty, "empty worksheet")
-    val rows = grid.toSeq.sortBy(_._1)
-    val headerMap = rows.head._2
-    val width = rows.map { case (_, m) => if (m.isEmpty) -1 else m.keys.max }.max + 1
-    val header = (0 until width).map(i =>
-      headerMap.get(i).filter(_.nonEmpty).getOrElse(s"col$i"))
-    val dataRows = rows.tail.map { case (_, m) =>
-      Row.fromSeq((0 until width).map(i => m.get(i).filter(_.nonEmpty).orNull))
-    }
-    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    spark.createDataFrame(spark.sparkContext.parallelize(dataRows), schema)
+    // same strings-DataFrame contract as readXlsx — enforced by being
+    // the SAME assembly function
+    ExcelReader.gridToDataFrame(spark, grid.toSeq.sortBy(_._1).map(_._2))
   }
 }

@@ -34,6 +34,27 @@ object ExcelReader {
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
   }
 
+  /** Cell text of a rich-text container (<si> or <is>): the
+    * concatenated <t> runs EXCLUDING <rPh> phonetic (furigana) guides —
+    * getTextContent would splice the reading aid into the value
+    * ("東京" becoming "東京トウキョウ"), which openpyxl (the parity
+    * reference) never does. */
+  private def richText(el: org.w3c.dom.Element): String = {
+    val nl = el.getElementsByTagNameNS("*", "t")
+    (0 until nl.getLength)
+      .map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+      .filterNot { t =>
+        var p: org.w3c.dom.Node = t.getParentNode
+        var inPhonetic = false
+        while (p != null && (p ne el)) {
+          if (p.getLocalName == "rPh") inPhonetic = true
+          p = p.getParentNode
+        }
+        inPhonetic
+      }
+      .map(_.getTextContent).mkString
+  }
+
   /** Column letters of an A1-style ref → 0-based index. */
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
@@ -87,11 +108,21 @@ object ExcelReader {
   private[sources] def excelSerialToString(serial: Double,
       date1904: Boolean = false): String = {
     // the 1900-leap-year bug bump applies to 0 < serial < 60 ONLY:
-    // openpyxl's from_excel leaves serial 0 (and negatives) unbumped,
-    // rendering 1899-12-30 — parity requires the same two-sided guard.
+    // openpyxl's from_excel leaves negatives unbumped (1899-12-29 for
+    // serial -1) — parity requires the same two-sided guard.
     // The Mac 1904 system (workbookPr date1904 / BIFF DATEMODE=1) has
     // a different epoch (serial 0 = 1904-01-01) and NO phantom
     // 1900-02-29, so no bump — exactly openpyxl's CALENDAR_MAC_1904.
+    // openpyxl's from_excel checks the time-only case FIRST (before the
+    // leap-bug bump): 0 <= serial < 1 is a datetime.time, printed
+    // without the bogus 1899-12-30 date prefix. (Elapsed [h]-style
+    // formats 45-47 return timedelta in openpyxl — a documented
+    // remaining divergence: they render here as clock time.)
+    if (serial >= 0 && serial < 1) {
+      val secs = math.round(serial * 86400)
+      return java.time.LocalTime.MIDNIGHT.plusSeconds(secs)
+        .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    }
     val adj =
       if (date1904) serial
       else if (serial > 0 && serial < 60) serial + 1
@@ -128,6 +159,12 @@ object ExcelReader {
           .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
       }.getOrElse(Map.empty)
     val sheets = elements(wb, "sheet")
+    // the workbook part is authoritative for HOW MANY sheets exist: an
+    // out-of-range index must reject loudly, never fall through to the
+    // positional sheetN.xml guess (which can hit an orphaned part and
+    // silently read stale data)
+    require(sheets.isEmpty || (sheet >= 1 && sheet <= sheets.length),
+      s"sheet $sheet out of range: workbook has ${sheets.length} sheet(s)")
     val part = sheets.lift(sheet - 1).flatMap { el =>
       // r:id is namespace-qualified; DOM surfaces it under the
       // officeDocument relationships namespace or the literal qname
@@ -150,7 +187,7 @@ object ExcelReader {
       val shared: IndexedSeq[String] =
         Option(zf.getEntry("xl/sharedStrings.xml")).map { e =>
           elements(parseXml(zf.getInputStream(e)), "si")
-            .map(_.getTextContent).toIndexedSeq
+            .map(richText).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
       val (sheetPart, date1904) = resolveSheet(zf, sheet)
       val sheetEntry = Option(zf.getEntry(sheetPart))
@@ -171,11 +208,17 @@ object ExcelReader {
           val vNodes = c.getElementsByTagNameNS("*", "v")
           val isNodes = c.getElementsByTagNameNS("*", "is")
           val value =
-            if (t == "inlineStr" && isNodes.getLength > 0) isNodes.item(0).getTextContent
+            if (t == "inlineStr" && isNodes.getLength > 0)
+              richText(isNodes.item(0).asInstanceOf[org.w3c.dom.Element])
             else if (vNodes.getLength == 0) ""
             else {
               val raw = vNodes.item(0).getTextContent
               if (t == "s") shared.lift(raw.toInt).getOrElse("")
+              // the BiffReader contract (its BOOLERR record): booleans
+              // render TRUE/FALSE, error cells read as blank — the same
+              // sheet saved as .xls or .xlsx must produce the same frame
+              else if (t == "b") { if (raw.trim == "1") "TRUE" else "FALSE" }
+              else if (t == "e") ""
               else {
                 // numeric cell with a date style → typed date, like
                 // openpyxl's data_only load (`app/etl.py:971`)
@@ -220,7 +263,15 @@ object ExcelReader {
       case Left(err) => throw new IllegalArgumentException(s"S3 pre-flight failed: $err")
       case Right(()) =>
     }
-    val grid = readGrid(path, sheet)
+    gridToDataFrame(spark, readGrid(path, sheet))
+  }
+
+  /** Grid → strings DataFrame: header = row 1 (empty header cells
+    * become colN), data = rows ≥ 2, empty cells become null. The ONE
+    * assembly shared by the xlsx and BIFF (.xls) readers — the
+    * same-contract guarantee between the two is this function. */
+  private[sources] def gridToDataFrame(spark: SparkSession,
+      grid: Seq[scala.collection.Map[Int, String]]): DataFrame = {
     require(grid.nonEmpty, "empty worksheet")
     val headerMap = grid.head
     val width = (grid.map(m => if (m.isEmpty) -1 else m.keys.max).max) + 1

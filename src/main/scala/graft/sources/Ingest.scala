@@ -40,9 +40,15 @@ object Ingest {
     * rejected, nested subdirectories are allowed. */
   def isSafeFilename(uploadDir: String, filename: String): Boolean =
     filename.nonEmpty && {
-      val base = Paths.get(uploadDir).toAbsolutePath.normalize
-      val resolved = base.resolve(filename).normalize
-      resolved.startsWith(base) && resolved != base
+      // a name that is not even a valid path (NUL byte, etc.) is
+      // unsafe, not an exception — keep the typed-rejection contract
+      try {
+        val base = Paths.get(uploadDir).toAbsolutePath.normalize
+        val resolved = base.resolve(filename).normalize
+        resolved.startsWith(base) && resolved != base
+      } catch {
+        case _: java.nio.file.InvalidPathException => false
+      }
     }
 
   /** Legacy .xls detection: BIFF workbooks live in an OLE2 compound
@@ -61,8 +67,15 @@ object Ingest {
     } finally in.close()
   }
 
+  /** Reference probe order (`app/etl.py:21`): utf-8, utf-8-sig,
+    * latin-1, cp1252, iso-8859-1. Python's latin-1 accepts EVERY byte,
+    * so in the reference any non-UTF-8 file decodes as latin-1 and the
+    * cp1252 rung is unreachable — mirrored here: ISO-8859-1 (latin-1)
+    * is the second rung, so 0x80–0x9F bytes decode to the same C1 code
+    * points the reference produces, never the cp1252 punctuation a
+    * windows-1252-first ladder would yield. */
   val EncodingLadder: Seq[String] =
-    Seq("UTF-8", "windows-1252", "ISO-8859-1")
+    Seq("UTF-8", "ISO-8859-1")
 
   /** Probe the first `probeBytes` of a local file; first charset that
     * decodes without error wins (BOM-stripped UTF-8 counts as UTF-8).
@@ -87,8 +100,11 @@ object Ingest {
       val res = dec.decode(buf, out, true)
       if (!res.isError) { dec.flush(out); true }
       // UTF-8 sequences are <= 4 bytes: an error starting within the
-      // last 4 bytes of a truncated window is the cut, not the data
-      else truncated && buf.position() >= head.length - 4
+      // last 4 bytes of a truncated window is the cut, not the data —
+      // a multibyte-cut rationale that only applies to UTF-8 (a
+      // single-byte charset error in the tail is genuinely bad data)
+      else name == "UTF-8" &&
+        truncated && buf.position() >= head.length - 4
     }.getOrElse("ISO-8859-1") // latin-1 accepts any byte — final fallback
   }
 

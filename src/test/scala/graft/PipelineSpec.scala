@@ -161,4 +161,24 @@ class PipelineSpec extends AnyFunSuite {
     val bad = writeFixture("fake.xlsx", "this is not a zip")
     assert(Ingest.validateXlsxContainer(bad).isLeft)
   }
+
+
+  test("encoding ladder mirrors the reference: non-UTF-8 decodes as latin-1") {
+    // 0x92 is cp1252's right single quote but latin-1's U+0092 control:
+    // the reference probes latin-1 FIRST (app/etl.py:21, and latin-1
+    // accepts every byte), so parity demands ISO-8859-1 here — a
+    // windows-1252-first ladder would silently change every 0x80-0x9F
+    // byte of every non-UTF-8 submission
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc")
+    val path = dir.resolve("quote.csv")
+    val bytes = "businessName,c\nO".getBytes(StandardCharsets.ISO_8859_1) ++
+      Array(0x92.toByte) ++ "Brien,IE\n".getBytes(StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(path, bytes)
+    assert(Ingest.detectEncoding(path.toString) == "ISO-8859-1")
+  }
+
+  test("isSafeFilename: an invalid path (NUL byte) is unsafe, not a crash") {
+    val up = java.nio.file.Files.createTempDirectory("graft-up").toString
+    assert(!Ingest.isSafeFilename(up, "a\u0000b.csv"))
+  }
 }

@@ -111,11 +111,15 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(ExcelReader.excelSerialToString(59) == "1900-02-28 00:00:00")
     assert(ExcelReader.excelSerialToString(60) == "1900-02-28 00:00:00")
     assert(ExcelReader.excelSerialToString(61) == "1900-03-01 00:00:00")
-    // the bump is two-sided: serial 0 stays 1899-12-30 (openpyxl's
-    // from_excel bumps only 0 < value < 60), as do negatives
-    assert(ExcelReader.excelSerialToString(0) == "1899-12-30 00:00:00")
+    // openpyxl 3.1 (the reference pin) checks the time case FIRST:
+    // 0 <= serial < 1 is a datetime.time — no bogus date prefix
+    assert(ExcelReader.excelSerialToString(0) == "00:00:00")
+    assert(ExcelReader.excelSerialToString(0.25) == "06:00:00")
+    assert(ExcelReader.excelSerialToString(0.999988425925926) == "23:59:59")
+    // negatives skip both the time case and the bump
     assert(ExcelReader.excelSerialToString(-1) == "1899-12-29 00:00:00")
     assert(ExcelReader.excelSerialToString(1) == "1900-01-01 00:00:00")
+    assert(ExcelReader.excelSerialToString(1.5) == "1900-01-01 12:00:00")
     assert(ExcelReader.isDateFormatCode("yyyy-mm-dd"))
     assert(ExcelReader.isDateFormatCode("[$-409]h:mm AM/PM"))
     assert(!ExcelReader.isDateFormatCode("#,##0.00"))
@@ -129,10 +133,13 @@ class ExcelReaderSpec extends AnyFunSuite {
   }
 
   test("1904 date system: workbookPr date1904 shifts the epoch, no leap bump") {
-    // serial algebra first: Mac 1904 epoch, serial 0 = 1904-01-01,
-    // and the phantom-1900-02-29 bump must NOT apply
+    // serial algebra first: Mac 1904 epoch; the time-only case fires
+    // before the epoch matters (openpyxl's from_excel order), and the
+    // phantom-1900-02-29 bump must NOT apply
     assert(ExcelReader.excelSerialToString(0, date1904 = true)
-      == "1904-01-01 00:00:00")
+      == "00:00:00")
+    assert(ExcelReader.excelSerialToString(1, date1904 = true)
+      == "1904-01-02 00:00:00")
     assert(ExcelReader.excelSerialToString(59, date1904 = true)
       == "1904-02-29 00:00:00") // 1904 really was a leap year
     val dir = Files.createTempDirectory("graft-xlsx-1904")
@@ -187,5 +194,38 @@ class ExcelReaderSpec extends AnyFunSuite {
     val df = ExcelReader.readXlsx(spark, path)
     assert(df.columns.toSeq == Seq("name"))
     assert(df.collect()(0).getString(0) == "Widget")
+  }
+
+
+  test("S2: phonetic runs excluded; bool/err cells match the BIFF contract") {
+    val dir = Files.createTempDirectory("graft-xlsx-rph")
+    val path = dir.resolve("rph.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    // one rich-text shared string with a furigana <rPh> run openpyxl
+    // would exclude from the value
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1"><si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>flag</t></is></c><c r="C1" t="inlineStr"><is><t>err</t></is></c><c r="D1" t="inlineStr"><is><t>f2</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="b"><v>1</v></c><c r="C2" t="e"><v>#DIV/0!</v></c><c r="D2" t="b"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val row = ExcelReader.readXlsx(spark, path).collect().head
+    assert(row.getString(0) == "東京")   // NOT 東京トウキョウ
+    assert(row.getString(1) == "TRUE")  // the BiffReader rendering
+    assert(row.getString(2) == null)    // error cells read as blank
+    assert(row.getString(3) == "FALSE")
+    // an out-of-range sheet index rejects loudly — never the positional
+    // part-name guess that could read an orphaned worksheet
+    val e = intercept[Exception](ExcelReader.readXlsx(spark, path, sheet = 3))
+    assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 }
