@@ -15,7 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of trimmed text. */
+  /** Whitespace tokenization of trimmed text.
+    *
+    * CONTRACT NOTE: `trim` strips U+0020 only, so text that ends in a
+    * newline/tab yields one trailing "" token ("a b\n" → ["a","b",""]).
+    * The DuckDB twins share the identical rule (their trim is also
+    * space-only), so every oracle stays in lockstep — but consumers
+    * that need REAL token arrays must wrap in
+    * `filter(tokens(c), t => t =!= "")` (as the scorer operators do),
+    * and `tokenCount` counts the phantom. Changing the rule here means
+    * changing the shared SQL twins and every hand-counted spec with it
+    * — a coordinated migration, not a one-line fix. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Mitchell's piecewise-linear log2 (Mitchell 1962) in integer

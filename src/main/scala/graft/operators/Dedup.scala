@@ -35,20 +35,35 @@ object Dedup {
     * survivors (same schema plus `content_key`, `dup_count`). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("content_key", TextFunctions.contentKey(col(textCol)))
+    // NULL text is NOT an equivalence class: contentKey(NULL) is NULL,
+    // and a NULL-partitioned window would silently drop all but one
+    // unrelated null-text doc — classifyAgainst (same file) already
+    // treats a NULL key as never-matching, so exact() must agree
+    val nn = keyed.where(col("content_key").isNotNull)
     val w = Window.partitionBy(col("content_key")).orderBy(col(idCol))
-    keyed
+    val survivors = nn
       .withColumn("rn", row_number().over(w))
       .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("content_key"))))
       .where(col("rn") === 1)
       .drop("rn")
+    survivors.unionByName(
+      keyed.where(col("content_key").isNull)
+        .withColumn("dup_count", lit(1L)))
   }
 
   /** MinHash signatures: one row per doc with `nHashes` minhash columns
-    * mh0..mh{n-1} (md5-min over salted tokens). */
-  def minhashSignatures(df: DataFrame, textCol: String, nHashes: Int): DataFrame =
-    (0 until nHashes).foldLeft(df) { (acc, i) =>
-      acc.withColumn(s"mh$i", TextFunctions.minhash(col(textCol), i))
-    }
+    * mh0..mh{n-1} (md5-min over salted tokens). ONE multi-seed
+    * signature pass — n independent single-seed expressions would
+    * re-tokenize and re-hash the document n times (the exact
+    * anti-pattern TextHash's array kernel exists to avoid); the
+    * per-seed values are identical by construction. */
+  def minhashSignatures(df: DataFrame, textCol: String, nHashes: Int): DataFrame = {
+    val sig = graft.functions.TextHash
+      .minhashSignature(col(textCol), 0 until nHashes)
+    (0 until nHashes).foldLeft(df.withColumn("__sig", sig)) { (acc, i) =>
+      acc.withColumn(s"mh$i", element_at(col("__sig"), i + 1))
+    }.drop("__sig")
+  }
 
   /** MinHash-LSH candidate pairs: band the signature into `bands` groups
     * of `rowsPerBand` hashes; docs sharing any band string are
@@ -95,8 +110,13 @@ object Dedup {
     * within-bucket pairs; larger (degenerate) buckets emit the star
     * (bucket-min, member) — identical transitive closure, linear
     * output. Returns distinct (id_a < id_b). */
-  def cappedBucketPairs(byKey: DataFrame, keyCols: Seq[String], idCol: String,
+  def cappedBucketPairs(byKey0: DataFrame, keyCols: Seq[String], idCol: String,
       maxBucket: Int): DataFrame = {
+    // a NULL band key never pairs: the equi-join paths drop it by join
+    // semantics, and the star path (a pure filter) must agree —
+    // otherwise the same call yields a different transitive closure
+    // depending on maxBucket
+    val byKey = byKey0.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
     // uncapped fast path: no bucket-size windows, just the within-bucket
     // join — identical output (every bucket is "small"), one less
     // sort+window pass for callers that opted out of the cap
@@ -126,12 +146,6 @@ object Dedup {
       bits: Int = 16): DataFrame =
     df.withColumn("simhash", TextFunctions.simhash(col(textCol), bits))
 
-  /** SimHash near-dup pairs within Hamming distance ≤ 1: each doc is
-    * re-keyed on its signature plus every one-bit flip (bits+1 probe
-    * keys), pairs meet in an equi-join on the probe key. Probe-key
-    * explosion is linear in `bits` — still no O(N²) pair space; exact
-    * Hamming-0 pairs appear under their own signature, Hamming-1 pairs
-    * under the flipped key of exactly one side. */
   /** General Hamming-distance near-dup pairing over ANY long hash
     * column (SimHash signatures, image dHashes) by the pigeonhole
     * multi-index join (Norouzi et al., "Fast Search in Hamming Space
@@ -178,9 +192,18 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs within Hamming distance ≤ 1: each doc is
+    * re-keyed on its signature plus every one-bit flip (bits+1 probe
+    * keys), pairs meet in an equi-join on the probe key. Probe-key
+    * explosion is linear in `bits` — still no O(N²) pair space; exact
+    * Hamming-0 pairs appear under their own signature, Hamming-1 pairs
+    * under the flipped key of exactly one side. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame = {
-    val sig = simhashBuckets(df, textCol, idCol)
+    // bits must reach the SIGNATURE too: flipping `bits` probe bits on
+    // a differently-sized signature silently misses (or mis-ranks)
+    // pairs outside the overlapping bit range
+    val sig = simhashBuckets(df, textCol, idCol, bits)
       .select(col(idCol).as("__id"), col("simhash"))
     // probe keys: the signature itself + each single-bit flip
     val probes = sig.select(

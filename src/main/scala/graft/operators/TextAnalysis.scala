@@ -338,8 +338,8 @@ object TextAnalysis {
   def importanceScore(source: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
-    val reserved = Seq("n_grams", "dsir_mills", "__g", "__b", "__sc",
-      "__tc", "__ns", "__nt", "__w")
+    val reserved = Seq("n_grams", "dsir_mills", "dsir_avg_mills",
+      "__g", "__b", "__sc", "__tc", "__ns", "__nt", "__w")
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     def bucketOf(g: Column): Column =
@@ -406,6 +406,13 @@ object TextAnalysis {
       keepColumns: Seq[String] = Nil): DataFrame = {
     require(stopwords.nonEmpty, "stopwords must be non-empty")
     require(minStopHits >= 0, s"minStopHits=$minStopHits must be >= 0")
+    // the sibling-operator discipline: an idCol/keepColumns entry named
+    // like an output column would be silently overwritten by withColumn
+    val reserved = Seq("n_words", "mean_word_len_mills", "symbol_mills",
+      "bullet_mills", "ellipsis_mills", "alpha_word_mills", "stop_hits",
+      "gopher_ok")
+    (Seq(idCol) ++ keepColumns).foreach(c =>
+      require(!reserved.contains(c), s"column '$c' is reserved"))
     val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
     val lines = split(col(textCol), "\n")
     def mills(num: Column, den: Column): Column =
@@ -661,7 +668,8 @@ object TextAnalysis {
           .otherwise(TextFunctions.log2Mills(expr(
             """CAST((CAST(2048 AS DECIMAL(38,0)) * __c1 * (__n + __v))
                div (CAST(coalesce(__c12, 0) AS DECIMAL(38,0)) * (__n + __v)
-                    + (coalesce(__c2, 0) + 1) * __c1) AS BIGINT)"""))
+                    + CAST(coalesce(__c2, 0) + 1 AS DECIMAL(38,0)) * __c1)
+               AS BIGINT)"""))
             - lit(10000L))
           .as("__cost"))
     val perDoc = firstCost.union(pairCost)
@@ -906,6 +914,8 @@ object TextAnalysis {
       weights: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0),
       "weights must be non-negative")
+    require(weights.map(_._2).sum > 0,
+      "weights must not all be zero (the target shares divide by their sum)")
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
     val spark = df.sparkSession
     import spark.implicits._

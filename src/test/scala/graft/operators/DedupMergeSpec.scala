@@ -505,4 +505,51 @@ class DedupMergeSpec extends AnyFunSuite {
         Seq("key"), Seq("present"))
     }
   }
+
+
+  test("simhashNearDupPairs computes signatures at the REQUESTED width") {
+    // the regression this pins: signatures were hardcoded 16-bit while
+    // probes flipped `bits` bits, silently missing every pair whose
+    // 16-bit signatures differ outside the probed range
+    val docs = (1L to 12L).map(i => (i, s"w$i alpha beta gamma delta"))
+      .toDF("id", "text")
+    def sigs(bits: Int): Map[Long, Long] =
+      Dedup.simhashBuckets(docs, "text", "id", bits)
+        .select("id", "simhash").as[(Long, Long)].collect().toMap
+    val s4 = sigs(4); val s16 = sigs(16)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // deterministic md5-derived fixture: pairs at 4-bit Hamming <= 1
+    // whose 16-bit Hamming is > 1 exist (assert, then pin them)
+    val qualifying = for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      if ham(s4(a), s4(b)) <= 1 && ham(s16(a), s16(b)) > 1
+    } yield (a, b)
+    assert(qualifying.nonEmpty, "fixture lost its qualifying pairs")
+    val got = Dedup.simhashNearDupPairs(docs, "text", "id", bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    qualifying.foreach { p =>
+      assert(got.contains(p), s"pair $p (4-bit close, 16-bit far) missed")
+    }
+  }
+
+  test("exact: NULL text is never a duplicate (classifyAgainst agreement)") {
+    val df = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("x")),
+      (4L, Some("x"))).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id")
+      .select("id", "dup_count").as[(Long, Long)].collect().toMap
+    // both null-text docs survive as singletons; the real dup collapses
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("cappedBucketPairs: NULL bucket keys never pair on ANY path") {
+    val byKey = Seq((Option.empty[String], 1L), (None, 2L), (None, 3L),
+      (Some("k"), 4L), (Some("k"), 5L)).toDF("band", "id")
+    // star path (cap 1) and join path (uncapped) must agree: the three
+    // null-key rows pair on neither — only (4,5) appears
+    Seq(1, Int.MaxValue).foreach { cap =>
+      val got = Dedup.cappedBucketPairs(byKey, Seq("band"), "id", cap)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((4L, 5L)), s"cap=$cap: $got")
+    }
+  }
 }
