@@ -15,18 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of trimmed text.
+  /** Whitespace tokenization: REAL tokens only, never the "" phantom.
     *
-    * CONTRACT NOTE: `trim` strips U+0020 only, so text that ends in a
-    * newline/tab yields one trailing "" token ("a b\n" → ["a","b",""]).
-    * The DuckDB twins share the identical rule (their trim is also
-    * space-only), so every oracle stays in lockstep — but consumers
-    * that need REAL token arrays must wrap in
-    * `filter(tokens(c), t => t =!= "")` (as the scorer operators do),
-    * and `tokenCount` counts the phantom. Changing the rule here means
-    * changing the shared SQL twins and every hand-counted spec with it
-    * — a coordinated migration, not a one-line fix. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+    * CONTRACT (migrated round 10, the scheduled coordinated change):
+    * split on `\s+` then drop empty elements, so "a b\n" → ["a","b"]
+    * and "" → []. The former rule (space-only trim, no filter) left a
+    * phantom trailing "" for newline/tab-terminated text, which
+    * `tokenCount` counted — off by one per newline-terminated doc on a
+    * real corpus. Every DuckDB twin migrated in the same commit
+    * (list_filter(..., t -> t <> '')), as did TextHash.tokensOf and
+    * the hand-counted specs. `array_remove` not a lambda filter: it is
+    * a codegen'd expression, HOFs are CodegenFallback — this sits in
+    * scan-side projections. NULL text still yields NULL (split/remove
+    * are null-propagating), matching the twins. */
+  def tokens(c: Column): Column = array_remove(split(trim(c), "\\s+"), "")
 
   /** Mitchell's piecewise-linear log2 (Mitchell 1962) in integer
     * MILLIBITS over a non-negative long column: 1000·floor_log2(q) +
@@ -66,11 +68,14 @@ object TextFunctions {
     }
   }
 
-  /** Distinct lowercase token array (sorted — canonical form). */
+  /** Distinct lowercase token array (sorted — canonical form; no ""
+    * phantom, same round-10 migration as [[tokens]]). */
   def tokenSetSorted(c: Column): Column =
-    array_sort(array_distinct(split(lower(trim(c)), "\\s+")))
+    array_sort(array_remove(array_distinct(split(lower(trim(c)), "\\s+")), ""))
 
-  /** Whitespace token count (0 for empty/null-ish text). */
+  /** Whitespace token count (0 for empty text; the guard also keeps
+    * the pre-migration NULL behavior byte-identical — size(NULL) is
+    * conf-dependent, so don't let the migration touch that branch). */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(tokens(c)).cast("long"))

@@ -31,21 +31,22 @@ object TextHash {
     sb.result()
   }
 
-  /** Tokenization matching `split(lower(trim(text)), "\s+")` + distinct
-    * (Java regex split with -1 limit — empty text yields one "" token,
-    * exactly like Spark's split). The trim strips SPACES ONLY: Spark's
-    * `trim` and DuckDB's `trim` both strip U+0020 exclusively, while
-    * Java's `String.trim` strips every char ≤ U+0020 — a document with
-    * a trailing `\n` would tokenize to ["foo"] here but ["foo", ""] in
-    * the column form and the oracle, silently diverging q33-q35's
-    * MinHash/SimHash signatures. `toLowerCase()` (default locale) is
-    * deliberate: Spark's UTF8String.toLowerCase delegates to exactly
-    * that for non-ASCII. */
+  /** Tokenization matching `TextFunctions.tokens` (lowercased) +
+    * distinct — the round-10 migrated rule: split on \s+, DROP empty
+    * elements, so a trailing `\n` or empty text contributes no ""
+    * phantom (["foo"] for "foo\n", [] for ""). Must stay in lockstep
+    * with the column form AND the DuckDB twins or q33-q35's
+    * MinHash/SimHash signatures silently diverge. The space-only
+    * manual trim is kept (cheap fast path); the filter makes the
+    * broader-whitespace edge cases identical anyway. `toLowerCase()`
+    * (default locale) is deliberate: Spark's UTF8String.toLowerCase
+    * delegates to exactly that for non-ASCII. */
   private def tokensOf(s: String): Array[String] = {
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     s.substring(b, e).toLowerCase.split("\\s+", -1).distinct
+      .filter(_.nonEmpty)
   }
 
   /** Kernel: min(md5(tok + "#" + seed)) per seed, one tokenization. */

@@ -1322,10 +1322,12 @@ object TextAnalysis {
       .withColumn("has_lorem",
         lower(coalesce(col(textCol), lit(""))).contains("lorem ipsum"))
       .withColumn("has_brace",
-        // Raffel et al. 2020 §2.2 removes any page with a curly
-        // bracket — either side, not just '{'
-        coalesce(col(textCol), lit("")).contains("{") ||
-          coalesce(col(textCol), lit("")).contains("}"))
+        // Raffel et al. 2020 §2.2 removes pages with "the curly
+        // bracket '{'" — the OPENING brace only, because '{' marks
+        // code in the languages the paper names; canonical
+        // tensorflow c4_utils filters on '{' alone, and a page with
+        // a bare '}' is kept there. Twins changed in lockstep.
+        coalesce(col(textCol), lit("")).contains("{"))
       .withColumn("page_keep",
         !col("has_lorem") && !col("has_brace") &&
           col("n_sentences") >= minSentences)

@@ -1411,6 +1411,52 @@ object RelationalQueries {
           expr("(1000 * n_purchase) div n_view").as("conv_vp_mills"))
     }),
 
+    // Recency-decay weighted event report (the data-mixture /
+    // monitoring weighting read beside q175's funnel and q177's
+    // drift; round-10 backfill of the registry's one numbering gap):
+    // each event's weight halves every [[DecayHalfLifeDays]] of age
+    // vs the corpus max timestamp — weight_ppm = 1_000_000 >>
+    // (age_days div half_life), an EXACT integer shift, never a
+    // float pow, so the report is bit-reproducible across engines.
+    // Age runs in the shared epoch-micros BIGINT domain (epoch_us
+    // twin — q80's contract; never DuckDB's DOUBLE epoch(), the q148
+    // lesson). The shift is capped at 62 (Java wraps shifts mod 64;
+    // the ppm grain zeroes naturally past 2^20 ≈ 20 half-lives
+    // anyway). The anchor rides a 1-row broadcast (q177 precedent).
+    // Envelope: cents·ppm sums wrap int64 at real corpus sizes, so
+    // the weighted lane runs in DECIMAL(38,0) (HUGEINT twin, the
+    // q182 lift precedent) and only the final floored columns return
+    // to BIGINT. Scale shape: one scan for the anchor + one grouped
+    // scan — no window over event rows, the share window rides the
+    // bounded per-type frame.
+    "q176_decay_weights" -> ((s, dir) => {
+      val ev = graft.Tables.eventsTsMicros(t(s, dir, "events"))
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          col("ts_us"))
+      val anchor = ev.agg(max(col("ts_us")).as("anchor_us"))
+      val w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age_days",
+          expr("(anchor_us - ts_us) div 86400000000"))
+        .withColumn("weight_ppm", expr(
+          s"shiftright(1000000L, CAST(least(age_days div $DecayHalfLifeDays, 62) AS INT))"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_sum_cents"),
+          expr("""CAST(sum(CAST(cents AS DECIMAL(38,0)) * weight_ppm)
+              div 1000000 AS BIGINT)""").as("decayed_cents"))
+        .withColumn("tot",
+          sum(col("decayed_cents").cast("decimal(38,0)")).over(w))
+        .select(col("event_type"), col("n_events"), col("raw_sum_cents"),
+          col("decayed_cents"),
+          expr("""CAST((1000 * CAST(decayed_cents AS DECIMAL(38,0)))
+              div tot AS BIGINT)""").as("decay_share_mills"))
+        .orderBy("event_type")
+    }),
+
     // Distribution-drift report (the ML-ops gate between two load
     // periods): orders split at the exact midpoint day of the date
     // range (1-row min/max agg, broadcast), o_totalprice histogrammed
@@ -2227,6 +2273,11 @@ object RelationalQueries {
     * the TPC-H totalprice range). */
   private[graft] val DriftBinCents = 2500000L
 
+  /** q176's decay half-life in days — 7 exercises five exact weight
+    * buckets (1e6, 5e5, 25e4, 125e3, 625e2 ppm) over the events
+    * table's 30-day span at every SF. Interpolated into BOTH twins. */
+  private[graft] val DecayHalfLifeDays = 7L
+
   /** Calendar-bounded daily revenue frame (day-since-epoch, cents) —
     * the ONE builder behind the q185/q186/q187 time-series studies
     * (~2,400 rows at EVERY SF), so the three always analyze the same
@@ -2546,6 +2597,33 @@ object RelationalQueries {
              // (SELECT count(*) FROM c) AS conv_cp_mills,
            (1000 * (SELECT count(*) FROM p))
              // (SELECT count(*) FROM v) AS conv_vp_mills""",
+    "q176_decay_weights" ->
+      // identical integer decay: epoch_us age, div-floored day bucket,
+      // ppm weight as a capped right shift, HUGEINT weighted lane
+      s"""WITH ev AS (
+           SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         a AS (SELECT max(ts_us) AS anchor_us FROM ev),
+         wgt AS (
+           SELECT event_type, cents,
+             CAST(1000000 AS BIGINT) >> CAST(least(
+               ((anchor_us - ts_us) // 86400000000) // $DecayHalfLifeDays,
+               62) AS INTEGER) AS weight_ppm
+           FROM ev, a),
+         g AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS raw_sum_cents,
+             CAST(sum(CAST(cents AS HUGEINT) * weight_ppm) // 1000000
+               AS BIGINT) AS decayed_cents
+           FROM wgt GROUP BY 1)
+         SELECT event_type, n_events, raw_sum_cents, decayed_cents,
+           CAST((1000 * CAST(decayed_cents AS HUGEINT))
+             // sum(CAST(decayed_cents AS HUGEINT)) OVER ()
+             AS BIGINT) AS decay_share_mills
+         FROM g ORDER BY event_type""",
     "q178_equidepth_bins" ->
       // same histogram-selection boundaries; bin assignment via a
       // correlated boundary count — the twin of size(filter(bs, <))
@@ -2632,9 +2710,11 @@ object RelationalQueries {
            CAST(sum(h.cnt) AS BIGINT) AS n_events,
            max(lo.lo_cents) AS lo_cents,
            max(hi.hi_cents) AS hi_cents,
-           sum(h.cents * h.cnt) // sum(h.cnt) AS mean_cents,
-           sum(greatest(least(h.cents, hi.hi_cents), lo.lo_cents) * h.cnt)
-             // sum(h.cnt) AS wmean_cents
+           CAST(sum(h.cents * h.cnt) // sum(h.cnt) AS BIGINT)
+             AS mean_cents,
+           CAST(sum(greatest(least(h.cents, hi.hi_cents), lo.lo_cents)
+               * h.cnt)
+             // sum(h.cnt) AS BIGINT) AS wmean_cents
          FROM h
          JOIN lo ON h.event_type = lo.event_type
          JOIN hi ON h.event_type = hi.event_type
@@ -3346,7 +3426,8 @@ object RelationalQueries {
          h AS (SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
                FROM l GROUP BY 1)
          SELECT session_len, n_sessions,
-           (1000 * n_sessions) // sum(n_sessions) OVER () AS share_mills
+           CAST((1000 * n_sessions) // sum(n_sessions) OVER ()
+             AS BIGINT) AS share_mills
          FROM h ORDER BY session_len""",
     "q151_rfm_segments" -> {
       // three identical histogram-quintile chains + the same
@@ -3719,8 +3800,9 @@ object RelationalQueries {
       // identical gap derivation and rank-threshold arithmetic
       """WITH g AS (
            SELECT event_type,
-             floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+             CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)))
+               AS BIGINT) AS gap_s
            FROM events),
          h AS (
            SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS cnt

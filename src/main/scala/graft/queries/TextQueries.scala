@@ -40,7 +40,8 @@ object TextQueries {
   private[graft] val wordBigramsSql: String =
     s"list_distinct($wordBigramsAllSql)"
   private[graft] val tokenListSql: String =
-    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+    "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g')," +
+      " ' '), t -> t <> '')"
 
   /** q35's bucket cap: band buckets larger than this are star-reduced.
     * 32 is small enough that the star path is exercised (and so oracle-
@@ -323,16 +324,18 @@ object TextQueries {
     * the parity twin of `explode(TextFunctions.tokens(lower(text)))`,
     * shared by the q75, q83 and q84 oracles. */
   private[graft] val sqlTokRows: String =
-    s"""(SELECT unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    s"""(SELECT unnest(list_filter(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             t -> t <> '')) AS tok
            FROM documents)"""
 
   /** `sqlTokRows` with the q162 doc_id-parity side key carried along —
     * the same lowered whitespace tokenization, one occurrence row per
     * token. */
   private[graft] val sqlTokRowsSided: String =
-    s"""(SELECT doc_id % 2 AS side, unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    s"""(SELECT doc_id % 2 AS side, unnest(list_filter(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             t -> t <> '')) AS tok
            FROM documents)"""
 
   /** q85's window geometry: 32-token windows sharing 8 tokens — over
@@ -488,8 +491,9 @@ object TextQueries {
     * definition so the score and the selection can never drift. */
   private lazy val sqlDsirScoredCtes: String =
     s"""base AS (
-         SELECT doc_id, string_split(
-           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+         SELECT doc_id, list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS l
          FROM documents),
        dg AS (
          SELECT doc_id,
@@ -1843,7 +1847,8 @@ object TextQueries {
     * contract with `TextHash.tokensOf`; every oracle over token sets
     * (q29-q36 here, q48 in SparkEntry) must reference THIS value. */
   private[graft] val sqlTokSet =
-    "list_sort(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))"
+    "list_sort(list_filter(list_distinct(string_split(regexp_replace(" +
+      "lower(trim(text)), '\\s+', ' ', 'g'), ' ')), t -> t <> ''))"
 
   private def sqlMinhash(seed: Int, tokExpr: String = "tok"): String =
     s"min(md5($tokExpr || '#$seed'))"
@@ -1882,7 +1887,7 @@ object TextQueries {
     * oracle needs the whitespace token count (q30, q69). */
   private[graft] val sqlTokenCount =
     """CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END"""
+       ELSE len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) END"""
 
   /** q79's full DuckDB twin, factored to a val so q117's hybrid-RRF
     * oracle can embed the IDENTICAL lexical ranking as a subquery.
@@ -1909,8 +1914,9 @@ object TextQueries {
               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d0),
        q AS (SELECT * FROM (VALUES $vals) AS t(qid, qtext)),
        qt AS (SELECT DISTINCT qid, term FROM
-               (SELECT qid, unnest(string_split(regexp_replace(trim(qtext),
-                  '\\s+', ' ', 'g'), ' ')) AS term FROM q)),
+               (SELECT qid, unnest(list_filter(string_split(
+                  regexp_replace(trim(qtext), '\\s+', ' ', 'g'), ' '),
+                  t -> t <> '')) AS term FROM q)),
        vocab AS (SELECT DISTINCT term FROM qt),
        post AS (
          SELECT term, doc_id, dl, count(*) AS tf
@@ -2026,8 +2032,8 @@ object TextQueries {
       """WITH ks AS (
            SELECT DISTINCT source,
              md5(array_to_string(
-               (string_split(regexp_replace(trim(lower(text)),
-                  '\s+', ' ', 'g'), ' '))[1:8], ' ')) AS k
+               (list_filter(string_split(regexp_replace(trim(lower(text)),
+                  '\s+', ' ', 'g'), ' '), t -> t <> ''))[1:8], ' ')) AS k
            FROM documents)
          SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_shared_keys
@@ -2131,9 +2137,9 @@ object TextQueries {
            CAST(length(regexp_replace(kt, '[^.!?]', '', 'g')) AS BIGINT)
              AS n_sentences,
            contains(lower(t), 'lorem ipsum') AS has_lorem,
-           (contains(t, '{') OR contains(t, '}')) AS has_brace,
+           contains(t, '{') AS has_brace,
            (NOT contains(lower(t), 'lorem ipsum')
-             AND NOT (contains(t, '{') OR contains(t, '}'))
+             AND NOT contains(t, '{')
              AND length(regexp_replace(kt, '[^.!?]', '', 'g'))
                >= ${TextAnalysis.C4MinSentences}) AS page_keep
          FROM k ORDER BY doc_id""",
@@ -2143,9 +2149,10 @@ object TextQueries {
       // to the smallest uncapped strata (CASE keeps the // lazy when
       // every stratum is capped)
       s"""WITH $unimaxCtes
-         SELECT stratum, n_tokens, capacity, capped, allocated,
-           coalesce((1000 * allocated) // nullif(n_tokens, 0), 0)
-             AS epochs_mills
+         SELECT stratum, n_tokens, capacity, capped,
+           CAST(allocated AS BIGINT) AS allocated,
+           CAST(coalesce((1000 * allocated) // nullif(n_tokens, 0), 0)
+             AS BIGINT) AS epochs_mills
          FROM uni ORDER BY stratum""",
     "q145_temperature_mix" ->
       // identical algebra: corrected isqrt, floor split, remainder by
@@ -2176,9 +2183,10 @@ object TextQueries {
            SELECT *, b - sum(fl) OVER () AS rem FROM g),
          a AS (
            SELECT stratum, n_tokens, w,
-             (1000 * w) // nullif(sw, 0) AS share_mills,
-             coalesce(fl, 0)
-               + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS target_tokens
+             CAST((1000 * w) // nullif(sw, 0) AS BIGINT) AS share_mills,
+             CAST(coalesce(fl, 0)
+               + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+               AS target_tokens
            FROM h)
          SELECT stratum, n_tokens, w, share_mills, target_tokens,
            least(n_tokens, target_tokens) AS alloc_tokens,
@@ -3105,8 +3113,9 @@ object TextQueries {
            SELECT doc_id, length(text) AS len,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
              CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split(
-                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END
+               ELSE len(list_filter(string_split(
+                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                 t -> t <> '')) END
                AS toks
            FROM d),
          qq AS (SELECT doc_id, toks, $sqlQualityMills AS q FROM m),
@@ -3138,8 +3147,9 @@ object TextQueries {
            SELECT doc_id, length(text) AS len,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
              CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split(
-                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END
+               ELSE len(list_filter(string_split(
+                 regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                 t -> t <> '')) END
                AS toks
            FROM documents WHERE doc_id % 5 = 0),
          qq AS (SELECT doc_id, $sqlQualityMills AS q FROM m),
@@ -3339,13 +3349,13 @@ object TextQueries {
            SELECT doc_id, length(text) AS len,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
              CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS toks
+               ELSE len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) END AS toks
            FROM documents),
          sw AS (
            SELECT doc_id, CAST(count(*) FILTER (WHERE lower(tok) IN
              ('the','a','an','of','and','to','in','is','it','for')) AS BIGINT) AS hits
            FROM (SELECT doc_id,
-                   unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+                   unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS tok
                  FROM documents) u
            GROUP BY doc_id)
          SELECT m.doc_id,
@@ -3355,7 +3365,7 @@ object TextQueries {
     "q32_lang_id" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+             unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS tok
            FROM documents),
          hits AS (
            SELECT doc_id, lang,
@@ -3456,8 +3466,8 @@ object TextQueries {
       // 1-row broadcast
       s"""WITH dt AS (
            SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)),
-               '\\s+', ' ', 'g'), ' ') AS l
+             list_filter(string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' '), t -> t <> '') AS l
            FROM documents),
          fs AS (
            SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
@@ -3540,7 +3550,7 @@ object TextQueries {
                ROWS UNBOUNDED PRECEDING) AS mass
            FROM tc)
          SELECT k, CAST(mass AS BIGINT) AS mass,
-           (1000 * mass) // total AS coverage_mills
+           CAST((1000 * mass) // total AS BIGINT) AS coverage_mills
          FROM r CROSS JOIN tot
          WHERE k IN (${CovKs.mkString(", ")}) ORDER BY k""",
     "q146_dedup_mass" ->

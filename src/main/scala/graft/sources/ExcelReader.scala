@@ -119,7 +119,11 @@ object ExcelReader {
     // formats 45-47 return timedelta in openpyxl — a documented
     // remaining divergence: they render here as clock time.)
     if (serial >= 0 && serial < 1) {
-      val secs = math.round(serial * 86400)
+      // serial just under 1 (0.9999999) rounds to 86400, which
+      // plusSeconds would WRAP to 00:00:00 — a silent ~full-day loss.
+      // openpyxl's days_to_time keeps sub-second residue and never
+      // crosses midnight, so clamp to the last representable second.
+      val secs = math.min(math.round(serial * 86400), 86399L)
       return java.time.LocalTime.MIDNIGHT.plusSeconds(secs)
         .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
     }
@@ -216,7 +220,13 @@ object ExcelReader {
               if (t == "s") shared.lift(raw.toInt).getOrElse("")
               // the BiffReader contract (its BOOLERR record): booleans
               // render TRUE/FALSE, error cells read as blank — the same
-              // sheet saved as .xls or .xlsx must produce the same frame
+              // sheet saved as .xls or .xlsx must produce the same frame.
+              // DOCUMENTED openpyxl divergence (like the elapsed-time
+              // format one in excelSerialToString): openpyxl data_only
+              // would surface the cached error string ('#DIV/0!') and
+              // Python True/False; the cross-format BIFF contract wins
+              // here because the reference pipeline never branches on
+              // error text and .xls/.xlsx row parity is spec-pinned.
               else if (t == "b") { if (raw.trim == "1") "TRUE" else "FALSE" }
               else if (t == "e") ""
               else {

@@ -144,6 +144,13 @@ object Incremental {
         // 2^(8·bytes) — the two-byte version of this code left every
         // state store past 65536 permanently empty while the first 64k
         // absorbed all load. 32 bits covers any practical shard count.
+        // STATE-COMPAT: the 2→4-byte change remapped items to new
+        // shards, so a checkpoint written by the 2-byte build must NOT
+        // be resumed by this one (an item's old count would strand in
+        // its old shard while new arrivals accumulate elsewhere,
+        // breaking the per-shard superset guarantee). Start a fresh
+        // checkpoint on upgrade; version the shard function if a live
+        // migration is ever needed.
         val h = Md5Local.get().digest(t.getBytes("UTF-8"))
         val w = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
           ((h(2) & 0xff) << 8) | (h(3) & 0xff)
@@ -492,15 +499,18 @@ object Incremental {
               }
           }
     }
-    val q = survivors
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet").option("path", outDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    corpusIndexPins.foreach(_.unpersist())
+    // unpersist in finally: if the drain throws, the pinned corpus
+    // frames must not leak in the shared SparkContext's cache
+    try {
+      val q = survivors
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally corpusIndexPins.foreach(_.unpersist())
   }
 
   /** Isolated session clone for drain-style streaming runs: own SQLConf

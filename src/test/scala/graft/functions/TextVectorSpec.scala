@@ -18,6 +18,30 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rows(0)._2 == rows(1)._2) // order-free canonical fingerprint
   }
 
+  test("tokens: no phantom empty token (round-10 migrated rule)") {
+    // the pre-migration rule left a trailing "" for newline/tab-
+    // terminated text and tokenCount counted it; pin the new rule on
+    // every edge: trailing \n, leading \t, whitespace-only, empty
+    val df = Seq("a b\n", "\ta b", "a b", "\n", " ", "")
+      .toDF("t")
+      .select(TextFunctions.tokens($"t").as("toks"),
+        TextFunctions.tokenCount($"t").as("n"))
+    val rows = df.as[(Seq[String], Long)].collect()
+    assert(rows(0)._1 == Seq("a", "b") && rows(0)._2 == 2L)
+    assert(rows(1)._1 == Seq("a", "b") && rows(1)._2 == 2L)
+    assert(rows(2)._1 == Seq("a", "b") && rows(2)._2 == 2L)
+    assert(rows(3)._1 == Seq.empty && rows(3)._2 == 0L)
+    assert(rows(4)._1 == Seq.empty && rows(4)._2 == 0L)
+    assert(rows(5)._1 == Seq.empty && rows(5)._2 == 0L)
+    // TextHash (the custom-expression tokenizer) migrated in lockstep:
+    // a trailing newline must not perturb MinHash signatures
+    val sigs = Seq(("x", "foo bar"), ("y", "foo bar\n"))
+      .toDF("id", "t")
+      .select($"id", TextHash.minhashSignature($"t", Seq(1, 2)).as("sig"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(sigs("x") == sigs("y"))
+  }
+
   test("quality score rewards longer alphabetic text (bounded 0..1000)") {
     val rows = Seq("x", "a reasonable sentence with several words in it", "")
       .toDF("t").select(TextFunctions.qualityScoreMills($"t").as("q"))

@@ -841,13 +841,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, good + "\nconfig block { present"),           // brace
       (4L, Seq("one good sentence with enough words here.",
                "two good sentences with enough words here.").mkString("\n")),
-      (5L, null.asInstanceOf[String]))                   // null text
+      (5L, null.asInstanceOf[String]),                   // null text
+      // canonical c4_utils filters on '{' ALONE — a bare closing
+      // brace is natural-text-adjacent (emoticons, asides) and kept
+      (6L, good + "\na closing brace } alone does not veto."))
       .toDF("doc_id", "text")
     val r = TextAnalysis.c4Clean(rows, "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(r.map(_.getAs[Boolean]("page_keep")).toSeq ==
-      Seq(true, false, false, false, false))
+      Seq(true, false, false, false, false, true))
     assert(r(1).getAs[Boolean]("has_lorem") && r(2).getAs[Boolean]("has_brace"))
+    assert(!r(5).getAs[Boolean]("has_brace"))
     assert(r(3).getAs[Long]("n_sentences") == 2L) // < C4MinSentences
     // null text reads as one empty line, nothing kept, nothing thrown
     assert(r(4).getAs[Long]("n_lines") == 1L &&
