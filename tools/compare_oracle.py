@@ -11,6 +11,56 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_family(t):
+    """Collapse an arrow type to the family the driver's hasher treats as
+    one equivalence class. int32 vs int64 hash the same raw Python ints;
+    Decimal('12') vs 12 and 12.0 vs 12 do NOT (the round-9 failure mode),
+    so decimal is its OWN family and int/float never cross-match."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return "list<" + type_family(t.value_type) + ">"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def dtype_drift(spark_schema, duck_schema):
+    """Pre-normalization arrow-schema diff: returns a list of
+    'col: spark=<fam> duck=<fam>' strings for every shared column whose
+    type family drifts, plus any DECIMAL on either side (DuckDB DECIMAL
+    never survives the driver's raw-value hash against Spark's
+    int64/double — cast the twin instead)."""
+    sp = {f.name: f.type for f in spark_schema}
+    du = {f.name: f.type for f in duck_schema}
+    drift = []
+    for c in sorted(set(sp) & set(du)):
+        fs, fd = type_family(sp[c]), type_family(du[c])
+        if fs != fd:
+            drift.append(f"{c}: spark={fs}({sp[c]}) duck={fd}({du[c]})")
+        elif "decimal" in fs:
+            drift.append(f"{c}: decimal on both sides ({sp[c]} / {du[c]}) — "
+                         "driver hashes raw Decimal objects; cast to "
+                         "BIGINT/DOUBLE in both twins")
+    return drift
+
+
 def norm_df(df: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
@@ -63,15 +113,26 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
         try:
+            import pyarrow.parquet as pq
+            spark_schema = pq.read_schema(files[0])
             spark_df = norm_df(pd.concat([pd.read_parquet(f) for f in files]))
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}");  n_fail += 1;  continue
         try:
-            duck_df = norm_df(con.execute(sql).df())
+            duck_tbl = con.execute(sql).arrow()
+            duck_df = norm_df(duck_tbl.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}");  n_fail += 1;  continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns differ spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1;  continue
+        # dtype-strict gate BEFORE norm_df's coercions can mask drift:
+        # the driver hashes raw values, so a DECIMAL/DOUBLE oracle column
+        # against a Spark int64 fails there even when values are equal
+        # (round-9 shipped 6 such reds behind a type-blind local pass)
+        drift = dtype_drift(spark_schema, duck_tbl.schema)
+        if drift:
+            print(f"FAIL {name}: dtype drift: {'; '.join(drift)}")
             n_fail += 1;  continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")

@@ -20,11 +20,11 @@ shift || true
 SF_DIR="/root/testdata/$SF"
 OUT_DIR="/tmp/preflight_verify_$SF"
 
-echo "== preflight 1/3: sbt Test/compile (main + test must compile at HEAD+worktree)"
+echo "== preflight 1/4: sbt Test/compile (main + test must compile at HEAD+worktree)"
 sbt -batch "Test/compile" >/tmp/preflight_compile.log 2>&1 \
   || { tail -30 /tmp/preflight_compile.log; echo "PREFLIGHT FAIL: compile"; exit 1; }
 
-echo "== preflight 2/3: graft.Verify → $OUT_DIR ($SF)"
+echo "== preflight 2/4: graft.Verify → $OUT_DIR ($SF)"
 rm -rf "$OUT_DIR"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $*" >/tmp/preflight_verify.log 2>&1 \
   || { tail -30 /tmp/preflight_verify.log; echo "PREFLIGHT FAIL: verify"; exit 1; }
@@ -42,7 +42,11 @@ for q in "$@"; do
     || { echo "PREFLIGHT FAIL: no dump for '$q' (unknown query name?)"; exit 1; }
 done
 
-echo "== preflight 3/3: DuckDB oracle compare"
+echo "== preflight 3/4: oracle type lint (DESCRIBE all twins vs tools/oracle_schema.json)"
+python3 tools/lint_oracle_types.py "$OUT_DIR" "$SF_DIR" \
+  || { echo "PREFLIGHT FAIL: oracle type drift (cast the twin, or --regen after an intentional schema change)"; exit 1; }
+
+echo "== preflight 4/4: DuckDB oracle compare"
 COMPARE_OUT=$(python3 tools/compare_oracle.py "$OUT_DIR" "$SF_DIR" "$@") \
   || { echo "$COMPARE_OUT"; echo "PREFLIGHT FAIL: oracle mismatch"; exit 1; }
 echo "$COMPARE_OUT"
