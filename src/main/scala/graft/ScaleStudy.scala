@@ -282,6 +282,12 @@ object ScaleStudy {
     // user replicas → 10× keys with the same per-key counts); the
     // top-k is a TakeOrdered cut and the totals reuse the agg exchange
     "q174_skew_report",
+    // q176: replicas copy ts and value verbatim → the max-ts anchor is
+    // replica-invariant and each row's shift-weight depends only on
+    // its own age, so the per-type decay agg absorbs the 10× rows
+    // map-side; the share window rides the bounded type frame —
+    // growth is the anchor scan + the grouped scan
+    "q176_decay_weights",
     // q181: replicas copy values verbatim — the (type, cents)
     // histogram keeps its support with 10× counts, boundaries are
     // replica-invariant, and the clipped fold rides the histogram

@@ -677,6 +677,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "totals branch must reuse the per-key agg exchange:\n" + fp.take(3000))
   }
 
+  test("q176: decay anchor is broadcast and events never sort-merge") {
+    // the report's promise (q177's anchor pattern): events is scanned
+    // for the 1-row max-ts anchor and once more for the grouped decay
+    // agg; the anchor joins by broadcast, the share window rides the
+    // bounded per-type frame — no sort-merge join, no cartesian blowup
+    val df = SparkEntry.queries("q176_decay_weights")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+    assert(fp.contains("BroadcastNestedLoopJoin") ||
+      fp.contains("BroadcastExchange"),
+      s"the 1-row anchor must broadcast:\n${fp.take(3000)}")
+    assert("Scan parquet".r.findAllIn(fp).size <= 2,
+      s"events must scan at most twice (anchor + decay agg):\n${fp.take(3000)}")
+  }
+
   test("q177: drift joins are broadcast-only and the bin frame is reused") {
     // the report's promise: the corpus is scanned for the anchor and
     // the histogram — never again for totals (the bounded bin frame's
