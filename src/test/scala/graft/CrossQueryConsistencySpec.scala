@@ -47,6 +47,29 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
       math.min(r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))))
   }
 
+  test("q176 decay report: event conservation, weight bounds, share floors") {
+    val rows = q("q176_decay_weights").collect()
+    // conservation: per-type counts cover every (value, ts)-non-null event
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("value").isNotNull && col("ts").isNotNull)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    rows.foreach { r =>
+      // a decayed sum can never exceed the raw sum (weights ≤ 1e6 ppm)
+      // nor undershoot the fully-decayed floor of the exercised buckets
+      // (≥ 62500 ppm at the 30-day span with a 7-day half-life, minus
+      // the div-1e6 floor)
+      val raw = r.getAs[Long]("raw_sum_cents")
+      val dec = r.getAs[Long]("decayed_cents")
+      assert(dec <= raw, s"decayed $dec must not exceed raw $raw")
+      assert(dec >= raw * 62500L / 1000000L - 1,
+        s"decayed $dec under the min-weight floor for raw $raw")
+    }
+    // floored shares: sum ≤ 1000 and > 1000 − k (each floor loses < 1)
+    val shares = rows.map(_.getAs[Long]("decay_share_mills")).sum
+    assert(shares <= 1000 && shares > 1000 - rows.length,
+      s"share sum $shares outside the floor envelope")
+  }
+
   test("q144 credits sum to exactly 1000 mills per credited conversion") {
     val total = q("q144_attribution_umodel")
       .agg(sum(col("total_mills"))).head().getLong(0)
