@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (simhash), and stay inside whole-stage codegen via static kernels.
   *
   * Value parity is exact: identical tokenization (trim → lower →
-  * `\s+`-split with trailing empty preserved → distinct), identical
-  * md5-hex strings, so the DuckDB oracle twins of q33-q35 are unchanged.
+  * `\s+`-split → drop empties → distinct, the round-10 migrated rule
+  * shared with `TextFunctions.tokens` and every `list_filter`ed
+  * DuckDB twin), identical md5-hex strings, so the q33-q35 oracles
+  * replay these signatures verbatim.
   */
 object TextHash {
 

@@ -50,8 +50,7 @@ object Bpe {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     val words = docs
-      .select(explode(filter(TextFunctions.tokens(col(textCol)),
-        t => t =!= "")).as("word"))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       // seed segmentation: every char its own symbol
       .withColumn("seq", concat(lit(" "),
@@ -136,7 +135,7 @@ object Bpe {
       require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
         s"malformed merge ('$l', '$r')")
     }
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     val enc = transform(toks, t => {
       val seg0 = concat(lit(" "),
         trim(regexp_replace(t, "(.)", "$1  ")), lit(" "))

@@ -125,7 +125,7 @@ object Retrieval {
     val ndocs = broadcast(docs.agg(count(lit(1)).as("__n")))
     val tf = docs
       .select(col(idCol), explode(
-        filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("term"))
+        TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))

@@ -119,7 +119,7 @@ object TextAnalysis {
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val stride = chunkTokens - overlap
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     // integer ceil((n - overlap) / stride) — via floor on the shifted
     // numerator (Spark's `/` on ints is double division; floor makes
     // the intended integer semantics explicit and exact). The lower
@@ -188,7 +188,7 @@ object TextAnalysis {
       "__toks", "__pos", "__tok", "__h", "__c", "__nd")
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     // anchor contract: md5(token), first 15 hex chars as a 60-bit int,
     // mod anchorMod — the UNSALTED sibling of CountMin.bucket, and the
     // DuckDB twin in TextQueries.oracle(q86) recomputes it verbatim
@@ -260,7 +260,7 @@ object TextAnalysis {
     // callers (processCorpus guarantees non-null upstream, but the
     // operator's own contract is row-preserving over ANY input)
     val toks = coalesce(
-      filter(TextFunctions.tokens(col(textCol)), t => t =!= ""),
+      TextFunctions.tokens(col(textCol)),
       typedLit(Seq.empty[String]))
     val base = df.select(col(idCol), toks.as("__toks"))
     // anchored (window hash, doc, start) index — same md5-bucket anchor
@@ -413,7 +413,7 @@ object TextAnalysis {
       "gopher_ok")
     (Seq(idCol) ++ keepColumns).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     val lines = split(col(textCol), "\n")
     def mills(num: Column, den: Column): Column =
       when(den === 0, 0L).otherwise(floor(lit(1000) * num / den)).cast("long")
@@ -489,7 +489,7 @@ object TextAnalysis {
       "phrase_mills", "dice_mills", "__tok", "__bi", "__n", "__n1")
     require(!reserved.contains(textCol), s"column '$textCol' is reserved")
     val uniStream = df.select(explode(
-      filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+      TextFunctions.tokens(col(textCol))).as("__tok"))
     val uni = uniStream.groupBy("__tok").agg(count(lit(1)).as("__n"))
     val n1 = uniStream.agg(count(lit(1)).as("__n1"))
     val bi = df
@@ -558,7 +558,7 @@ object TextAnalysis {
     def withLog2Mills(df: DataFrame, out: String): DataFrame =
       df.withColumn(out, TextFunctions.log2Mills(col("__q")) - lit(10000L))
     val lmToks = lm.select(explode(
-      filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+      TextFunctions.tokens(col(textCol))).as("__tok"))
     val totals = lmToks.agg(count(lit(1)).as("__n"),
       countDistinct(col("__tok")).as("__v"))
     val costs = withLog2Mills(
@@ -573,7 +573,7 @@ object TextAnalysis {
       .select(col("__oov")))
     val perDoc = corpus
       .select(col(idCol), explode(
-        filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+        TextFunctions.tokens(col(textCol))).as("__tok"))
       .join(costs, Seq("__tok"), "left")
       .crossJoin(oov)
       .groupBy(col(idCol))
@@ -625,7 +625,7 @@ object TextAnalysis {
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val lmToks = lm.select(explode(
-      filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("__tok"))
+      TextFunctions.tokens(col(textCol))).as("__tok"))
     val totals = lmToks.agg(count(lit(1)).as("__n"),
       countDistinct(col("__tok")).as("__v"))
     val uniCnt = lmToks.groupBy("__tok").agg(count(lit(1)).as("__c"))
@@ -640,7 +640,7 @@ object TextAnalysis {
         expr(s"(1024 * (__n + __v)) div (coalesce($cntCol, 0) + 1)")) -
         lit(10000L)
 
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     val base = corpus.select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
     // first position: plain unigram cost
@@ -713,12 +713,11 @@ object TextAnalysis {
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val phraseDim = broadcast(phrases.select(
       col(phraseIdCol),
-      array_join(filter(TextFunctions.tokens(col(phraseCol)),
-        t => t =!= ""), " ").as("__p"))
+      array_join(TextFunctions.tokens(col(phraseCol)), " ").as("__p"))
       .where(col("__p") =!= "")
       .withColumn("__head", substring_index(col("__p"), " ", 1)))
     val norm = docs.select(col(idCol),
-      array_join(filter(TextFunctions.tokens(col(textCol)), t => t =!= ""),
+      array_join(TextFunctions.tokens(col(textCol)),
         " ").as("__norm"))
     val hits = norm
       .select(col(idCol), col("__norm"),
@@ -789,7 +788,7 @@ object TextAnalysis {
     val reserved = Seq("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_mills",
       "__toks", "__pr", "__tok", "__n", "__nt", "__np", "__q")
     require(!reserved.contains(textCol), s"column '$textCol' is reserved")
-    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val toks = TextFunctions.tokens(col(textCol))
     def pairsAt(d: Int): Column = {
       val len = greatest(size(col("__toks")) - d, lit(0))
       zip_with(slice(col("__toks"), lit(1), len),
@@ -1264,8 +1263,8 @@ object TextAnalysis {
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val tc = docs
-      .select(col(idCol), explode(filter(
-        TextFunctions.tokens(col(textCol)), t => t =!= "")).as("tok"))
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
     tc.groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_toks"),

@@ -810,8 +810,7 @@ object TextQueries {
     // broadcast total.
     "q150_vocab_coverage" -> ((s, dir) => {
       val tc = docs(s, dir)
-        .select(explode(filter(TextFunctions.tokens(col("text")),
-          t => t =!= "")).as("tok"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = tc.agg(sum(col("cnt")).as("total"))
       val w = Window.orderBy(col("cnt").desc, col("tok"))
