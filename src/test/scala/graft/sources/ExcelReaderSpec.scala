@@ -116,6 +116,9 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(ExcelReader.excelSerialToString(0) == "00:00:00")
     assert(ExcelReader.excelSerialToString(0.25) == "06:00:00")
     assert(ExcelReader.excelSerialToString(0.999988425925926) == "23:59:59")
+    // serial just under 1 rounds to 86400 s — the clamp must hold it
+    // at 23:59:59 instead of wrapping a full day back to midnight
+    assert(ExcelReader.excelSerialToString(0.9999999) == "23:59:59")
     // negatives skip both the time case and the bump
     assert(ExcelReader.excelSerialToString(-1) == "1899-12-29 00:00:00")
     assert(ExcelReader.excelSerialToString(1) == "1900-01-01 00:00:00")
