@@ -69,9 +69,13 @@ object TextFunctions {
   }
 
   /** Distinct lowercase token array (sorted — canonical form; no ""
-    * phantom, same round-10 migration as [[tokens]]). */
+    * phantom, same round-10 migration as [[tokens]]). `sort_array`,
+    * not `array_sort`: the latter's DEFAULT comparator still desugars
+    * to a lambdafunction (a higher-order CodegenFallback), while
+    * sort_array is the plain codegen'd ascending sort — identical
+    * order on distinct non-null strings. */
   def tokenSetSorted(c: Column): Column =
-    array_sort(array_remove(array_distinct(split(lower(trim(c)), "\\s+")), ""))
+    sort_array(array_remove(array_distinct(split(lower(trim(c)), "\\s+")), ""))
 
   /** Whitespace token count (0 for empty text; the guard also keeps
     * the pre-migration NULL behavior byte-identical — size(NULL) is

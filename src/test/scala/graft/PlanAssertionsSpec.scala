@@ -677,6 +677,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "totals branch must reuse the per-key agg exchange:\n" + fp.take(3000))
   }
 
+  test("q30: token-stat projections carry no lambda expressions") {
+    // the round-10 contract behind the tokens() migration: the kernel
+    // is array_remove (codegen'd), never a higher-order filter
+    // (CodegenFallback) — a lambdafunction in this scan-side plan
+    // means someone re-introduced a HOF on the hot path
+    val p = plan("q30_token_stats")
+    assert(!p.contains("lambdafunction"),
+      s"token stats must stay lambda-free (codegen'd):\n${p.take(2000)}")
+    assert(p.contains("array_remove"), p.take(2000))
+  }
+
   test("q176: decay anchor is broadcast and events never sort-merge") {
     // the report's promise (q177's anchor pattern): events is scanned
     // for the 1-row max-ts anchor and once more for the grouped decay
