@@ -58,8 +58,12 @@ object Bench {
     // q109 103.9 s in the artifact vs 3.7 s warm at HEAD). All of a
     // query's runs above are temporally ADJACENT — min-of-2 does not
     // damp a burst that spans both. Re-run the slowest 5 once more HERE,
-    // minutes later, when a transient burst has passed, and keep the
-    // min. A re-run can only lower a time (min), never raise it.
+    // after the rest of the loop has run, and keep the min. The
+    // separation is the remainder of the loop — minutes for queries
+    // measured early, seconds for ones measured near the end — so this
+    // damps most bursts, not all; a burst spanning a late query's runs
+    // AND its re-run can still print. A re-run can only lower a time
+    // (min), never raise it.
     val heavy = results.filter(_._2 > 0).sortBy(-_._2).take(5).map(_._1).toSet
     val byName = SparkEntry.queries
     val results2 = results.map { case r @ (name, best, warmSec, nRuns) =>

@@ -919,7 +919,6 @@ object TextQueries {
       val toks = docsSpread(s, dir)
         .select(pmod(col("doc_id"), lit(2)).as("side"),
           explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-        .where(col("tok") =!= "")
       val a = toks.where(col("side") === 0).select("tok")
       val b = toks.where(col("side") === 1).select("tok")
       val skA = CountMin.sketch(a, "tok", CmsDepth, CmsWidth)
@@ -1142,7 +1141,6 @@ object TextQueries {
       val tc = docsSpread(s, dir)
         .select(col("source"),
           explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .where(length(col("tok")) > 0)
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
         // the (source, tok) count table feeds BOTH the totals and the
         // pair generation — checkpoint it (the q153 doubly-referenced
@@ -1825,13 +1823,13 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }))
 
-  /** The corpus token MULTISET (one `tok` row per occurrence, empties
-    * dropped) — the Spark side of the `sqlTokRows` parity contract,
-    * shared by q75, q83 and q84. Edit both together or neither. */
+  /** The corpus token MULTISET (one `tok` row per occurrence; tokens()
+    * never emits empties post-migration) — the Spark side of the
+    * `sqlTokRows` parity contract, shared by q75, q83 and q84. Edit
+    * both together or neither. */
   private def tokStream(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir)
       .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      .where(col("tok") =!= "")
 
   /** The exact top-K vocabulary (tie-break cnt DESC, tok ASC) — q75's
     * result AND q84's probe set; one definition so the two can never

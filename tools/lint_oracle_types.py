@@ -88,28 +88,31 @@ def spark_schemas(out_dir):
     return out
 
 
-def duck_schemas(out_dir):
+def duck_schemas(out_dir, sf_dir):
     import duckdb
     con = duckdb.connect()
     # views over empty in-memory tables would change binding; bind against
     # a real tier so column types resolve exactly as the compare does
-    sf_dir = sys.argv[2]
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    out, errs = {}, []
+    out, errs = {}, {}
     for name, sql in sorted(oracle.items()):
         try:
             rows = con.execute(f"DESCRIBE {sql}").fetchall()
             out[name] = {r[0]: duck_family(r[1]) for r in rows}
         except Exception as e:
-            errs.append(f"{name}: DESCRIBE failed: {e}")
+            errs[name] = f"{name}: DESCRIBE failed: {e}"
     return out, errs
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: lint_oracle_types.py <verify_out_dir> <sf_dir> | "
+              "--regen <verify_out_dir>")
+        sys.exit(2)
     if sys.argv[1] == "--regen":
         out_dir = sys.argv[2]
         sp = spark_schemas(out_dir)
@@ -127,9 +130,9 @@ def main():
     out_dir = sys.argv[1]
     snap = json.load(open(SNAPSHOT))
     sp = spark_schemas(out_dir)
-    duck, errs = duck_schemas(out_dir)
+    duck, errs = duck_schemas(out_dir, sys.argv[2])
     n_fail = 0
-    for e in errs:
+    for e in errs.values():
         print(f"FAIL {e}");  n_fail += 1
     # every twin must agree with the snapshot — or, for a NEW query not
     # yet snapshotted, with its own spark dump from this run (so the
@@ -153,7 +156,10 @@ def main():
                if exp[c] != got[c] or "decimal" in got[c]]
         if bad:
             print(f"FAIL {name}: {'; '.join(bad)}");  n_fail += 1
-    for name in sorted(set(snap) - set(duck)):
+    # a DESCRIBE-failed twin is absent from `duck` but already counted
+    # above — reporting it again as "missing" would double-count one
+    # defect and point the author at the wrong fix
+    for name in sorted(set(snap) - set(duck) - set(errs)):
         print(f"FAIL {name}: in snapshot but twin missing from dump")
         n_fail += 1
     # cross-check any spark dumps present against the snapshot (targeted
