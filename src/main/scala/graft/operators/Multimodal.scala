@@ -49,14 +49,18 @@ object Multimodal {
   /** STUB decode (fallback + video): a deterministic feature vector from
     * the content hash, so downstream plumbing (similarity search, dedup
     * on `features`) is exercised even for undecodable payloads. */
-  private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(
-      if (content == null) Array.emptyByteArray else content)
+  private[graft] def decodeStub(content: Array[Byte], dim: Int): Array[Float] =
+    stubFromMd5(java.security.MessageDigest.getInstance("MD5").digest(
+      if (content == null) Array.emptyByteArray else content), dim)
+
+  /** The stub feature kernel over an already-computed content md5 — so
+    * callers that hash the payload anyway (extractFeatures' sha_prefix)
+    * never digest the same bytes twice. */
+  private def stubFromMd5(md: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim) { i =>
       val b = md(i % md.length)
       (b.toInt * (i + 1) % 251) / 251.0f
     }
-  }
 
   /** REAL image decode (JDK ImageIO: PNG/JPEG/BMP/GIF): bucketed mean
     * luminance over `dim` raster-order buckets — deterministic and
@@ -236,17 +240,21 @@ object Multimodal {
     * TYPED status saying which branch ran ("decoded" | "stub"), so a
     * run at scale can report its real decode coverage instead of
     * silently mixing stub vectors into the feature space. */
-  private[graft] def decodeFeaturesStatus(kind: String, content: Array[Byte],
-      dim: Int): (String, Array[Float]) = {
-    val real = kind match {
-      case "image" => decodeImage(content, dim).map(_._3)
-      case "audio" => decodeAudio(content, dim).map(_._3)
-      // video: animated GIF is the JDK-decodable container; anything
-      // the sequence reader can't claim falls back to the hash stub
-      case _ => decodeVideo(content, dim).map(_._2)
-    }
-    real.map(("decoded", _)).getOrElse(("stub", decodeStub(content, dim)))
+  /** Real-codec dispatch: Some(features) when a JDK codec claims the
+    * payload, None when it falls to the hash stub. */
+  private def realFeatures(kind: String, content: Array[Byte],
+      dim: Int): Option[Array[Float]] = kind match {
+    case "image" => decodeImage(content, dim).map(_._3)
+    case "audio" => decodeAudio(content, dim).map(_._3)
+    // video: animated GIF is the JDK-decodable container; anything
+    // the sequence reader can't claim falls back to the hash stub
+    case _ => decodeVideo(content, dim).map(_._2)
   }
+
+  private[graft] def decodeFeaturesStatus(kind: String, content: Array[Byte],
+      dim: Int): (String, Array[Float]) =
+    realFeatures(kind, content, dim)
+      .map(("decoded", _)).getOrElse(("stub", decodeStub(content, dim)))
 
   /** Decode dispatch without the status (kept for feature-only callers). */
   private[graft] def decodeFeatures(kind: String, content: Array[Byte],
@@ -293,19 +301,25 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        // one digest per PARTITION (digest() resets it per call), and
+        // one full-payload hash per ROW: the sha_prefix digest is
+        // reused by the stub feature kernel instead of hashing the
+        // identical bytes a second time on every undecodable payload
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = the memory bound; a real codec would also
           // amortize model/codec init across the batch here.
           batch.iterator.map { case (id, kind, content) =>
             val bytes = if (content == null) 0L else content.length.toLong
-            val (status, feats) = decodeFeaturesStatus(kind, content, dim)
             // a REAL content fingerprint (md5 of the payload bytes,
             // first 16 hex chars) — the field's provenance contract;
             // deriving it from the leading feature values would
             // collide for distinct payloads with equal feature heads
-            val sha = java.security.MessageDigest.getInstance("MD5")
-              .digest(if (content == null) Array.empty[Byte] else content)
-              .take(8).map(b => f"${b & 0xff}%02x").mkString
+            val md = digest.digest(
+              if (content == null) Array.empty[Byte] else content)
+            val sha = md.take(8).map(b => f"${b & 0xff}%02x").mkString
+            val (status, feats) = realFeatures(kind, content, dim)
+              .map(("decoded", _)).getOrElse(("stub", stubFromMd5(md, dim)))
             MediaFeatures(id, kind, bytes, sha, status, feats)
           }
         }
@@ -372,11 +386,13 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // per-partition digest, same rationale as extractFeatures
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap(_.iterator.map { case (id, content) =>
           dHashKernel(content) match {
             case Some(h) => DHashRow(id, h, "decoded")
             case None =>
-              val md = java.security.MessageDigest.getInstance("MD5").digest(
+              val md = digest.digest(
                 if (content == null) Array.emptyByteArray else content)
               val h = (0 until 8).foldLeft(0L)((acc, i) =>
                 (acc << 8) | (md(i) & 0xFFL))

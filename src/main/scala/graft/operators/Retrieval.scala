@@ -171,6 +171,10 @@ object Retrieval {
     require(rankings.map(_._1).distinct.size == rankings.size,
       "ranking source names must be distinct")
     require(k >= 1 && k0 >= 0, s"k=$k must be >= 1, k0=$k0 must be >= 0")
+    // source names land in SQL text and col() lookups below — backtick-
+    // quote them so a non-identifier name ("bm25-lex", "two words") makes
+    // a valid column reference instead of misparsing (rank_bm25 MINUS lex)
+    def quoted(name: String) = s"`rank_${name.replace("`", "``")}`"
     val tagged = rankings.map { case (name, df) =>
       df.select(col(qidCol), col(idCol),
         col(rankCol).cast("long").as(s"rank_$name"))
@@ -178,7 +182,7 @@ object Retrieval {
     // full outer on (qid, id): a doc surfaced by ANY source competes
     val joined = tagged.reduce(_.join(_, Seq(qidCol, idCol), "full_outer"))
     val fused = rankings.map { case (name, _) =>
-      coalesce(expr(s"1000000 div ($k0 + rank_$name)"), lit(0L))
+      coalesce(expr(s"1000000 div ($k0 + ${quoted(name)})"), lit(0L))
     }.reduce(_ + _)
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("rrf_mills").desc, col(idCol).asc)
@@ -186,6 +190,6 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(Seq(col(qidCol), col("rank"), col(idCol), col("rrf_mills")) ++
-        rankings.map { case (name, _) => col(s"rank_$name") }: _*)
+        rankings.map { case (name, _) => col(quoted(name)) }: _*)
   }
 }

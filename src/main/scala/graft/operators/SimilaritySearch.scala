@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Shared rank/cut/projection tail of every top-k operator: rank per
+    * query by (score direction, id asc), keep rank <= k, project the
+    * canonical (query_id, neighbor_id, score, rank) shape. ONE
+    * definition so a tie-break or cast change cannot desynchronize the
+    * six ANN operators (and their oracle twins); Spark's
+    * WindowGroupLimit applies the cut partially before the shuffle. */
+  private def rankTopK(scored: DataFrame, idCol: String,
+      scoreCol: String, asc: Boolean, k: Int): DataFrame = {
+    val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy("query_id").orderBy(ord, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(scoreCol), col("rank"))
+  }
+
   /** Brute-force top-k by quantized cosine (deterministic, exact-int
     * ranking; ties broken by corpus id). queries/corpus: (idCol, vecCol). */
   def bruteForceTopK(
@@ -32,11 +48,7 @@ object SimilaritySearch {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+    rankTopK(scored, "neighbor_id", "cos_sq_scaled", asc = false, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (no RNG: hash-derived). */
@@ -68,13 +80,41 @@ object SimilaritySearch {
     require(c.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"idCol '$idCol' must be numeric (got ${c.schema(idCol).dataType})")
-    c.orderBy(md5(col(idCol).cast("string")))
+    // same contract for null ids/vectors: a null in the k seed rows
+    // would otherwise die as a bare driver NPE in centroidLit — filter
+    // BEFORE the hash-order cut so a null row costs coverage of itself
+    // only, and fail readably if nothing valid remains.
+    val seeds = c
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string")))
       .limit(k)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    require(seeds.nonEmpty,
+      s"no non-null ($idCol, $vecCol) rows to seed centroids from")
+    seeds
   }
+
+  /** One Lloyd centroid update over an assigned frame (`cell`, `q`):
+    * partial (map-side) sums per (cell, dim) → k·dim tiny rows on the
+    * driver; empty cells simply disappear. floor(sum/count) is the
+    * engine-exact integer mean the DuckDB twins mirror — ONE definition
+    * shared by the k-means rounds and the IVFADC coarse trainer so the
+    * q58 and q114 kernels cannot drift. */
+  private def lloydUpdate(assigned: DataFrame): Array[(Long, Seq[Long])] =
+    assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
+      .toArray
+      .sortBy(_._1)
 
   /** Budget on the inline centroid path: cells × dims literal nodes.
     * The inline plan embeds one literal per centroid component; past
@@ -172,11 +212,7 @@ object SimilaritySearch {
     val scored = cAssigned.join(broadcast(qAssigned), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+    rankTopK(scored, "neighbor_id", "cos_sq_scaled", asc = false, k)
   }
 
   /** Deterministic distributed k-means over quantized vectors — the
@@ -196,10 +232,6 @@ object SimilaritySearch {
     kmeansAssignmentsWithVec(corpus, idCol, vecCol, k, iters)
       .select("vec_id", "cell")
 
-  /** As `kmeansAssignments`, but keeps the quantized vector: returns
-    * (vec_id, q, cell). For consumers that need the vectors alongside
-    * the cells (semanticDedup's pairwise pass) — reusing this avoids a
-    * second full-corpus scan + re-quantize + reattach join. */
   /** As `kmeansAssignments`, but keeps the winning centroid similarity
     * (the exact scaled-cosine² assignment metric itself) as `sim` —
     * the embedding-space outlier surface: a LOW best-centroid sim
@@ -214,6 +246,10 @@ object SimilaritySearch {
       simCol = Some("sim"))
       .select("vec_id", "cell", "sim")
 
+  /** As `kmeansAssignments`, but keeps the quantized vector: returns
+    * (vec_id, q, cell[, simCol]). For consumers that need the vectors
+    * alongside the cells (semanticDedup's pairwise pass) — reusing this
+    * avoids a second full-corpus scan + re-quantize + reattach join. */
   private[operators] def kmeansAssignmentsWithVec(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, simCol: Option[String] = None): DataFrame = {
@@ -235,21 +271,7 @@ object SimilaritySearch {
       // only the FINAL assignment needs the sim column
       assigned = assignCells(c, "q", cents, "cell", probes = 1,
         simCol = if (i == iters) simCol else None)
-      if (i < iters) {
-        // partial (map-side) sums per (cell, dim) → k·dim tiny rows on
-        // the driver; empty cells simply disappear (same as before).
-        cents = assigned
-          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cell, rows) =>
-            (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
-          }
-          .toArray
-          .sortBy(_._1)
-      }
+      if (i < iters) cents = lloydUpdate(assigned)
     }
     assigned
   }
@@ -273,11 +295,7 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+    rankTopK(scored, "neighbor_id", "cos_sq_scaled", asc = false, k)
   }
 
   /** LSH-bucketed ANN: probe only the query's bucket. Same output shape
@@ -297,11 +315,7 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sq_scaled", VectorFunctions.cosineSqScaledQ(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sq_scaled").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sq_scaled", "rank")
+    rankTopK(scored, "neighbor_id", "cos_sq_scaled", asc = false, k)
   }
 
   /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
@@ -449,12 +463,7 @@ object SimilaritySearch {
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("adc_l2", pqAdc(m, ksub))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_l2").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_l2"), col("rank"))
+    rankTopK(scored, "vec_id", "adc_l2", asc = true, k)
   }
 
   /** IVFADC — the composed warehouse-scale ANN (Jégou, Douze & Schmid
@@ -499,17 +508,7 @@ object SimilaritySearch {
     // energy at ~2× vector energy on anything unclustered
     var cents = seedCentroids(c, "vec_id", "q", nCells)
     for (_ <- 2 to coarseIters) {
-      cents = assignCells(c, "q", cents, "cell", probes = 1)
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
-        }
-        .toArray
-        .sortBy(_._1)
+      cents = lloydUpdate(assignCells(c, "q", cents, "cell", probes = 1))
     }
     val centDf = cents.toSeq.toDF("cell", "__cent")
     // corpus: one cell each, residual against the cell centroid —
@@ -535,12 +534,7 @@ object SimilaritySearch {
       .join(broadcast(qLut), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("adc_l2", pqAdc(m, ksub))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_l2").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_l2"), col("rank"))
+    rankTopK(scored, "vec_id", "adc_l2", asc = true, k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
