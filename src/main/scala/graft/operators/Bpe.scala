@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -46,15 +46,19 @@ object Bpe {
     * tokens. Returns (round, left, right, merged, weight) — one row
     * per learned merge, round 1-based in merge order. Rounds stop
     * early if no pair remains (all words fused to single symbols). */
+  /** Seed segmentation: every char its own symbol, in the double-space
+    * boundary form — THE train/encode parity contract (learnMerges
+    * trains on exactly what encode re-derives), so one definition. */
+  private def seedSegmentation(c: Column): Column =
+    concat(lit(" "), trim(regexp_replace(c, "(.)", "$1  ")), lit(" "))
+
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      // seed segmentation: every char its own symbol
-      .withColumn("seq", concat(lit(" "),
-        trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")))
+      .withColumn("seq", seedSegmentation(col("word")))
       // the vocab table is the loop's base frame: pin it once so merge
       // rounds never re-run the corpus-sized token count
       .localCheckpoint(true)
@@ -131,15 +135,18 @@ object Bpe {
     * segmentation, not just counts). */
   def encode(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    // expression depth is linear in |merges| (one nested replace per
+    // merge inside the transform lambda) — cap at learnMerges' own
+    // rounds bound so an unbounded table can't push Catalyst/codegen
+    // past their tree-depth limits
+    require(merges.size <= 10000, s"${merges.size} merges exceed the 10000 cap")
     merges.foreach { case (l, r) =>
       require(l.nonEmpty && r.nonEmpty && !l.contains(" ") && !r.contains(" "),
         s"malformed merge ('$l', '$r')")
     }
     val toks = TextFunctions.tokens(col(textCol))
     val enc = transform(toks, t => {
-      val seg0 = concat(lit(" "),
-        trim(regexp_replace(t, "(.)", "$1  ")), lit(" "))
-      val merged = merges.foldLeft(seg0) { case (c, (l, r)) =>
+      val merged = merges.foldLeft(seedSegmentation(t)) { case (c, (l, r)) =>
         replace(c, lit(s" $l  $r "), lit(s" ${l + r} "))
       }
       trim(merged)

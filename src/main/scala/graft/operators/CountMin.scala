@@ -70,6 +70,10 @@ object CountMin {
     require(depth >= 1, s"depth=$depth must be >= 1")
     require(width >= 1, s"width=$width must be >= 1")
     items
+      // a NULL item would hash to an all-null bucket array and count
+      // into (row, NULL) rows no estimate can ever read back (the
+      // probe join never matches NULL) — dead mass in the sketch
+      .where(col(itemCol).isNotNull)
       .select(posexplode(rowBuckets(col(itemCol), depth, width)).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }

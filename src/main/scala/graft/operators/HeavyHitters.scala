@@ -130,7 +130,12 @@ object HeavyHitters {
       .limit(k)
       .withColumn("cnt_k", min(col("cnt")).over(wk))
       .crossJoin(broadcast(total)) // k rows x 1 row
+      // DECIMAL(38,0) product: cnt_k·m wraps int64 at corpus scale
+      // (N ~ 2e13 with m ~ 1e6) and would silently flip the flag under
+      // non-ANSI arithmetic — same discipline as CountMin.epsBound; the
+      // DuckDB twin's BIGINT product upcasts to HUGEINT in lockstep.
       .select(col("item"), col("cnt"),
-        (col("cnt_k") * counters > col("n_items")).as("provably_exact"))
+        (col("cnt_k").cast("decimal(38,0)") * counters >
+          col("n_items").cast("decimal(38,0)")).as("provably_exact"))
   }
 }

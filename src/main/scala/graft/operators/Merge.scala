@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Classify incoming vs existing on `keys`:
-    * returns existing ∪ incoming with an `action` column
+    * NULL-key contract (standard SQL MERGE semantics — the ON clause
+    * compares with `=`): a NULL key never matches, so a null-keyed row
+    * present on both sides classifies as one delete-candidate plus one
+    * insert, not a merge. Callers with legitimately nullable keys must
+    * coalesce to a sentinel first.
+    * Returns existing ∪ incoming with an `action` column
     * (insert / update / unchanged / delete-candidate) and merged values
     * (incoming wins where present). `compareCols` decides
     * update-vs-unchanged. */
@@ -26,6 +31,9 @@ object Merge {
       incoming: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
+    // an empty key list would plan a condition-less full outer join —
+    // an |E|·|I| cross product silently classified update/unchanged
+    require(keys.nonEmpty, "reconcile needs at least one key column")
     require(!compareCols.contains("present"),
       "compare column name 'present' is reserved by reconcile " +
         "(it would alias to the __e_present/__i_present markers)")
@@ -86,6 +94,10 @@ object Merge {
     * the key. Nothing driver-side, no iteration. */
   def applyCdc(snapshot: DataFrame, ops: DataFrame, key: String,
       seqCol: String, opCol: String): DataFrame = {
+    // NULL-key contract as reconcile's: the full-outer `=` join never
+    // matches a NULL key, so a null-keyed op cannot update or delete a
+    // null-keyed snapshot row — coalesce nullable keys to a sentinel
+    // upstream.
     val payload = ops.columns.filterNot(Seq(key, seqCol, opCol).contains)
     payload.foreach(c => require(snapshot.columns.contains(c),
       s"payload column '$c' has no snapshot counterpart"))
@@ -137,9 +149,11 @@ object Merge {
   /** The update/insert fork as explicit semi/anti joins (J4):
     * (updates, inserts). */
   def splitUpsert(incoming: DataFrame, existing: DataFrame, keys: Seq[String])
-      : (DataFrame, DataFrame) = (
-    incoming.join(existing.select(keys.map(col): _*), keys, "left_semi"),
-    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti"))
+      : (DataFrame, DataFrame) = {
+    require(keys.nonEmpty, "splitUpsert needs at least one key column")
+    (incoming.join(existing.select(keys.map(col): _*), keys, "left_semi"),
+     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti"))
+  }
 
   /** Create-missing-dimension rows (J5): items referencing a dim title
     * that doesn't exist yet, deduped, with deterministic new ids. */
@@ -178,7 +192,8 @@ object Merge {
       send: Seq[org.apache.spark.sql.Row] => Unit,
       batchSize: Int = 1000,
       maxRetries: Int = 3,
-      baseDelayMs: Long = 1000L): Unit =
+      baseDelayMs: Long = 1000L): Unit = {
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       rows.grouped(batchSize).foreach { batch =>
         var attempt = 0
@@ -186,6 +201,10 @@ object Merge {
         while (!done) {
           try { send(batch); done = true }
           catch {
+            // task cancellation must propagate NOW — retrying/sleeping
+            // through an interrupt would pin a killed task for the
+            // whole backoff ladder
+            case e: InterruptedException => throw e
             case e: Exception if attempt < maxRetries =>
               Thread.sleep(baseDelayMs * (1L << attempt))
               attempt += 1
@@ -194,4 +213,5 @@ object Merge {
         }
       }
     }
+  }
 }

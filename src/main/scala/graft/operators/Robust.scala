@@ -34,8 +34,12 @@ object Robust {
       s"lower bound $loNum/$loDen above upper $hiNum/$hiDen")
     val reserved = Seq("lo", "hi", "clipped", "is_outlier",
       "__cnt", "__cum", "__n", "__strata_b")
-    Seq(strataCol, valueCol).foreach(c =>
-      require(!reserved.contains(c), s"column '$c' is reserved"))
+    // guard the WHOLE input schema, not just the named columns: a
+    // pre-existing `clipped`/`is_outlier` (e.g. re-winsorizing a prior
+    // pass's output) would be silently overwritten, and `lo`/`hi`
+    // would die as AMBIGUOUS_REFERENCE after the bounds join
+    df.columns.foreach(c =>
+      require(!reserved.contains(c), s"input column '$c' is reserved by winsorize"))
     val h = df.where(col(valueCol).isNotNull)
       .groupBy(strataCol, valueCol).agg(count(lit(1)).as("__cnt"))
     val wc = Window.partitionBy(strataCol).orderBy(valueCol)

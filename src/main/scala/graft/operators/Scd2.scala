@@ -67,9 +67,15 @@ object Scd2 {
     // attrs are constant within a version (change is null-safe), so
     // min() reconstructs them; all-null stays null (min ignores nothing
     // it could keep)
+    // valid_from = the FIRST row's ts under the version order (ts asc
+    // NULLS FIRST + tieCols): a version containing any null-ts row
+    // opened on that null-ts row, so its valid_from is null — a bare
+    // min() would skip the null and silently exclude the null-ts
+    // observation from the version's interval.
     val collapsed = versioned
       .groupBy((keyCols :+ col("__ver")): _*)
-      .agg(min(col(tsCol)).as("valid_from"),
+      .agg(when(count(col(tsCol)) < count(lit(1)), lit(null))
+          .otherwise(min(col(tsCol))).as("valid_from"),
         (attrs.map(a => min(col(a)).as(a)) :+
           count(lit(1)).as("n_rows")): _*)
     val wv = Window.partitionBy(keyCols: _*).orderBy(col("__ver").asc)

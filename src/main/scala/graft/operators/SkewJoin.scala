@@ -26,6 +26,12 @@ object SkewJoin {
   def saltedJoin(
       large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFrom: Column, nSalts: Int = 8): DataFrame = {
+    // fail loud, not empty: nSalts <= 0 would make pmod(·, 0) NULL on
+    // every large row (non-ANSI) and the salt equi-join match nothing
+    require(nSalts >= 1, s"nSalts=$nSalts must be >= 1")
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column (reserved by saltedJoin)")
     val l = large.withColumn("__salt", pmod(hash(saltFrom), lit(nSalts)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
@@ -38,10 +44,14 @@ object SkewJoin {
     * count = (count(*), sum), sum = (sum(x), sum). */
   def twoPhaseAgg(
       df: DataFrame, keys: Seq[String], saltFrom: Column, nSalts: Int)(
-      partial: Seq[Column], fin: Seq[Column]): DataFrame =
+      partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    require(nSalts >= 1, s"nSalts=$nSalts must be >= 1")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column (reserved by twoPhaseAgg)")
     df.withColumn("__salt", pmod(hash(saltFrom), lit(nSalts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(fin.head, fin.tail: _*)
+  }
 }

@@ -3909,7 +3909,11 @@ object RelationalQueries {
              ROWS UNBOUNDED PRECEDING) AS ver
          FROM g),
        hist AS (
+         -- first-row ts, twin of buildHistory's null-propagating
+         -- valid_from (a version holding a null-ts row opened on it)
          SELECT user_id, CAST(ver AS BIGINT) AS version_no, event_type,
-           min(ts) AS vf, count(*) AS n_rows
+           CASE WHEN count(ts) < count(*) THEN NULL
+                ELSE min(ts) END AS vf,
+           count(*) AS n_rows
          FROM v GROUP BY 1, 2, 3)"""
 }

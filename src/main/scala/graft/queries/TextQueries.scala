@@ -2393,7 +2393,10 @@ object TextQueries {
          k AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
                GROUP BY tok ORDER BY cnt DESC, tok LIMIT $VocabTopK)
          SELECT tok, cnt,
-           (min(cnt) OVER ()) * $HhCounters > tot.n AS provably_exact
+           -- HUGEINT product: the twin of the Spark side's
+           -- DECIMAL(38,0) overflow-proof gate arithmetic
+           CAST(min(cnt) OVER () AS HUGEINT) * $HhCounters
+             > CAST(tot.n AS HUGEINT) AS provably_exact
          FROM k CROSS JOIN tot
          ORDER BY cnt DESC, tok""",
     "q84_cms_counts" ->
