@@ -214,7 +214,10 @@ object HeaderMapper {
       case (h, _) => unmapped += h
     }
     MappingResult(
-      mapping.toMap,
+      // VectorMap keeps the header-order insertion sequence the
+      // LinkedHashMap built — a plain toMap would go hash-ordered past
+      // 4 entries and shuffle projection's canonical column order
+      scala.collection.immutable.VectorMap.from(mapping),
       unmapped.toSeq,
       RequiredFields.filterNot(taken.contains),
       ImportantFields.filterNot(taken.contains))
@@ -232,13 +235,19 @@ object HeaderMapper {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     def quoted(in: String) = col(s"`${in.replace("`", "``")}`")
-    val seen = scala.collection.mutable.Map[String, Int]()
+    // register the FINAL emitted names, not just bases: "Notes:" takes
+    // unmapped_notes_2, so a later header normalizing to "notes_2" must
+    // step past it — a base-only counter would emit the same name twice
+    // and recreate the ambiguous-reference crash this dedup prevents
+    val used = scala.collection.mutable.Set[String]()
     val unmappedCols = m.unmapped.zipWithIndex.map { case (h, i) =>
       val base0 = norm(h).replace(' ', '_')
       val base = if (base0.nonEmpty) s"unmapped_$base0" else s"unmapped_col$i"
-      val n = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      quoted(h).as(if (n == 0) base else s"${base}_${n + 1}")
+      var name = base
+      var n = 1
+      while (used.contains(name)) { n += 1; name = s"${base}_$n" }
+      used += name
+      quoted(h).as(name)
     }
     val cols =
       m.mapping.toSeq.map { case (in, out) => quoted(in).as(out) } ++

@@ -27,6 +27,14 @@ object ItemExplode {
       keyCols: Seq[String],
       kindCols: Seq[(String, String)],
       splitPattern: String = "[;,]"): DataFrame = {
+    // a submission with none of the kind columns present is VALID (the
+    // reference's required fields don't include them): the result is
+    // simply an empty items frame — stack(0, ) would be a ParseException
+    if (kindCols.isEmpty)
+      return df.select(keyCols.map(col) :+
+          lit("").as("kind") :+ lit("").as("item_name") :+
+          lit("").as("item_key"): _*)
+        .where(lit(false))
     val stackExpr = kindCols
       .flatMap { case (kind, col) => Seq(s"'$kind'", s"`$col`") }
       .mkString(s"stack(${kindCols.size}, ", ", ", ") as (kind, raw_value)")

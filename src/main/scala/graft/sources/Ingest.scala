@@ -29,10 +29,15 @@ object Ingest {
   /** P11: the reference's upload whitelist (`app/routes.py:41-42`). */
   val AllowedExtensions: Set[String] = Set("csv", "xlsx", "xls")
 
-  /** P11: extension whitelist — mirrors `allowed_file`. */
+  /** P11: extension whitelist — mirrors `allowed_file`'s
+    * `rsplit('.', 1)[1]`: everything after the LAST dot, so ".."
+    * (empty tail — split().last would throw) and trailing-dot names
+    * like "x.csv." (empty extension) are rejected exactly as the
+    * reference rejects them. */
   def allowedFile(filename: String): Boolean =
     filename.contains(".") &&
-      AllowedExtensions.contains(filename.split("\\.").last.toLowerCase)
+      AllowedExtensions.contains(
+        filename.substring(filename.lastIndexOf('.') + 1).toLowerCase)
 
   /** P11: path-traversal guard — the resolved path must stay inside the
     * upload directory (mirrors `is_safe_filename`,
@@ -163,42 +168,44 @@ object Ingest {
     * an object-store bundle would stream via the Hadoop FS API instead. */
   def zipReports(reports: Map[String, DataFrame], zipPath: String): Unit = {
     val tmp = Files.createTempDirectory("graft-reports")
-    val target = Paths.get(zipPath).toAbsolutePath
-    // stage UNIQUELY next to the target, move into place only on
-    // success: a mid-loop failure must never leave a truncated archive
-    // at zipPath, and two concurrent bundles targeting the same zipPath
-    // must not clobber each other's staging file (unique temp name; the
-    // last finished move wins the target atomically).
-    val staging = Files.createTempFile(
-      target.getParent, target.getFileName.toString + ".", ".tmp")
     try {
-      scala.util.Using.resource(new java.util.zip.ZipOutputStream(
-        Files.newOutputStream(staging))) { out =>
-        reports.toSeq.sortBy(_._1).foreach { case (name, df) =>
-          val dir = tmp.resolve(name)
-          writeCsvReport(df, dir.toString)
-          val part = scala.util.Using.resource(Files.list(dir)) { s =>
-            s.filter(p =>
-              p.getFileName.toString.startsWith("part-") &&
-                p.getFileName.toString.endsWith(".csv")).findFirst().orElseThrow()
+      val target = Paths.get(zipPath).toAbsolutePath
+      // stage UNIQUELY next to the target, move into place only on
+      // success: a mid-loop failure must never leave a truncated archive
+      // at zipPath, and two concurrent bundles targeting the same zipPath
+      // must not clobber each other's staging file (unique temp name; the
+      // last finished move wins the target atomically). Created INSIDE
+      // the outer try: a bad zipPath (missing parent dir) must still
+      // clean up the report temp directory.
+      val staging = Files.createTempFile(
+        target.getParent, target.getFileName.toString + ".", ".tmp")
+      try {
+        scala.util.Using.resource(new java.util.zip.ZipOutputStream(
+          Files.newOutputStream(staging))) { out =>
+          reports.toSeq.sortBy(_._1).foreach { case (name, df) =>
+            val dir = tmp.resolve(name)
+            writeCsvReport(df, dir.toString)
+            val part = scala.util.Using.resource(Files.list(dir)) { s =>
+              s.filter(p =>
+                p.getFileName.toString.startsWith("part-") &&
+                  p.getFileName.toString.endsWith(".csv")).findFirst().orElseThrow()
+            }
+            out.putNextEntry(new java.util.zip.ZipEntry(s"$name.csv"))
+            Files.copy(part, out)
+            out.closeEntry()
           }
-          out.putNextEntry(new java.util.zip.ZipEntry(s"$name.csv"))
-          Files.copy(part, out)
-          out.closeEntry()
         }
-      }
-      Files.move(staging, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // createTempFile stages at 0600 and move preserves it; the
-      // delivered bundle must be readable like any normally-created
-      // file (the reference serves it to other principals), so restore
-      // umask-default permissions on the final artifact.
-      try Files.setPosixFilePermissions(target,
-        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-      catch { case _: UnsupportedOperationException => () } // non-POSIX FS
-    } finally {
-      Files.deleteIfExists(staging)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
+        Files.move(staging, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // createTempFile stages at 0600 and move preserves it; the
+        // delivered bundle is served to other principals (the
+        // reference's download endpoint), so apply the conventional
+        // 644 as a FIXED delivery policy — deliberately independent of
+        // the process umask.
+        try Files.setPosixFilePermissions(target,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+        catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+      } finally Files.deleteIfExists(staging)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 }

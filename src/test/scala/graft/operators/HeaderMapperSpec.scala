@@ -113,4 +113,40 @@ class HeaderMapperSpec extends AnyFunSuite {
     assert(byName("unmapped_zzqx_2") == "n2")
     assert(Seq("n3", "n4").forall(byName.values.toSet.contains))
   }
+
+  test("projection dedup registers GENERATED suffixed names too") {
+    import org.apache.spark.sql.functions.lit
+    val spark = graft.SparkTestSession.spark
+    // "Zzqx*" -> unmapped_zzqx, "Zzqx:" -> unmapped_zzqx_2 (generated);
+    // a header normalizing directly to "zzqx_2" must then step PAST the
+    // generated name instead of emitting a duplicate column
+    val df = spark.range(1)
+      .withColumn("Business Name", lit("Acme"))
+      .withColumn("Country 1", lit("US"))
+      .withColumn("Contact Email", lit("a@b.co"))
+      .withColumn("Zzqx*", lit("n1"))
+      .withColumn("Zzqx:", lit("n2"))
+      .withColumn("zzqx_2", lit("n3"))
+      .drop("id")
+    val m = HeaderMapper.mapHeaders(df.columns.toIndexedSeq)
+    val out = HeaderMapper.projection(df, m)
+    assert(out.columns.distinct.length == out.columns.length,
+      out.columns.mkString(","))
+    val row = out.collect()(0)
+    val byName = out.columns.zip(row.toSeq.map(_.asInstanceOf[String])).toMap
+    assert(byName("unmapped_zzqx") == "n1")
+    assert(byName("unmapped_zzqx_2") == "n2")
+    assert(byName.values.toSet.contains("n3"))
+  }
+
+  test("mapping preserves header order past 4 entries (projection column order)") {
+    val headers = Seq("Business Name", "Contact Email", "Street Address 1",
+      "City 1", "Country 1", "Company Bio", "Contact Phone")
+    val m = HeaderMapper.mapHeaders(headers)
+    assert(m.mapping.size > 4)
+    // VectorMap: iteration order == insertion (header) order, so the
+    // projected canonical column order is stable run to run
+    assert(m.mapping.keys.toSeq ==
+      headers.filter(m.mapping.keySet.contains))
+  }
 }

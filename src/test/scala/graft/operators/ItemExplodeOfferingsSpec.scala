@@ -24,6 +24,17 @@ class ItemExplodeOfferingsSpec extends AnyFunSuite {
       (2L, "ingredient", "salt")))
   }
 
+  test("explodeItems with no kind columns returns an empty typed frame (E1)") {
+    // a minimal valid submission carries none of the kind columns
+    // (they aren't required fields) — the result is an empty items
+    // frame with the contract schema, not a stack(0, ) ParseException
+    val df = Seq((1L, "Acme")).toDF("member_id", "businessName")
+    val out = ItemExplode.explodeItems(df, Seq("member_id"), Seq.empty)
+    assert(out.columns.toSeq ==
+      Seq("member_id", "kind", "item_name", "item_key"))
+    assert(out.count() == 0)
+  }
+
   test("offerings derivation emits mapped structs, deduped by uid (E3)") {
     val df = Seq(
       (1L, "yes we make things", "fleet of trucks", "widgets"),

@@ -15,6 +15,12 @@ class IngressSpec extends AnyFunSuite {
     assert(!Ingest.allowedFile("script.exe"))
     assert(!Ingest.allowedFile("noextension"))
     assert(!Ingest.allowedFile("archive.tar.gz"))
+    // rsplit('.', 1)[1] parity: dot-only and trailing-dot names have an
+    // EMPTY extension — rejected, never a crash (split().last used to
+    // throw NoSuchElementException on "..")
+    assert(!Ingest.allowedFile("."))
+    assert(!Ingest.allowedFile(".."))
+    assert(!Ingest.allowedFile("evil.csv."))
   }
 
   test("P11: traversal and absolute paths are rejected; nested names pass") {
