@@ -346,7 +346,12 @@ object Engine {
     // one would surface as an opaque AMBIGUOUS_REFERENCE mid-plan —
     // fail loud at the facade boundary instead, like the operators do
     val reserved = Seq("clean_text", "n_lines", "n_kept", "n_kept_lines",
-      "kept_text", "n_sentences", "has_lorem", "has_brace", "page_keep")
+      "kept_text", "n_sentences", "has_lorem", "has_brace", "page_keep",
+      // selection/dedup outputs: an input column with one of these
+      // names would be silently overwritten (withColumn) or eaten
+      // (Dedup.exact's drop), not surfaced
+      "quality_mills", "n_tokens", "dsir_avg_mills", "sample_rank",
+      "content_key", "dup_count")
     docs.columns.toSeq.intersect(reserved) match {
       case Seq() => ()
       case bad => throw new IllegalArgumentException(
@@ -532,8 +537,9 @@ object Engine {
 
     // every OPTIONAL stage appears in the ledger only when it ran — an
     // audit consumer must be able to tell "ran and dropped nothing"
-    // from "was off" for passage cleaning and decontamination exactly
-    // as it can for the C4/incremental/entropy gates
+    // from "was off" for passage cleaning, decontamination and the
+    // Gopher rule gate exactly as it can for the C4/incremental/
+    // entropy gates
     val accounting = (Seq(
       ("input", docs)) ++
       (if (c4Rules.isDefined) Seq(("c4_cleaned", c4ed)) else Nil) ++ Seq(
@@ -544,8 +550,9 @@ object Engine {
       (if (removeDupWindows.isDefined)
         Seq(("passage_cleaned", passageClean)) else Nil) ++
       (if (decontamEval.isDefined)
-        Seq(("decontaminated", dedupedB)) else Nil) ++ Seq(
-      ("rule_filtered", gopherRuled)) ++
+        Seq(("decontaminated", dedupedB)) else Nil) ++
+      (if (gopherStops.isDefined)
+        Seq(("rule_filtered", gopherRuled)) else Nil) ++
       (if (minEntropyMillsPerTok.isDefined)
         Seq(("entropy_filtered", ruled)) else Nil) ++ Seq(
       (selLabel, selected),

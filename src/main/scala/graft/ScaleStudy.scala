@@ -570,10 +570,16 @@ object ScaleStudy {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       Seq("part", "supplier", "nation", "customer").foreach { t =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
-          java.nio.file.Paths.get(s"$outDir/$t.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a parquet table may be a FILE (the driver's pyarrow tiers) or
+        // a DIRECTORY (any Spark-written fixture behind an overridden
+        // srcDir) — Files.copy on a directory copies an empty shell and
+        // REPLACE_EXISTING throws on a non-empty dst; dispatch on shape
+        val src = new java.io.File(s"$srcDir/$t.parquet")
+        val dst = new java.io.File(s"$outDir/$t.parquet")
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        if (src.isDirectory)
+          org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+        else org.apache.commons.io.FileUtils.copyFile(src, dst)
       }
       val ord = spark.read.parquet(s"$srcDir/orders.parquet")
       val maxOrd = ord.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -656,7 +662,12 @@ object ScaleStudy {
       val (name, filter) = fam.span(_ != ':') match {
         case (n, f) => (n, f.stripPrefix(":"))
       }
-      name match {
+      // per-FAMILY resilience, matching measure()'s per-query contract:
+      // a synthesis failure in the third family (disk full, unreadable
+      // override dir) must not discard the hours of measurements the
+      // earlier families already took — it reports as an error fragment
+      // and the study's single output line still prints
+      try name match {
         case "docs" =>
           synthesize(spark, sfDir, synthDir)
           s""""docs":{${measure(spark, subset(HeavyQueries, filter), sfDir, synthDir)}}"""
@@ -679,6 +690,16 @@ object ScaleStudy {
           synthesize(spark, sfDir, deepDir, replicas = 100)
           s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
         case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
+      } catch {
+        // unknown-family is a USAGE error and still fails the run (it
+        // was raised before any synthesis); everything else degrades
+        // to an error fragment (measure()'s sanitization style)
+        case e: Throwable
+            if Set("docs", "events", "rel", "deep", "build")(name) =>
+          System.err.println(s"[study] family $name failed: ${e.getMessage}")
+          val msg = e.getClass.getSimpleName
+            .replace("\\", "").replace("\"", "'")
+          s""""$name":{"error":"$msg"}"""
       }
     }.mkString(",")
 

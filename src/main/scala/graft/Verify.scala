@@ -5,10 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queries...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only the named queries (local iteration);
-    // the driver's 2-arg invocation still dumps everything.
+    // the driver's 2-arg invocation still dumps everything. Unknown
+    // names are a hard error — a typo'd targeted re-verify matching
+    // nothing would read as vacuously green.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,6 +28,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir must not present the PREVIOUS run's dump for
+        // a now-broken query — a stale green is worse than a red
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -69,8 +69,19 @@ object VectorFunctions {
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
-    val den = na * nb
-    if (den == 0L) 0L
+    // den as a DOUBLE product, not na*nb in Long: the long product
+    // wraps at ~9.2e18 (reachable with unnormalized embeddings —
+    // na ≈ 1e12 at dim 128 with components ~100 at scale 1000) and a
+    // wrapped-negative den would sign-flip the score and rank a worst
+    // match into a top-k. In the non-overflow domain the two forms are
+    // bit-identical (na, nb < 2^53 are exact doubles; one correctly
+    // rounded multiply == the exact long product's rounding), so the
+    // DuckDB twin's BIGINT-product math still matches bit-for-bit;
+    // beyond it DuckDB raises on overflow while this stays finite —
+    // the accumulators themselves hold to |q_i| ≲ 3e9 (component·scale),
+    // far past any real embedding.
+    val den = na.toDouble * nb.toDouble
+    if (den == 0.0) 0L
     else math.floor(1000000.0 * math.signum(d.toDouble) * d * d / den).toLong
   }
 

@@ -434,9 +434,12 @@ class EngineSpec extends AnyFunSuite {
       .map(row => (row.getString(1), row.getInt(0), row.getLong(2)))
     val byName = ledger.map(t => t._1 -> t._3).toMap
     assert(byName.contains("entropy_filtered"), s"stages: ${ledger.toSeq}")
-    // the gate sits right after the (here pass-through) gopher stage
+    // gopherStops is None here, so the rule stage is OFF and absent
+    // from the ledger (same option-gating as every other gate); the
+    // entropy gate then sits right after exact dedup
+    assert(!byName.contains("rule_filtered"), s"stages: ${ledger.toSeq}")
     val order = ledger.sortBy(_._2).map(_._1).toSeq
-    assert(order.indexOf("entropy_filtered") == order.indexOf("rule_filtered") + 1)
+    assert(order.indexOf("entropy_filtered") == order.indexOf("exact_deduped") + 1)
     // reuse, not fork: the kept set IS tokenEntropy's not-low set over
     // the gopher-stage frame (pass-through here, so the cleaned corpus)
     val plain = Engine.processCorpus(docs, materializeBoundaries = true)
@@ -447,7 +450,7 @@ class EngineSpec extends AnyFunSuite {
     // the entropy_filtered frame isn't exposed directly — check via
     // the ledger count (exact, since the gate is a semi-join)
     assert(byName("entropy_filtered") == expected.size.toLong)
-    assert(byName("entropy_filtered") < byName("rule_filtered"),
+    assert(byName("entropy_filtered") < byName("exact_deduped"),
       "the entropy gate must drop at least one low-diversity doc")
     // and without the gate there is no entropy stage
     assert(!plain.accounting.collect().map(_.getString(1))
