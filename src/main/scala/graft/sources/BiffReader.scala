@@ -217,9 +217,9 @@ object BiffReader {
         // a continuation boundary inside character data restates grbit
         if (boundSet.contains(p)) { grbit = (grbit & ~0x01) | (buf(p) & 0x01); p += 1 }
         val wide = (grbit & 0x01) != 0
-        // chars available before the next boundary (or end)
-        val nextBound = bounds.drop(1).filter(_ > p).sorted.headOption
-          .getOrElse(buf.length)
+        // chars available before the next boundary (or end) — bounds
+        // is already ascending, so the first hit of find() is the next
+        val nextBound = bounds.drop(1).find(_ > p).getOrElse(buf.length)
         val avail = if (wide) (nextBound - p) / 2 else nextBound - p
         val take = math.min(remaining, avail)
         if (take <= 0) { remaining = 0 } // malformed guard
@@ -275,6 +275,18 @@ object BiffReader {
     val wb = workbookStream(data)
     val recs = records(wb)
     val bb = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+
+    // BIFF version gate: BIFF8 only (BOF version 0x0600). An Excel
+    // 5.0/95 workbook shares the OLE2 magic and record ids (stream
+    // named 'Book'), but BIFF5 strings are byte-strings with NO grbit
+    // flags byte — parsing them with the BIFF8 layout would silently
+    // garble every text cell, so reject typed instead.
+    val bof = recs.headOption.filter(_.id == 0x0809).getOrElse(
+      throw new IllegalArgumentException("no BOF record — not a BIFF workbook"))
+    val biffVer = bb.getShort(bof.at) & 0xFFFF
+    require(biffVer == 0x0600,
+      f"BIFF version 0x$biffVer%04x unsupported (BIFF8 only — " +
+        "resave Excel 5.0/95 workbooks as Excel 97+ .xls or .xlsx)")
 
     // globals: SST, BOUNDSHEETs (sheet name + substream offset),
     // FORMAT (custom codes) and XF (ixfe -> ifmt) in stream order
@@ -358,10 +370,22 @@ object BiffReader {
             cell(row, c, readUnicodeString(wb, r.at, r.at + r.len)._1)
           }
           pendingFormulaCell = None
-        case 0x0205 => // BOOLERR (boolean flavor only; errors -> blank)
+        case 0x0205 => // BOOLERR (booleans TRUE/FALSE; errors -> blank)
           val row = bb.getShort(r.at) & 0xFFFF; val c = bb.getShort(r.at + 2) & 0xFFFF
+          // an ERROR cell still REGISTERS (as "") — its xlsx twin
+          // (<c t="e">) occupies a grid slot, and the cross-format
+          // frame-parity contract includes the grid width
           if ((wb(r.at + 7) & 0xFF) == 0)
             cell(row, c, if ((wb(r.at + 6) & 0xFF) != 0) "TRUE" else "FALSE")
+          else cell(row, c, "")
+        case 0x0201 => // BLANK: styled empty cell — occupies a slot,
+          // exactly as its xlsx twin <c s="..."/> does (grid width!)
+          cell(bb.getShort(r.at) & 0xFFFF, bb.getShort(r.at + 2) & 0xFFFF, "")
+        case 0x00BE => // MULBLANK: run of styled empty cells in one row
+          val row = bb.getShort(r.at) & 0xFFFF
+          val first = bb.getShort(r.at + 2) & 0xFFFF
+          val last = bb.getShort(r.at + r.len - 2) & 0xFFFF
+          (first to last).foreach(c => cell(row, c, ""))
         case _ => ()
       }
     }

@@ -68,7 +68,7 @@ object OpsLog {
   def masked(df: DataFrame): DataFrame =
     df.withColumn("message", Normalize.maskSensitive(col("message")))
 
-  /** A7: daily usage rollup (batch; `days` = full history). */
+  /** A7: daily usage rollup over the full batch history. */
   def dailyUsage(logs: DataFrame): DataFrame =
     logs.groupBy(to_date(col("ts")).as("day"))
       .agg(
@@ -89,14 +89,28 @@ object OpsLog {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** ST2: the streaming twin — watermarked tumbling-window counts by
-    * category. Call on a `readStream` DataFrame with the LogSchema. */
+  /** ST2: the streaming twin of [[errorSummary24h]] — watermarked
+    * tumbling-window ERROR counts by the message-derived category, so
+    * the two surfaces agree on both row set (errors only) and category
+    * keys (F15's classifier, not the free-form stored column).
+    *
+    * The ERROR restriction is a conditional count + post-aggregation
+    * filter, NOT a row filter: a `.where(level = 'ERROR')` — even
+    * written after `withWatermark` — gets pushed BELOW the watermark
+    * node by the optimizer, so the watermark would advance only on
+    * error events and an INFO-dominated stream would never close its
+    * windows (verified: the spec's 01-02 window stalls). This way
+    * every event advances the watermark; per-window state is bounded
+    * by the category vocabulary (~10), and windows with no errors
+    * emit nothing. Call on a `readStream` DataFrame with LogSchema. */
   def streamingErrorWindows(stream: DataFrame,
       window_ : String = "24 hours", watermark: String = "1 hour"): DataFrame =
     stream
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("category"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("ts"), window_),
+        Normalize.errorCategory(col("message")).as("category"))
+      .agg(sum(when(col("level") === "ERROR", 1L).otherwise(0L)).as("n"))
+      .where(col("n") > 0)
 
   /** ST2: streaming daily usage with a late-data watermark — the SAME
     * output columns as the batch [[dailyUsage]] and the SAME day

@@ -256,4 +256,39 @@ class BiffReaderSpec extends AnyFunSuite {
     val r = BiffReader.readXls(spark, p.toString).collect()(0)
     assert(r.getString(0) == "2024-06-01 00:00:00")
   }
+
+  test("a BIFF5 (Excel 5.0/95) workbook is rejected typed, never garbled") {
+    // same OLE2 container and record ids, BOF version 0x0500: BIFF5
+    // strings carry no grbit byte, so BIFF8-layout parsing would
+    // silently corrupt every text cell — must reject with the version
+    val wb = rawWorkbook(
+      Seq(rec(0x0204, le(cellHead(0, 0, 0), ustr("hello")))),
+      bofVersion = 0x0500)
+    val p = Files.createTempDirectory("graft-biff5").resolve("old.xls")
+    Files.write(p, buildCfb(wb))
+    val e = intercept[IllegalArgumentException] {
+      BiffReader.readXls(spark, p.toString)
+    }
+    assert(e.getMessage.contains("0x0500"), e.getMessage)
+  }
+
+  test("BLANK/MULBLANK styled-empty cells occupy grid slots (xlsx width parity)") {
+    // xlsx registers <c s="..."/> as "" and the shared gridToDataFrame
+    // widens the frame; the .xls twin's BLANK/MULBLANK must do the same
+    // — a styled trailing blank in the header makes width 3 (col2
+    // fallback name), and a MULBLANK run in a data row stays null cells
+    val wb = rawWorkbook(Seq(
+      rec(0x0204, le(cellHead(0, 0, 0), ustr("h1"))),
+      rec(0x0204, le(cellHead(0, 1, 0), ustr("h2"))),
+      rec(0x0201, le(cellHead(0, 2, 0))),                   // BLANK C1
+      rec(0x0204, le(cellHead(1, 0, 0), ustr("v"))),
+      // MULBLANK row 1, cols 1-2: row, first col, ixfe per col, last col
+      rec(0x00BE, le(u16(1), u16(1), u16(0), u16(0), u16(2)))))
+    val p = Files.createTempDirectory("graft-blank").resolve("blank.xls")
+    Files.write(p, buildCfb(wb))
+    val df = BiffReader.readXls(spark, p.toString)
+    assert(df.columns.toSeq == Seq("h1", "h2", "col2"), df.columns.toSeq)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "v" && r.isNullAt(1) && r.isNullAt(2))
+  }
 }

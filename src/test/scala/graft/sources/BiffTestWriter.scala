@@ -41,27 +41,33 @@ object BiffTestWriter {
   def fval(tag: Int, v: Int): Array[Byte] =
     le(Array[Byte](tag.toByte, 0, v.toByte, 0, 0, 0), u16(0xFFFF))
 
-  /** A complete workbook stream of inline-LABEL string cells: row 0 is
-    * the header, every cell is a LABEL — the generic "any grid of
-    * strings as .xls" writer. */
-  def labelsWorkbook(rows: Seq[Seq[String]]): Array[Byte] = {
+  /** A complete workbook stream around caller-supplied raw sheet cell
+    * records; `bofVersion` is overridable so the BIFF5 typed-reject
+    * path can be pinned (0x0500 = Excel 5.0/95). */
+  def rawWorkbook(cellRecs: Seq[Array[Byte]],
+      bofVersion: Int = 0x0600): Array[Byte] = {
     def globals(sheetPos: Int): Array[Byte] = le(
-      rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
+      rec(0x0809, le(u16(bofVersion), u16(0x0005), u16(0), u16(0), i32(0), i32(0))),
       rec(0x00E0, le(u16(0), u16(0), new Array[Byte](16))),
       rec(0x0085, le(i32(sheetPos), u16(0),
         Array[Byte](2, 0), "S1".getBytes("ISO-8859-1"))),
       rec(0x000A, Array.empty[Byte]))
-    val cells = rows.zipWithIndex.flatMap { case (cols, r) =>
-      cols.zipWithIndex.collect { case (v, c) if v != null =>
-        rec(0x0204, le(cellHead(r, c, 0), ustr(v)))
-      }
-    }
     val sheet = le(
-      (rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), i32(0), i32(0)))
-        +: cells :+ rec(0x000A, Array.empty[Byte])): _*)
+      (rec(0x0809, le(u16(bofVersion), u16(0x0010), u16(0), u16(0), i32(0), i32(0)))
+        +: cellRecs :+ rec(0x000A, Array.empty[Byte])): _*)
     val g = globals(0)
     globals(g.length) ++ sheet
   }
+
+  /** A complete workbook stream of inline-LABEL string cells: row 0 is
+    * the header, every cell is a LABEL — the generic "any grid of
+    * strings as .xls" writer. */
+  def labelsWorkbook(rows: Seq[Seq[String]]): Array[Byte] =
+    rawWorkbook(rows.zipWithIndex.flatMap { case (cols, r) =>
+      cols.zipWithIndex.collect { case (v, c) if v != null =>
+        rec(0x0204, le(cellHead(r, c, 0), ustr(v)))
+      }
+    })
 
   /** A valid CFB v3 container around a workbook stream: one FAT sector,
     * one directory sector, N stream sectors (regular FAT — streams under

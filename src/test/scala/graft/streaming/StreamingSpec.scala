@@ -268,9 +268,12 @@ class StreamingSpec extends AnyFunSuite {
         .reduce(_ || _))
     assert(mism.count() == 0, "streaming day must equal its batch twin")
 
-    // full stream (not pre-filtered): the watermark must advance on the
-    // LAST event's ts so the 01-02 window closes; per-category rows let
-    // the assert pick out the error categories
+    // full stream in, ERROR-only windows out: the INFO rows (including
+    // the LAST event, 01-03) still advance the watermark — that is what
+    // closes the 01-02 window — but emit no rows (zero-error groups are
+    // filtered post-aggregation; a row-level ERROR filter would be
+    // pushed below the watermark node and stall the close); categories
+    // come from the message classifier (F15), the batch twin's key
     val q2 = OpsLog.streamingErrorWindows(stream, "24 hours", "1 hour")
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("err_windows")
@@ -284,6 +287,8 @@ class StreamingSpec extends AnyFunSuite {
     // the 01-03 window may be open (watermark); the closed ones exact
     assert(errs.contains(("2024-01-01", "network", 1L)))
     assert(errs.contains(("2024-01-02", "auth", 1L)))
+    // non-error traffic: watermark fuel only, never a window row
+    assert(!errs.exists(_._2 == "ok"), errs.toString)
   }
 
   test("state shuffle width = f(keyspace); results are width-invariant") {
