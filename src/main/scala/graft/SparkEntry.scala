@@ -43,6 +43,77 @@ object SparkEntry {
       .where(col("p_partkey") % 3 === 0)
       .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
 
+  /** The conversion⋈touch attribution frame — ONE definition of the
+    * touch population, the attribution-window predicate and the
+    * (rn, n) windows, shared by q144 and q149 so the two models can
+    * never silently diverge (their oracle twins share attrCtes the
+    * same way). Columns: user_id, conv_id, conv_ts, touch_id,
+    * touch_ts, channel, rn, n. */
+  private def attributionFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsTsMicros(
+      s.read.parquet(s"$dir/events.parquet"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = ev.where(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts_us").as("touch_ts"), col("event_type").as("channel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("touch_ts"), col("touch_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lit(AttrWindowUs))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+  }
+
+  /** U-shaped credit in exact mills over (rn, n) — 40/20/40 with the
+    * middle remainder to the earliest middles; q144's credit AND
+    * q149's u_mills column, one definition. */
+  private val uModelMills: org.apache.spark.sql.Column =
+    when(col("n") === 1L, lit(1000L))
+      .when(col("n") === 2L, lit(500L))
+      .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
+      .otherwise(expr(
+        """200L div (n - 2) +
+           CASE WHEN rn - 1 <= 200L % (n - 2) THEN 1L ELSE 0L END"""))
+
+  /** DuckDB twin of [[attributionFrame]]: the ev/conv/touch/j/r CTE
+    * prefix (`r` carries rn and n), shared by the q144 and q149
+    * oracles exactly as the Spark sides share the frame builder. */
+  private def attrCtes: String =
+    s"""ev AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+         FROM events),
+       conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+                FROM ev WHERE event_type = 'purchase'),
+       touch AS (SELECT user_id, event_id AS touch_id,
+                   ts_us AS touch_ts, event_type AS channel
+                 FROM ev
+                 WHERE event_type IN ('click', 'view', 'signup')),
+       j AS (
+         SELECT conv.conv_id, touch.channel, touch.touch_ts,
+           touch.touch_id
+         FROM conv JOIN touch ON conv.user_id = touch.user_id
+           AND touch.touch_ts < conv.conv_ts
+           AND touch.touch_ts >= conv.conv_ts - $AttrWindowUs),
+       r AS (
+         SELECT *,
+           CAST(row_number() OVER (PARTITION BY conv_id
+             ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+         FROM j)"""
+
+  /** DuckDB twin of [[uModelMills]] — one CASE string for both
+    * attribution oracles. */
+  private val uModelSql: String =
+    """CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+         WHEN rn = 1 OR rn = n THEN 400
+         ELSE 200 // (n - 2)
+           + (CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END)
+       END"""
+
   /** md5-bucket train/val split of doc_id — the ONE parity-critical
     * split pair (Spark column + DuckDB twin), shared by q54 and q56. */
   private val mdSplit: org.apache.spark.sql.Column =
@@ -169,11 +240,13 @@ object SparkEntry {
     // happens to fully exact-match at sf0.01). Blocked candidates +
     // full oracle.
     "q59_fuzzy_forced" -> ((s, dir) => {
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val items = p.where(col("p_partkey") % 3 === 0 && col("p_partkey") < 150)
-        .select(col("p_partkey").as("item_id"),
-          concat(col("p_name"), lit(" v"),
-            (col("p_partkey") % 5).cast("string")).as("item_name"))
+      // layered on resolveItems — ONE fixture definition (residue,
+      // renames) shared with entry/q40/q41; only the perturbation and
+      // the <150 cut are local
+      val items = resolveItems(s, dir).where(col("item_id") < 150)
+        .select(col("item_id"),
+          concat(col("item_name"), lit(" v"),
+            (col("item_id") % 5).cast("string")).as("item_name"))
       EntityResolution.resolve(items, resolveDict(s, dir), Seq("item_id"),
         blocked = true)
         .withColumn("alt_digest", altDigest(col("alternatives")))
@@ -187,10 +260,10 @@ object SparkEntry {
     // blocking family. Gates the recall fix in
     // EntityResolution.fuzzyCandidates (round-3 verdict item 1).
     "q66_ngram_blocked_resolution" -> ((s, dir) => {
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val items = p.where(col("p_partkey") % 3 === 0 && col("p_partkey") < 150)
-        .select(col("p_partkey").as("item_id"),
-          regexp_replace(col("p_name"), " ", "").as("item_name"))
+      // layered on resolveItems, q59's rule
+      val items = resolveItems(s, dir).where(col("item_id") < 150)
+        .select(col("item_id"),
+          regexp_replace(col("item_name"), " ", "").as("item_name"))
       EntityResolution.resolve(items, resolveDict(s, dir), Seq("item_id"),
         blocked = true)
         .withColumn("alt_digest", altDigest(col("alternatives")))
@@ -366,10 +439,15 @@ object SparkEntry {
         .orderBy("user_id")
     }),
     // The spark.sql textual surface: temp views + ANSI SQL (oracle twin
-    // in oracleSql — this one IS hash-checked).
+    // in oracleSql — this one IS hash-checked). The view registers on
+    // an ISOLATED session clone, not the caller's catalog: a fixed-name
+    // view baked to one dir would cross-contaminate a second dir (or a
+    // concurrent query) evaluated on the same shared session — the
+    // same isolation discipline the streaming queries apply.
     "q45_sql_surface" -> ((s, dir) => {
-      graft.Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql(
+      val s2 = graft.streaming.Incremental.isolatedClone(s)
+      graft.Tables(s2, dir, "orders").createOrReplaceTempView("orders_v")
+      s2.sql(
         """SELECT o_orderpriority, count(*) AS n,
           |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
           |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
@@ -476,7 +554,11 @@ object SparkEntry {
     // coordination).
     "q54_det_split" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.withColumn("split", mdSplit)
+      // null-lang guard (q51/q57's rule, in lockstep with the twin):
+      // a NULL sort key orders NULLS FIRST in Spark, NULLS LAST in
+      // DuckDB — the row ORDER would diverge on a regenerated fixture
+      d.where(col("lang").isNotNull)
+        .withColumn("split", mdSplit)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
         .orderBy("split", "lang")
@@ -808,30 +890,8 @@ object SparkEntry {
     // with a range predicate (per-user frames), then conv-keyed
     // windows; every credit branch is data-exercised at every SF.
     "q144_attribution_umodel" -> ((s, dir) => {
-      val ev = graft.Tables.eventsTsMicros(
-        s.read.parquet(s"$dir/events.parquet"))
-      val conv = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("conv_id"),
-          col("ts_us").as("conv_ts"))
-      val touch = ev.where(col("event_type").isin("click", "view", "signup"))
-        .select(col("user_id"), col("event_id").as("touch_id"),
-          col("ts_us").as("touch_ts"), col("event_type").as("channel"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("conv_id")
-        .orderBy(col("touch_ts"), col("touch_id"))
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
-      conv.join(touch, Seq("user_id"))
-        .where(col("touch_ts") < col("conv_ts") &&
-          col("touch_ts") >= col("conv_ts") - lit(AttrWindowUs))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("credit_mills",
-          when(col("n") === 1L, lit(1000L))
-            .when(col("n") === 2L, lit(500L))
-            .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
-            .otherwise(expr(
-              """200L div (n - 2) +
-                 CASE WHEN rn - 1 <= 200L % (n - 2) THEN 1L ELSE 0L END""")))
+      attributionFrame(s, dir)
+        .withColumn("credit_mills", uModelMills)
         .groupBy("channel")
         .agg(sum(col("credit_mills")).as("total_mills"),
           count(lit(1)).as("n_touches"),
@@ -847,22 +907,7 @@ object SparkEntry {
     // linear floors 1000/n with the remainder to the EARLIEST touches,
     // U is q144's split.
     "q149_attribution_models" -> ((s, dir) => {
-      val ev = graft.Tables.eventsTsMicros(
-        s.read.parquet(s"$dir/events.parquet"))
-      val conv = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("conv_id"),
-          col("ts_us").as("conv_ts"))
-      val touch = ev.where(col("event_type").isin("click", "view", "signup"))
-        .select(col("user_id"), col("event_id").as("touch_id"),
-          col("ts_us").as("touch_ts"), col("event_type").as("channel"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("conv_id").orderBy(col("touch_ts"), col("touch_id"))
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
-      conv.join(touch, Seq("user_id"))
-        .where(col("touch_ts") < col("conv_ts") &&
-          col("touch_ts") >= col("conv_ts") - lit(AttrWindowUs))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      attributionFrame(s, dir)
         .withColumn("first_mills",
           when(col("rn") === 1L, 1000L).otherwise(0L))
         .withColumn("last_mills",
@@ -870,13 +915,7 @@ object SparkEntry {
         .withColumn("linear_mills", expr(
           """1000L div n +
              CASE WHEN rn <= 1000L % n THEN 1L ELSE 0L END"""))
-        .withColumn("u_mills",
-          when(col("n") === 1L, lit(1000L))
-            .when(col("n") === 2L, lit(500L))
-            .when(col("rn") === 1L || col("rn") === col("n"), lit(400L))
-            .otherwise(expr(
-              """200L div (n - 2) +
-                 CASE WHEN rn - 1 <= 200L % (n - 2) THEN 1L ELSE 0L END""")))
+        .withColumn("u_mills", uModelMills)
         .groupBy("channel")
         .agg(sum(col("first_mills")).as("first_mills"),
           sum(col("last_mills")).as("last_mills"),
@@ -970,9 +1009,12 @@ object SparkEntry {
     }),
     // Registered similarity functions callable from SQL text.
     "q46_sql_similarity" -> ((s, dir) => {
-      graft.functions.Similarity.register(s)
-      graft.Tables(s, dir, "part").createOrReplaceTempView("part_v")
-      s.sql(
+      // isolated clone, q45's rationale — view AND function
+      // registration both live in the session catalog
+      val s2 = graft.streaming.Incremental.isolatedClone(s)
+      graft.functions.Similarity.register(s2)
+      graft.Tables(s2, dir, "part").createOrReplaceTempView("part_v")
+      s2.sql(
         """SELECT p_partkey, p_name,
           |  token_set_ratio(p_name, 'small ring') AS tsr,
           |  partial_ratio(p_name, 'ring') AS pr,
@@ -1144,7 +1186,8 @@ object SparkEntry {
          FROM names n CROSS JOIN dict d
          WHERE ${shareTok("n.item_name", "d.title")}),
        ${rawChain("tokp", "tk")},
-       strong AS (SELECT DISTINCT item_name FROM tkraw WHERE raw_score >= 97),
+       strong AS (SELECT DISTINCT item_name FROM tkraw
+         WHERE raw_score >= ${graft.operators.EntityResolution.Thresholds().autoResolve}),
        rescue AS (SELECT item_name FROM names
          EXCEPT SELECT item_name FROM strong),
        gramp AS (
@@ -1154,12 +1197,17 @@ object SparkEntry {
            gg -> list_contains(${blockGrams("d.title")}, gg))) > 0),
        cands AS (SELECT DISTINCT * FROM
          (SELECT * FROM tokp UNION ALL SELECT * FROM gramp) u)"""
-    val diet = Seq("gluten-free", "organic", "natural", "raw", "extra virgin",
-      "whole grain")
+    // every tunable interpolates from the OPERATOR's constants (the
+    // resolveDict rule: the oracle can never drift from the engine)
+    import graft.operators.EntityResolution.{DefaultDietaryTerms,
+      SpecialCharClass, LenPenaltyWeight, WordPenaltyWeight,
+      WordPenaltyCap, DietPenalty, SpecialPenalty, DigitPenalty}
     def dietHit(x: String) =
-      diet.map(t => s"lower($x) LIKE '%$t%'").mkString("(", " OR ", ")")
+      DefaultDietaryTerms.map(t => s"lower($x) LIKE '%$t%'")
+        .mkString("(", " OR ", ")")
     def specials(x: String) =
-      s"(length($x) - length(regexp_replace($x, '[!@#\\$$%^&*()]', '', 'g')))"
+      s"(length($x) - length(regexp_replace($x, " +
+        s"'${SpecialCharClass.replace("$", "\\$")}', '', 'g')))"
     def words(x: String) = s"len(string_split_regex(trim($x), '\\s+'))"
     s"""WITH items AS ($itemsSql),
        dict AS (
@@ -1182,15 +1230,17 @@ object SparkEntry {
        ranked AS (SELECT *, row_number() OVER (PARTITION BY item_name
            ORDER BY raw_score DESC, cand_ext_id, cand_title) AS raw_rn FROM raw),
        pen AS (SELECT *, greatest(raw_score
-           - abs(length(item_name) - length(cand_title)) * 30
+           - abs(length(item_name) - length(cand_title)) * $LenPenaltyWeight
              / greatest(length(item_name), length(cand_title), 1)
-           - least(abs(${words("item_name")} - ${words("cand_title")}) * 10, 25)
+           - least(abs(${words("item_name")} - ${words("cand_title")})
+               * $WordPenaltyWeight, $WordPenaltyCap)
            - CASE WHEN ${dietHit("item_name")} <> ${dietHit("cand_title")}
-               THEN 20 ELSE 0 END
+               THEN $DietPenalty ELSE 0 END
            - CASE WHEN ${specials("item_name")} <> ${specials("cand_title")}
-               THEN 15 ELSE 0 END
+               THEN $SpecialPenalty ELSE 0 END
            - CASE WHEN regexp_matches(item_name, '[0-9]')
-                    <> regexp_matches(cand_title, '[0-9]') THEN 15 ELSE 0 END,
+                    <> regexp_matches(cand_title, '[0-9]')
+               THEN $DigitPenalty ELSE 0 END,
            0.0) AS adj
          FROM ranked WHERE raw_rn <= 10),
        crossed AS (SELECT *, CASE WHEN raw_rn = 1 AND greatest(
@@ -1205,15 +1255,18 @@ object SparkEntry {
            OVER (PARTITION BY item_name) AS best_name FROM best),
        altrows AS (SELECT *, row_number() OVER (PARTITION BY item_name
            ORDER BY raw_rn) AS alt_rn
-         FROM bn WHERE cand_title <> best_name AND score >= 50),
+         FROM bn WHERE cand_title <> best_name
+           AND score >= ${graft.operators.EntityResolution.Thresholds().autoReject}),
        alts AS (SELECT item_name, array_to_string(list(
              cand_title || '#' || cand_ext_id || '#'
                || CAST(CAST(floor(score * 100) AS BIGINT) AS VARCHAR)
              ORDER BY raw_rn), '|') AS alt_digest
          FROM altrows WHERE alt_rn <= 3 GROUP BY item_name),
        bestrow AS (SELECT item_name, cand_ext_id, score,
-           CASE WHEN score >= 97 THEN 'resolved'
-                WHEN score >= 50 THEN 'review'
+           CASE WHEN score >= ${graft.operators.EntityResolution.Thresholds().autoResolve}
+                  THEN 'resolved'
+                WHEN score >= ${graft.operators.EntityResolution.Thresholds().autoReject}
+                  THEN 'review'
                 ELSE 'rejected' END AS decision
          FROM bn WHERE best_rn = 1),
        pername AS (SELECT b.item_name,
@@ -1668,39 +1721,15 @@ object SparkEntry {
                AS BIGINT) AS p_ppm
            FROM tr ORDER BY event_type, next_type""",
       "q149_attribution_models" ->
-        // same frame, four credit projections — identical algebra
-        s"""WITH ev AS (
-             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-             FROM events),
-           conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
-                    FROM ev WHERE event_type = 'purchase'),
-           touch AS (SELECT user_id, event_id AS touch_id,
-                       ts_us AS touch_ts, event_type AS channel
-                     FROM ev
-                     WHERE event_type IN ('click', 'view', 'signup')),
-           j AS (
-             SELECT conv.conv_id, touch.channel, touch.touch_ts,
-               touch.touch_id
-             FROM conv JOIN touch ON conv.user_id = touch.user_id
-               AND touch.touch_ts < conv.conv_ts
-               AND touch.touch_ts >= conv.conv_ts - $AttrWindowUs),
-           r AS (
-             SELECT *,
-               CAST(row_number() OVER (PARTITION BY conv_id
-                 ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
-               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
-             FROM j),
+        // same frame (shared attrCtes), four credit projections
+        s"""WITH $attrCtes,
            c AS (
              SELECT channel,
                CASE WHEN rn = 1 THEN 1000 ELSE 0 END AS first_m,
                CASE WHEN rn = n THEN 1000 ELSE 0 END AS last_m,
                1000 // n + (CASE WHEN rn <= 1000 % n THEN 1 ELSE 0 END)
                  AS linear_m,
-               CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
-                 WHEN rn = 1 OR rn = n THEN 400
-                 ELSE 200 // (n - 2)
-                   + (CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END)
-               END AS u_m
+               $uModelSql AS u_m
              FROM r)
            SELECT channel,
              CAST(sum(first_m) AS BIGINT) AS first_mills,
@@ -1709,37 +1738,12 @@ object SparkEntry {
              CAST(sum(u_m) AS BIGINT) AS u_mills
            FROM c GROUP BY 1 ORDER BY 1""",
       "q144_attribution_umodel" ->
-        // identical U-model algebra: same join/range predicate, same
-        // (touch_ts, touch_id) tie-break, same floor share + earliest-
-        // middles remainder
-        s"""WITH ev AS (
-             SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-             FROM events),
-           conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
-                    FROM ev WHERE event_type = 'purchase'),
-           touch AS (SELECT user_id, event_id AS touch_id,
-                       ts_us AS touch_ts, event_type AS channel
-                     FROM ev
-                     WHERE event_type IN ('click', 'view', 'signup')),
-           j AS (
-             SELECT conv.conv_id, touch.channel, touch.touch_ts,
-               touch.touch_id
-             FROM conv JOIN touch ON conv.user_id = touch.user_id
-               AND touch.touch_ts < conv.conv_ts
-               AND touch.touch_ts >= conv.conv_ts - $AttrWindowUs),
-           r AS (
-             SELECT *,
-               CAST(row_number() OVER (PARTITION BY conv_id
-                 ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
-               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
-             FROM j),
+        // shared attrCtes frame + shared uModelSql credit — one
+        // definition of the join/range predicate, tie-break and the
+        // floor-share/earliest-middles remainder for both models
+        s"""WITH $attrCtes,
            c AS (
-             SELECT channel, conv_id,
-               CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
-                 WHEN rn = 1 OR rn = n THEN 400
-                 ELSE 200 // (n - 2)
-                   + (CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END)
-               END AS credit
+             SELECT channel, conv_id, $uModelSql AS credit
              FROM r)
            SELECT channel, CAST(sum(credit) AS BIGINT) AS total_mills,
              CAST(count(*) AS BIGINT) AS n_touches,
@@ -1871,7 +1875,8 @@ object SparkEntry {
         s"""SELECT $mdSplitSql AS split,
            lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_total
-           FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+           FROM documents WHERE lang IS NOT NULL
+           GROUP BY 1, 2 ORDER BY split, lang""",
       "q55_supplier_rollup" ->
         s"""SELECT n_name,
            ${graft.queries.RelationalQueries.revenueCentsSumSql} AS revenue_cents,

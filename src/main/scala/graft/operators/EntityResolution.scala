@@ -132,29 +132,48 @@ object EntityResolution {
     }
   }
 
-  /** Penalty adjustment (`app/etl.py:713-755`), constant-for-constant
-    * with the reference (`app/etl.py:44-49`):
-    *  - length difference: (diff/maxlen)·30;
-    *  - word-count difference: min(diff·10, 25);
-    *  - dietary-terms mismatch (presence-of-any, reference term list): 20;
-    *  - special-char COUNT mismatch over the literal set `!@#$%^&*()`: 15;
-    *  - digit-presence mismatch: 15; floor at 0. */
+  /** The reference's dietary-term list (`app/etl.py:44-49`) — ALSO
+    * interpolated into the q40/q41/q59/q66 oracle twins, so the oracle
+    * can never drift from the operator. */
+  val DefaultDietaryTerms: Seq[String] = Seq("gluten-free", "organic",
+    "natural", "raw", "extra virgin", "whole grain")
+
+  /** Special-char class for the count-mismatch penalty — the literal
+    * set `!@#$%^&*()` as a regex class, shared with the oracle twins. */
+  val SpecialCharClass: String = "[!@#$%^&*()]"
+
+  /** Penalty weights (`app/etl.py:713-755`), constant-for-constant with
+    * the reference: length diff (diff/maxlen)·30, word-count diff
+    * min(diff·10, 25), dietary mismatch 20, special-count mismatch 15,
+    * digit-presence mismatch 15. Named so the oracle twins interpolate
+    * the SAME values. */
+  val LenPenaltyWeight = 30
+  val WordPenaltyWeight = 10
+  val WordPenaltyCap = 25
+  val DietPenalty = 20
+  val SpecialPenalty = 15
+  val DigitPenalty = 15
+
+  /** Penalty adjustment (`app/etl.py:713-755`): see the weight
+    * constants above; floor at 0. */
   def applyPenalties(score: org.apache.spark.sql.Column,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      dietaryTerms: Seq[String] = Seq("gluten-free", "organic", "natural",
-        "raw", "extra virgin", "whole grain")): org.apache.spark.sql.Column = {
+      dietaryTerms: Seq[String] = DefaultDietaryTerms): org.apache.spark.sql.Column = {
     val lenA = length(a); val lenB = length(b)
     val maxLen = greatest(lenA, lenB, lit(1))
-    val lenPenalty = abs(lenA - lenB) * 30 / maxLen
+    val lenPenalty = abs(lenA - lenB) * LenPenaltyWeight / maxLen
     val wordsA = size(split(trim(a), "\\s+")); val wordsB = size(split(trim(b), "\\s+"))
-    val wordPenalty = least(abs(wordsA - wordsB) * 10, lit(25))
+    val wordPenalty = least(abs(wordsA - wordsB) * WordPenaltyWeight,
+      lit(WordPenaltyCap))
     val dietA = dietaryTerms.map(t => lower(a).contains(t)).reduce(_ || _)
     val dietB = dietaryTerms.map(t => lower(b).contains(t)).reduce(_ || _)
-    val dietPenalty = when(dietA =!= dietB, 20).otherwise(0)
+    val dietPenalty = when(dietA =!= dietB, DietPenalty).otherwise(0)
     def specialCount(c: org.apache.spark.sql.Column) =
-      length(c) - length(regexp_replace(c, "[!@#$%^&*()]", ""))
-    val specialPenalty = when(specialCount(a) =!= specialCount(b), 15).otherwise(0)
-    val digitPenalty = when(a.rlike("[0-9]") =!= b.rlike("[0-9]"), 15).otherwise(0)
+      length(c) - length(regexp_replace(c, SpecialCharClass, ""))
+    val specialPenalty =
+      when(specialCount(a) =!= specialCount(b), SpecialPenalty).otherwise(0)
+    val digitPenalty =
+      when(a.rlike("[0-9]") =!= b.rlike("[0-9]"), DigitPenalty).otherwise(0)
     greatest(score - lenPenalty - wordPenalty - dietPenalty - specialPenalty - digitPenalty, lit(0.0))
   }
 
