@@ -1088,9 +1088,15 @@ object RelationalQueries {
     // table broadcasts back. Oracle = the NAIVE 3-way self-join —
     // parity proves the orientation logic, not just the plumbing.
     "q142_triangle_count" -> ((s, dir) => {
+      // eager pin on the support-thinned edge frame (parts-bounded,
+      // tiny): deg/oriented/closure reference it ~6 times, and without
+      // the cut each reference re-runs the corpus-sized pair-generation
+      // subtree when exchange reuse doesn't cover it (the q165
+      // precedent: 5.0 s -> 2.7 s from the same pin)
       val edges = coPairCounts(s, dir)
         .where(col("n_orders") >= CoPairMinSupport)
         .select(col("part_a"), col("part_b"))
+        .localCheckpoint(true)
       val deg = edges.select(col("part_a").as("v"))
         .unionByName(edges.select(col("part_b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -1468,7 +1474,6 @@ object RelationalQueries {
     // engines.
     "q177_drift_report" -> ((s, dir) => {
       val binned = driftBinned(s, dir)
-      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       binned
         .crossJoin(broadcast(binned.agg(
           sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))))
@@ -1478,7 +1483,10 @@ object RelationalQueries {
         .withColumn("gap_mills",
           abs(col("share_a_mills") - col("share_b_mills")))
         .withColumn("tvd_mills",
-          (sum(col("gap_mills")).over(w) / 2).cast("long"))
+          // integer div keeps the lane exact end to end (the stated
+          // contract); `/` is double division whose cast-truncation
+          // only coincides with div below 2^53
+          expr("sum(gap_mills) OVER () div 2"))
         .orderBy("bin")
     }),
 
@@ -1706,8 +1714,12 @@ object RelationalQueries {
     "q182_assoc_rules" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // q142's rationale: three references (verts x2, rules) on the
+      // support-thinned pair frame — pin it rather than re-running the
+      // pair generation per reference
       val pairs = coPairCounts(s, dir)
         .where(col("n_orders") >= CoPairMinSupport)
+        .localCheckpoint(true)
       val verts = pairs.select(col("part_a").as("p"))
         .unionByName(pairs.select(col("part_b").as("p"))).distinct()
       val supp = li.groupBy(col("l_partkey").as("p"))
@@ -2032,10 +2044,7 @@ object RelationalQueries {
     // proves the nested slice/transform generation emits each ordered
     // triple exactly once.
     "q169_frequent_triples" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      orderPartSets(s, dir)
         .select(explode(flatten(transform(col("ps"), (x, i) =>
           flatten(transform(slice(col("ps"), i + lit(2), size(col("ps"))),
             (y, j) =>
@@ -2324,15 +2333,22 @@ object RelationalQueries {
       .localCheckpoint(true)
   }
 
-  /** q141/q142's co-purchase pair support counts: distinct per-order
-    * part sets (bounded by items/order) → ordered pairs generated
-    * ARRAY-SIDE (pair mass Σ k_o², never |lineitem|²) → one pair-key
-    * hash agg. */
-  private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+  /** The distinct per-order sorted part-set frame (`l_orderkey` → `ps`,
+    * bounded by items/order) — ONE definition of the set generation
+    * shared by the pair (coPairCounts → q141/q142/q143/q180/q182) and
+    * triple (q169) kernels, so set semantics (distinct, sort order,
+    * null handling) can never drift between them. */
+  private def orderPartSets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** q141/q142's co-purchase pair support counts: [[orderPartSets]] →
+    * ordered pairs generated ARRAY-SIDE (pair mass Σ k_o², never
+    * |lineitem|²) → one pair-key hash agg. */
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+    orderPartSets(s, dir)
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
@@ -2747,8 +2763,13 @@ object RelationalQueries {
          LIMIT $AssocTopK""",
     "q183_theil_sen" ->
       // same weekly frame, naive pair self-join, same histogram-median
-      // selection; the CASE keeps slope division truncate-toward-zero
-      // in both engines (// floors, div truncates on negatives)
+      // selection. NB on the sign-split CASE: DuckDB 1.0's `//`
+      // TRUNCATES toward zero exactly like Spark's div (verified:
+      // -7 // 2 = -3, not -4 — an earlier comment here claimed floor
+      // semantics, which is wrong); the CASE normalizes the operands
+      // non-negative so the twin stays correct under EITHER floor or
+      // truncation semantics (a DuckDB upgrade can't silently shift
+      // negative slopes by one). Same shim in q187/q190/q191/q193.
       s"""WITH wkly AS (
            SELECT datediff('day', DATE '1970-01-01',
                CAST(o_orderdate AS DATE)) // $TsWeekDays AS wk,
@@ -3249,8 +3270,12 @@ object RelationalQueries {
       """SELECT c_custkey,
          (c_name IS NOT NULL AND length(trim(c_name)) BETWEEN 2 AND 200
           AND NOT regexp_matches(c_name, '[<>"'']')) AS valid_name,
-         regexp_matches(lower(regexp_replace(c_name, ' ', '.', 'g')) || '@example.com',
-           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS valid_email,
+         -- null branch mirrors Normalize.validEmail's `c.isNull || ...`
+         -- (Spark emits TRUE for a NULL input; a bare regexp_matches
+         -- would emit NULL and hash-diverge on a null-name fixture)
+         (c_name IS NULL OR
+          regexp_matches(lower(regexp_replace(c_name, ' ', '.', 'g')) || '@example.com',
+           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')) AS valid_email,
          CASE WHEN NOT (c_name IS NOT NULL AND length(trim(c_name)) BETWEEN 2 AND 200
           AND NOT regexp_matches(c_name, '[<>"'']')) THEN 'invalid business name' END AS err
          FROM customer ORDER BY c_custkey""",
@@ -3898,14 +3923,14 @@ object RelationalQueries {
     s"""g AS (
          SELECT user_id, event_type, ts, event_id,
            CASE WHEN lag(1) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) IS NULL
              OR event_type IS DISTINCT FROM lag(event_type) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id)
+             (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
              THEN 1 ELSE 0 END AS chg
          FROM $src),
        v AS (
          SELECT user_id, event_type, ts,
-           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS UNBOUNDED PRECEDING) AS ver
          FROM g),
        hist AS (
