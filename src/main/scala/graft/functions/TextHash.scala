@@ -175,7 +175,20 @@ object TextHash {
   def simhash(c: Column, bits: Int = 16): Column =
     column(Simhash(expression(c), bits))
 
-  /** One LSH band string: the `seeds` min-hashes joined with '|'. */
-  def minhashBand(c: Column, seeds: Seq[Int]): Column =
-    org.apache.spark.sql.functions.array_join(minhashSignature(c, seeds), "|")
+  /** One LSH band string: the `seeds` min-hashes joined with '|' —
+    * NULL for a token-less document. An empty token set min-hashes to
+    * "" per seed, and a literal "||…" band key would bucket every
+    * token-less doc together and pair them all, while the DuckDB
+    * twins (which build bands from unnested token rows) never
+    * materialize such docs at all. A null key drops the doc at every
+    * consumer (cappedBucketPairs' null-key guard; band equi-joins
+    * never match NULL), in lockstep with the twins; exact-duplicate
+    * detection of empty docs still flows through the content-key
+    * path. */
+  def minhashBand(c: Column, seeds: Seq[Int]): Column = {
+    import org.apache.spark.sql.functions.{array_join, element_at, lit, when}
+    val sig = minhashSignature(c, seeds)
+    when(element_at(sig, 1) === lit(""), lit(null).cast("string"))
+      .otherwise(array_join(sig, "|"))
+  }
 }

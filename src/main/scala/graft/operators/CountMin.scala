@@ -78,6 +78,21 @@ object CountMin {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** As [[sketch]], but over a pre-aggregated (item, weight) histogram
+    * — IDENTICAL output (the per-bucket sum of weights equals the
+    * occurrence count), for callers that already hold the vocab-bounded
+    * histogram and must not re-scan the corpus per sketch. */
+  def sketchWeighted(items: DataFrame, itemCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth=$depth must be >= 1")
+    require(width >= 1, s"width=$width must be >= 1")
+    items
+      .where(col(itemCol).isNotNull)
+      .select(col(weightCol).cast("long").as("__w"),
+        posexplode(rowBuckets(col(itemCol), depth, width)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Inner-product (equi-join size) estimate from two sketches built
     * with the SAME depth/width (Cormode & Muthukrishnan §4.2):
     * |A ⋈ B| = Σ_t fA(t)·fB(t) ≈ min over rows of Σ_bucket cA·cB.

@@ -124,9 +124,6 @@ object TextQueries {
     lit("\nshared footer variant "), (col("doc_id") % 4).cast("string"),
     lit("\ndoc marker "), col("doc_id").cast("string"))
 
-  /** q73's synthetic PII corpus: every doc gains an email, every third
-    * an IPv4, every fifth a phone — all derived from doc_id so the
-    * oracle rebuilds the identical text. */
   /** q127's low-diversity cut, millibits of token entropy per token.
     * 4000 (4 bits/tok) sits inside the corpus's 2.4-4.8 bits/tok range
     * at every SF, so both flag branches are exercised. */
@@ -285,6 +282,9 @@ object TextQueries {
     lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
     (col("doc_id") % 10).cast("string"), lit(" end"))
 
+  /** q73's synthetic PII corpus: every doc gains an email, every third
+    * an IPv4, every fifth a phone — all derived from doc_id so the
+    * oracle rebuilds the identical text. */
   private def piiText = concat(
     col("text"),
     lit(" contact user"), (col("doc_id") % 50).cast("string"),
@@ -902,11 +902,12 @@ object TextQueries {
     // sketch a cost-based optimizer consults BEFORE running an
     // equi-join: |A ⋈ B| = Σ_t fA(t)·fB(t) estimated from the two
     // sides' Count-Min sketches as min_r Σ_w cA[r][w]·cB[r][w]. The
-    // two sides are the doc_id-parity halves' token streams; each
-    // sketch is ONE bounded counting shuffle (q84's build), the
-    // inner product is a (row,bucket) equi-join of two ≤ depth×width
-    // tables — at 100 TB the estimate costs two corpus scans and a
-    // sketch-sized join, never the join itself. The exact Σ fA·fB
+    // two sides are the doc_id-parity halves' token histograms (one
+    // pinned vocab-bounded agg off a SINGLE corpus scan); each sketch
+    // is a weighted (row,bucket) rollup of the histogram, the inner
+    // product a (row,bucket) equi-join of two ≤ depth×width tables —
+    // at 100 TB the estimate costs one corpus scan and sketch-sized
+    // joins, never the join itself. The exact Σ fA·fB
     // (what the estimate predicts) rides two vocab-bounded hash aggs.
     // Guarantees, recomputed by the oracle with identical arithmetic
     // rather than pinned: est >= exact always (collisions only add);
@@ -916,16 +917,23 @@ object TextQueries {
     // ~3e9 tokens per side).
     "q162_cms_joinsize" -> ((s, dir) => {
       import graft.operators.CountMin
-      val toks = docsSpread(s, dir)
+      // ONE corpus scan: the per-side token histogram (vocab-bounded)
+      // is pinned, then BOTH sketches (weighted build — bit-identical
+      // to occurrence-stream sketching) and the exact inner product
+      // ride the histogram. The old shape re-scanned the corpus per
+      // sketch AND per exact agg — four scans for a two-scan claim.
+      val tokCounts = docsSpread(s, dir)
         .select(pmod(col("doc_id"), lit(2)).as("side"),
           explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val a = toks.where(col("side") === 0).select("tok")
-      val b = toks.where(col("side") === 1).select("tok")
-      val skA = CountMin.sketch(a, "tok", CmsDepth, CmsWidth)
-      val skB = CountMin.sketch(b, "tok", CmsDepth, CmsWidth)
+        .groupBy("side", "tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val a = tokCounts.where(col("side") === 0).select("tok", "cnt")
+      val b = tokCounts.where(col("side") === 1).select("tok", "cnt")
+      val skA = CountMin.sketchWeighted(a, "tok", "cnt", CmsDepth, CmsWidth)
+      val skB = CountMin.sketchWeighted(b, "tok", "cnt", CmsDepth, CmsWidth)
       val est = CountMin.joinSizeEstimate(skA, skB, CmsDepth)
-      val exact = a.groupBy("tok").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("tok").agg(count(lit(1)).as("cb")), "tok")
+      val exact = a.select(col("tok"), col("cnt").as("ca"))
+        .join(b.select(col("tok"), col("cnt").as("cb")), "tok")
         .agg(coalesce(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")),
           lit(0).cast("decimal(38,0)")).cast("long").as("exact_join"))
       val totals = skA.where(col("row") === 0).agg(sum("cnt").as("n_a"))
@@ -1289,9 +1297,13 @@ object TextQueries {
     "q124_hard_negatives" -> ((s, dir) => {
       import s.implicits._
       val qs = Bm25Queries.toDF("qid", "qtext")
+      // Q×k rows, referenced three times (pos/hard/pool anti-join) —
+      // pin it (the q153 doubly-referenced rule) so the corpus
+      // tokenize + postings + ranking runs once, not per reference
       val ranked = graft.operators.Retrieval.bm25TopK(
         docsSpread(s, dir), qs, "doc_id", "text", "qid", "qtext",
         k = Bm25K, k1 = Bm25K1, b = Bm25B)
+        .localCheckpoint(true)
       val pos = ranked.where(col("rank") <= HnPos)
         .select(col("qid"), col("doc_id"), lit("pos").as("role"),
           col("rank"))
@@ -3352,8 +3364,13 @@ object TextQueries {
                ELSE len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) END AS toks
            FROM documents),
          sw AS (
+           -- stopword list interpolated from TextAnalysis.DefaultStopwords
+           -- (the engine's source) -- never hand-sync it here
            SELECT doc_id, CAST(count(*) FILTER (WHERE lower(tok) IN
-             ('the','a','an','of','and','to','in','is','it','for')) AS BIGINT) AS hits
+             (""" +
+        graft.operators.TextAnalysis.DefaultStopwords
+          .map(w => s"'$w'").mkString(",") +
+        """)) AS BIGINT) AS hits
            FROM (SELECT doc_id,
                    unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS tok
                  FROM documents) u
@@ -3362,17 +3379,21 @@ object TextQueries {
            """ + sqlQualityMills + """ AS quality_mills,
            coalesce(sw.hits, 0) AS stopword_hits
          FROM m LEFT JOIN sw USING (doc_id) ORDER BY doc_id"""),
-    "q32_lang_id" ->
+    "q32_lang_id" -> {
+      // marker tables interpolated from TextAnalysis.DefaultMarkers
+      // (the engine's source) — never hand-sync them here
+      def markers(l: String) = graft.operators.TextAnalysis
+        .DefaultMarkers(l).map(w => s"'$w'").mkString(",")
       """WITH toks AS (
            SELECT doc_id, lang,
              unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS tok
            FROM documents),
          hits AS (
            SELECT doc_id, lang,
-             CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS h_en,
-             CAST(sum(CASE WHEN tok IN ('el','la','de','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS h_es,
-             CAST(sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS h_de,
-             CAST(sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS BIGINT) AS h_fr
+             CAST(sum(CASE WHEN tok IN (""" + markers("en") + """) THEN 1 ELSE 0 END) AS BIGINT) AS h_en,
+             CAST(sum(CASE WHEN tok IN (""" + markers("es") + """) THEN 1 ELSE 0 END) AS BIGINT) AS h_es,
+             CAST(sum(CASE WHEN tok IN (""" + markers("de") + """) THEN 1 ELSE 0 END) AS BIGINT) AS h_de,
+             CAST(sum(CASE WHEN tok IN (""" + markers("fr") + """) THEN 1 ELSE 0 END) AS BIGINT) AS h_fr
            FROM toks GROUP BY doc_id, lang)
          SELECT doc_id, lang,
            CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
@@ -3380,24 +3401,43 @@ object TextQueries {
                 WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
                 WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
                 ELSE 'de' END AS lang_pred
-         FROM hits ORDER BY doc_id""",
+         FROM hits ORDER BY doc_id"""
+    },
     "q33_simhash" -> {
       val sums = (0 until 8).map(i =>
         s"sum(CASE WHEN ascii(substr(md5(tok), ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
         .mkString(", ")
       val pack = (0 until 8).map(i =>
         s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      // row-preserving like the engine's projection: a token-less doc
+      // simhashes to 0 (all bit sums zero), a NULL text to NULL — the
+      // bare GROUP BY would DROP such docs and row-count-diverge
       s"""WITH toks AS (
            SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
-         bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
-         SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+         bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+         packed AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM bits)
+         SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(p.simhash, 0) END AS simhash
+         FROM documents d LEFT JOIN packed p USING (doc_id)
+         ORDER BY doc_id"""
     },
     "q34_minhash_sig" ->
+      // row-preserving, q33's rule: empty token set min-hashes to ''
+      // per seed (TextHash.minhashKernel), NULL text to NULL
       s"""WITH toks AS (
-           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents)
-         SELECT doc_id, ${sqlMinhash(0)} AS mh0, ${sqlMinhash(1)} AS mh1,
-           ${sqlMinhash(2)} AS mh2, ${sqlMinhash(3)} AS mh3
-         FROM toks GROUP BY doc_id ORDER BY doc_id""",
+           SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
+         m AS (
+           SELECT doc_id, ${sqlMinhash(0)} AS mh0, ${sqlMinhash(1)} AS mh1,
+             ${sqlMinhash(2)} AS mh2, ${sqlMinhash(3)} AS mh3
+           FROM toks GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(m.mh0, '') END AS mh0,
+           CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(m.mh1, '') END AS mh1,
+           CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(m.mh2, '') END AS mh2,
+           CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(m.mh3, '') END AS mh3
+         FROM documents d LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
     "q35_lsh_pairs" ->
       s"""WITH $lshPairsCtes
          SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""",
