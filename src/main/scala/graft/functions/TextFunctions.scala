@@ -81,7 +81,11 @@ object TextFunctions {
     * the pre-migration NULL behavior byte-identical — size(NULL) is
     * conf-dependent, so don't let the migration touch that branch). */
   def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
+    // NULL text counts as 0 tokens, NOT the -1 that size(NULL) yields:
+    // a -1 silently corrupts every running token sum (sequence packing,
+    // mixture budgets), and the DuckDB twin's CASE mirrors the same
+    // null branch — edit both together or neither.
+    when(c.isNull || length(trim(c)) === 0, lit(0L))
       .otherwise(size(tokens(c)).cast("long"))
 
   /** BPE-ish subword count: word-pieces + digits + punctuation runs,

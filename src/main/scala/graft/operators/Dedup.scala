@@ -140,8 +140,11 @@ object Dedup {
     smallPairs.union(starPairs).distinct()
   }
 
-  /** SimHash dedup: docs bucketed by `bits`-bit SimHash; survivors keep
-    * the smallest id per bucket. */
+  /** Appends the `bits`-bit SimHash bucket column (`simhash`). This is
+    * the BUCKETING step only — survivor selection (e.g. min id per
+    * bucket) is the caller's window over the result; `idCol` is kept
+    * in the signature for call-site symmetry with the other dedup
+    * entry points but plays no role here. */
   def simhashBuckets(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame =
     df.withColumn("simhash", TextFunctions.simhash(col(textCol), bits))
@@ -202,8 +205,16 @@ object Dedup {
       bits: Int = 16): DataFrame = {
     // bits must reach the SIGNATURE too: flipping `bits` probe bits on
     // a differently-sized signature silently misses (or mis-ranks)
-    // pairs outside the overlapping bit range
-    val sig = simhashBuckets(df, textCol, idCol, bits)
+    // pairs outside the overlapping bit range.
+    // Token-less docs (empty/whitespace/null text) are EXCLUDED from
+    // pairing — they all simhash to 0 and would otherwise pair O(N²)
+    // with each other (and falsely with any real signature-0 doc); the
+    // minhash family applies the same rule (TextHash.minhashBand nulls
+    // the band key) and exact-dup detection of empty docs rides the
+    // content-key path.
+    val sig = simhashBuckets(
+        df.where(size(TextFunctions.tokens(col(textCol))) > 0),
+        textCol, idCol, bits)
       .select(col(idCol).as("__id"), col("simhash"))
     // probe keys: the signature itself + each single-bit flip
     val probes = sig.select(

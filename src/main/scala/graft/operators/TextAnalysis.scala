@@ -413,12 +413,16 @@ object TextAnalysis {
       "gopher_ok")
     (Seq(idCol) ++ keepColumns).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    val toks = TextFunctions.tokens(col(textCol))
-    val lines = split(col(textCol), "\n")
+    // NULL text normalizes to "" up front: size(split(NULL)) is -1, and
+    // mills(-1, -1) would report a phantom 1000 (100% bullet/ellipsis
+    // lines) for null docs into any per-rule metric rollup
+    val safeText = coalesce(col(textCol), lit(""))
+    val toks = TextFunctions.tokens(safeText)
+    val lines = split(safeText, "\n")
     def mills(num: Column, den: Column): Column =
       when(den === 0, 0L).otherwise(floor(lit(1000) * num / den)).cast("long")
     def occurrences(pat: String): Column =
-      ((length(col(textCol)) - length(regexp_replace(col(textCol),
+      ((length(safeText) - length(regexp_replace(safeText,
         java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
     val nW = col("n_words")
     // keepColumns ride the projection untouched — the streaming gate
@@ -427,7 +431,7 @@ object TextAnalysis {
     df.select((Seq(idCol, textCol) ++ keepColumns).map(col): _*)
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("mean_word_len_mills",
-        mills(length(regexp_replace(col(textCol), "\\s+", "")), nW))
+        mills(length(regexp_replace(safeText, "\\s+", "")), nW))
       .withColumn("symbol_mills",
         mills(occurrences("#") + occurrences("...") + occurrences("…"), nW))
       .withColumn("bullet_mills",
@@ -490,8 +494,11 @@ object TextAnalysis {
     require(!reserved.contains(textCol), s"column '$textCol' is reserved")
     val uniStream = df.select(explode(
       TextFunctions.tokens(col(textCol))).as("__tok"))
+    // pinned vocab histogram; the stream total derives from it (the
+    // skipgramPmi rule — no second corpus-sized scan just for a count)
     val uni = uniStream.groupBy("__tok").agg(count(lit(1)).as("__n"))
-    val n1 = uniStream.agg(count(lit(1)).as("__n1"))
+      .localCheckpoint(true)
+    val n1 = uni.agg(sum(col("__n")).as("__n1"))
     val bi = df
       .select(explode(TextFunctions.wordNGrams(col(textCol), 2)).as("__bi"))
       .groupBy("__bi").agg(count(lit(1)).as("n_pair"))
@@ -559,10 +566,14 @@ object TextAnalysis {
       df.withColumn(out, TextFunctions.log2Mills(col("__q")) - lit(10000L))
     val lmToks = lm.select(explode(
       TextFunctions.tokens(col(textCol))).as("__tok"))
-    val totals = lmToks.agg(count(lit(1)).as("__n"),
-      countDistinct(col("__tok")).as("__v"))
+    // pinned vocab histogram; N and V derive from it (the skipgramPmi
+    // rule — never a second corpus-sized scan just for the totals)
+    val uniHist = lmToks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val totals = uniHist.agg(sum(col("__cnt")).as("__n"),
+      count(lit(1)).as("__v"))
     val costs = withLog2Mills(
-        lmToks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+        uniHist
           .crossJoin(broadcast(totals))
           .withColumn("__q", expr("(1024 * (__n + __v)) div (__cnt + 1)")),
         "__cost")
@@ -626,9 +637,11 @@ object TextAnalysis {
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val lmToks = lm.select(explode(
       TextFunctions.tokens(col(textCol))).as("__tok"))
-    val totals = lmToks.agg(count(lit(1)).as("__n"),
-      countDistinct(col("__tok")).as("__v"))
+    // pinned vocab histogram; N and V derive from it (q95's rule)
     val uniCnt = lmToks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val totals = uniCnt.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
     val biCnt = lm.select(explode(
         TextFunctions.wordNGrams(col(textCol), 2)).as("__bg"))
       .groupBy("__bg").agg(count(lit(1)).as("__c12"))
@@ -747,6 +760,11 @@ object TextAnalysis {
     * Strata absent from `rates` keep `defaultRate`. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    // NULL-id contract (matches the q70 DuckDB twin bit-for-bit): a
+    // NULL id hashes to NULL, NULL < thresh is NULL, and the row is
+    // DROPPED at every rate — including 1.0. Callers sampling a
+    // nullable-id frame must coalesce to a sentinel first; a silent
+    // row loss at "keep 100%" is otherwise invisible.
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
     def thresh(rate: Double) = lit((rate * 4294967296.0).toLong)
@@ -798,11 +816,20 @@ object TextAnalysis {
     val pairStream = df.select(toks.as("__toks"))
       .select(explode(concat((1 to window).map(pairsAt): _*)).as("__pr"))
     val uniStream = df.select(explode(toks).as("__tok"))
+    // one corpus scan per stream: the token and pair HISTOGRAMS are
+    // pinned and every consumer (the w1/w2 joins, the stream totals,
+    // the minCount cut) rides them — the previous shape re-ran the
+    // corpus-sized explode a second time just to count __nt/__np
+    // (the ungrouped agg's exchange is not reusable against the
+    // groupBy exchange)
     val uni = uniStream.groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val pairCounts = pairStream.groupBy("__pr").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
     val totals = broadcast(
-      uniStream.agg(count(lit(1)).as("__nt"))
-        .crossJoin(broadcast(pairStream.agg(count(lit(1)).as("__np")))))
-    pairStream.groupBy("__pr").agg(count(lit(1)).as("n_pair"))
+      uni.agg(sum(col("__n")).as("__nt"))
+        .crossJoin(broadcast(pairCounts.agg(sum(col("n_pair")).as("__np")))))
+    pairCounts
       .where(col("n_pair") >= minCount)
       .select(substring_index(col("__pr"), " ", 1).as("w1"),
         substring_index(col("__pr"), " ", -1).as("w2"), col("n_pair"))
@@ -860,8 +887,12 @@ object TextAnalysis {
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    // coalesce: a NULL-text doc behaves exactly like an empty-text doc
+    // (one blank line, kept) — posexplode(NULL) would drop it from the
+    // line side entirely while the final projection still emits it
     val lines = df.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("line_no", "line")))
       .withColumn("lk", md5(trim(col("line"))))
     val freq = lines.where(trim(col("line")) =!= "")
       .groupBy("lk").agg(countDistinct(col("__id")).as("ndocs"))
@@ -875,9 +906,12 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           s => s.getField("line")),
         "\n").as("clean_text"))
-    // docs whose every line was boilerplate still come back (empty text)
+    // docs whose every line was boilerplate still come back (empty
+    // text); coalesce matches the line side — size(split(NULL)) would
+    // report n_lines = -1 for a NULL-text doc
     df.select(col(idCol).as("__id"),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+        size(split(coalesce(col(textCol), lit("")), "\n"))
+          .cast("long").as("n_lines"))
       .join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -1307,9 +1341,13 @@ object TextAnalysis {
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
     val lines = split(coalesce(col(textCol), lit("")), "\n")
+    // empty-dropping word count (the tokens() migration rule): a raw
+    // \s+ split keeps a trailing "" on CRLF / tab-padded lines (trim
+    // strips spaces only), counting a phantom word against minWords —
+    // the q135 twin filters empties identically, in lockstep
     val keptArr = filter(lines, l =>
       rtrim(l).rlike("[.!?]\"?$") &&
-        size(split(trim(l), "\\s+")) >= minWords &&
+        size(filter(split(trim(l), "\\s+"), t => t =!= "")) >= minWords &&
         !lower(l).contains("javascript"))
     df.withColumn("__lines", lines)
       .withColumn("__kept", keptArr)

@@ -1895,7 +1895,7 @@ object TextQueries {
   /** DuckDB twin of `TextFunctions.tokenCount` — shared wherever an
     * oracle needs the whitespace token count (q30, q69). */
   private[graft] val sqlTokenCount =
-    """CASE WHEN length(trim(text)) = 0 THEN 0
+    """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
        ELSE len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), t -> t <> '')) END"""
 
   /** q79's full DuckDB twin, factored to a val so q117's hybrid-RRF
@@ -2124,16 +2124,16 @@ object TextQueries {
     "q135_c4_filters" ->
       // same construction (c4TextSql interpolates the shared lists),
       // same line lambda (terminal punct incl. optional closing quote,
-      // word count over a \s+ split of the trimmed line, no
-      // 'javascript'), same sentence proxy (terminal marks in the
-      // retained text, 'g'-flagged replace), same page verdict
+      // EMPTY-DROPPING word count over a \s+ split of the trimmed
+      // line, no 'javascript'), same sentence proxy (terminal marks in
+      // the retained text, 'g'-flagged replace), same page verdict
       s"""WITH base AS (SELECT doc_id, $c4TextSql AS t FROM documents),
          f AS (
            SELECT doc_id, t, string_split(t, chr(10)) AS ls,
              list_filter(string_split(t, chr(10)), l ->
                regexp_matches(rtrim(l), '[.!?]"?$$')
-               AND len(regexp_split_to_array(trim(l), '\\s+'))
-                 >= ${TextAnalysis.C4MinWords}
+               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                 w -> w <> '')) >= ${TextAnalysis.C4MinWords}
                AND NOT contains(lower(l), 'javascript')) AS ks
            FROM base),
          k AS (
