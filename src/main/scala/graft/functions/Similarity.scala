@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fuzzy string-similarity kernels.
@@ -126,9 +127,18 @@ object Similarity {
 
   // ---------------------------------------------- Catalyst expressions
 
-  abstract class SimilarityExpression extends BinaryExpression {
+  abstract class SimilarityExpression extends BinaryExpression
+      with ExpectsInputTypes {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    // string-typed contract at ANALYSIS time: without it a non-string
+    // argument from the SQL surface passes analysis and dies later in
+    // codegen (int where UTF8String expected); with it Spark coerces
+    // castables and rejects the rest with a clean AnalysisException,
+    // like the builtins
+    // (return type inferred: AbstractDataType is private[sql], so it
+    // cannot be named here — the override pins it structurally)
+    override def inputTypes = Seq(StringType, StringType)
     /** FQN of the static kernel: graft.functions.Similarity.<name>U. */
     protected def kernel: String
     protected def score(a: String, b: String): Double
@@ -194,11 +204,19 @@ object Similarity {
   /** Register the similarity family for SQL usage. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // arity-checked builder: es.head/es(1) on a 1-arg call would be an
+    // IndexOutOfBoundsException instead of a function-signature error
+    def binary(name: String, mk: (Expression, Expression) => Expression)
+        (es: Seq[Expression]): Expression = {
+      if (es.size != 2) throw new IllegalArgumentException(
+        s"$name expects 2 arguments, got ${es.size}")
+      mk(es.head, es(1))
+    }
     reg.createOrReplaceTempFunction(
-      "token_set_ratio", es => TokenSetRatio(es.head, es(1)), "built-in")
+      "token_set_ratio", binary("token_set_ratio", TokenSetRatio.apply), "built-in")
     reg.createOrReplaceTempFunction(
-      "partial_ratio", es => PartialRatio(es.head, es(1)), "built-in")
+      "partial_ratio", binary("partial_ratio", PartialRatio.apply), "built-in")
     reg.createOrReplaceTempFunction(
-      "indel_ratio", es => IndelRatio(es.head, es(1)), "built-in")
+      "indel_ratio", binary("indel_ratio", IndelRatio.apply), "built-in")
   }
 }

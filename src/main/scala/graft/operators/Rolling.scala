@@ -44,6 +44,14 @@ object Rolling {
     spansUs.foreach { case (n, s) =>
       require(s > 0, s"span '$n' must be positive, got $s")
     }
+    // collision guards, the trailingZFlags discipline: duplicate span
+    // names (or input columns named like outputs) would be silently
+    // overwritten by withColumn
+    require(spansUs.map(_._1).distinct.size == spansUs.size,
+      "span names must be distinct")
+    val outNames = spansUs.flatMap { case (n, _) => Seq(s"n_$n", s"sum_$n") }
+    events.columns.foreach(c =>
+      require(!outNames.contains(c), s"input column '$c' collides with an output"))
     val ordered = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     spansUs.foldLeft(events) { case (df, (name, span)) =>
       val w = ordered.rangeBetween(-span, 0L)
@@ -95,10 +103,20 @@ object Rolling {
     val sD = col("win_sum").cast("decimal(38,0)")
     val dev = nD * vD - sD
     out
+      // coalesce(·, false): the flag must be a DEFINITE boolean. A NULL
+      // valueCol row (dev = NULL), or a value so large the DECIMAL(38,0)
+      // products overflow to NULL under non-ANSI arithmetic (|x| past
+      // ~1e17 with lookback-scale sums), would otherwise make the row
+      // vanish from BOTH where(anomalous) and where(!anomalous). Such
+      // rows read "not anomalous" — the envelope where the exact test
+      // is computable is |x| ≲ 1e17 at zMills ≤ ~10⁴, far past any
+      // mills/cents-scaled metric this operator targets.
       .withColumn("anomalous",
-        col("win_n") >= minPoints &&
-          dev * dev * lit(1000000L) >
-            lit(zMills) * lit(zMills) * (nD * col("__q") - sD * sD))
+        coalesce(
+          col("win_n") >= minPoints &&
+            dev * dev * lit(1000000L) >
+              lit(zMills) * lit(zMills) * (nD * col("__q") - sD * sD),
+          lit(false)))
       .drop("__q")
   }
 }

@@ -2841,16 +2841,21 @@ object TextQueries {
          c1 AS (SELECT doc_id,
                   regexp_replace(lower(trim(url)), '#.*', '', 'g') AS u
                 FROM u),
-         c2 AS (SELECT doc_id, regexp_replace(u,
+         -- query-scoped tracking removal, the engine's split/clean/
+         -- reassemble shape: '&' is legal in path segments
+         c2 AS (SELECT doc_id,
+                  regexp_extract(u, '^[^?]*') AS b,
+                  regexp_extract(u, '^[^?]*\\?(.*)$$', 1) AS q
+                FROM c1),
+         c3 AS (SELECT doc_id, b, regexp_replace(q,
                   '&${graft.functions.UrlNorm.TrackingParams}=[^&]*', '', 'g')
-                  AS u FROM c1),
-         c3 AS (SELECT doc_id, regexp_replace(u,
-                  '\\?${graft.functions.UrlNorm.TrackingParams}=[^&]*&', '?',
-                  'g') AS u FROM c2),
-         c4 AS (SELECT doc_id, regexp_replace(u,
-                  '\\?${graft.functions.UrlNorm.TrackingParams}=[^&]*$$', '',
-                  'g') AS u FROM c3),
-         c5 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '', 'g') AS u
+                  AS q FROM c2),
+         c4 AS (SELECT doc_id, b, regexp_replace(q,
+                  '^${graft.functions.UrlNorm.TrackingParams}=[^&]*&?', '',
+                  'g') AS q FROM c3),
+         c5 AS (SELECT doc_id, regexp_replace(
+                  CASE WHEN q = '' THEN b ELSE b || '?' || q END,
+                  '[?&]+$$', '', 'g') AS u
                 FROM c4),
          c6 AS (SELECT doc_id, regexp_replace(u,
                   '^([a-z0-9+.-]+)://www\\.', '\\1://', 'g') AS u

@@ -160,6 +160,15 @@ object Incremental {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (shard, it, state: GroupState[HhState]) =>
           val prev = state.getOption.getOrElse(HhState(Map.empty, 0L, 0L))
+          // STATE-COMPAT, like the shard-count note above: `counters`
+          // must be >= the value the checkpoint was written with — a
+          // restored summary larger than the new capacity cannot be
+          // seeded (fail HERE with the knob named, not per-batch with
+          // SpaceSaving's opaque full-summary require)
+          require(prev.counts.size <= counters,
+            s"checkpoint summary holds ${prev.counts.size} entries but " +
+              s"counters=$counters — restart with counters >= the " +
+              "checkpointed value, or a fresh checkpoint")
           val ss = new graft.operators.HeavyHitters.SpaceSaving(counters)
           prev.counts.foreach { case (t, c) => ss.seed(t, c) }
           ss.restoreSeen(prev.n)
@@ -303,9 +312,14 @@ object Incremental {
         case (uid, it, state: GroupState[(Long, Long)]) =>
           val evs = it.toSeq.sortBy(_.ts.getTime)
           var (n, lastMs) = state.getOption.getOrElse((0L, 0L))
+          // the anchor is EXPLICIT, not a lastMs==0 sentinel: an event
+          // at (or before) the epoch has getTime <= 0, and a sentinel
+          // would skip the gap check after it — silently merging two
+          // sessions that should have closed
+          var hasAnchor = state.exists
           val closed = Seq.newBuilder[SessionUpdate]
           evs.foreach { e =>
-            if (lastMs != 0L && e.ts.getTime - lastMs > gapSeconds * 1000) {
+            if (hasAnchor && e.ts.getTime - lastMs > gapSeconds * 1000) {
               closed += SessionUpdate(uid, n, closed = true)
               n = 0L
             }
@@ -314,7 +328,9 @@ object Incremental {
             // earlier micro-batch merges into the session but must not
             // pull the gap anchor (and the armed timeout) backwards —
             // that would split and close genuine sessions early
-            lastMs = math.max(lastMs, e.ts.getTime)
+            lastMs = if (hasAnchor) math.max(lastMs, e.ts.getTime)
+                     else e.ts.getTime
+            hasAnchor = true
           }
           state.update((n, lastMs))
           // the timeout must sit strictly above the current watermark —
@@ -447,11 +463,28 @@ object Incremental {
         // join re-executes the static side EVERY micro-batch — a
         // 10-batch drain would otherwise rescan (and re-hash) the whole
         // corpus 30 times for identical results
+        // Each corpus band BUCKET is capped (batch-side window — legal
+        // here, the static side is a plain DataFrame): a degenerate
+        // bucket of N near-identical corpus docs would otherwise fan
+        // every colliding stream doc out to N verifications per
+        // micro-batch with no bound — the stream-side cannot apply
+        // classifyAgainst's per-doc candidate cap (no windows/groupBy
+        // before flatMapGroupsWithState). The cap trades recall in
+        // pathological buckets exactly as classifyAgainst's
+        // maxCandidates does; 1024 is far above any honest bucket.
+        // (A pair colliding on BOTH bands is still verified twice —
+        // bounded ×2, accepted.)
+        val bucketCap = 1024
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("__bno", "__bsig").orderBy("__cid")
         val cBands = corpus.select(col("doc_id").as("__cid"),
           posexplode(array((0 until bands).map { b =>
             TextFunctions.minhashBand(
               col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
           }: _*)).as(Seq("__bno", "__bsig")))
+          .withColumn("__rn", row_number().over(wBucket))
+          .where(col("__rn") <= bucketCap)
+          .drop("__rn")
           .persist()
         corpusIndexPins += cBands
         val cToks = corpus.select(col("doc_id").as("__cid"),
