@@ -1208,17 +1208,26 @@ object SparkEntry {
     def specials(x: String) =
       s"(length($x) - length(regexp_replace($x, " +
         s"'${SpecialCharClass.replace("$", "\\$")}', '', 'g')))"
-    def words(x: String) = s"len(string_split_regex(trim($x), '\\s+'))"
+    // empty-dropping, the twin of applyPenalties' wordsOf (Python
+    // .split() semantics — no phantom "" on tab/newline-edged names)
+    def words(x: String) =
+      s"len(list_filter(string_split_regex(trim($x), '\\s+'), w -> w <> ''))"
     s"""WITH items AS ($itemsSql),
        dict AS (
          SELECT p_name AS title, 'EXT-' || CAST(min(p_partkey) AS VARCHAR) AS ext_id
          FROM part WHERE p_partkey % 2 = 0 GROUP BY p_name),
        exact_dict AS (
-         SELECT lower(trim(title)) AS k, min(ext_id) AS exact_ext_id
+         -- whitespace-trimmed key, the twin of exactMatch's
+         -- Normalize.WsTrimRe regex (trim() strips spaces only)
+         SELECT lower(regexp_replace(title,
+           '${graft.functions.Normalize.WsTrimRe}', '', 'g')) AS k,
+           min(ext_id) AS exact_ext_id
          FROM dict GROUP BY 1),
        exact AS (
          SELECT i.item_id, i.item_name, e.exact_ext_id
-         FROM items i LEFT JOIN exact_dict e ON lower(trim(i.item_name)) = e.k),
+         FROM items i LEFT JOIN exact_dict e
+           ON lower(regexp_replace(i.item_name,
+             '${graft.functions.Normalize.WsTrimRe}', '', 'g')) = e.k),
        hits AS (
          SELECT item_id, item_name, exact_ext_id AS ext_id, 100.0 AS score,
            'resolved' AS decision, CAST(NULL AS VARCHAR) AS alt_digest

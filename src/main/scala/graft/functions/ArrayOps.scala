@@ -25,10 +25,18 @@ object ArrayOps {
     val la = a.numElements(); val lb = b.numElements()
     while (i < la && j < lb) {
       val x = a.getUTF8String(i); val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      // null ELEMENTS (sort_array puts them first): a null in both
+      // counts once — the same treatment array_intersect gives a null
+      // member — instead of NPE-ing in x.compareTo
+      if (x == null && y == null) { n += 1; i += 1; j += 1 }
+      else if (x == null) i += 1
+      else if (y == null) j += 1
+      else {
+        val c = x.compareTo(y)
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }

@@ -24,10 +24,17 @@ object Normalize {
   /** Tokens the reference treats as "empty" regardless of case. */
   val NullTokens: Seq[String] = Seq("", "null", "none", "n/a", "na", "nan")
 
+  /** WHITESPACE trim (the reference's Python strip()): Spark/DuckDB
+    * trim() strips ASCII spaces ONLY, so a CSV artifact like
+    * "NULL\r\n" would survive normalization as a real value. Shared
+    * by [[normEmpty]] and its DuckDB twins (same regex, 'g' flag). */
+  val WsTrimRe = "^\\s+|\\s+$"
+  private def wsTrim(c: Column): Column = regexp_replace(c, WsTrimRe, "")
+
   /** P1 — normalize empty-ish tokens to real NULL, trimming the rest. */
   def normEmpty(c: Column): Column =
-    when(c.isNull || lower(trim(c)).isin(NullTokens: _*), lit(null))
-      .otherwise(trim(c))
+    when(c.isNull || lower(wsTrim(c)).isin(NullTokens: _*), lit(null))
+      .otherwise(wsTrim(c))
 
   /** P5 — strip HTML tags, then escape the residual special characters.
     * Ordered like the reference: tags first, then entity escapes. */

@@ -125,7 +125,10 @@ object TextFunctions {
 
   /** One SimHash bit-weight: +1/-1 by parity of the ascii code of the
     * (pos+1)-th hex char of each token's md5, summed over tokens. The
-    * signed sum's sign is bit `pos` of the document SimHash. */
+    * signed sum's sign is bit `pos` of the document SimHash ONLY when
+    * `toks` is the DISTINCT token set (TextHash.simhashKernel sums over
+    * distinct tokens) — summing tokens-with-multiplicity weights
+    * repeated tokens and can flip bits relative to `simhash(c)`. */
   def simhashBitWeight(toks: Column, pos: Int): Column =
     aggregate(
       transform(toks, t =>
@@ -142,12 +145,16 @@ object TextFunctions {
     * penalizes very short text and low alphabetic ratio. Deterministic
     * integer arithmetic only. */
   def qualityScoreMills(text: Column): Column = {
-    val len      = length(text)
-    val alpha    = length(regexp_replace(text, "[^A-Za-z]", ""))
+    // long lanes: length() is IntegerType and alpha * 1000 wraps int32
+    // past ~2.1M alphabetic chars (a few-MB crawl doc) — the DuckDB
+    // twin computes in BIGINT, so an int lane here would silently
+    // break parity exactly on large documents
+    val len      = length(text).cast("long")
+    val alpha    = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
     val toksN    = tokenCount(text)
-    val lenScore = least(len, lit(400)) * 1000 / lit(400) // 0..1000
-    val alphaScore = when(len > 0, alpha * 1000 / len).otherwise(lit(0))
-    val tokScore = least(toksN, lit(50)) * 1000 / lit(50)
+    val lenScore = least(len, lit(400L)) * 1000L / lit(400L) // 0..1000
+    val alphaScore = when(len > 0, alpha * 1000L / len).otherwise(lit(0L))
+    val tokScore = least(toksN, lit(50L)) * 1000L / lit(50L)
     floor((lenScore + alphaScore + tokScore) / 3).cast("long")
   }
 

@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** The reference's three decision constants (`app/etl.py:40-42`).
+    * NB `fuzzyFloor` mirrors FUZZY_MATCH_THRESHOLD for config-surface
+    * fidelity but — exactly like the reference's own flow — nothing in
+    * [[resolve]] gates on it: candidate rescue keys off `autoResolve`
+    * and banding off `autoResolve`/`autoReject`. Tuning it changes
+    * nothing; it is carried, not consulted. */
   case class Thresholds(
       autoResolve: Double = 97.0,
       autoReject: Double = 50.0,
@@ -41,14 +47,21 @@ object EntityResolution {
       itemCol: String = "item_name",
       titleCol: String = "title",
       idCol: String = "ext_id"): DataFrame = {
+    // WHITESPACE-trimmed key (Normalize.WsTrimRe — the reference's
+    // Python strip()): plain trim() strips spaces only, so a
+    // newline/tab-edged submission name would miss the exact phase
+    // the reference resolves at 100. The oracle twins' exact_dict CTE
+    // trims with the same regex in lockstep.
+    def key(c: org.apache.spark.sql.Column) =
+      lower(regexp_replace(c, graft.functions.Normalize.WsTrimRe, ""))
     val d = dict.select(
-      lower(trim(col(titleCol))).as("__dict_key"),
+      key(col(titleCol)).as("__dict_key"),
       col(idCol).as("exact_ext_id"))
       // a dictionary may legitimately carry duplicate titles; resolution
       // is deterministic: keep the smallest id per title.
       .groupBy("__dict_key").agg(min(col("exact_ext_id")).as("exact_ext_id"))
     items
-      .join(broadcast(d), lower(trim(col(itemCol))) === col("__dict_key"), "left")
+      .join(broadcast(d), key(col(itemCol)) === col("__dict_key"), "left")
       .drop("__dict_key")
   }
 
@@ -106,7 +119,13 @@ object EntityResolution {
     val d = dict.select(col(titleCol).as("cand_title"), col(idCol).as("cand_ext_id"))
     def rawScored(pairs: DataFrame) = pairs.withColumn("raw_score",
       Similarity.token_set_ratio(col(itemCol), col("cand_title")))
-    if (!blocked) rawScored(misses.crossJoin(broadcast(d)))
+    if (!blocked)
+      // same key-dedupe as the blocked path: a dict with duplicate
+      // (title, ext_id) rows would otherwise emit duplicate candidate
+      // pairs that waste topK slots and duplicate alternatives — and
+      // make blocked/unblocked outputs disagree on the same input
+      rawScored(misses.crossJoin(broadcast(d))
+        .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id")))
     else {
       val itemTok = misses.withColumn(
         "__tok", explode(array_distinct(split(lower(trim(col(itemCol))), "[^a-z0-9]+"))))
@@ -114,8 +133,12 @@ object EntityResolution {
       val dictTok = d.withColumn(
         "__tok", explode(array_distinct(split(lower(trim(col("cand_title"))), "[^a-z0-9]+"))))
         .where(length(col("__tok")) > 1)
+      // eager pin: tokenPairs feeds BOTH the rescue-set derivation and
+      // the final union — without it the token_set_ratio kernel (the
+      // dominant fuzzy-phase cost) runs twice over every blocked pair
       val tokenPairs = rawScored(itemTok.join(dictTok, "__tok").drop("__tok")
         .dropDuplicates(misses.columns ++ Seq("cand_title", "cand_ext_id")))
+        .localCheckpoint(true)
       // phase 2 — rescue set: misses with no token-blocked candidate at
       // or above the accept floor (subsumes names with zero candidates).
       val strongNames = tokenPairs.where(col("raw_score") >= rescueFloor)
@@ -162,8 +185,14 @@ object EntityResolution {
     val lenA = length(a); val lenB = length(b)
     val maxLen = greatest(lenA, lenB, lit(1))
     val lenPenalty = abs(lenA - lenB) * LenPenaltyWeight / maxLen
-    val wordsA = size(split(trim(a), "\\s+")); val wordsB = size(split(trim(b), "\\s+"))
-    val wordPenalty = least(abs(wordsA - wordsB) * WordPenaltyWeight,
+    // EMPTY-DROPPING word count (Python .split() semantics, the
+    // reference's len(x.split()); also the repo's tokens() rule): a raw
+    // \s+ split keeps a phantom "" on names edged with tabs/newlines
+    // (trim strips spaces only) and would charge a spurious word
+    // penalty. The oracle twins' words() filters empties in lockstep.
+    def wordsOf(c: org.apache.spark.sql.Column) =
+      size(filter(split(trim(c), "\\s+"), t => t =!= ""))
+    val wordPenalty = least(abs(wordsOf(a) - wordsOf(b)) * WordPenaltyWeight,
       lit(WordPenaltyCap))
     val dietA = dietaryTerms.map(t => lower(a).contains(t)).reduce(_ || _)
     val dietB = dietaryTerms.map(t => lower(b).contains(t)).reduce(_ || _)

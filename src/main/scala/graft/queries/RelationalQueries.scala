@@ -2366,13 +2366,22 @@ object RelationalQueries {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2)"""
 
+  /** DuckDB twin of Normalize.wsTrim — whitespace trim, the
+    * reference's Python strip() (plain trim() strips spaces only). */
+  private def wst(c: String) =
+    s"regexp_replace($c, '${graft.functions.Normalize.WsTrimRe}', '', 'g')"
+
+  /** The NullTokens list interpolated from the engine's source. */
+  private val nullTokensSql =
+    graft.functions.Normalize.NullTokens.map(t => s"'$t'").mkString(",")
+
   /** DuckDB twin of one q133 profile row (the q02 normEmpty blank-ish
     * rule inlined). */
   private def profileSql(c: String): String =
     s"""SELECT '$c' AS col_name, count(*) AS n_rows,
         CAST(count(*) - count($c) AS BIGINT) AS n_null,
-        CAST(count(*) FILTER ($c IS NULL OR lower(trim($c)) IN
-          ('', 'null', 'none', 'n/a', 'na', 'nan')) AS BIGINT) AS n_blankish,
+        CAST(count(*) FILTER ($c IS NULL OR lower(${wst(c)}) IN
+          ($nullTokensSql)) AS BIGINT) AS n_blankish,
         count(DISTINCT $c) AS n_distinct,
         min(length($c)) AS min_len, max(length($c)) AS max_len,
         CAST(sum(length($c)) AS BIGINT) AS len_sum,
@@ -3260,11 +3269,13 @@ object RelationalQueries {
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_null_normalize" ->
-      """SELECT doc_id,
-         CASE WHEN source IS NULL OR lower(trim(source)) IN ('','null','none','n/a','na','nan')
-              THEN NULL ELSE trim(source) END AS norm_source,
-         (CASE WHEN text IS NULL OR lower(trim(text)) IN ('','null','none','n/a','na','nan')
-              THEN NULL ELSE trim(text) END) IS NOT NULL AS valid
+      // whitespace trim + NullTokens interpolated from Normalize (the
+      // engine's source — lockstep with normEmpty's wsTrim)
+      s"""SELECT doc_id,
+         CASE WHEN source IS NULL OR lower(${wst("source")}) IN ($nullTokensSql)
+              THEN NULL ELSE ${wst("source")} END AS norm_source,
+         (CASE WHEN text IS NULL OR lower(${wst("text")}) IN ($nullTokensSql)
+              THEN NULL ELSE ${wst("text")} END) IS NOT NULL AS valid
          FROM documents ORDER BY doc_id""",
     "q03_validate_rows" ->
       """SELECT c_custkey,
