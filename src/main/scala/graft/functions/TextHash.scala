@@ -97,6 +97,12 @@ object TextHash {
 
   case class MinhashSignature(child: Expression, seeds: Seq[Int])
       extends UnaryExpression {
+    // empty seeds would make every band the identical "" (the
+    // element_at(sig, 1) null-band guard falls through on an empty
+    // array) and bucket the ENTIRE corpus into one LSH band — the
+    // classic rowsPerBand = 0 integer-division mistake; fail at PLAN
+    // time like Simhash's bits check
+    require(seeds.nonEmpty, "minhash signature needs at least one seed")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable
     private lazy val seedArr = seeds.toArray

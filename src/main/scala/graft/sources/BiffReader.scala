@@ -392,7 +392,11 @@ object BiffReader {
 
     require(grid.nonEmpty, "empty worksheet")
     // same strings-DataFrame contract as readXlsx — enforced by being
-    // the SAME assembly function
-    ExcelReader.gridToDataFrame(spark, grid.toSeq.sortBy(_._1).map(_._2))
+    // the SAME assembly function. Densified like the xlsx reader: BIFF
+    // emits no records for blank rows, and a positional assembly would
+    // promote the first data row to header when row 0 is blank.
+    val maxRow = grid.keys.max
+    ExcelReader.gridToDataFrame(spark, (0 to maxRow).map(r =>
+      grid.getOrElse(r, mutable.LinkedHashMap.empty[Int, String])))
   }
 }

@@ -55,9 +55,16 @@ object ExcelReader {
       .map(_.getTextContent).mkString
   }
 
-  /** Column letters of an A1-style ref → 0-based index. */
-  private[sources] def colIndex(ref: String): Int =
-    ref.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+  /** Column letters of an A1-style ref → 0-based index. Letters are
+    * case-normalized (openpyxl's coordinate regex accepts [A-Za-z] and
+    * uppercases — a lowercase 'a1' must be column 0, not 32), and a
+    * letterless ref is a typed corrupt-workbook rejection rather than
+    * a silent -1 that would drop the cell. */
+  private[sources] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    require(letters.nonEmpty, s"malformed cell reference '$ref'")
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
+  }
 
   /** ECMA-376 builtin numFmtIds that render dates/times (14-22 core
     * date/time, 45-47 elapsed-time). Shared with the BIFF (.xls) reader
@@ -80,8 +87,14 @@ object ExcelReader {
   private def dateStyleIds(zf: ZipFile): Set[Int] =
     Option(zf.getEntry("xl/styles.xml")).map { e =>
       val doc = parseXml(zf.getInputStream(e))
+      // TOP-LEVEL <numFmts> children only, like openpyxl: a
+      // conditional-format <dxf><numFmt> reuses the same numFmtId
+      // space and would otherwise misclassify a plain numeric style
+      // as a date for every cell referencing the top-level id
       val customDate: Set[Int] = elements(doc, "numFmt").collect {
-        case el if isDateFormatCode(el.getAttribute("formatCode")) =>
+        case el if el.getParentNode != null &&
+            el.getParentNode.getLocalName == "numFmts" &&
+            isDateFormatCode(el.getAttribute("formatCode")) =>
           el.getAttribute("numFmtId").toInt
       }.toSet
       // cellXfs xf list, in order: the cell `s` attribute indexes it
@@ -199,7 +212,17 @@ object ExcelReader {
           s"$sheetPart not found — not a valid workbook"))
       val dateStyles = dateStyleIds(zf)
       val doc = parseXml(zf.getInputStream(sheetEntry))
-      elements(doc, "row").map { rowEl =>
+      // honor the 1-based row `r` attribute: Excel omits blank rows
+      // from the sheet XML entirely, so positional parsing would
+      // promote the first DATA row to header when row 1 is blank, and
+      // interior blank rows would vanish (openpyxl pads them). Rows
+      // carrying no r fall sequentially after the previous row.
+      var nextRow = 0 // 0-based position the next r-less row takes
+      val sparse = elements(doc, "row").map { rowEl =>
+        val rAttr = rowEl.getAttribute("r")
+        val rowIdx =
+          if (rAttr.nonEmpty) rAttr.toInt - 1 else nextRow
+        nextRow = rowIdx + 1
         val cells = rowEl.getElementsByTagNameNS("*", "c")
         val m = mutable.LinkedHashMap[Int, String]()
         var fallbackCol = 0
@@ -243,8 +266,13 @@ object ExcelReader {
             }
           m(idx) = value
         }
-        m
+        (rowIdx, m)
       }
+      // densify: pad omitted rows with empty maps up to the max index
+      val maxRow = if (sparse.isEmpty) -1 else sparse.map(_._1).max
+      val byIdx = sparse.toMap
+      (0 to maxRow).map(i =>
+        byIdx.getOrElse(i, mutable.LinkedHashMap.empty[Int, String]))
     } finally zf.close()
   }
 

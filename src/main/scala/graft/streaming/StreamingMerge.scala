@@ -28,6 +28,16 @@ object StreamingMerge {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** `targetDir` with trailing slashes stripped: `"/tgt/" + "__staging"`
+    * would nest the staging INSIDE the live target, and the first swap
+    * would then try to rename the target into its own descendant
+    * (deterministic failure with a misleading message). */
+  private def normDir(d: String): String = {
+    val n = d.replaceAll("/+$", "")
+    require(n.nonEmpty, s"targetDir '$d' normalizes to empty")
+    n
+  }
+
   /** Crash-safe staged swap: parquet has no transaction, so the swap
     * keeps the invariant that at EVERY instant at least one of
     * `targetDir` / `targetDir + "__old"` holds a complete state, and
@@ -46,9 +56,18 @@ object StreamingMerge {
     * which relabels that batch's freshly inserted keys "updated" on
     * such a replay (the key now exists in the re-read state) — the
     * label is honest about what the replayed apply saw, and the
-    * key/seq/payload columns are unchanged. */
+    * key/seq/payload columns are unchanged.
+    *
+    * FILESYSTEM contract: the invariant rests on directory rename
+    * being ATOMIC — true on HDFS and POSIX-like filesystems. On an
+    * object store (s3a), rename is a per-object copy+delete, so a
+    * crash mid-"rename" can leave BOTH prefixes partial; point
+    * targetDir at a rename-atomic FS (or swap this body for a table
+    * format's transactional MERGE) when running against object
+    * storage. */
   private def swapIn(
-      spark: SparkSession, staging: String, targetDir: String): Unit = {
+      spark: SparkSession, staging: String, targetDir0: String): Unit = {
+    val targetDir = normDir(targetDir0)
     val fs = fsOf(spark, targetDir)
     val tgt = new org.apache.hadoop.fs.Path(targetDir)
     val aside = new org.apache.hadoop.fs.Path(targetDir + "__old")
@@ -78,8 +97,9 @@ object StreamingMerge {
     * failure of an EXISTING target propagates and fails the batch
     * instead of silently resetting state to the bootstrap snapshot. */
   private def readState(
-      spark: SparkSession, targetDir: String)(
+      spark: SparkSession, targetDir0: String)(
       fallback: => DataFrame): DataFrame = {
+    val targetDir = normDir(targetDir0)
     val fs = fsOf(spark, targetDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(targetDir)))
       spark.read.parquet(targetDir)
@@ -121,7 +141,7 @@ object StreamingMerge {
           .drop("action")
         // staged write + crash-safe swap (see swapIn) — a table format
         // would make this a single MERGE INTO commit.
-        val staging = targetDir + "__staging"
+        val staging = normDir(targetDir) + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         swapIn(spark, staging, targetDir)
       }
@@ -172,7 +192,7 @@ object StreamingMerge {
           readState(spark, targetDir)(spark.read.parquet(snapshotDir))
             .drop("cdc_src", "last_seq")
         val merged = Merge.applyCdc(state, batch, key, seqCol, opCol)
-        val staging = targetDir + "__staging"
+        val staging = normDir(targetDir) + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         swapIn(spark, staging, targetDir)
       }

@@ -70,8 +70,14 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
             # pd.read_parquet and duckdb .df() — without ndarray here the
             # tuple conversion never fires and sort_values raises
             # "truth value of an array is ambiguous"
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+            # DEEP conversion: a list<list<...>> column holds inner
+            # ndarrays too, and a shallow tuple() would leave them to
+            # blow up sort_values with the same ambiguous-truth error
+            def to_tuple(v):
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(to_tuple(x) for x in v)
+                return v
+            df[c] = df[c].map(to_tuple)
         # normalize ints/floats: int-like floats -> int64. Gate at 2**53
         # (float64's exact-integer ceiling), NOT higher: above it the
         # float path is already lossy, so casting would compare rounded
@@ -144,7 +150,12 @@ def main():
         except AssertionError as e:
             msg = str(e).splitlines()
             print(f"FAIL {name}: values differ: {' | '.join(msg[:3])}")
-            neq = (spark_df.fillna("<NA>") != duck_df.fillna("<NA>")).any(axis=1)
+            # object-cast before fillna: norm_df coerces int-like floats
+            # to nullable Int64, and Int64.fillna("<NA>") raises
+            # TypeError on pandas 2.x — that crash would abort every
+            # remaining comparison mid-loop
+            neq = (spark_df.astype(object).fillna("<NA>")
+                   != duck_df.astype(object).fillna("<NA>")).any(axis=1)
             bad = neq[neq].index[:3]
             for i in bad:
                 print(f"    spark: {spark_df.loc[i].to_dict()}")
