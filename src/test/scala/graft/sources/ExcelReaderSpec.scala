@@ -231,4 +231,36 @@ class ExcelReaderSpec extends AnyFunSuite {
     val e = intercept[Exception](ExcelReader.readXlsx(spark, path, sheet = 3))
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
+
+  test("S2: omitted blank rows are densified; lowercase refs map correctly") {
+    // Excel drops blank rows from the sheet XML entirely: row 1 (the
+    // header) is absent here, and row 3 is an interior gap — the grid
+    // must pad both (openpyxl parity), NOT promote row 2 to header.
+    // The 'b4' ref is lowercase (third-party writers): it must land in
+    // column B, not column 32.
+    val dir = Files.createTempDirectory("graft-xlsx-sparse")
+    val path = dir.resolve("sparse.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>v1</t></is></c><c r="B2" t="inlineStr"><is><t>w1</t></is></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>v3</t></is></c><c r="b4" t="inlineStr"><is><t>w3</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = ExcelReader.readXlsx(spark, path)
+    // blank row 1 -> fallback header names, and BOTH data rows survive
+    assert(df.columns.toSeq == Seq("col0", "col1"), df.columns.toSeq)
+    val rows = df.collect()
+    assert(rows.length == 3) // rows 2, 3 (blank), 4
+    assert(rows(0).getString(0) == "v1" && rows(0).getString(1) == "w1")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // interior gap
+    assert(rows(2).getString(0) == "v3" && rows(2).getString(1) == "w3")
+  }
 }
