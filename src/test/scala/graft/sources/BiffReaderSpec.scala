@@ -272,6 +272,26 @@ class BiffReaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("0x0500"), e.getMessage)
   }
 
+  test("blank rows with no records are densified (xlsx sparse-row parity)") {
+    // BIFF emits NO records for blank rows: row 0 (the header) and the
+    // interior row 2 are absent here — the grid must pad both, exactly
+    // like the xlsx reader's r-attribute densification, instead of
+    // promoting the first data row to header
+    val wb = rawWorkbook(Seq(
+      rec(0x0204, le(cellHead(1, 0, 0), ustr("v1"))),
+      rec(0x0204, le(cellHead(1, 1, 0), ustr("w1"))),
+      rec(0x0204, le(cellHead(3, 0, 0), ustr("v3")))))
+    val p = Files.createTempDirectory("graft-sparse-xls").resolve("sparse.xls")
+    Files.write(p, buildCfb(wb))
+    val df = BiffReader.readXls(spark, p.toString)
+    assert(df.columns.toSeq == Seq("col0", "col1"), df.columns.toSeq)
+    val rows = df.collect()
+    assert(rows.length == 3) // rows 1, 2 (blank), 3
+    assert(rows(0).getString(0) == "v1" && rows(0).getString(1) == "w1")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getString(0) == "v3" && rows(2).isNullAt(1))
+  }
+
   test("BLANK/MULBLANK styled-empty cells occupy grid slots (xlsx width parity)") {
     // xlsx registers <c s="..."/> as "" and the shared gridToDataFrame
     // widens the frame; the .xls twin's BLANK/MULBLANK must do the same
