@@ -620,7 +620,11 @@ object ScaleStudy {
           if (t0 > 0 && java.lang.Double.isFinite(exp)) cs(exp) else "null"
         s"""$key:{"base":${cs(t0)},"synth":${cs(t1)},"exp":$expS}"""
       } catch {
-        case e: Throwable =>
+        // NonFatal ONLY: a fatal JVM error (OutOfMemoryError,
+        // LinkageError) must kill the study — degrading it to an
+        // {"error":...} fragment would keep measuring later queries on
+        // a possibly-corrupted JVM and report them as healthy
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
           val msg = e.getClass.getSimpleName
             .replace("\\", "").replace("\"", "'")
@@ -692,9 +696,11 @@ object ScaleStudy {
         case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
       } catch {
         // unknown-family is a USAGE error and still fails the run (it
-        // was raised before any synthesis); everything else degrades
-        // to an error fragment (measure()'s sanitization style)
-        case e: Throwable
+        // was raised before any synthesis); everything else NON-FATAL
+        // degrades to an error fragment (measure()'s sanitization
+        // style). Fatal JVM errors propagate and kill the study — see
+        // measure()'s catch for why.
+        case scala.util.control.NonFatal(e)
             if Set("docs", "events", "rel", "deep", "build")(name) =>
           System.err.println(s"[study] family $name failed: ${e.getMessage}")
           val msg = e.getClass.getSimpleName

@@ -27,8 +27,18 @@ object Normalize {
   /** WHITESPACE trim (the reference's Python strip()): Spark/DuckDB
     * trim() strips ASCII spaces ONLY, so a CSV artifact like
     * "NULL\r\n" would survive normalization as a real value. Shared
-    * by [[normEmpty]] and its DuckDB twins (same regex, 'g' flag). */
-  val WsTrimRe = "^\\s+|\\s+$"
+    * by [[normEmpty]] and its DuckDB twins (same regex, 'g' flag).
+    *
+    * The class is spelled EXPLICITLY, not `\s`: Java's `\s` includes
+    * `\x0B` (vertical tab) while DuckDB/RE2's does not, so the shared
+    * literal would silently mean different things per engine on a
+    * `\x0B`-edged value. Both engines parse `\t\n\r\f\x0B` escapes
+    * identically, so this class IS cross-engine "same regex, same
+    * semantics". DOCUMENTED reference divergence: Python `str.strip()`
+    * additionally strips Unicode whitespace (e.g. `\xa0` NBSP) that
+    * neither engine's class matches — an NBSP-edged value survives
+    * trimming here; the reference would strip it. */
+  val WsTrimRe = "^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$"
   private def wsTrim(c: Column): Column = regexp_replace(c, WsTrimRe, "")
 
   /** P1 — normalize empty-ish tokens to real NULL, trimming the rest. */

@@ -66,6 +66,12 @@ object ExcelReader {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
   }
 
+  /** The xlsx sheet row limit (ECMA-376 §18.3.1.73: 2^20 rows). Row
+    * `r` attributes beyond it are a corrupt-workbook rejection — the
+    * densification pass allocates up to this many rows driver-side, so
+    * the bound is also the ingest path's memory guard. */
+  private[sources] val MaxXlsxRows = 1048576
+
   /** ECMA-376 builtin numFmtIds that render dates/times (14-22 core
     * date/time, 45-47 elapsed-time). Shared with the BIFF (.xls) reader
     * — the id space is the same in both formats. */
@@ -220,6 +226,16 @@ object ExcelReader {
       var nextRow = 0 // 0-based position the next r-less row takes
       val sparse = elements(doc, "row").map { rowEl =>
         val rAttr = rowEl.getAttribute("r")
+        // bound the r attribute BEFORE densification: `(0 to maxRow)`
+        // materializes maxRow rows driver-side, so a crafted/corrupt
+        // workbook with one cell at r=2000000000 would OOM the ingest
+        // path. The xlsx format itself caps sheets at 2^20 rows —
+        // reject anything beyond it (or non-numeric) as a typed
+        // corrupt-workbook error, like the letterless-ref require.
+        if (rAttr.nonEmpty)
+          require(rAttr.forall(_.isDigit) && rAttr.length <= 7 &&
+              rAttr.toInt >= 1 && rAttr.toInt <= MaxXlsxRows,
+            s"malformed row reference '$rAttr'")
         val rowIdx =
           if (rAttr.nonEmpty) rAttr.toInt - 1 else nextRow
         nextRow = rowIdx + 1

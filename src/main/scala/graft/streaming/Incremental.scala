@@ -383,7 +383,21 @@ object Incremental {
     * are STREAM-STATIC joins — stateless per micro-batch, recomputed
     * from the static frame each drain — and a corpus-held key is
     * remembered in the first-seen state (-1), so re-submissions drop on
-    * the state path without re-probing the corpus. */
+    * the state path without re-probing the corpus.
+    *
+    * `againstBucketCap`: per-(band, signature) cap on the corpus band
+    * index (kept: the `againstBucketCap` lowest corpus doc_ids —
+    * deterministic). A degenerate bucket of N near-identical corpus
+    * docs would otherwise fan every colliding stream doc out to N
+    * verifications per micro-batch with no bound; the stream side
+    * cannot apply `classifyAgainst`'s per-doc candidate cap (no
+    * windows/groupBy before flatMapGroupsWithState). CONTRACT when the
+    * cap binds (same recall trade as the batch path's
+    * `maxCandidates`): verification is not exhaustive — a true
+    * near-dup hiding beyond the cap in a degenerate bucket can slip
+    * through as novel, diverging from batch `classifyAgainst`. The
+    * default is far above any honest bucket; pass `Int.MaxValue` for
+    * lossless parity with the batch twin. */
   def corpusGate(
       spark: SparkSession,
       inDir: String,
@@ -393,7 +407,8 @@ object Incremental {
       gopherStops: Option[Seq[String]] = None,
       expectedKeys: Long = 0L,
       againstCorpus: Option[DataFrame] = None,
-      againstMinJaccardMills: Int = 500): Unit = {
+      againstMinJaccardMills: Int = 500,
+      againstBucketCap: Int = 1024): Unit = {
     val session = if (expectedKeys <= 0L) spark else {
       val s2 = isolatedClone(spark)
       s2.conf.set("spark.sql.shuffle.partitions",
@@ -463,18 +478,12 @@ object Incremental {
         // join re-executes the static side EVERY micro-batch — a
         // 10-batch drain would otherwise rescan (and re-hash) the whole
         // corpus 30 times for identical results
-        // Each corpus band BUCKET is capped (batch-side window — legal
-        // here, the static side is a plain DataFrame): a degenerate
-        // bucket of N near-identical corpus docs would otherwise fan
-        // every colliding stream doc out to N verifications per
-        // micro-batch with no bound — the stream-side cannot apply
-        // classifyAgainst's per-doc candidate cap (no windows/groupBy
-        // before flatMapGroupsWithState). The cap trades recall in
-        // pathological buckets exactly as classifyAgainst's
-        // maxCandidates does; 1024 is far above any honest bucket.
-        // (A pair colliding on BOTH bands is still verified twice —
-        // bounded ×2, accepted.)
-        val bucketCap = 1024
+        // Each corpus band BUCKET is capped at `againstBucketCap`
+        // (batch-side window — legal here, the static side is a plain
+        // DataFrame); semantics and the recall trade are documented on
+        // the parameter. (A pair colliding on BOTH bands is still
+        // verified twice — bounded ×2, accepted.)
+        val bucketCap = againstBucketCap
         val wBucket = org.apache.spark.sql.expressions.Window
           .partitionBy("__bno", "__bsig").orderBy("__cid")
         val cBands = corpus.select(col("doc_id").as("__cid"),

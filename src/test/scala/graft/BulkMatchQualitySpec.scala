@@ -63,10 +63,16 @@ class BulkMatchQualitySpec extends AnyFunSuite {
     src.orderBy(col("title"), col("ext_id")).limit(n)
 
   /** Keep only perturbed names that do NOT exact-hit the dictionary, so
-    * the band measurement is purely the fuzzy path. */
+    * the band measurement is purely the fuzzy path. The anti-join key
+    * is the SAME whitespace-trimmed key EntityResolution's exact phase
+    * uses (Normalize.WsTrimRe, not trim()) — a tab/newline-edged
+    * perturbation must not slip past this filter yet exact-hit in
+    * resolve, which would dilute the fuzzy-band measurement. */
   private def fuzzyOnly(probes: DataFrame): DataFrame = {
-    val dictKeys = corpus.select(lower(trim(col("title"))).as("__dk")).distinct()
-    probes.join(dictKeys, lower(trim(col("item_name"))) === col("__dk"), "left_anti")
+    def wsKey(c: org.apache.spark.sql.Column) =
+      lower(regexp_replace(c, graft.functions.Normalize.WsTrimRe, ""))
+    val dictKeys = corpus.select(wsKey(col("title")).as("__dk")).distinct()
+    probes.join(dictKeys, wsKey(col("item_name")) === col("__dk"), "left_anti")
   }
 
   private def resolveProbes(probes: DataFrame): DataFrame =
