@@ -321,6 +321,51 @@ object SparkEntry {
         m = 4, ksub = 8, iters = 2)
         .orderBy("query_id", "rank")
     }),
+    // ANN recall audit — the q192-for-vectors: recall@5 of every
+    // approximate method in the suite against the q37 brute-force
+    // ground truth, one row per method AT ITS GATED SETTING (lsh =
+    // q42's 4 Rademacher planes; ivf = q52's 16 seed cells / probe 1;
+    // pq = q111's 4×8 codebooks; ivfpq = q114's 8 trained cells /
+    // probe 2 + residual PQ). Every path is md5-deterministic, so the
+    // recall itself is hash-gated — the oracle twin recomputes all
+    // five rankings from the SAME CTE chains that gate q37/q42/q52/
+    // q111/q114 (composed, not duplicated: constants drifting between
+    // this query and a gated one hash-fail here). At 100 TB this is
+    // the audit a pipeline runs on a sample before picking
+    // nprobe/codebook settings; ground truth is brute-force over the
+    // query set only — queries broadcast, ONE corpus pass, never
+    // corpus×corpus.
+    "q195_ann_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      // the ground-truth pair set feeds two frames per method (hit
+      // join + count) — materialize the tiny (n_queries·k)-row frame
+      // once (the q153 rule) instead of re-running the corpus pass 8×
+      val brute = SimilaritySearch.bruteForceTopK(
+          qs, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val nTrue = broadcast(brute.agg(count(lit(1)).as("n_true")))
+      def recallOf(method: String, approx: DataFrame): DataFrame = {
+        val hits = brute.join(
+          approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        nTrue
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+          .select(lit(method).as("method"), col("n_true"), col("n_hits"),
+            expr("(1000 * n_hits) div n_true").as("recall_mills"))
+      }
+      recallOf("ivf", SimilaritySearch.ivfTopK(qs, e,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 1))
+        .unionByName(recallOf("ivfpq", SimilaritySearch.ivfPqTopK(qs, e,
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
+          m = 4, ksub = 8, iters = 2)))
+        .unionByName(recallOf("lsh", SimilaritySearch.rademacherLshTopK(qs, e,
+          "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)))
+        .unionByName(recallOf("pq", SimilaritySearch.pqTopK(qs, e,
+          "vec_id", "embedding", k = 5, m = 4, ksub = 8, iters = 2)))
+        .orderBy("method")
+    }),
     // SemDeDup: semantic dedup blocked by the q58 k-means cells — every
     // vector with a >= threshold cosine neighbor of smaller id in its
     // cell is marked dropped. Pairwise work never leaves a cell.
@@ -1458,6 +1503,37 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q195_ann_recall" -> annRecallOracle)
+
+  /** q195's DuckDB twin, COMPOSED from the five gated ANN chains (the
+    * q37 ground truth and the q42/q52/q111/q114 approximate rankings)
+    * as nested-CTE derived tables — zero duplication, so a constant
+    * drifting between q195's Spark side and any gated ranking
+    * hash-fails here rather than silently diverging. */
+  private lazy val annRecallOracle: String = {
+    def pairs(name: String): String =
+      s"(SELECT query_id, neighbor_id FROM (\n${oracleSqlBase(name)}\n))"
+    s"""WITH brute AS ${pairs("q37_knn_bruteforce")},
+       aivf AS ${pairs("q52_ivf_ann")},
+       aivfpq AS ${pairs("q114_ivfpq_ann")},
+       alsh AS ${pairs("q42_lsh_ann")},
+       apq AS ${pairs("q111_pq_ann")},
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM brute),
+       m AS (
+         SELECT 'ivf' AS method, (SELECT count(*) FROM brute
+           JOIN aivf USING (query_id, neighbor_id)) AS h
+         UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM brute
+           JOIN aivfpq USING (query_id, neighbor_id))
+         UNION ALL SELECT 'lsh', (SELECT count(*) FROM brute
+           JOIN alsh USING (query_id, neighbor_id))
+         UNION ALL SELECT 'pq', (SELECT count(*) FROM brute
+           JOIN apq USING (query_id, neighbor_id)))
+       SELECT m.method, nt.n_true, CAST(m.h AS BIGINT) AS n_hits,
+         (1000 * CAST(m.h AS BIGINT)) // nt.n_true AS recall_mills
+       FROM m, nt ORDER BY method"""
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ Map(
       "q114_ivfpq_ann" ->
         s"""WITH $ivfPqCtes

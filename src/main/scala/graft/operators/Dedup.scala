@@ -435,7 +435,12 @@ object Dedup {
     * retained set is the most-probable-match set. CONTRACT when the cap
     * binds: verification is no longer exhaustive — a true near-dup
     * beyond the cap can be missed and its doc reported `new`. Pass
-    * `Int.MaxValue` for lossless classification. */
+    * `Int.MaxValue` for lossless classification. OBSERVABILITY: the
+    * verdict frame carries a `capped` flag — true exactly when this
+    * doc's candidate set was truncated by the cap (the only rows whose
+    * `new`/`near_dup` verdict can be lossy), so a 100 TB run reports
+    * how often the lossy path fired with `sum(capped)`; always false
+    * on the lossless path and for exact dups. */
   /** The reusable corpus-side index [[dedupAgainst]] probes: one row
     * per corpus doc with the content key, the LSH band signatures
     * (array, position = band number) and the sorted token set — ONE
@@ -526,13 +531,28 @@ object Dedup {
         }: _*)).as(Seq("band_no", "band_sig")))
       .join(corpusBands, Seq("band_no", "band_sig"))
       .groupBy("__b", "__c").agg(count(lit(1)).as("__nb"))
-    val capped =
-      if (maxCandidates == Int.MaxValue) cand
+    // (capped candidates, per-doc lossy-path flags): when the cap can
+    // bind, every batch doc whose candidate set was truncated gets a
+    // row in `flags` — the 100 TB observability hook: a run can report
+    // HOW OFTEN the documented lossy path fired (a `new` verdict with
+    // `capped` true is exactly the can-have-missed-a-near-dup case).
+    // The flag rides the SAME per-__b window exchange as the rank cut;
+    // the lossless Int.MaxValue path keeps its plan untouched and
+    // emits a constant false.
+    val (capped, flags) =
+      if (maxCandidates == Int.MaxValue) (cand, None)
       else {
         val w = Window.partitionBy("__b")
           .orderBy(col("__nb").desc, col("__c"))
-        cand.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= maxCandidates).drop("__rn")
+        val counted = cand
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__nc",
+            count(lit(1)).over(Window.partitionBy("__b")))
+        val f = counted.where(col("__rn") === 1)
+          .select(col("__b").as("__bid"),
+            (col("__nc") > maxCandidates).as("__capped"))
+        (counted.where(col("__rn") <= maxCandidates)
+          .drop("__rn", "__nc"), Some(f))
       }
 
     val bToks = rest.select(col("__bid"),
@@ -552,16 +572,22 @@ object Dedup {
       .where(col("__rn") === 1)
       .select(col("__bid"), col("__cid").as("__near_id"), col("__jm"))
 
-    keyed.join(best, Seq("__bid"), "left")
-      .select(
-        col("__bid").as(idCol),
-        when(col("__exact_id").isNotNull, lit("exact_dup"))
-          .when(col("__near_id").isNotNull, lit("near_dup"))
-          .otherwise(lit("new")).as("verdict"),
-        coalesce(col("__exact_id"), col("__near_id"), lit(-1L))
-          .as("matched_id"),
-        when(col("__exact_id").isNotNull, lit(1000L))
-          .otherwise(coalesce(col("__jm"), lit(-1L))).as("jaccard_mills"))
+    val joined = keyed.join(best, Seq("__bid"), "left")
+    val flagged = flags match {
+      case None    => joined.withColumn("__capped", lit(false))
+      case Some(f) => joined.join(f, Seq("__bid"), "left")
+    }
+    flagged.select(
+      col("__bid").as(idCol),
+      when(col("__exact_id").isNotNull, lit("exact_dup"))
+        .when(col("__near_id").isNotNull, lit("near_dup"))
+        .otherwise(lit("new")).as("verdict"),
+      coalesce(col("__exact_id"), col("__near_id"), lit(-1L))
+        .as("matched_id"),
+      when(col("__exact_id").isNotNull, lit(1000L))
+        .otherwise(coalesce(col("__jm"), lit(-1L))).as("jaccard_mills"),
+      // false for exact dups (never probed) and no-candidate docs
+      coalesce(col("__capped"), lit(false)).as("capped"))
   }
 
   /** Embedding near-dup: blocks on `blockCol` (a label, LSH bucket, or

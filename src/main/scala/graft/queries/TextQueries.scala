@@ -52,6 +52,14 @@ object TextQueries {
     * buckets span the banding's S-curve knee (recall ≈ 0 → ≈ 1). */
   private[graft] val LshAuditMinJac = 300
 
+  /** q194's deterministic sample rate for the at-scale S-curve audit
+    * (the q70 md5-threshold kernel): the 100 TB protocol is "sample
+    * the corpus, audit the banding there, apply the measured curve"
+    * (COVERAGE.md q192 row) — q194 IS that protocol, executable and
+    * oracle-gated. Interpolated into the DuckDB twin via the q70
+    * threshold arithmetic; edit HERE. */
+  private[graft] val ScurveSampleRate = 0.5
+
   /** q68's candidate-bucket cap: small enough that the boilerplate
     * cluster (~24 identical docs at sf0.01) binds it, so the star path
     * of the capped PPJoin is oracle-exercised. */
@@ -556,8 +564,44 @@ object TextQueries {
     * connected components), so q53's dedup groups are unchanged while
     * the candidate graph stays linear in the corpus. The cap is part of
     * the query's contract and is encoded in the DuckDB twin. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsOf(docsSpread(s, dir).where(col("doc_id") % 5 === 0))
+
+  /** The q192/q194 S-curve audit body over an arbitrary audit
+    * universe: exact-Jaccard ground truth (the lossless PPJoin kernel
+    * at [[LshAuditMinJac]]) vs the REAL q35 banding at both semantics
+    * — direct pair recall and q53-closure recall — per similarity
+    * decile. One shared implementation so the full audit and its
+    * at-scale sampled variant can never drift. Unordered output; the
+    * caller sorts. */
+  private def scurveAudit(universe: DataFrame): DataFrame = {
+    val truth = graft.operators.Dedup.jaccardPairs(
+      universe, "text", "doc_id", minJaccardMills = LshAuditMinJac)
+    // the LSH pair graph feeds BOTH the direct-hit join and the
+    // closure computation — checkpoint it once (the q153 rule)
+    val lp = lshPairsOf(universe).localCheckpoint(true)
+    val lsh = lp.select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    val comp = graft.operators.Dedup.connectedComponents(lp)
+    truth.join(lsh, Seq("id_a", "id_b"), "left")
+      .join(comp.select(col("id").as("id_a"), col("comp").as("ca")),
+        Seq("id_a"), "left")
+      .join(comp.select(col("id").as("id_b"), col("comp").as("cb")),
+        Seq("id_b"), "left")
+      .withColumn("chit",
+        when(col("ca").isNotNull && col("ca") === col("cb"), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(expr("jac_mills div 100").as("bucket_lo_hmills"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_pair"),
+        sum(col("chit")).as("n_closure"))
+      .withColumn("recall_pair_mills", expr("(1000 * n_pair) div n_true"))
+      .withColumn("recall_closure_mills",
+        expr("(1000 * n_closure) div n_true"))
+  }
+
+  /** The q35 banding over an arbitrary document frame — factored so
+    * q194's sampled audit runs the IDENTICAL kernel on its sample. */
+  private def lshPairsOf(d: DataFrame): DataFrame = {
     val byBand = d.select(
       col("doc_id"),
       posexplode(array(
@@ -761,30 +805,38 @@ object TextQueries {
     // propagation are what's audited, not a re-derivation. Joins are
     // pair-keyed / id-keyed over candidate-bounded frames; recalls in
     // exact floored mills.
-    "q192_lsh_scurve" -> ((s, dir) => {
-      val subset = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
-      val truth = graft.operators.Dedup.jaccardPairs(
-        subset, "text", "doc_id", minJaccardMills = LshAuditMinJac)
-      // the LSH pair graph feeds BOTH the direct-hit join and the
-      // closure computation — checkpoint it once (the q153 rule)
-      val lp = lshPairs(s, dir).localCheckpoint(true)
-      val lsh = lp.select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-      val comp = graft.operators.Dedup.connectedComponents(lp)
-      truth.join(lsh, Seq("id_a", "id_b"), "left")
-        .join(comp.select(col("id").as("id_a"), col("comp").as("ca")),
-          Seq("id_a"), "left")
-        .join(comp.select(col("id").as("id_b"), col("comp").as("cb")),
-          Seq("id_b"), "left")
-        .withColumn("chit",
-          when(col("ca").isNotNull && col("ca") === col("cb"), lit(1L))
-            .otherwise(lit(0L)))
-        .groupBy(expr("jac_mills div 100").as("bucket_lo_hmills"))
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_pair"),
-          sum(col("chit")).as("n_closure"))
-        .withColumn("recall_pair_mills", expr("(1000 * n_pair) div n_true"))
-        .withColumn("recall_closure_mills",
-          expr("(1000 * n_closure) div n_true"))
+    "q192_lsh_scurve" -> ((s, dir) =>
+      scurveAudit(docsSpread(s, dir).where(col("doc_id") % 5 === 0))
+        .orderBy("bucket_lo_hmills")),
+
+    // The q192 audit AT SCALE, executable: the ground-truth side of the
+    // S-curve is intrinsically all-pairs (exact Jaccard at the audit
+    // floor — the thing LSH exists to avoid), so a 100 TB run audits a
+    // deterministic SAMPLE and applies the measured curve to the full
+    // corpus. q194 is that protocol as a gated query: the q70
+    // md5-threshold kernel cuts the audit universe (reproducible in
+    // any engine — the threshold IS the sample), the IDENTICAL
+    // q35/q53 kernels band and close it, and the output carries the
+    // sample-coverage fraction beside the curve so the applied-curve
+    // caveat is part of the record. All-pairs work shrinks by rate²
+    // while the per-pair band-collision probability is rate-invariant
+    // (it depends on pair similarity alone). PROTOCOL NOTE (pinned by
+    // CrossQueryConsistencySpec): apply the CLOSURE recall column —
+    // the sample's smaller band buckets escape the q35 star cap that
+    // truncates the full corpus's hot buckets, so the sampled
+    // DIRECT-pair recall reads optimistic; closure recall is the
+    // cap-stable statistic.
+    "q194_lsh_scurve_sampled" -> ((s, dir) => {
+      val sample = graft.operators.TextAnalysis.stratifiedSample(
+        docsSpread(s, dir).where(col("doc_id") % 5 === 0),
+        "lang", "doc_id", Map.empty, defaultRate = ScurveSampleRate)
+      val cov = sample.agg(count(lit(1)).as("n_sample_docs")).crossJoin(
+        docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+          .agg(count(lit(1)).as("n_subset_docs")))
+      scurveAudit(sample)
+        .crossJoin(broadcast(cov))
+        .withColumn("coverage_mills",
+          expr("(1000 * n_sample_docs) div n_subset_docs"))
         .orderBy("bucket_lo_hmills")
     }),
 
@@ -1862,12 +1914,26 @@ object TextQueries {
   private def sqlMinhash(seed: Int, tokExpr: String = "tok"): String =
     s"min(md5($tokExpr || '#$seed'))"
 
+  /** q194's sampled audit universe: the q192 subset cut by the q70
+    * md5-threshold kernel at [[ScurveSampleRate]] — the one filter
+    * BOTH the sampled-audit CTE chain and its ground-truth/coverage
+    * subqueries must share (q70's threshold arithmetic verbatim). */
+  private lazy val scurveSampleFilter: String = {
+    val th = (ScurveSampleRate * 4294967296.0).toLong
+    "doc_id % 5 = 0 AND CAST(('0x' || substr(md5(CAST(doc_id AS " +
+      s"VARCHAR)), 1, 8)) AS BIGINT) < $th"
+  }
+
   /** DuckDB CTEs producing q35's LSH candidate-pair graph as `pairs`. */
-  private val lshPairsCtes: String = {
+  private val lshPairsCtes: String = lshPairsCtesWhere("doc_id % 5 = 0")
+
+  /** As [[lshPairsCtes]] over an arbitrary document filter — q194's
+    * sampled audit twin bands its sample with the IDENTICAL chain. */
+  private def lshPairsCtesWhere(docFilter: String): String = {
     val sig = (0 until 8).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")
     s"""toks AS (
          SELECT doc_id, unnest($sqlTokSet) AS tok
-         FROM documents WHERE doc_id % 5 = 0),
+         FROM documents WHERE $docFilter),
        sig AS (SELECT doc_id, $sig FROM toks GROUP BY doc_id),
        bands AS (
          SELECT doc_id, 0 AS band_no,
@@ -3112,7 +3178,12 @@ object TextQueries {
                 ELSE 'new' END AS verdict,
            CAST(coalesce(e.exact_id, b.cid, -1) AS BIGINT) AS matched_id,
            CAST(CASE WHEN e.exact_id IS NOT NULL THEN 1000
-                ELSE coalesce(b.jm, -1) END AS BIGINT) AS jaccard_mills
+                ELSE coalesce(b.jm, -1) END AS BIGINT) AS jaccard_mills,
+           -- q109 runs LOSSLESS (maxCandidates = Int.MaxValue): the
+           -- operator's capped observability flag must be false on
+           -- EVERY row — the q43 literal-flag pattern: a spuriously
+           -- capped engine row hash-fails here
+           FALSE AS capped
          FROM documents d
          LEFT JOIN exact e ON d.doc_id = e.bid
          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
@@ -3488,6 +3559,56 @@ object TextQueries {
            (1000 * n_pair) // n_true AS recall_pair_mills,
            (1000 * n_closure) // n_true AS recall_closure_mills
          FROM au ORDER BY bucket_lo_hmills"""
+    },
+    "q194_lsh_scurve_sampled" -> {
+      // the q192 chain verbatim, restricted to the shared md5-threshold
+      // sample filter (ground truth, banding AND closure all inside the
+      // sample), plus the coverage fraction recomputed independently
+      val jm = "floor(1000 * len(list_intersect(a.toks, b.toks)) " +
+        "/ (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))"
+      s"""WITH RECURSIVE ${lshPairsCtesWhere(scurveSampleFilter)},
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r
+           JOIN edges e ON e.src = r.id),
+         cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         d AS (SELECT doc_id, $sqlTokSet AS toks
+               FROM documents WHERE $scurveSampleFilter),
+         tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST($jm AS BIGINT) AS jac_mills
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE $jm >= $LshAuditMinJac),
+         cov AS (SELECT
+                  (SELECT count(*) FROM documents
+                   WHERE $scurveSampleFilter) AS n_sample_docs,
+                  (SELECT count(*) FROM documents
+                   WHERE doc_id % 5 = 0) AS n_subset_docs),
+         au AS (SELECT tr.jac_mills // 100 AS bucket_lo_hmills,
+                  CAST(count(*) AS BIGINT) AS n_true,
+                  CAST(sum(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_pair,
+                  CAST(sum(CASE WHEN ca.comp IS NOT NULL
+                    AND ca.comp = cb.comp THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_closure
+                FROM tr
+                LEFT JOIN pairs p
+                  ON tr.id_a = p.id_a AND tr.id_b = p.id_b
+                LEFT JOIN cmp ca ON tr.id_a = ca.id
+                LEFT JOIN cmp cb ON tr.id_b = cb.id
+                GROUP BY 1)
+         SELECT bucket_lo_hmills, n_true, n_pair, n_closure,
+           (1000 * n_pair) // n_true AS recall_pair_mills,
+           (1000 * n_closure) // n_true AS recall_closure_mills,
+           CAST(cov.n_sample_docs AS BIGINT) AS n_sample_docs,
+           CAST(cov.n_subset_docs AS BIGINT) AS n_subset_docs,
+           (1000 * cov.n_sample_docs) // cov.n_subset_docs
+             AS coverage_mills
+         FROM au, cov ORDER BY bucket_lo_hmills"""
     },
     "q53_dedup_components" ->
       // transitive closure by label propagation: every node reaches its

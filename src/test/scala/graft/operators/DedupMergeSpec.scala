@@ -383,6 +383,59 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(viaIndex == inline)
   }
 
+  test("steady-state: the dedup index round-trips through a BUCKETED " +
+    "parquet table — verdicts equal the inline path, and the key-probe " +
+    "aggregate is shuffle-free on the bucketed read") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+    spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "entirely unrelated corpus material about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "  THE quick brown fox jumps over the lazy dog near the river bank  "),
+      (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (3L, "completely novel subject matter nothing shared with anything")
+    ).toDF("doc_id", "text")
+    // the documented steady state (buildDedupIndex scaladoc): persist
+    // the index BUCKETED BY content_key and maintain it incrementally;
+    // batches then probe the stored layout, never corpus text
+    Dedup.buildDedupIndex(corpus, "text", "doc_id")
+      .write.mode("overwrite")
+      .bucketBy(8, "content_key").sortBy("content_key")
+      .option("path", s"$wh/idx").saveAsTable("dedup_index_bucketed")
+    try {
+      val idx = spark.table("dedup_index_bucketed")
+      val viaIndex = Dedup.dedupAgainstIndex(batch, idx, "text", "doc_id",
+        maxCandidates = Int.MaxValue).collect().map(_.toString).sorted.toSeq
+      val inline = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+        maxCandidates = Int.MaxValue).collect().map(_.toString).sorted.toSeq
+      assert(viaIndex == inline,
+        "bucketed-index classification diverged from the inline path")
+      // plan contract: the exact-probe key aggregate (min corpus_id per
+      // content_key — classifyAgainst's corpusKeys frame) rides the
+      // bucket layout with NO exchange; the same aggregate derived
+      // inline from corpus text must shuffle. (The band index and token
+      // frames explode per-band/per-token and shuffle regardless —
+      // bucketing targets the hot exact-probe path.)
+      val keyAgg = idx
+        .select(col("content_key").as("__ck"), col("corpus_id").as("__cid"))
+        .groupBy("__ck").agg(min("__cid").as("__exact_id"))
+      val bucketedPlan = keyAgg.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange hashpartitioning"),
+        s"bucketed key aggregate should be shuffle-free, got:\n$bucketedPlan")
+      val inlineAgg = corpus
+        .select(graft.functions.TextFunctions.contentKey(col("text"))
+          .as("__ck"), col("doc_id").as("__cid"))
+        .groupBy("__ck").agg(min("__cid").as("__exact_id"))
+      assert(inlineAgg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "inline key aggregate unexpectedly shuffle-free — the bucketed " +
+          "comparison above proves nothing")
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
+  }
+
   test("dedupAgainst maxCandidates cap keeps the most-colliding corpus " +
     "candidates and can (contractually) miss matches beyond the cap") {
     // corpus: one true near-dup of the batch doc plus a boilerplate
@@ -403,6 +456,56 @@ class DedupMergeSpec extends AnyFunSuite {
       maxCandidates = Int.MaxValue)
     assert(capped.where($"verdict" === "near_dup").count() <=
       lossless.where($"verdict" === "near_dup").count())
+    // cap=1 with exactly one candidate: the cap did NOT bind — the
+    // observability flag must stay false (flag = truncation, not
+    // "a cap was configured")
+    assert(capped.select("capped").as[Boolean].collect().forall(!_))
+    assert(lossless.select("capped").as[Boolean].collect().forall(!_))
+  }
+
+  test("dedupAgainst reports the lossy path: `capped` is true exactly for " +
+    "docs whose candidate set the cap truncated — including a missed near-dup") {
+    // CONSTRUCTED miss: two corpus docs that both collide on BOTH
+    // bands with the batch doc, so the rank (collision count desc,
+    // ties min id) keeps the LOW-Jaccard one at cap=1 and drops the
+    // true near-dup. Band signatures are computed with the spec's own
+    // md5 helpers: a padding token is "non-disturbing" when adding it
+    // changes no band minimum, so J drops while the bands stay equal.
+    val baseToks = Seq("alpha", "beta", "gamma", "delta",
+      "eps", "zeta", "eta", "theta")
+    val batchText = baseToks.mkString(" ")
+    val sig = bandsOf(batchText, 2, 4)
+    def nonDisturbing(w: String): Boolean =
+      bandsOf(batchText + " " + w, 2, 4) == sig
+    // 9 paddings → J = 8/17 = 470 < 500; 1 padding → J = 8/9 = 888
+    val pads = (0 until 2000).map(i => s"pad$i").filter(nonDisturbing)
+    assume(pads.size >= 10, s"helper search found only ${pads.size} paddings")
+    val lowJText = (baseToks ++ pads.take(9)).mkString(" ")
+    val nearText = (baseToks :+ pads(9)).mkString(" ")
+    assert(bandsOf(lowJText, 2, 4) == sig && bandsOf(nearText, 2, 4) == sig)
+    val corpus = Seq((50L, lowJText), (51L, nearText)).toDF("doc_id", "text")
+    val batch = Seq((1L, batchText),
+      (2L, "wholly unrelated novel content")).toDF("doc_id", "text")
+    val capped = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+        bands = 2, rowsPerBand = 4, minJaccardMills = 500, maxCandidates = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: both candidates collide twice → tie to min id 50 (J=470,
+    // fails verify) → the TRUE near-dup 51 was dropped: verdict `new`
+    // — and the flag says so
+    assert(capped(1L) == (("new", -1L, true)), s"got ${capped(1L)}")
+    // doc 2 had no candidates: never truncated, never flagged
+    assert(capped(2L) == (("new", -1L, false)), s"got ${capped(2L)}")
+    // lossless run on the same frames finds 51 and stays unflagged
+    val lossless = Dedup.dedupAgainst(batch, corpus, "text", "doc_id",
+        bands = 2, rowsPerBand = 4, minJaccardMills = 500,
+        maxCandidates = Int.MaxValue)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(lossless(1L) == (("near_dup", 51L, false)), s"got ${lossless(1L)}")
+    // the "how often did the lossy path fire" ledger a production run
+    // would emit: one doc of two
+    assert(capped.values.count(_._3) == 1)
   }
 
   test("missingDimRows derives deterministic create-set (J5)") {
