@@ -198,6 +198,15 @@ object ScaleStudy {
     // grow linearly while sources stay 20 and the totals broadcast
     // stays 20 rows; growth is the token scan + the count-table agg
     "q188_source_jsd")
+    // The AUDIT queries are deliberately NOT studied: q192's ground
+    // truth is exact all-pairs BY DESIGN (the thing LSH avoids — its
+    // exponent would read ~+1 and measure the audit, not the engine);
+    // q194 is the at-scale answer to that — at production scale it
+    // runs on a FIXED-size sample, so its wall is sample-bounded, not
+    // corpus-bounded, and a ×10 corpus step exercises nothing the
+    // sample doesn't; q195 composes the five embedding-family rankings
+    // whose query set is a fixed corpus share (the q111 Q×N rationale
+    // above).
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and

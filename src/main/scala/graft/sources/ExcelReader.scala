@@ -232,8 +232,11 @@ object ExcelReader {
         // path. The xlsx format itself caps sheets at 2^20 rows —
         // reject anything beyond it (or non-numeric) as a typed
         // corrupt-workbook error, like the letterless-ref require.
+        // ASCII digits only — Char.isDigit admits Unicode Nd digits
+        // that toInt then rejects; length <= 7 keeps toInt overflow-safe
         if (rAttr.nonEmpty)
-          require(rAttr.forall(_.isDigit) && rAttr.length <= 7 &&
+          require(rAttr.forall(c => c >= '0' && c <= '9') &&
+              rAttr.length <= 7 &&
               rAttr.toInt >= 1 && rAttr.toInt <= MaxXlsxRows,
             s"malformed row reference '$rAttr'")
         val rowIdx =

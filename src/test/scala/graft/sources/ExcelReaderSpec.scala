@@ -263,4 +263,45 @@ class ExcelReaderSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // interior gap
     assert(rows(2).getString(0) == "v3" && rows(2).getString(1) == "w3")
   }
+
+  test("S2: an out-of-bounds row reference is a typed rejection, not a " +
+    "driver-side densification OOM") {
+    // densification materializes (0 to maxRow) rows driver-side: a
+    // crafted/corrupt r="2000000000" must be rejected at the xlsx 2^20
+    // row bound BEFORE that allocation, with the reader's typed
+    // malformed-reference error (same contract as a letterless ref)
+    val dir = Files.createTempDirectory("graft-xlsx-hugerow")
+    def workbook(name: String, rowAttr: String): String = {
+      val path = dir.resolve(name).toString
+      val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+      def put(n: String, content: String): Unit = {
+        zos.putNextEntry(new ZipEntry(n)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      }
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+      put("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+          |<row r="$rowAttr"><c t="inlineStr"><is><t>x</t></is></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+      zos.close()
+      path
+    }
+    val huge = intercept[IllegalArgumentException] {
+      ExcelReader.readXlsx(spark, workbook("huge.xlsx", "2000000000"))
+    }
+    assert(huge.getMessage.contains("malformed row reference"))
+    // non-numeric r: same typed rejection, never a raw parser escape
+    val bad = intercept[Exception] {
+      ExcelReader.readXlsx(spark, workbook("bad.xlsx", "12abc"))
+    }
+    assert(bad.isInstanceOf[IllegalArgumentException] ||
+      bad.isInstanceOf[graft.sources.Ingest.UnsupportedFormat])
+    // and an ordinary in-bounds r still reads (the guard must not
+    // reject legal sparse rows)
+    val ok = ExcelReader.readXlsx(spark, workbook("ok.xlsx", "3"))
+    assert(ok.collect().length == 2) // rows 2..3: gap + data
+  }
 }
