@@ -29,7 +29,10 @@ object Bench {
     // per-query noise here is 2-5x under co-tenant load).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      // NonFatal ONLY throughout (the ScaleStudy rule): after an OOM the
+      // JVM's timings are garbage — better no bench line than fake ones
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => }
       val warmSec = (System.nanoTime() - w0) / 1e9
       // adaptive repeats: best-of-3 damps co-tenant noise on the fast
       // majority; queries already slow in warmup drop to best-of-2 —
@@ -43,7 +46,7 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             // a fast failure must never become the reported "best" time
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Double.PositiveInfinity
@@ -72,7 +75,7 @@ object Bench {
         val t0 = System.nanoTime()
         val again =
           try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => Double.PositiveInfinity }
+          catch { case scala.util.control.NonFatal(_) => Double.PositiveInfinity }
         (name, math.min(best, again), warmSec, nRuns + 1)
       }
     }

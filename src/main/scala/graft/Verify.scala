@@ -26,7 +26,10 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal ONLY (the ScaleStudy rule): an OutOfMemoryError must
+      // kill the dump — continuing on a corrupted JVM could write
+      // later queries' parquet wrong and read as green downstream
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a reused outDir must not present the PREVIOUS run's dump for
         // a now-broken query — a stale green is worse than a red

@@ -123,8 +123,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity1("token_count") { e0 =>
         import org.apache.spark.sql.catalyst.expressions._
         val trimmed = StringTrim(e0)
+        // NULL text counts as 0 — the TextFunctions.tokenCount
+        // contract (an IsNull-less CaseWhen would fall through to the
+        // else branch and emit NULL, silently corrupting running token
+        // sums exactly as the library doc warns)
         CaseWhen(
-          Seq((EqualTo(Length(trimmed), Literal(0)), Literal(0L))),
+          Seq((Or(IsNull(e0), EqualTo(Length(trimmed), Literal(0))),
+            Literal(0L))),
           Cast(Size(StringSplit(trimmed, Literal("\\s+"), Literal(-1))),
             org.apache.spark.sql.types.LongType))
       }))

@@ -79,10 +79,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT content_key('  The Quick FOX ') AS ck,
           |       content_key('the quick fox') AS ck2,
           |       token_count('  a  b   c ') AS tc,
-          |       token_count('   ') AS tc0""".stripMargin)
-        .as[(String, String, Long, Long)].head()
+          |       token_count('   ') AS tc0,
+          |       token_count(CAST(NULL AS STRING)) AS tcn""".stripMargin)
+        .as[(String, String, Long, Long, Long)].head()
       assert(r4._1 == r4._2, "content_key must normalize case/whitespace")
       assert(r4._3 == 3L && r4._4 == 0L)
+      // NULL text is 0 tokens — the TextFunctions.tokenCount contract;
+      // a NULL here would corrupt running token sums built in SQL
+      assert(r4._5 == 0L, "token_count(NULL) must be 0, not NULL")
       val ckCol = spark.range(1)
         .select(graft.functions.TextFunctions.contentKey(
           org.apache.spark.sql.functions.lit("the quick fox")).as("k"))
