@@ -15,6 +15,25 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(None, None, None, None, None, None, None, Some("ok"), Some("x")))
   }
 
+  test("WsTrimRe: the explicit class strips the same edges in BOTH engines " +
+    "(vtab/formfeed in, NBSP out - the documented Python-strip divergence)") {
+    // the class is spelled explicitly because Java \s includes \x0B
+    // while RE2's does not; these fixtures pin the Spark side of the
+    // contract (the DuckDB side is verified by the interpolated twins:
+    // the SAME literal reaches both regex engines)
+    val in = Seq("\u000Bok\u000B", "\fok", "\tok\n", "\u00A0ok", "o k",
+      "\u000Bnull\r").toDF("v")
+    val out = in.select(Normalize.normEmpty($"v").as("n"))
+      .as[Option[String]].collect()
+    assert(out.toSeq == Seq(
+      Some("ok"),           // vtab edges strip (the \x0B the class adds)
+      Some("ok"),           // formfeed edge strips
+      Some("ok"),           // tab/newline edges strip
+      Some("\u00A0ok"),     // NBSP survives - neither engine strips it
+      Some("o k"),          // inner whitespace is never touched
+      None))                // vtab/CR-edged 'null' still normalizes to NULL
+  }
+
   test("sanitize strips tags then escapes entities (P5)") {
     val out = Seq("<b>Acme & Sons</b> <i>'best'</i>").toDF("v")
       .select(Normalize.sanitize($"v").as("s")).as[String].head()
