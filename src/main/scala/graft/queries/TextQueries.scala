@@ -809,8 +809,12 @@ object TextQueries {
       scurveAudit(docsSpread(s, dir).where(col("doc_id") % 5 === 0))
         .orderBy("bucket_lo_hmills")),
 
-    // The q192 audit AT SCALE, executable: the ground-truth side of the
-    // S-curve is intrinsically all-pairs (exact Jaccard at the audit
+    // The q192 audit AT SCALE, executable: the reference's candidate
+    // retrieval carries implicit recall expectations (`app/etl.py:1272`
+    // — process.extract over the FULL pool, recall 1.0 by brute force;
+    // any blocked/banded engine must MEASURE what that exhaustiveness
+    // is traded for). The ground-truth side of the S-curve is
+    // intrinsically all-pairs (exact Jaccard at the audit
     // floor — the thing LSH exists to avoid), so a 100 TB run audits a
     // deterministic SAMPLE and applies the measured curve to the full
     // corpus. q194 is that protocol as a gated query: the q70
