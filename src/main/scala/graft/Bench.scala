@@ -53,7 +53,15 @@ object Bench {
         }
       }
       // all-runs-failed -> explicit -1 sentinel, not a bogus duration
-      (name, if (times.min.isFinite) times.min else -1.0, warmSec, nRuns)
+      val best = if (times.min.isFinite) times.min else -1.0
+      // incremental flush (ADVICE r11): a fatal error (OOM) on a later
+      // query aborts the run with no summary line — stream each
+      // query's time to stderr AS MEASURED so a long campaign keeps
+      // partial results. stderr, not stdout: the driver tail-captures
+      // stdout and must see the summary JSON, not N progress lines.
+      System.err.println(
+        s"[bench] $name ${Timing.cs(best)} s (warm ${Timing.cs(warmSec)})")
+      (name, best, warmSec, nRuns)
     }
     // Tail re-measure: the heaviest queries get the FEWEST runs above
     // (bounded wall-clock), so a single co-tenant burst can print a 38x

@@ -1509,7 +1509,13 @@ object SparkEntry {
     * q37 ground truth and the q42/q52/q111/q114 approximate rankings)
     * as nested-CTE derived tables — zero duplication, so a constant
     * drifting between q195's Spark side and any gated ranking
-    * hash-fails here rather than silently diverging. */
+    * hash-fails here rather than silently diverging. Hit counting is
+    * an EXISTS semi-join, the same shape as the Spark side's
+    * `left_semi`: every topK path today emits distinct neighbors per
+    * query (row_number rank), but that is an invariant, not a schema
+    * constraint — a future ranking that emitted a duplicate
+    * (query_id, neighbor_id) pair must fail loudly on BOTH sides
+    * instead of double-counting only in the oracle. */
   private lazy val annRecallOracle: String = {
     def pairs(name: String): String =
       s"(SELECT query_id, neighbor_id FROM (\n${oracleSqlBase(name)}\n))"
@@ -1520,14 +1526,22 @@ object SparkEntry {
        apq AS ${pairs("q111_pq_ann")},
        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM brute),
        m AS (
-         SELECT 'ivf' AS method, (SELECT count(*) FROM brute
-           JOIN aivf USING (query_id, neighbor_id)) AS h
-         UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM brute
-           JOIN aivfpq USING (query_id, neighbor_id))
-         UNION ALL SELECT 'lsh', (SELECT count(*) FROM brute
-           JOIN alsh USING (query_id, neighbor_id))
-         UNION ALL SELECT 'pq', (SELECT count(*) FROM brute
-           JOIN apq USING (query_id, neighbor_id)))
+         SELECT 'ivf' AS method, (SELECT count(*) FROM brute b
+           WHERE EXISTS (SELECT 1 FROM aivf a
+             WHERE a.query_id = b.query_id
+               AND a.neighbor_id = b.neighbor_id)) AS h
+         UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM brute b
+           WHERE EXISTS (SELECT 1 FROM aivfpq a
+             WHERE a.query_id = b.query_id
+               AND a.neighbor_id = b.neighbor_id))
+         UNION ALL SELECT 'lsh', (SELECT count(*) FROM brute b
+           WHERE EXISTS (SELECT 1 FROM alsh a
+             WHERE a.query_id = b.query_id
+               AND a.neighbor_id = b.neighbor_id))
+         UNION ALL SELECT 'pq', (SELECT count(*) FROM brute b
+           WHERE EXISTS (SELECT 1 FROM apq a
+             WHERE a.query_id = b.query_id
+               AND a.neighbor_id = b.neighbor_id)))
        SELECT m.method, nt.n_true, CAST(m.h AS BIGINT) AS n_hits,
          (1000 * CAST(m.h AS BIGINT)) // nt.n_true AS recall_mills
        FROM m, nt ORDER BY method"""

@@ -233,14 +233,20 @@ object ExcelReader {
         // reject anything beyond it (or non-numeric) as a typed
         // corrupt-workbook error, like the letterless-ref require.
         // ASCII digits only — Char.isDigit admits Unicode Nd digits
-        // that toInt then rejects; length <= 7 keeps toInt overflow-safe
+        // that toInt then rejects. Bound the VALUE, not the lexical
+        // length: xsd:unsignedInt's lexical space permits leading
+        // zeros (r="00000012" is in-bounds), so strip them before the
+        // overflow-safety length cap instead of rejecting length > 7.
+        val rNorm =
+          if (rAttr.isEmpty) rAttr
+          else { val s = rAttr.dropWhile(_ == '0'); if (s.isEmpty) "0" else s }
         if (rAttr.nonEmpty)
           require(rAttr.forall(c => c >= '0' && c <= '9') &&
-              rAttr.length <= 7 &&
-              rAttr.toInt >= 1 && rAttr.toInt <= MaxXlsxRows,
+              rNorm.length <= 7 &&
+              rNorm.toInt >= 1 && rNorm.toInt <= MaxXlsxRows,
             s"malformed row reference '$rAttr'")
         val rowIdx =
-          if (rAttr.nonEmpty) rAttr.toInt - 1 else nextRow
+          if (rAttr.nonEmpty) rNorm.toInt - 1 else nextRow
         nextRow = rowIdx + 1
         val cells = rowEl.getElementsByTagNameNS("*", "c")
         val m = mutable.LinkedHashMap[Int, String]()

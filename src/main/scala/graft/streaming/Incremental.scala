@@ -355,6 +355,19 @@ object Incremental {
   case class CandDoc(doc_id: Long, lang: String, text: String,
     content_key: String, exact_id: Option[Long], jm: Option[Long])
 
+  /** Per-drain accounting for [[corpusGate]]'s lossy corpus band index
+    * (verdict r11): `cappedBuckets` = degenerate (band, signature)
+    * buckets that exceeded `againstBucketCap`, `droppedIndexRows` =
+    * corpus band rows the cap discarded. Zero/zero means the drain's
+    * candidate generation was exhaustive — the batch-parity guarantee
+    * holds unconditionally; nonzero means the recall trade documented
+    * on `againstBucketCap` was LIVE this drain (a near-dup hiding
+    * beyond the cap in one of those buckets could slip through as
+    * novel), the streaming twin of `Dedup.classifyAgainst`'s per-row
+    * `capped` flag. Computed once per drain from the static-side
+    * window pass — no per-batch cost. */
+  case class CorpusGateReport(cappedBuckets: Long, droppedIndexRows: Long)
+
   /** Incremental corpus gate — the STREAMING twin of the per-document
     * stages of `Engine.processCorpus`: unicode cleanup + PII scrub
     * (`cleanText`/`scrubPii`, q77/q73's operators), empty-drop, the
@@ -397,7 +410,11 @@ object Incremental {
     * near-dup hiding beyond the cap in a degenerate bucket can slip
     * through as novel, diverging from batch `classifyAgainst`. The
     * default is far above any honest bucket; pass `Int.MaxValue` for
-    * lossless parity with the batch twin. */
+    * lossless parity with the batch twin. Whether the cap BOUND this
+    * drain is not silent: the returned [[CorpusGateReport]] counts the
+    * capped buckets and dropped index rows from the static-side window
+    * pass (zero/zero without a standing corpus, or when every bucket
+    * fit). */
   def corpusGate(
       spark: SparkSession,
       inDir: String,
@@ -408,7 +425,7 @@ object Incremental {
       expectedKeys: Long = 0L,
       againstCorpus: Option[DataFrame] = None,
       againstMinJaccardMills: Int = 500,
-      againstBucketCap: Int = 1024): Unit = {
+      againstBucketCap: Int = 1024): CorpusGateReport = {
     val session = if (expectedKeys <= 0L) spark else {
       val s2 = isolatedClone(spark)
       s2.conf.set("spark.sql.shuffle.partitions",
@@ -449,9 +466,9 @@ object Incremental {
     // later batches drop it without re-probing
     // corpus-side index frames persisted for the drain, released after
     val corpusIndexPins = scala.collection.mutable.Buffer.empty[DataFrame]
-    val survivors = againstCorpus match {
+    val (survivors, report) = againstCorpus match {
       case None =>
-        keyed.select("doc_id", "lang", "text", "content_key").as[GatedDoc]
+        (keyed.select("doc_id", "lang", "text", "content_key").as[GatedDoc]
           .groupByKey(_.content_key)
           .flatMapGroupsWithState[Long, GatedDoc](
             OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -462,7 +479,7 @@ object Incremental {
                 state.update(first.doc_id)
                 Iterator.single(first)
               }
-          }
+          }, CorpusGateReport(0L, 0L))
       case Some(corpus) =>
         val (bands, rowsPerBand) = (2, 4)
         // the probe key IS content_key (already on every stream row) —
@@ -486,22 +503,35 @@ object Incremental {
         val bucketCap = againstBucketCap
         val wBucket = org.apache.spark.sql.expressions.Window
           .partitionBy("__bno", "__bsig").orderBy("__cid")
-        val cBands = corpus.select(col("doc_id").as("__cid"),
+        // persist the PRE-cap banded index (with __rn): the in-cap cut
+        // feeds the stream-static join per micro-batch, and the
+        // over-cap remainder is the drain's lossy-path accounting —
+        // one window pass serves both, and the one-row aggregate below
+        // is the only extra work the observability costs
+        val cBandsAll = corpus.select(col("doc_id").as("__cid"),
           posexplode(array((0 until bands).map { b =>
             TextFunctions.minhashBand(
               col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
           }: _*)).as(Seq("__bno", "__bsig")))
           .withColumn("__rn", row_number().over(wBucket))
-          .where(col("__rn") <= bucketCap)
-          .drop("__rn")
           .persist()
-        corpusIndexPins += cBands
+        corpusIndexPins += cBandsAll
+        // verdict r11: the cap's recall trade must be observable — a
+        // drain reports how many degenerate buckets were truncated
+        // (computed once here on the static side; bounded collect, one
+        // aggregate row)
+        val overCap = cBandsAll.where(col("__rn") > bucketCap)
+          .agg(countDistinct(col("__bno"), col("__bsig")).as("b"),
+            count(lit(1)).as("r"))
+          .head()
+        val gateReport = CorpusGateReport(overCap.getLong(0), overCap.getLong(1))
+        val cBands = cBandsAll.where(col("__rn") <= bucketCap).drop("__rn")
         val cToks = corpus.select(col("doc_id").as("__cid"),
           TextFunctions.tokenSetSorted(col("text")).as("__ct"))
           .persist()
         corpusIndexPins += cToks
         val minJac = againstMinJaccardMills
-        keyed
+        (keyed
           .withColumn("__bt", TextFunctions.tokenSetSorted(col("text")))
           .select(col("doc_id"), col("lang"), col("text"),
             col("content_key"), col("__bt"),
@@ -539,7 +569,7 @@ object Incremental {
                     GatedDoc(f.doc_id, f.lang, f.text, f.content_key))
                 }
               }
-          }
+          }, gateReport)
     }
     // unpersist in finally: if the drain throws, the pinned corpus
     // frames must not leak in the shared SparkContext's cache
@@ -552,6 +582,7 @@ object Incremental {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      report
     } finally corpusIndexPins.foreach(_.unpersist())
   }
 

@@ -388,6 +388,25 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("every ANN ranking emits DISTINCT (query_id, neighbor_id) pairs — " +
+    "the invariant q195's semi-join hit counting rests on") {
+    // q195 counts hits with a semi-join on both engines, so a ranking
+    // emitting a duplicate pair would not double-count — but it WOULD
+    // mean rank is no longer a permutation of distinct neighbors.
+    // Enforce the invariant at its source, per gated ranking.
+    for (name <- Seq("q37_knn_bruteforce", "q42_lsh_ann", "q52_ivf_ann",
+        "q111_pq_ann", "q114_ivfpq_ann")) {
+      val df = q(name)
+      val n = df.count()
+      assert(df.select("query_id", "neighbor_id").distinct().count() == n,
+        s"$name emits a duplicate (query_id, neighbor_id) pair")
+      // and rank is dense 1..k within each query (no gaps/ties leak out)
+      assert(df.where(col("rank") < 1 || col("rank") > 5).isEmpty)
+      assert(df.select("query_id", "rank").distinct().count() == n,
+        s"$name repeats a rank within a query")
+    }
+  }
+
   test("q184 survival: non-increasing, fully-accounted risk sets") {
     val rows = q("q184_kaplan_meier").collect()
     // S is a product of factors ≤ 1 — strictly non-increasing in t

@@ -303,5 +303,22 @@ class ExcelReaderSpec extends AnyFunSuite {
     // reject legal sparse rows)
     val ok = ExcelReader.readXlsx(spark, workbook("ok.xlsx", "3"))
     assert(ok.collect().length == 2) // rows 2..3: gap + data
+    // xsd:unsignedInt's lexical space permits leading zeros: a
+    // zero-padded in-bounds r (value 3, 8 lexical digits) must read
+    // identically to r="3", not trip the overflow-safety length cap
+    val padded = ExcelReader.readXlsx(spark, workbook("padded.xlsx", "00000003"))
+    assert(padded.collect().length == 2)
+    // ...while a zero-padded OUT-of-bounds value is still rejected on
+    // its VALUE (the bound survives the normalization)
+    val paddedHuge = intercept[IllegalArgumentException] {
+      ExcelReader.readXlsx(spark, workbook("phuge.xlsx", "0002000000000"))
+    }
+    assert(paddedHuge.getMessage.contains("malformed row reference"))
+    // r="0" (and its all-zeros lexical forms) stays rejected: rows are
+    // 1-based
+    val zero = intercept[IllegalArgumentException] {
+      ExcelReader.readXlsx(spark, workbook("zero.xlsx", "000"))
+    }
+    assert(zero.getMessage.contains("malformed row reference"))
   }
 }

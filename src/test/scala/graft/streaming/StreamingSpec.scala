@@ -368,6 +368,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept() == twin, "streaming gate must equal the q109 batch twin")
   }
 
+  test("corpusGate accounts for the band-bucket cap when it binds") {
+    val in = tmp(); val cp = tmp(); val out = tmp()
+    val txt = "the quick brown fox jumps over the lazy dog near the river bank"
+    // four corpus docs with IDENTICAL text: both band buckets hold 4
+    // rows, so cap=2 truncates two rows in each — exactly the
+    // degenerate-bucket shape the cap exists for
+    val standing = (100L to 103L).map(i => (i, "en", txt))
+      .toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (1L, "en", txt), // exact dup: drops on the content-key path, cap-blind
+      (2L, "en", "completely novel subject matter nothing shared at all"))
+      .toDF("doc_id", "lang", "text")
+    batch.write.mode("append").parquet(in)
+    val r = Incremental.corpusGate(spark, in, batch.schema, cp, out,
+      againstCorpus = Some(standing), expectedKeys = 100L,
+      againstBucketCap = 2)
+    assert(r == Incremental.CorpusGateReport(
+      cappedBuckets = 2L, droppedIndexRows = 4L))
+    // gate semantics under a binding cap: the exact path is unaffected
+    // (content-key probe, not the band index), novel docs still land
+    val kept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"got $kept")
+    // same corpus at the default cap: every bucket fits -> zero/zero,
+    // i.e. this drain's candidate generation was exhaustive
+    val in2 = tmp(); val cp2 = tmp(); val out2 = tmp()
+    batch.write.mode("append").parquet(in2)
+    assert(Incremental.corpusGate(spark, in2, batch.schema, cp2, out2,
+      againstCorpus = Some(standing), expectedKeys = 100L)
+      == Incremental.CorpusGateReport(0L, 0L))
+    // no standing corpus: no band index, trivially zero/zero
+    val in3 = tmp(); val cp3 = tmp(); val out3 = tmp()
+    batch.write.mode("append").parquet(in3)
+    assert(Incremental.corpusGate(spark, in3, batch.schema, cp3, out3,
+      expectedKeys = 100L) == Incremental.CorpusGateReport(0L, 0L))
+  }
+
   test("corpusGate drains crawl batches into a clean deduped store, batch-equivalently") {
     val in = tmp(); val cp = tmp(); val out = tmp()
     // 60-word docs built to pass the Gopher A1.1 conjunction (mean word
