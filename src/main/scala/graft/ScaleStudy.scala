@@ -64,6 +64,12 @@ object ScaleStudy {
     * 420 for the same residue-safety as IdOffset. */
   val OrderOffset: Long = 10000200L
 
+  /** embeddings stride: beyond sf0.1's max vec_id 1,999. Residue
+    * safety does NOT matter here — the `ann` family never selects
+    * queries by `vec_id %` on the synth corpus (its query set is
+    * FIXED from the base dir; see [[annStudies]]). */
+  val VecOffset: Long = 100000L
+
   /** The heavy document-family queries. Notes on the round-6
     * additions: q78's eval gram set grows 10× past the Bloom bitset's
     * capacity, so its synth-sf1 point measures the saturated-prefilter
@@ -197,16 +203,22 @@ object ScaleStudy {
     // unigram table, the per-token pair explode and the pair agg all
     // grow linearly while sources stay 20 and the totals broadcast
     // stays 20 rows; growth is the token scan + the count-table agg
-    "q188_source_jsd")
-    // The AUDIT queries are deliberately NOT studied: q192's ground
-    // truth is exact all-pairs BY DESIGN (the thing LSH avoids — its
-    // exponent would read ~+1 and measure the audit, not the engine);
-    // q194 is the at-scale answer to that — at production scale it
-    // runs on a FIXED-size sample, so its wall is sample-bounded, not
-    // corpus-bounded, and a ×10 corpus step exercises nothing the
-    // sample doesn't; q195 composes the five embedding-family rankings
-    // whose query set is a fixed corpus share (the q111 Q×N rationale
-    // above).
+    "q188_source_jsd",
+    // q194 (round 12): the sampled S-curve audit AS GATED — its md5
+    // sample is a fixed SHARE (rate 0.5), so sample mass grows with
+    // the corpus and the exponent measures the rate²-damped q192
+    // shape (star-capped bucket pairs + closure join, all replica-
+    // disjoint). At production the protocol pins an ABSOLUTE sample
+    // size, making the wall sample-bounded; this row documents the
+    // share-bound ceiling a mis-sized sample would pay.
+    "q194_lsh_scurve_sampled")
+    // q192 is deliberately NOT studied: its ground truth is exact
+    // all-pairs BY DESIGN (the thing LSH avoids — its exponent would
+    // read ~+1 and measure the audit, not the engine); q194 above IS
+    // its at-scale protocol. q195 composes the five embedding-family
+    // rankings whose query set is a fixed corpus share (the q111 Q×N
+    // rationale above) — its chains are studied at the CORRECT
+    // protocol (fixed Q, 10× corpus) by the `ann` family below.
 
   /** The events/streaming family: both REAL microbatch drains, the
     * as-of attribution (backward + the two-window nearest variant) and
@@ -557,6 +569,71 @@ object ScaleStudy {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
     }
 
+  /** Builds `outDir/embeddings.parquet` — 10× the source vectors with
+    * `vec_id` offset by k·[[VecOffset]] per replica, vectors and
+    * labels copied VERBATIM. Identical replicas keep the quantizer
+    * geometry (centroids, codebooks, bucket structure) of the base
+    * corpus while scaling scan/assignment/ranking mass 10× — exactly
+    * the cost surface the `ann` family studies; brute-force ties among
+    * copies break deterministically on neighbor_id like every ranking
+    * in the suite. */
+  def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
+      outDir: String): Unit =
+    buildOnce(outDir, Seq(s"$srcDir/embeddings.parquet"),
+        s"embeddings-x$Replicas", "embeddings.parquet/_SUCCESS") {
+      val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val guard = e.agg(max(col("vec_id")).as("mv")).head()
+      require(!guard.isNullAt(0),
+        s"$srcDir/embeddings.parquet is empty — cannot synthesize")
+      require(guard.getAs[Long]("mv") < VecOffset,
+        s"source vec_id ${guard.getAs[Long]("mv")} >= VecOffset $VecOffset")
+      (0 until Replicas).map { r =>
+          e.select((col("vec_id") + lit(r * VecOffset)).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+  /** q195's five ANN chains at the CORRECT at-scale protocol: a FIXED
+    * query set (the base corpus's `vec_id % 100 = 0` rows — q37/q195's
+    * own selector, read from `baseDir` on BOTH sides of the step) is
+    * ranked against whatever corpus the measured dir holds, so each
+    * exponent isolates corpus growth at constant Q. The gated q195
+    * query itself stays out of the end-to-end study because ITS query
+    * set is a fixed corpus share (Q×N by design — the q111 rationale
+    * on [[HeavyQueries]]); these rows are the answer to "how do its
+    * chains scale" asked the way a production audit would run them.
+    * Expected shapes: brute is the one linear-in-N full scan (the
+    * audit's ground truth, run on a sample at 100 TB); lsh/ivf scan a
+    * bucket/cell subset; pq/ivfpq pay bounded codebook training plus a
+    * compressed scan. */
+  def annStudies(baseDir: String): Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.SimilaritySearch
+    def qs(s: SparkSession): DataFrame =
+      s.read.parquet(s"$baseDir/embeddings.parquet")
+        .where(col("vec_id") % 100 === 0)
+    def corpus(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/embeddings.parquet")
+    Map(
+      "q195a_brute_chain" -> ((s: SparkSession, d: String) =>
+        SimilaritySearch.bruteForceTopK(qs(s), corpus(s, d),
+          "vec_id", "embedding", k = 5)),
+      "q195b_lsh_chain" -> ((s: SparkSession, d: String) =>
+        SimilaritySearch.rademacherLshTopK(qs(s), corpus(s, d),
+          "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)),
+      "q195c_ivf_chain" -> ((s: SparkSession, d: String) =>
+        SimilaritySearch.ivfTopK(qs(s), corpus(s, d),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 1)),
+      "q195d_pq_chain" -> ((s: SparkSession, d: String) =>
+        SimilaritySearch.pqTopK(qs(s), corpus(s, d),
+          "vec_id", "embedding", k = 5, m = 4, ksub = 8, iters = 2)),
+      "q195e_ivfpq_chain" -> ((s: SparkSession, d: String) =>
+        SimilaritySearch.ivfPqTopK(qs(s), corpus(s, d),
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
+          m = 4, ksub = 8, iters = 2)))
+  }
+
   /** Builds `outDir/lineitem.parquet` + `outDir/orders.parquet` (10×
     * facts, shared disjoint o_orderkey stride) and copies the broadcast
     * dims (part, supplier, nation, customer) verbatim — the
@@ -613,11 +690,13 @@ object ScaleStudy {
     * failed query reports {"error": "..."} and the study continues
     * (Bench's per-query −1-sentinel precedent). */
   private def measure(spark: SparkSession, names: Seq[String],
-      baseDir: String, synthDir: String): String =
+      baseDir: String, synthDir: String,
+      fns: Map[String, (SparkSession, String) => DataFrame] =
+        SparkEntry.queries): String =
     names.map { name =>
       val key = "\"" + name.takeWhile(_ != '_') + "\""
       try {
-        val fn = SparkEntry.queries(name)
+        val fn = fns(name)
         fn(spark, baseDir).count() // warm: codegen + planning
         val t0 = bestOf(3)(fn(spark, baseDir).count())
         fn(spark, synthDir).count()
@@ -647,6 +726,7 @@ object ScaleStudy {
     val synthDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "target/synth-sf1")
     val synthEvDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_EV_DIR", "target/synth-ev1")
     val synthRelDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_REL_DIR", "target/synth-rel1")
+    val synthEmbDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_EMB_DIR", "target/synth-emb1")
     val deepDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DEEP_DIR", "target/synth-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
@@ -690,6 +770,12 @@ object ScaleStudy {
         case "rel" =>
           synthesizeRelational(spark, sfDir, synthRelDir)
           s""""rel":{${measure(spark, subset(RelQueries, filter), sfDir, synthRelDir)}}"""
+        case "ann" =>
+          synthesizeEmbeddings(spark, sfDir, synthEmbDir)
+          val studies = annStudies(sfDir)
+          s""""ann":{${measure(spark,
+            subset(studies.keys.toSeq.sorted, filter), sfDir, synthEmbDir,
+            studies)}}"""
         case "deep" =>
           // second document step: sf1 (50k) -> sf10 (500k, 100 replicas),
           // where the checkpoint/index WRITE dominates q53/q86
@@ -702,7 +788,7 @@ object ScaleStudy {
           synthesize(spark, sfDir, synthDir)
           synthesize(spark, sfDir, deepDir, replicas = 100)
           s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
-        case other => sys.error(s"unknown family '$other' (docs|events|rel|deep)")
+        case other => sys.error(s"unknown family '$other' (docs|events|rel|ann|deep)")
       } catch {
         // unknown-family is a USAGE error and still fails the run (it
         // was raised before any synthesis); everything else NON-FATAL
@@ -710,7 +796,7 @@ object ScaleStudy {
         // style). Fatal JVM errors propagate and kill the study — see
         // measure()'s catch for why.
         case scala.util.control.NonFatal(e)
-            if Set("docs", "events", "rel", "deep", "build")(name) =>
+            if Set("docs", "events", "rel", "ann", "deep", "build")(name) =>
           System.err.println(s"[study] family $name failed: ${e.getMessage}")
           val msg = e.getClass.getSimpleName
             .replace("\\", "").replace("\"", "'")

@@ -354,6 +354,13 @@ object SparkEntry {
           .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
           .select(lit(method).as("method"), col("n_true"), col("n_hits"),
             expr("(1000 * n_hits) div n_true").as("recall_mills"))
+          // the floor is part of the gated contract: a kernel
+          // regression that guts recall flips this NAMED column on the
+          // Spark side only (the oracle recomputes its own rankings),
+          // so the mismatch reads as "ivf no longer meets its floor",
+          // not an anonymous hash diff
+          .withColumn("meets_floor",
+            col("recall_mills") >= lit(AnnRecallFloorMills(method)))
       }
       recallOf("ivf", SimilaritySearch.ivfTopK(qs, e,
           "vec_id", "embedding", k = 5, nCells = 16, nProbe = 1))
@@ -1516,6 +1523,19 @@ object SparkEntry {
     * constraint — a future ranking that emitted a duplicate
     * (query_id, neighbor_id) pair must fail loudly on BOTH sides
     * instead of double-counting only in the oracle. */
+  /** q195 per-method recall@5 floors (mills), the semantic layer on
+    * the hash gate: set at ~60% of the values measured at the gate
+    * tier (sf0.01: ivf 320, ivfpq 200, lsh 120, pq 80 — deterministic
+    * kernels, exact every run), far above zero so a gutted quantizer
+    * or ranking trips them, far below measurement so honest kernel
+    * changes don't. Interpolated into BOTH the Spark query and the
+    * DuckDB twin (the parity rule — one constant, two engines); the
+    * floors' truth at the gate tier is itself gated, since the oracle
+    * derives `meets_floor` from its own independently-computed
+    * rankings. */
+  val AnnRecallFloorMills: Map[String, Long] =
+    Map("ivf" -> 200L, "ivfpq" -> 120L, "lsh" -> 60L, "pq" -> 40L)
+
   private lazy val annRecallOracle: String = {
     def pairs(name: String): String =
       s"(SELECT query_id, neighbor_id FROM (\n${oracleSqlBase(name)}\n))"
@@ -1541,10 +1561,18 @@ object SparkEntry {
          UNION ALL SELECT 'pq', (SELECT count(*) FROM brute b
            WHERE EXISTS (SELECT 1 FROM apq a
              WHERE a.query_id = b.query_id
-               AND a.neighbor_id = b.neighbor_id)))
+               AND a.neighbor_id = b.neighbor_id))),
+       fl AS (SELECT * FROM (VALUES
+         ('ivf', CAST(${AnnRecallFloorMills("ivf")} AS BIGINT)),
+         ('ivfpq', CAST(${AnnRecallFloorMills("ivfpq")} AS BIGINT)),
+         ('lsh', CAST(${AnnRecallFloorMills("lsh")} AS BIGINT)),
+         ('pq', CAST(${AnnRecallFloorMills("pq")} AS BIGINT)))
+         t(method, floor_mills))
        SELECT m.method, nt.n_true, CAST(m.h AS BIGINT) AS n_hits,
-         (1000 * CAST(m.h AS BIGINT)) // nt.n_true AS recall_mills
-       FROM m, nt ORDER BY method"""
+         (1000 * CAST(m.h AS BIGINT)) // nt.n_true AS recall_mills,
+         ((1000 * CAST(m.h AS BIGINT)) // nt.n_true) >= fl.floor_mills
+           AS meets_floor
+       FROM m, nt, fl WHERE fl.method = m.method ORDER BY m.method"""
   }
 
   private lazy val oracleSqlBase: Map[String, String] =

@@ -436,6 +436,92 @@ class DedupMergeSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
   }
 
+  test("steady-state MAINTENANCE: appending a classified batch's new docs " +
+    "into the bucketed index equals a from-scratch rebuild") {
+    // the true daily loop at corpus scale: classify a batch against
+    // the stored index, append ONLY the `new` survivors' index rows
+    // (same bucketed layout), and classify the next batch against the
+    // grown table — never re-deriving the standing corpus. Proven here
+    // by triangulating batch 2's verdicts three ways: appended table ==
+    // scratch-rebuilt index == inline corpus-text classification.
+    val wh = java.nio.file.Files.createTempDirectory("graft-dedup-incr")
+    spark.sql("DROP TABLE IF EXISTS dedup_index_incr")
+    val corpus0 = Seq(
+      (10L, "entirely unrelated corpus material about astronomy and telescopes"),
+      (11L, "another corpus document describing ancient history and medieval castles")
+    ).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus0, "text", "doc_id")
+      .write.mode("overwrite")
+      .bucketBy(8, "content_key").sortBy("content_key")
+      .option("path", s"$wh/idx").saveAsTable("dedup_index_incr")
+    try {
+      // batch 1: one novel doc (the 'river bank' band-contract fixture)
+      // and one exact dup of corpus doc 10 — only the novel doc's
+      // index rows may be appended
+      val batch1 = Seq(
+        (20L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (21L, "entirely unrelated corpus material about astronomy and telescopes")
+      ).toDF("doc_id", "text")
+      val v1 = Dedup.dedupAgainstIndex(batch1, spark.table("dedup_index_incr"),
+        "text", "doc_id", maxCandidates = Int.MaxValue)
+      val newIds1 = v1.where(col("verdict") === "new")
+        .select("doc_id").as[Long].collect().toSet
+      assert(newIds1 == Set(20L), s"got $newIds1")
+      // append the survivors' index rows into the SAME bucketed layout
+      // (insertInto honors the table's bucket spec — each append job
+      // writes its own bucket files, the exact steady-state mechanics)
+      Dedup.buildDedupIndex(
+          batch1.where(col("doc_id").isInCollection(newIds1)),
+          "text", "doc_id")
+        .write.mode("append").insertInto("dedup_index_incr")
+      // batch 2 probes every appended surface: a near dup of appended
+      // doc 20 ('river edge' — the FOUND band-0 collision), an exact
+      // dup of 20, an exact dup of ORIGINAL corpus doc 11, one novel
+      val batch2 = Seq(
+        (30L, "the quick brown fox jumps over the lazy dog near the river edge"),
+        (31L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (32L, "another corpus document describing ancient history and medieval castles"),
+        (33L, "genuinely fresh material on cooking techniques and recipes")
+      ).toDF("doc_id", "text")
+      def verdicts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val viaAppended = verdicts(Dedup.dedupAgainstIndex(
+        batch2, spark.table("dedup_index_incr"), "text", "doc_id",
+        maxCandidates = Int.MaxValue))
+      val grownCorpus = corpus0.unionByName(
+        batch1.where(col("doc_id").isInCollection(newIds1)))
+      val viaScratch = verdicts(Dedup.dedupAgainstIndex(
+        batch2, Dedup.buildDedupIndex(grownCorpus, "text", "doc_id"),
+        "text", "doc_id", maxCandidates = Int.MaxValue))
+      val viaInline = verdicts(Dedup.dedupAgainst(
+        batch2, grownCorpus, "text", "doc_id",
+        maxCandidates = Int.MaxValue))
+      assert(viaAppended == viaScratch,
+        "appended index diverged from a from-scratch rebuild")
+      assert(viaAppended == viaInline,
+        "appended index diverged from the inline corpus-text path")
+      // and the verdicts themselves are the expected ones
+      val m = Dedup.dedupAgainstIndex(batch2,
+          spark.table("dedup_index_incr"), "text", "doc_id",
+          maxCandidates = Int.MaxValue)
+        .select("doc_id", "verdict", "matched_id")
+        .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(m(30L) == ("near_dup", 20L))
+      assert(m(31L) == ("exact_dup", 20L))
+      assert(m(32L) == ("exact_dup", 11L))
+      assert(m(33L)._1 == "new")
+      // the plan contract SURVIVES the append: the exact-probe key
+      // aggregate on the grown table is still exchange-free (multiple
+      // bucket files per bucket are fine — the layout is what matters)
+      val keyAgg = spark.table("dedup_index_incr")
+        .select(col("content_key").as("__ck"), col("corpus_id").as("__cid"))
+        .groupBy("__ck").agg(min("__cid").as("__exact_id"))
+      assert(!keyAgg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "append broke the shuffle-free bucketed key probe")
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_index_incr")
+  }
+
   test("dedupAgainst maxCandidates cap keeps the most-colliding corpus " +
     "candidates and can (contractually) miss matches beyond the cap") {
     // corpus: one true near-dup of the batch doc plus a boilerplate
