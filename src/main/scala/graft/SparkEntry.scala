@@ -1524,11 +1524,13 @@ object SparkEntry {
     * (query_id, neighbor_id) pair must fail loudly on BOTH sides
     * instead of double-counting only in the oracle. */
   /** q195 per-method recall@5 floors (mills), the semantic layer on
-    * the hash gate: set at ~60% of the values measured at the gate
-    * tier (sf0.01: ivf 320, ivfpq 200, lsh 120, pq 80 — deterministic
-    * kernels, exact every run), far above zero so a gutted quantizer
-    * or ranking trips them, far below measurement so honest kernel
-    * changes don't. Interpolated into BOTH the Spark query and the
+    * the hash gate: set at 50–62.5% of the values measured at the
+    * gate tier (sf0.01: ivf 320→200 = 62.5%, ivfpq 200→120 = 60%,
+    * lsh 120→60 = 50%, pq 80→40 = 50% — deterministic kernels, exact
+    * every run; the fraction is deliberately not uniform, each floor
+    * is a round number well inside its method's band), far above zero
+    * so a gutted quantizer or ranking trips them, far below
+    * measurement so honest kernel changes don't. Interpolated into BOTH the Spark query and the
     * DuckDB twin (the parity rule — one constant, two engines); the
     * floors' truth at the gate tier is itself gated, since the oracle
     * derives `meets_floor` from its own independently-computed

@@ -503,29 +503,31 @@ object Incremental {
         val bucketCap = againstBucketCap
         val wBucket = org.apache.spark.sql.expressions.Window
           .partitionBy("__bno", "__bsig").orderBy("__cid")
-        // persist the PRE-cap banded index (with __rn): the in-cap cut
-        // feeds the stream-static join per micro-batch, and the
-        // over-cap remainder is the drain's lossy-path accounting —
-        // one window pass serves both, and the one-row aggregate below
-        // is the only extra work the observability costs
+        // the PRE-cap banded index stays UNPERSISTED: caching it would
+        // pin exactly the over-cap rows the cap exists to discard in
+        // executor memory for the whole drain — unbounded on a
+        // degenerate corpus. Only the capped cut (bounded at
+        // `bucketCap` rows per bucket) is pinned for the per-batch
+        // stream-static joins; the price is ONE extra banding pass
+        // over the corpus when the observability aggregate below runs
         val cBandsAll = corpus.select(col("doc_id").as("__cid"),
           posexplode(array((0 until bands).map { b =>
             TextFunctions.minhashBand(
               col("text"), (b * rowsPerBand) until ((b + 1) * rowsPerBand))
           }: _*)).as(Seq("__bno", "__bsig")))
           .withColumn("__rn", row_number().over(wBucket))
-          .persist()
-        corpusIndexPins += cBandsAll
         // verdict r11: the cap's recall trade must be observable — a
         // drain reports how many degenerate buckets were truncated
         // (computed once here on the static side; bounded collect, one
-        // aggregate row)
+        // aggregate row, its own full pass — see the cache note above)
         val overCap = cBandsAll.where(col("__rn") > bucketCap)
           .agg(countDistinct(col("__bno"), col("__bsig")).as("b"),
             count(lit(1)).as("r"))
           .head()
         val gateReport = CorpusGateReport(overCap.getLong(0), overCap.getLong(1))
         val cBands = cBandsAll.where(col("__rn") <= bucketCap).drop("__rn")
+          .persist()
+        corpusIndexPins += cBands
         val cToks = corpus.select(col("doc_id").as("__cid"),
           TextFunctions.tokenSetSorted(col("text")).as("__ct"))
           .persist()

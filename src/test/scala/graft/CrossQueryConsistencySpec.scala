@@ -388,9 +388,11 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     }
     val (gapMass, mass) = weighted.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
     assert(mass > 0)
-    assert(gapMass / mass <= 150,
-      s"n_true-weighted mean closure gap ${gapMass / mass} mills — " +
-        "systematic sampled-audit drift")
+    // compare cross-multiplied: gapMass/mass would truncate toward
+    // zero and admit anything under 151 mills
+    assert(gapMass <= 150L * mass,
+      f"n_true-weighted mean closure gap ${gapMass.toDouble / mass}%.1f " +
+        "mills — systematic sampled-audit drift")
   }
 
   test("q195 ANN recall audit: one row per gated method, recall derived " +
