@@ -87,6 +87,34 @@ object Bench {
         (name, math.min(best, again), warmSec, nRuns + 1)
       }
     }
+    // Composed-pipeline row (the round-13 lead): the full
+    // Engine.processCorpus chain — C4-era cleanup, exact dedup, LSH
+    // near-dup + components keeper cut, dup-passage removal, Bloom
+    // decontam, quality/budget selection, chunk + pack — timed as ONE
+    // job, AFTER the query loop so its checkpoint pressure never
+    // pollutes a query's measurement. Single-shot timing via the
+    // CorpusTimer protocol (same helper, same geometry), so this row
+    // and BASELINE.md's CorpusTimer history stay comparable. Detail
+    // (stage ledger + scan count) prints on its own line; only
+    // composed_sec rides the byte-budgeted summary. Excluded from
+    // `total`: the quiet-band expectation is defined over the query
+    // suite and must stay comparable across rounds.
+    val composed =
+      try Some(graft.tools.CorpusTimer.composedRun(spark, sfDir))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] composed pipeline FAILED: ${e.getMessage}")
+          None
+      }
+    composed.foreach { c =>
+      val stages = c.stages.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val line = s"""{"metric":"composed_pipeline","sec":${Timing.cs(c.sec)},"corpus_scans":${Timing.cs(c.scans)},"n_docs":${c.nDocs},"stages":{$stages}}"""
+      println(line)
+      System.err.println(s"[bench] composed ${Timing.cs(c.sec)} s " +
+        s"(${Timing.cs(c.scans)} corpus scans, ${c.nDocs} docs)")
+    }
+    val composedSec = composed.map(_.sec).getOrElse(-1.0)
+
     // The driver captures only a bounded 2000-byte TAIL of stdout: the
     // summary line must stay well under that or its head gets truncated
     // and the round's bench goes unparsed (this happened twice — and at
@@ -107,7 +135,10 @@ object Bench {
     // the truncation-safe full line, not the byte-budgeted summary
     val fullRuns = results2.map { case (k, _, _, n) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + n }.mkString("{", ",", "}")
-    val MapByteBudget = 1400
+    // 1370 (was 1400): composed_sec joined the summary's fixed fields;
+    // the map budget shrinks so the whole line stays inside the
+    // driver's stdout-tail capture
+    val MapByteBudget = 1370
     val (failed, ok) = results2.partition(_._2 < 0)
     val keptB = new scala.collection.mutable.ArrayBuffer[(String, Double)]()
     failed.foreach { case (k, v, _, _) => keptB += (k -> v) }
@@ -133,7 +164,7 @@ object Bench {
       case (n, _, w, _) if n.startsWith("q01") => w }.getOrElse(-1.0)
     val warmTotal = results2.map(_._3).sum
     println(s"""{"metric":"full_query_map","queries":$fullQs,"runs":$fullRuns}""")
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results2.length},"queries":$qs,"omitted_n":${omitted.length},"omitted_total":${cs(omitted.map(_._2).filter(_ >= 0).sum)},"sf":"$sfName","gauge_q01_warm":${cs(gaugeWarm)},"warm_total":${cs(warmTotal)},"tail_remeasured":${heavy.size}}""")
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results2.length},"queries":$qs,"omitted_n":${omitted.length},"omitted_total":${cs(omitted.map(_._2).filter(_ >= 0).sum)},"sf":"$sfName","gauge_q01_warm":${cs(gaugeWarm)},"warm_total":${cs(warmTotal)},"tail_remeasured":${heavy.size},"composed_sec":${cs(composedSec)}}""")
     spark.stop()
   }
 }

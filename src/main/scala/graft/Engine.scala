@@ -224,6 +224,7 @@ object Engine {
     *
     *   NFC → [C4 page clean] → line dedup (boilerplate) → clean
     *   (control-char strip) → PII scrub → drop-empty → exact dedup →
+    *   [LSH near-dup → components → keeper cut] →
     *   [dup-passage removal] → [benchmark decontam] →
     *   [Gopher rule gate] → quality score →
     *   per-stratum token-budget selection → chunk + pack
@@ -237,7 +238,11 @@ object Engine {
     * reads it twice — frequency agg + dup-start join), which executes
     * the FULL upstream pipeline at facade-call time, so pair
     * `removeDupWindows` with `materializeBoundaries = true` unless a
-    * per-action upstream re-execution is acceptable; and
+    * per-action upstream re-execution is acceptable; `nearDedup`
+    * eagerly materializes its banding + verify + components loop at
+    * call time (connectedComponents localCheckpoints every round by
+    * contract), which executes the upstream pipeline once — same
+    * pairing advice as `removeDupWindows`; and
     * `materializeBoundaries` checkpoints by design. `accounting` is
     * the per-stage row ledger (one count job per stage when collected
     * — spec/audit surface, not a hot path).
@@ -266,6 +271,26 @@ object Engine {
     *                      every non-canonical holder after exact dedup
     *                      (TextAnalysis.removeDupPassages — row-
     *                      preserving, text shrinks)
+    * @param nearDedup     when Some(minJaccardMills), within-corpus
+    *                      FUZZY dedup runs after exact dedup: MinHash-
+    *                      LSH candidate pairs (the q35 banding, star-
+    *                      capped at `nearDedupMaxBucket`), exact
+    *                      token-set Jaccard verification at the given
+    *                      threshold, connected components over the
+    *                      verified edges (the q53 kernel), then each
+    *                      component keeps only its min-id canonical
+    *                      (the q106 keeper cut with id priority).
+    *                      Adds a `near_deduped` ledger stage
+    * @param nearDedupMaxBucket star cap on degenerate LSH buckets
+    *                      (default: the gated q35 cap). NOTE the
+    *                      verify-after-star trade: the star reduction
+    *                      preserves the RAW banding closure exactly,
+    *                      but a star edge that fails verification can
+    *                      split a component a full clique would have
+    *                      kept whole — in a degenerate bucket (near-
+    *                      identical boilerplate) star edges verify in
+    *                      practice; pass `Int.MaxValue` for the
+    *                      lossless all-pairs verify
     * @param againstCorpus when Some(standing corpus of the same
     *                      `idCol`/`textCol` shape, in this pipeline's
     *                      cleaned text form), batch docs the corpus
@@ -326,6 +351,8 @@ object Engine {
       decontamEval: Option[DataFrame] = None,
       decontamMinShared: Int = graft.queries.TextQueries.DecontamMinShared,
       removeDupWindows: Option[(Int, Int)] = None,
+      nearDedup: Option[Int] = None,
+      nearDedupMaxBucket: Int = graft.queries.TextQueries.LshBucketCap,
       againstCorpus: Option[DataFrame] = None,
       againstMinJaccardMills: Int = 500,
       againstMaxCandidates: Int = Int.MaxValue,
@@ -396,6 +423,42 @@ object Engine {
     val exactDeduped = Dedup.exact(nonEmpty, textCol, idCol)
       .drop("content_key", "dup_count")
 
+    // 4n. optional within-corpus fuzzy dedup: the q35 banding (star-
+    // capped candidate pairs), q36-style exact token-set Jaccard
+    // verify, the q53 closure, then the q106 keeper cut (min id per
+    // component). Runs BEFORE the against-corpus gate so the standing-
+    // corpus probe sees only canonical survivors. Scale shape: pair
+    // mass is linear by the star cap, verification is two equi-joins
+    // of sorted token sets onto the pair list, and the components loop
+    // is the eager-checkpoint kernel — no all-pairs anywhere.
+    val nearDeduped = nearDedup match {
+      case None => exactDeduped
+      case Some(minJacMills) =>
+        val slim = exactDeduped
+          .select(col(idCol).as("__id"), col(textCol).as("__t"))
+        val cand = Dedup.minhashLshPairs(slim, "__t", "__id",
+          bands = 2, rowsPerBand = 4, maxBucket = nearDedupMaxBucket)
+        val toks = slim.select(col("__id"),
+          TextFunctions.tokenSetSorted(col("__t")).as("__tok"))
+        val verified = cand
+          .join(toks.select(col("__id").as("id_a"), col("__tok").as("__ta")),
+            Seq("id_a"))
+          .join(toks.select(col("__id").as("id_b"), col("__tok").as("__tb")),
+            Seq("id_b"))
+          .withColumn("__common", graft.functions.ArrayOps
+            .sortedIntersectSize(col("__ta"), col("__tb")))
+          .where(floor(lit(1000) * col("__common") /
+            (size(col("__ta")) + size(col("__tb")) - col("__common")))
+            >= minJacMills)
+          .select("id_a", "id_b")
+        // components over VERIFIED edges (Lee et al. 2022 NearDup
+        // semantics); non-canonical members (comp ≠ own id) drop
+        val losers = Dedup.connectedComponents(verified)
+          .where(col("comp") =!= col("id"))
+          .select(col("id").as(idCol))
+        exactDeduped.join(losers, Seq(idCol), "left_anti")
+    }
+
     // 4a. optional incremental gate vs a standing corpus (the q109
     // operator): batch docs the corpus already holds — exact content
     // key or verified LSH near-dup — are dropped; only `new` docs
@@ -403,11 +466,11 @@ object Engine {
     // form this pipeline produces (classify raw-vs-clean text and the
     // content keys disagree for trivial whitespace reasons).
     val incremental = againstCorpus match {
-      case None => exactDeduped
+      case None => nearDeduped
       case Some(corpus) =>
-        exactDeduped.join(
+        nearDeduped.join(
           Dedup.dedupAgainst(
-            exactDeduped.select(col(idCol), col(textCol)), corpus,
+            nearDeduped.select(col(idCol), col(textCol)), corpus,
             textCol, idCol,
             minJaccardMills = againstMinJaccardMills,
             maxCandidates = againstMaxCandidates)
@@ -545,6 +608,8 @@ object Engine {
       (if (c4Rules.isDefined) Seq(("c4_cleaned", c4ed)) else Nil) ++ Seq(
       ("cleaned", cleaned),
       ("non_empty", nonEmpty), ("exact_deduped", exactDeduped)) ++
+      (if (nearDedup.isDefined) Seq(("near_deduped", nearDeduped))
+       else Nil) ++
       (if (againstCorpus.isDefined) Seq(("incremental_new", incremental))
        else Nil) ++
       (if (removeDupWindows.isDefined)

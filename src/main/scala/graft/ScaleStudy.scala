@@ -435,6 +435,20 @@ object ScaleStudy {
   val DeepQueries: Seq[String] = Seq(
     "q53_dedup_components", "q86_dup_passages")
 
+  /** The relational deep step (round 13, verdict r12 item 2): the five
+    * WORST recorded rel ×10 exponents (q142 +0.60, q160 +0.40, q182
+    * +0.39, q134 +0.37, q165 +0.33 at the round-10 re-measure),
+    * re-measured at synth-rel sf1 → sf10 (6M → 60M lineitem, 1.5M →
+    * 15M orders; 100 strided replicas of the sf0.1 facts over the SAME
+    * dims). The claim under test: the pair-graph/wedge kernels stay
+    * support-thinned and parts-bounded, and the partial-state aggs
+    * keep absorbing facts map-side, at a step where the fact tables
+    * genuinely dominate executor memory — sub-linear exponents must
+    * HOLD, not just extrapolate, one decade further. */
+  val DeepRelQueries: Seq[String] = Seq(
+    "q134_order_streaks", "q142_triangle_count", "q160_ivm_refresh",
+    "q165_bfs_hops", "q182_assoc_rules")
+
   /** One replica of `documents`: identity for k = 0, else id-shifted and
     * token-salted. Exposed for the spec that pins the bijection
     * contract (intra-replica similarity preserved, replicas disjoint). */
@@ -634,24 +648,59 @@ object ScaleStudy {
           m = 4, ksub = 8, iters = 2)))
   }
 
+  /** Recall@k of each gated approximate ANN chain against the brute
+    * chain, BOTH on the scaled corpus at the fixed-Q protocol — the
+    * round-13 non-degradation gate (verdict r12 item 4): the ann
+    * family's walls say the chains stay cheap at 10×; this says they
+    * stay CORRECT. Floors are the published q195 constants
+    * ([[SparkEntry.AnnRecallFloorMills]]) — one constant, three
+    * consumers (the q195 gate, its DuckDB twin, this study check) —
+    * so corpus growth silently degrading IVF cell coverage or LSH
+    * bucket selectivity is a caught event, not a surprise. Hit
+    * counting is the q195 left-semi shape. Returns the JSON fragment;
+    * a below-floor method also prints a loud stderr line. */
+  def annRecallAtScale(spark: SparkSession, dir: String,
+      studies: Map[String, (SparkSession, String) => DataFrame]): String = {
+    val truth = studies("q195a_brute_chain")(spark, dir)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val total = truth.count()
+    val frags = Seq("lsh" -> "q195b_lsh_chain", "ivf" -> "q195c_ivf_chain",
+      "pq" -> "q195d_pq_chain", "ivfpq" -> "q195e_ivfpq_chain")
+      .map { case (m, qn) =>
+        val hits = truth.join(
+          studies(qn)(spark, dir).select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val mills = if (total == 0) -1L else 1000L * hits / total
+        val floor = SparkEntry.AnnRecallFloorMills(m)
+        if (mills < floor) System.err.println(
+          s"[scale] ann recall DEGRADED at the scaled corpus: " +
+            s"$m $mills mills < floor $floor")
+        (s""""$m":{"mills":$mills,"floor":$floor,"meets_floor":${mills >= floor}}""",
+          mills >= floor)
+      }
+    truth.unpersist()
+    s"""{${frags.map(_._1).mkString(",")},"recall_ok":${frags.forall(_._2)}}"""
+  }
+
   /** Builds `outDir/lineitem.parquet` + `outDir/orders.parquet` (10×
     * facts, shared disjoint o_orderkey stride) and copies the broadcast
     * dims (part, supplier, nation, customer) verbatim — the
     * fact-grows-dims-fixed warehouse shape. orders is written LAST so
     * its _SUCCESS doubles as the whole-build done marker. */
-  def synthesizeRelational(spark: SparkSession, srcDir: String, outDir: String): Unit =
+  def synthesizeRelational(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int = Replicas): Unit =
     // the stamp covers the DIMS too: a dims-only fixture regeneration
     // (same lineitem bytes) must invalidate the copied part/supplier/
     // nation/customer, not silently measure against stale dims
     buildOnce(outDir,
         Seq("lineitem", "orders", "part", "supplier", "nation", "customer")
           .map(t => s"$srcDir/$t.parquet"),
-        s"lineitem-orders-x$Replicas", "orders.parquet/_SUCCESS") {
+        s"lineitem-orders-x$replicas", "orders.parquet/_SUCCESS") {
       val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
       val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
       require(maxOk < OrderOffset,
         s"source l_orderkey $maxOk >= OrderOffset $OrderOffset")
-      (0 until Replicas).map(lineitemReplica(li, _))
+      (0 until replicas).map(lineitemReplica(li, _))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
@@ -671,7 +720,7 @@ object ScaleStudy {
       val maxOrd = ord.agg(max(col("o_orderkey"))).head().getLong(0)
       require(maxOrd < OrderOffset,
         s"source o_orderkey $maxOrd >= OrderOffset $OrderOffset")
-      (0 until Replicas).map(ordersReplica(ord, _))
+      (0 until replicas).map(ordersReplica(ord, _))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
@@ -728,6 +777,7 @@ object ScaleStudy {
     val synthRelDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_REL_DIR", "target/synth-rel1")
     val synthEmbDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_EMB_DIR", "target/synth-emb1")
     val deepDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DEEP_DIR", "target/synth-sf10")
+    val deepRelDir = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DEEPREL_DIR", "target/synth-rel10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -773,22 +823,34 @@ object ScaleStudy {
         case "ann" =>
           synthesizeEmbeddings(spark, sfDir, synthEmbDir)
           val studies = annStudies(sfDir)
-          s""""ann":{${measure(spark,
+          val walls = measure(spark,
             subset(studies.keys.toSeq.sorted, filter), sfDir, synthEmbDir,
-            studies)}}"""
+            studies)
+          // recall gate rides every ann run (cheap: one brute pass +
+          // four semi-joins on the already-warm synth corpus)
+          val recall = annRecallAtScale(spark, synthEmbDir, studies)
+          s""""ann":{$walls,"recall_synth":$recall}"""
         case "deep" =>
           // second document step: sf1 (50k) -> sf10 (500k, 100 replicas),
           // where the checkpoint/index WRITE dominates q53/q86
           synthesize(spark, sfDir, synthDir)
           synthesize(spark, sfDir, deepDir, replicas = 100)
           s""""deep":{${measure(spark, subset(DeepQueries, filter), synthDir, deepDir)}}"""
+        case "deeprel" =>
+          // relational deep step: synth-rel sf1 (6M lineitem) -> sf10
+          // (60M, 100 replicas) for the five worst rel exponents
+          synthesizeRelational(spark, sfDir, synthRelDir)
+          synthesizeRelational(spark, sfDir, deepRelDir, replicas = 100)
+          s""""deeprel":{${measure(spark, subset(DeepRelQueries, filter),
+            synthRelDir, deepRelDir)}}"""
         case "build" =>
           // synthesize the document corpora only (no measurements) — the
           // CorpusTimer sf1/sf10 end-to-end runs consume these directly
           synthesize(spark, sfDir, synthDir)
           synthesize(spark, sfDir, deepDir, replicas = 100)
           s""""build":{"sf1":"$synthDir","sf10":"$deepDir"}"""
-        case other => sys.error(s"unknown family '$other' (docs|events|rel|ann|deep)")
+        case other => sys.error(
+          s"unknown family '$other' (docs|events|rel|ann|deep|deeprel|build)")
       } catch {
         // unknown-family is a USAGE error and still fails the run (it
         // was raised before any synthesis); everything else NON-FATAL
@@ -796,7 +858,8 @@ object ScaleStudy {
         // style). Fatal JVM errors propagate and kill the study — see
         // measure()'s catch for why.
         case scala.util.control.NonFatal(e)
-            if Set("docs", "events", "rel", "ann", "deep", "build")(name) =>
+            if Set("docs", "events", "rel", "ann", "deep", "deeprel",
+              "build")(name) =>
           System.err.println(s"[study] family $name failed: ${e.getMessage}")
           val msg = e.getClass.getSimpleName
             .replace("\\", "").replace("\"", "'")

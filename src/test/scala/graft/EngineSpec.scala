@@ -501,4 +501,75 @@ class EngineSpec extends AnyFunSuite {
     assert(!plain.accounting.collect().map(_.getString(1))
       .contains("c4_cleaned"))
   }
+
+  test("processCorpus near-dedup stage collapses verified LSH components " +
+    "to their min-id canonical") {
+    val baseDocs = spark.read.parquet(
+        s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // plant near-duplicates that exact dedup CANNOT collapse: append a
+    // token the doc already contains — the text (and so the content
+    // key) changes, the token SET does not, so the MinHash bands match
+    // verbatim and the verified Jaccard is exactly 1000
+    val sources = baseDocs.where(col("doc_id") % 100 === 7).limit(4)
+      .select("doc_id", "lang", "text").collect()
+    assert(sources.length == 4, "fixture too small")
+    val planted = sources.map { r =>
+      val t = r.getString(2)
+      (r.getLong(0) + 3000000L, r.getString(1),
+        t + " " + t.trim.split("\\s+").head)
+    }.toSeq.toDF("doc_id", "lang", "text")
+    val docs = baseDocs.unionByName(planted)
+    val r = Engine.processCorpus(docs, nearDedup = Some(800),
+      materializeBoundaries = true)
+    val ledger = r.accounting.collect()
+      .map(row => (row.getString(1), row.getInt(0), row.getLong(2)))
+    val byName = ledger.map(t => t._1 -> t._3).toMap
+    assert(byName.contains("near_deduped"), s"stages: ${ledger.toSeq}")
+    // stage order: near-dedup sits right after exact dedup
+    val order = ledger.sortBy(_._2).map(_._1).toSeq
+    assert(order.indexOf("near_deduped") == order.indexOf("exact_deduped") + 1)
+    // all four planted docs survive exact dedup (distinct content keys)
+    // and die in the near-dedup cut: their +3M ids are strictly larger
+    // than every base id, so a planted doc can never be its component's
+    // min-id canonical. (The SOURCE may legitimately drop too — the
+    // fixture has natural near-dup components and a source can be a
+    // non-min member of one; the parity check below pins the full set.)
+    assert(byName("near_deduped") <= byName("exact_deduped") - 4,
+      s"planted near-dups must collapse: ${ledger.toSeq}")
+    val kept = r.deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    sources.foreach { s =>
+      val id = s.getLong(0)
+      assert(!kept(id + 3000000L), s"planted near-dup of $id must drop")
+    }
+    // semantics parity: the stage's survivor set IS the composed
+    // q35-band + verified-Jaccard + q53-closure keeper cut on the
+    // exact-deduped frame (reuse, not fork) — derive it independently
+    // from the no-near-dedup run's deduped stage
+    val pool = Engine.processCorpus(docs, materializeBoundaries = true)
+    val slim = pool.deduped.select(col("doc_id").as("__id"),
+      col("text").as("__t"))
+    val cand = operators.Dedup.minhashLshPairs(slim, "__t", "__id",
+      bands = 2, rowsPerBand = 4,
+      maxBucket = graft.queries.TextQueries.LshBucketCap)
+    val toks = slim.select(col("__id"), graft.functions.TextFunctions
+      .tokenSetSorted(col("__t")).as("__tok"))
+    val verified = cand
+      .join(toks.select(col("__id").as("id_a"), col("__tok").as("__ta")),
+        Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__tok").as("__tb")),
+        Seq("id_b"))
+      .withColumn("__common", graft.functions.ArrayOps
+        .sortedIntersectSize(col("__ta"), col("__tb")))
+      .where(floor(lit(1000) * col("__common") /
+        (size(col("__ta")) + size(col("__tb")) - col("__common"))) >= 800)
+      .select("id_a", "id_b")
+    val losers = operators.Dedup.connectedComponents(verified)
+      .where(col("comp") =!= col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = pool.deduped.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- losers
+    assert(kept == expected,
+      s"missing=${expected -- kept}, extra=${kept -- expected}")
+  }
 }

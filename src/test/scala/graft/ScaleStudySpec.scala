@@ -131,4 +131,28 @@ class ScaleStudySpec extends AnyFunSuite {
     val k0 = ord.select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(k0.intersect(r.map(_.getLong(0)).toSet).isEmpty)
   }
+
+  test("annRecallAtScale scores every gated method against the brute " +
+    "chain and carries the published floors") {
+    // the sf0.001 fixture is the cheapest corpus both the chains and
+    // the helper run on end-to-end; the pin is structural (all four
+    // methods present, mills in-range, floors = the ONE published
+    // constant, meets_floor consistent) — the 10×-corpus semantics are
+    // the study's job, the helper's arithmetic is this spec's
+    val json = ScaleStudy.annRecallAtScale(spark, SparkTestSession.sfDir,
+      ScaleStudy.annStudies(SparkTestSession.sfDir))
+    Seq("lsh", "ivf", "pq", "ivfpq").foreach { m =>
+      val re = (s""""$m":\\{"mills":(-?\\d+),"floor":(\\d+),""" +
+        s""""meets_floor":(true|false)\\}""").r
+      val hit = re.findFirstMatchIn(json)
+      assert(hit.isDefined, s"method $m missing from $json")
+      val (mills, floor, meets) = (hit.get.group(1).toLong,
+        hit.get.group(2).toLong, hit.get.group(3).toBoolean)
+      assert(mills >= -1 && mills <= 1000, s"$m mills out of range: $mills")
+      assert(floor == SparkEntry.AnnRecallFloorMills(m),
+        s"$m floor drifted from the published constant")
+      assert(meets == (mills >= floor), s"$m meets_floor inconsistent")
+    }
+    assert(json.contains("\"recall_ok\":"))
+  }
 }

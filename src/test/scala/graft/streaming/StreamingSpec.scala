@@ -626,4 +626,120 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("conv_ts") > mid && col("touch_ts") <= mid).count()
     assert(late > 0, "no cross-drain match — state carry untested")
   }
+
+  test("corpusGate crash-recovery: a drain hard-stopped between " +
+    "micro-batches on RocksDB resumes exactly-once against the " +
+    "appended dedup index") {
+    // verdict r12 item 5: restart idempotence was only ever proven on
+    // GRACEFUL AvailableNow completion. Here the first drain is KILLED
+    // from a listener right after its first micro-batch commits (the
+    // stop lands between batches, or mid-batch-1 — either is a valid
+    // crash point and both leave batch 1 uncommitted), on the RocksDB
+    // state store; a second corpusGate call on the SAME checkpoint
+    // must finish the drain with the final store equal to an
+    // uninterrupted run's — byte-identical survivors, zero duplicates
+    // — even though the standing dedup index was APPENDED between the
+    // crash and the resume (the round-12 DedupMergeSpec maintenance
+    // loop's streaming twin).
+    val RocksDb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    // email-free docs (the gate scrubs stream-side PII, so a corpus
+    // doc carrying an email would never key-match its stream twin)
+    // with SEED-DISJOINT token sets: two docs of different seeds share
+    // zero tokens (Jaccard 0), so "novel" really means novel — no
+    // accidental near-dup edges for the 500-mills gate to find
+    def doc(seed: Int) =
+      Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta").map(w => s"$w$seed").mkString(" ")
+    val corpus = Seq((9001L, "en", doc(9001)), (9002L, "en", doc(9002)))
+      .toDF("doc_id", "lang", "text")
+    // 64 input docs -> 64 files: with the gate's maxFilesPerTrigger=32
+    // an AvailableNow drain takes exactly 2 micro-batches. Mix: exact
+    // dups of corpus docs (index path), exact dup PAIRS within the
+    // input (state path), novel docs with disjoint tokens. NO
+    // near-dups of novel input docs — the appended index must not be
+    // able to change any verdict, only re-confirm them, or the parity
+    // assertion below would be comparing different semantics.
+    val input = (0 until 64).map { i =>
+      val id = 100L + i
+      val text =
+        if (i % 8 == 0) doc(9001 + (i % 2)) // exact dup of a corpus doc
+        else doc(10000 + i)                 // novel, seed-disjoint
+      (id, "en", text)
+    } ++ Seq((900L, "en", doc(10001)))      // exact dup of i=1's doc
+    val in = tmp()
+    input.toDF("doc_id", "lang", "text")
+      .repartition(64).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+
+    def gate(s: org.apache.spark.sql.SparkSession, cp: String, out: String,
+        c: org.apache.spark.sql.DataFrame): Unit =
+      Incremental.corpusGate(s, in, schema, cp, out,
+        againstCorpus = Some(c))
+    def kept(out: String): Set[(Long, String)] =
+      spark.read.parquet(out).select("doc_id", "content_key")
+        .as[(Long, String)].collect().toSet
+
+    // reference: uninterrupted single drain, same provider
+    val refS = spark.newSession()
+    refS.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    val refOut = tmp()
+    gate(refS, tmp(), refOut, corpus)
+    val expect = kept(refOut)
+    assert(expect.nonEmpty)
+
+    // interrupted run: a listener stops the query at its FIRST commit.
+    // The listener bus is async, so occasionally batch 1 commits before
+    // the stop lands — retry with fresh dirs until the kill truncates
+    // (observed: first try, practically always).
+    var attempt = 0
+    var truncated = false
+    var cp = ""; var out = ""
+    var s: org.apache.spark.sql.SparkSession = null
+    while (!truncated && attempt < 4) {
+      attempt += 1
+      cp = tmp(); out = tmp()
+      s = spark.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        @volatile private var fired = false
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (!fired) {
+            fired = true
+            s.streams.active.filter(_.id == e.progress.id).foreach(_.stop())
+          }
+      }
+      s.streams.addListener(listener)
+      try gate(s, cp, out, corpus)
+      finally s.streams.removeListener(listener)
+      truncated = kept(out).size < expect.size
+    }
+    assert(truncated,
+      s"the hard stop never truncated a drain in $attempt attempts")
+    val partial = kept(out)
+    assert(partial.subsetOf(expect),
+      s"a killed drain committed rows the full drain would not: " +
+        s"${partial -- expect}")
+
+    // maintenance append between crash and resume: the survivors the
+    // crashed drain already shipped join the standing index — the
+    // steady-state loop's order of events (ship, then index, then the
+    // next drain). Resume on the SAME checkpoint against the grown
+    // corpus.
+    val appended = corpus.unionByName(
+      spark.read.parquet(out).select("doc_id", "lang", "text"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    gate(s2, cp, out, appended)
+    val fin = kept(out)
+    assert(fin == expect,
+      s"resume diverged: missing=${expect -- fin} extra=${fin -- expect}")
+    // exactly-once at the store: no doc shipped twice across the
+    // crashed and resumed drains
+    val n = spark.read.parquet(out).count()
+    assert(n == fin.size.toLong, s"duplicate rows in the store: $n vs ${fin.size}")
+  }
 }
