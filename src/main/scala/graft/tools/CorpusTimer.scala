@@ -19,30 +19,30 @@ import org.apache.spark.sql.functions._
   * within-corpus cut a production pipeline runs between exact dedup
   * and passage surgery), so absolute seconds are NOT comparable to
   * the round-7/8 history rows (BASELINE.md records the protocol
-  * change), and (b) the end-to-end CORPUS SCAN count: Hadoop's global
-  * `file`-scheme storage statistics bracket the run, so the composed
-  * claim "stage scans don't multiply" is measured, not argued —
-  * `fs_bytes_read` ÷ a measured single-scan cost ≈ effective
-  * full-corpus STORAGE reads, the number a 100 TB bill is written in.
-  * (Task `inputMetrics.recordsRead` was the first attempt and is the
-  * wrong metric here: Spark reports CACHED-block reads as task input,
-  * so every action against a localCheckpoint boundary inflated it
-  * ~10× over the true storage traffic. Checkpoint/cache/shuffle reads
-  * never touch the Hadoop FS counters — which is exactly the point:
-  * with `materializeBoundaries` the raw corpus is re-read a bounded
-  * number of times, everything else rides the stage boundaries.) */
+  * change), and (b) the end-to-end CORPUS SCAN count: a
+  * QueryExecutionListener sums `numOutputRows` over every
+  * FileSourceScanExec in every executed plan of the run, so the
+  * composed claim "stage scans don't multiply" is measured, not
+  * argued — total parquet-scan rows ÷ corpus rows = effective
+  * full-corpus storage passes, the number a 100 TB bill is written
+  * in. Scan-node rows are the right meter here: localCheckpoint
+  * boundaries replay as LogicalRDD scans and cache hits as
+  * InMemoryTableScan — neither is a FileSourceScanExec, so boundary
+  * traffic is excluded by construction. (Two rejected meters, for the
+  * record: task `inputMetrics.recordsRead` counts CACHED-block reads
+  * as input — it read ~48 "scans" where the plans show 6; Hadoop
+  * `file`-scheme byte statistics miss the parquet reader's
+  * positioned-read path entirely on the local FS and returned the
+  * same ~20 KB at sf0.01 and sf0.1 — footers only.) */
 object CorpusTimer {
 
   /** One composed run's measurements: wall seconds, the stage ledger
-    * in stage order, physical bytes read from local storage during the
-    * run, and the measured cost of ONE full (doc_id, lang, text) scan
-    * of the same corpus as the normalizer — raw file size would be the
-    * wrong denominator (column pruning + page compression make one
-    * projected scan far smaller than the file). */
+    * in stage order, total rows produced by parquet scan nodes across
+    * every executed plan, and the corpus row count as the normalizer —
+    * `scans` = effective full-corpus passes paid against storage. */
   case class Composed(sec: Double, stages: Seq[(String, Long)],
-      fsBytesRead: Long, oneScanBytes: Long, nDocs: Long) {
-    def scans: Double =
-      if (oneScanBytes > 0) fsBytesRead.toDouble / oneScanBytes else -1.0
+      scanRows: Long, nDocs: Long) {
+    def scans: Double = if (nDocs > 0) scanRows.toDouble / nDocs else -1.0
   }
 
   /** Runs the composed pipeline once on `<docsDir>/documents.parquet`
@@ -74,41 +74,61 @@ object CorpusTimer {
         maxEpochs = 2, budgetPerMille = Some(400L)))
       case other => sys.error(s"unknown policy '$other'")
     }
-    // physical-read bracket: the local[*] executor shares this JVM, so
-    // Hadoop's global `file`-scheme statistics see every parquet read
-    // the run issues (cache/checkpoint/shuffle traffic bypasses them)
-    def fsBytesRead(): Long = {
-      val s = org.apache.hadoop.fs.FileSystem
-        .getGlobalStorageStatistics.get("file")
-      if (s == null) 0L else s.getLong("bytesRead")
+    // scan meter: sum parquet-scan-node output rows over every plan
+    // this run executes. The listener bus dispatches asynchronously —
+    // quiesce() polls until the sum is stable before reading it.
+    val scanRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    def collectScans(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectScans(a.executedPlan)
+        // materialized AQE stages are LEAVES (children = Nil): the real
+        // subtree — where the scans live — hangs off `plan`
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectScans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case other => other.children.map(collectScans).sum
+      }
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scanRows.addAndGet(collectScans(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
-    val nDocs = docs.count() // footer metadata only — before calibration
-    // calibrate: one full scan of the pipeline's own projection, so
-    // `scans` is in units of "passes the pipeline would pay", not raw
-    // file bytes (pruning + compression make those incomparable)
-    val c0 = fsBytesRead()
-    docs.agg(max(length(col("text"))), max(col("doc_id")),
-      count(col("lang"))).head()
-    val oneScanBytes = fsBytesRead() - c0
-    val before = fsBytesRead()
-    val t0 = System.nanoTime()
-    val r = graft.Engine.processCorpus(docs,
-      decontamEval = Some(eval),
-      removeDupWindows = Some((
-        graft.queries.TextQueries.DupWindowTokens,
-        graft.queries.TextQueries.DupAnchorMod)),
-      nearDedup = Some(800),
-      budgetTokens = 5000000L,
-      selection = selection,
-      materializeBoundaries = true)
-    // the ledger already ran count jobs for every stage INCLUDING the
-    // two outputs — read them back instead of re-executing the chunk
-    // explode and pack windows a second time (which would double-count
-    // the tail-stage cost in `sec`)
-    val rows = r.accounting.collect().sortBy(_.getInt(0))
-    val sec = (System.nanoTime() - t0) / 1e9
-    Composed(sec, rows.map(row => row.getString(1) -> row.getLong(2)).toSeq,
-      fsBytesRead() - before, oneScanBytes, nDocs)
+    def quiesce(): Long = {
+      var prev = -1L
+      var cur = scanRows.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = scanRows.get() }
+      cur
+    }
+    val nDocs = docs.count()
+    spark.listenerManager.register(ql)
+    try {
+      val base = quiesce() // drop anything the count above contributed
+      scanRows.addAndGet(-base)
+      val t0 = System.nanoTime()
+      val r = graft.Engine.processCorpus(docs,
+        decontamEval = Some(eval),
+        removeDupWindows = Some((
+          graft.queries.TextQueries.DupWindowTokens,
+          graft.queries.TextQueries.DupAnchorMod)),
+        nearDedup = Some(800),
+        budgetTokens = 5000000L,
+        selection = selection,
+        materializeBoundaries = true)
+      // the ledger already ran count jobs for every stage INCLUDING the
+      // two outputs — read them back instead of re-executing the chunk
+      // explode and pack windows a second time (which would double-count
+      // the tail-stage cost in `sec`)
+      val rows = r.accounting.collect().sortBy(_.getInt(0))
+      val sec = (System.nanoTime() - t0) / 1e9
+      Composed(sec, rows.map(row => row.getString(1) -> row.getLong(2)).toSeq,
+        quiesce(), nDocs)
+    } finally spark.listenerManager.unregister(ql)
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,11 +154,11 @@ object CorpusTimer {
       case c0 if c0 < ' ' => f"\\u${c0.toInt}%04x"
       case c0 => c0.toString
     }
-    // corpus_scans: physical bytes read ÷ the measured one-scan cost —
-    // effective full-corpus storage reads (footer re-reads and the
-    // eval slice ride the same files, so the ratio is a slight upper
-    // bound on semantic passes)
-    println(s"""{"tool":"corpus-timer","dir":"$dirS","policy":"$policy","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"fs_bytes_read":${c.fsBytesRead},"one_scan_bytes":${c.oneScanBytes},"n_docs":${c.nDocs},"corpus_scans":${fmt(c.scans)},"sec":${fmt(c.sec)}}""")
+    // corpus_scans: parquet-scan rows ÷ corpus rows — effective
+    // full-corpus storage passes (the eval slice rides the same
+    // parquet, so the ratio is a slight upper bound on semantic
+    // passes)
+    println(s"""{"tool":"corpus-timer","dir":"$dirS","policy":"$policy","stages":{${ledger.mkString(",")}},"chunks":${byStage("chunks")},"packed":${byStage("packed_docs")},"scan_rows":${c.scanRows},"n_docs":${c.nDocs},"corpus_scans":${fmt(c.scans)},"sec":${fmt(c.sec)}}""")
     spark.stop()
   }
 }
