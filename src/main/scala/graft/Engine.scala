@@ -404,13 +404,17 @@ object Engine {
           .drop("n_lines", "n_kept", "kept_text", "n_sentences",
             "has_lorem", "has_brace", "page_keep")
     }
+    // passthrough columns (strata and anything else) ride dedupLines'
+    // own final projection — that scan happens anyway, so this costs
+    // nothing, where the pre-round-13 rejoin-by-id paid one extra
+    // corpus scan plus an id-keyed shuffle (measured: the cleaned
+    // boundary dropped from 4 to 3 corpus passes)
+    val passCols = docs.columns.toSeq
+      .filterNot(c => c == textCol || c == idCol)
     val lineDeduped = TextAnalysis
-      .dedupLines(c4ed, textCol, idCol, maxLineDocFreq)
+      .dedupLines(c4ed, textCol, idCol, maxLineDocFreq, passCols)
       .withColumnRenamed("n_kept", "n_kept_lines")
-    // dedupLines returns only (id, counts, clean_text): rejoin the
-    // passthrough columns (strata and anything else) by id
-    val passthrough = docs.drop(textCol)
-    val cleaned = boundary(passthrough.join(lineDeduped, Seq(idCol))
+    val cleaned = boundary(lineDeduped
       .withColumn(textCol,
         TextFunctions.scrubPii(UnicodeNorm.cleanText(col("clean_text"))))
       .drop("clean_text"))

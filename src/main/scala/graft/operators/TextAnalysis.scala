@@ -883,10 +883,21 @@ object TextAnalysis {
     * key; the join back is equi-keyed against a frame with one row per
     * DISTINCT line, so a hyper-frequent boilerplate line is a single
     * row there — no hot key, join output exactly the line count; the
-    * reassembly is one per-doc rollup. No sort, no pair space. */
+    * reassembly is one per-doc rollup. No sort, no pair space.
+    *
+    * `keepColumns` (round 13): passthrough columns carried on the
+    * final per-doc projection — that projection scans the input
+    * ANYWAY (to resurrect all-boilerplate docs and count total
+    * lines), so the passthrough is FREE, where a caller-side rejoin
+    * costs one extra corpus scan plus an id-keyed shuffle. At 100 TB
+    * that is the difference between 3 and 4 corpus passes for the
+    * composed pipeline's cleaned boundary. */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int, keepColumns: Seq[String] = Nil): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    val reserved = Seq("n_lines", "n_kept", "clean_text", "__id")
+    require(keepColumns.intersect(reserved).isEmpty,
+      s"keepColumns may not use reserved names ${reserved.mkString(", ")}")
     // coalesce: a NULL-text doc behaves exactly like an empty-text doc
     // (one blank line, kept) — posexplode(NULL) would drop it from the
     // line side entirely while the final projection still emits it
@@ -909,13 +920,15 @@ object TextAnalysis {
     // docs whose every line was boilerplate still come back (empty
     // text); coalesce matches the line side — size(split(NULL)) would
     // report n_lines = -1 for a NULL-text doc
-    df.select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id") +:
         size(split(coalesce(col(textCol), lit("")), "\n"))
-          .cast("long").as("n_lines"))
+          .cast("long").as("n_lines") +:
+        keepColumns.map(col): _*)
       .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("__id").as(idCol) +: col("n_lines") +:
+        coalesce(col("n_kept"), lit(0L)).as("n_kept") +:
+        coalesce(col("clean_text"), lit("")).as("clean_text") +:
+        keepColumns.map(col): _*)
   }
 
   /** Mixture planning — the data-recipe step of a pretraining run

@@ -411,6 +411,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.agg(sum("n_kept")).head.getLong(0) == 4L)
   }
 
+  test("dedupLines keepColumns ride the final projection; reserved names refused") {
+    val docs = Seq((1L, "en", "s1", "shared\nown1"), (2L, "de", "s2", "shared\nown2"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.dedupLines(docs, "text", "doc_id", maxDocFreq = 1,
+        keepColumns = Seq("lang", "source"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("lang"),
+      r.getAs[String]("source"), r.getAs[String]("clean_text"))).toSeq ==
+      Seq((1L, "en", "s1", "own1"), (2L, "de", "s2", "own2")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.dedupLines(docs, "text", "doc_id", 1, Seq("clean_text"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("scrubPii replaces emails, IPs, phones and counts match") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org then 192.168.0.1 and +1-555-0100 end"),
