@@ -48,6 +48,13 @@ object TextQueries {
     * verified) at sf0.01, where the hottest bucket holds ~50 docs. */
   private[graft] val LshBucketCap = 32
 
+  /** q196's (and the processCorpus near-dedup stage's default)
+    * verified-edge threshold: exact token-set Jaccard, in mills, a
+    * candidate pair must reach to count as a near-duplicate edge.
+    * One constant, three consumers (the q196 query, its DuckDB twin,
+    * `CorpusTimer.composedRun`'s facade call) — the parity rule. */
+  private[graft] val NearDedupMinJac = 800
+
   /** q192's ground-truth Jaccard floor: low enough that the audit
     * buckets span the banding's S-curve knee (recall ≈ 0 → ≈ 1). */
   private[graft] val LshAuditMinJac = 300
@@ -854,6 +861,45 @@ object TextQueries {
       // irreducible per-round materialization)
       graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
         .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dedup keeper cut (round 13) — the COMPOSED within-corpus
+    // fuzzy-dedup stage `Engine.processCorpus(nearDedup = ...)` runs,
+    // oracle-gated end-to-end on the q53 universe: the q35 star-capped
+    // banding, exact token-set Jaccard VERIFICATION of every candidate
+    // pair at [[NearDedupMinJac]] (Lee et al. 2022 NearDup semantics —
+    // q53 closes over raw banding pairs, this closes over verified
+    // edges only), the q53 min-label closure, then the q106-style
+    // min-id keeper. One row per universe doc: its verified-closure
+    // component (own id for singletons) and whether the cut keeps it.
+    // EngineSpec's parity test pins the facade stage to this exact
+    // composition, so processCorpus's near-dedup is transitively
+    // oracle-gated through this entry.
+    "q196_near_dedup" -> ((s, dir) => {
+      val u = docsSpread(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val cand = graft.operators.Dedup.minhashLshPairs(u, "text", "doc_id",
+        bands = 2, rowsPerBand = 4, maxBucket = LshBucketCap)
+      val toks = u.select(col("doc_id"),
+        TextFunctions.tokenSetSorted(col("text")).as("__tok"))
+      val verified = cand
+        .join(toks.select(col("doc_id").as("id_a"), col("__tok").as("__ta")),
+          Seq("id_a"))
+        .join(toks.select(col("doc_id").as("id_b"), col("__tok").as("__tb")),
+          Seq("id_b"))
+        .withColumn("__common", graft.functions.ArrayOps
+          .sortedIntersectSize(col("__ta"), col("__tb")))
+        .where(floor(lit(1000) * col("__common") /
+          (size(col("__ta")) + size(col("__tb")) - col("__common")))
+          >= NearDedupMinJac)
+        .select("id_a", "id_b")
+      val comps = graft.operators.Dedup.connectedComponents(verified)
+        .withColumnRenamed("id", "doc_id")
+      u.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+        .withColumn("kept", col("component") === col("doc_id"))
         .orderBy("doc_id")
     }),
 
@@ -3630,6 +3676,40 @@ object TextQueries {
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(comp) AS component
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q196_near_dedup" ->
+      // q53's closure pattern over the VERIFIED edge set: the q35 pair
+      // graph is cut to pairs whose exact token-set Jaccard (q108's
+      // list_intersect arithmetic — float division then floor, the
+      // engine's exact shape) reaches NearDedupMinJac, then min-label
+      // closure + the keeper projection. Universe docs never reached
+      // by a verified edge keep their own id (LEFT JOIN + coalesce).
+      s"""WITH RECURSIVE $lshPairsCtes,
+         ts AS (SELECT doc_id, $sqlTokSet AS tset
+                FROM documents WHERE doc_id % 5 = 0),
+         verified AS (
+           SELECT p.id_a, p.id_b
+           FROM pairs p
+           JOIN ts x ON p.id_a = x.doc_id
+           JOIN ts y ON p.id_b = y.doc_id
+           WHERE floor(1000 * len(list_intersect(x.tset, y.tset))
+               / (len(x.tset) + len(y.tset)
+                  - len(list_intersect(x.tset, y.tset))))
+             >= $NearDedupMinJac),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM verified
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM verified),
+         reach AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id""",
     "q158_vocab_growth" ->
       // same first-seen attribution + decile arithmetic on the SAME
       // lowered bigram constructor; the min/max subquery twins the

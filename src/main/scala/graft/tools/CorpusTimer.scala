@@ -116,7 +116,7 @@ object CorpusTimer {
         removeDupWindows = Some((
           graft.queries.TextQueries.DupWindowTokens,
           graft.queries.TextQueries.DupAnchorMod)),
-        nearDedup = Some(800),
+        nearDedup = Some(graft.queries.TextQueries.NearDedupMinJac),
         budgetTokens = 5000000L,
         selection = selection,
         materializeBoundaries = true)

@@ -483,4 +483,35 @@ class CrossQueryConsistencySpec extends AnyFunSuite {
     assert(math.abs(got - expected) <= 2.0,
       s"lag-0 CCF ($got mills) must match Pearson² ($expected)")
   }
+
+  test("q196's verified components REFINE q53's raw-banding components") {
+    // q196 closes over the VERIFIED subset of q53's candidate edges,
+    // so every q196 component must sit wholly inside one q53 component
+    // (subset edges can only split components, never merge them), and
+    // its keeper cut must keep at least as many docs as q53 has
+    // components over the same universe
+    val raw = q("q53_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ver = q("q196_near_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val universe = ver.map(_._1).toSet
+    // q53 emits only docs that appear in some edge; q196 emits the
+    // whole universe — every q53-labeled doc must be present
+    assert(raw.keySet.subsetOf(universe))
+    ver.groupBy(_._2).foreach { case (comp, members) =>
+      // all members of a q196 component share ONE q53 component
+      // (singletons default to their own id on both sides)
+      val rawComps = members.map(m => raw.getOrElse(m._1, m._1)).distinct
+      assert(rawComps.length == 1,
+        s"verified component $comp spans q53 components ${rawComps.toSeq}")
+      // exactly one keeper per component, and it is the min id
+      assert(members.count(_._3) == 1 &&
+        members.filter(_._3).head._1 == members.map(_._1).min)
+    }
+    val nKept = ver.count(_._3)
+    val nRawComps = raw.values.toSet.size +
+      (universe -- raw.keySet).size // q53 components + q53-singletons
+    assert(nKept >= nRawComps,
+      "verification can only split components: keeper count must not drop")
+  }
 }
