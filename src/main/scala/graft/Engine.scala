@@ -438,16 +438,31 @@ object Engine {
     val nearDeduped = nearDedup match {
       case None => exactDeduped
       case Some(minJacMills) =>
+        // round-13 OPT: one pass over the exact-dedup survivors computes
+        // the token sets AND both band signatures, materialized once —
+        // the banding and the two verify joins each used to re-execute
+        // the whole upstream pipeline (from the nearest boundary) plus a
+        // re-tokenization. This stage is ALREADY documented eager (the
+        // components loop checkpoints by contract), so the extra eager
+        // cut changes no laziness anyone relies on. Same kernels, same
+        // geometry (bands = 2 × rowsPerBand = 4 through the shared
+        // star-cap kernel), identical output.
         val slim = exactDeduped
-          .select(col(idCol).as("__id"), col(textCol).as("__t"))
-        val cand = Dedup.minhashLshPairs(slim, "__t", "__id",
-          bands = 2, rowsPerBand = 4, maxBucket = nearDedupMaxBucket)
-        val toks = slim.select(col("__id"),
-          TextFunctions.tokenSetSorted(col("__t")).as("__tok"))
+          .select(col(idCol).as("__id"),
+            TextFunctions.tokenSetSorted(col(textCol)).as("__tok"),
+            array(
+              TextFunctions.minhashBand(col(textCol), 0 until 4),
+              TextFunctions.minhashBand(col(textCol), 4 until 8))
+              .as("__bands"))
+          .localCheckpoint(true)
+        val byBand = slim.select(col("__id"),
+          posexplode(col("__bands")).as(Seq("band_no", "band_sig")))
+        val cand = Dedup.cappedBucketPairs(
+          byBand, Seq("band_no", "band_sig"), "__id", nearDedupMaxBucket)
         val verified = cand
-          .join(toks.select(col("__id").as("id_a"), col("__tok").as("__ta")),
+          .join(slim.select(col("__id").as("id_a"), col("__tok").as("__ta")),
             Seq("id_a"))
-          .join(toks.select(col("__id").as("id_b"), col("__tok").as("__tb")),
+          .join(slim.select(col("__id").as("id_b"), col("__tok").as("__tb")),
             Seq("id_b"))
           .withColumn("__common", graft.functions.ArrayOps
             .sortedIntersectSize(col("__ta"), col("__tb")))

@@ -25,13 +25,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHash {
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.result()
+  /** Per-thread reusable digest: `MessageDigest.getInstance` does a JCA
+    * provider lookup + allocation per call, which dominated the kernel
+    * at one-call-per-token-per-seed rates (round-13 profile). The
+    * instance is stateful but `digest()` resets it, so thread-local
+    * reuse is exact. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase-hex of a 16-byte digest via a nibble table — the
+    * previous per-byte `f"%02x"` built a java.util.Formatter PER BYTE
+    * (~20µs per digest, 30-40× the md5 itself). Byte-identical output. */
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = mdLocal.get()
+    hex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** `\s+` compiled once — String.split("\\s+") recompiles the Pattern
+    * on every call (no single-char fast path for a regex), once per ROW
+    * in the tokenize kernels. */
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
 
   /** Tokenization matching `TextFunctions.tokens` (lowercased) +
     * distinct — the round-10 migrated rule: split on \s+, DROP empty
@@ -47,41 +75,74 @@ object TextHash {
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s.substring(b, e).toLowerCase.split("\\s+", -1).distinct
+    WsRe.split(s.substring(b, e).toLowerCase, -1).distinct
       .filter(_.nonEmpty)
   }
 
-  /** Kernel: min(md5(tok + "#" + seed)) per seed, one tokenization. */
+  /** Kernel: min(md5(tok + "#" + seed)) per seed, one tokenization.
+    *
+    * Constant-factor shape (round 13): token bytes are encoded once and
+    * fed to the digest via update(tok)+update(salt) — UTF-8 of a
+    * concatenation equals the concatenation of UTF-8, so the digest is
+    * the byte-identical md5(tok + salt); the per-seed minimum compares
+    * RAW digests (unsigned bytewise — the same total order as the hex
+    * strings, hex being monotone per nibble) and only the winning
+    * digest is hex-formatted. Values are unchanged; the hex formatting
+    * and string-concat work drops from O(tokens·seeds) to O(seeds). */
   def minhashKernel(text: UTF8String, seeds: Array[Int]): ArrayData = {
     val toks = tokensOf(text.toString)
+    val md = mdLocal.get()
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      tokBytes(j) = toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      j += 1
+    }
     val out = new Array[AnyRef](seeds.length)
     var i = 0
     while (i < seeds.length) {
-      val salt = "#" + seeds(i)
-      var best: String = null
-      var j = 0
-      while (j < toks.length) {
-        val h = md5Hex(toks(j) + salt)
-        if (best == null || h.compareTo(best) < 0) best = h
-        j += 1
+      val salt = ("#" + seeds(i))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var best: Array[Byte] = null
+      var k = 0
+      while (k < tokBytes.length) {
+        md.update(tokBytes(k))
+        md.update(salt)
+        val h = md.digest()
+        if (best == null || java.util.Arrays.compareUnsigned(h, best) < 0)
+          best = h
+        k += 1
       }
-      out(i) = UTF8String.fromString(if (best == null) "" else best)
+      out(i) = UTF8String.fromString(if (best == null) "" else hex(best))
       i += 1
     }
     new GenericArrayData(out)
   }
 
+  /** Parity of the hex CHAR for each nibble value ('0'..'9','a'..'f' —
+    * note 'a' (97) is odd for nibble 10): +1 where the char is odd,
+    * −1 otherwise. Lets simhash read digest bytes directly instead of
+    * formatting 32 hex chars per token. */
+  private val NibbleCharParity: Array[Int] =
+    "0123456789abcdef".toCharArray.map(c => if ((c & 1) == 1) 1 else -1)
+
   /** Kernel: SimHash of `bits` bits; one md5 per token, parity of hex
-    * char i decides bit i's ±1 weight. */
+    * char i decides bit i's ±1 weight (computed from the raw digest
+    * nibble — identical to the former hex-string form, cheaper). */
   def simhashKernel(text: UTF8String, bits: Int): Long = {
     val toks = tokensOf(text.toString)
+    val md = mdLocal.get()
     val weights = new Array[Int](bits)
     var j = 0
     while (j < toks.length) {
-      val h = md5Hex(toks(j))
+      val h = md.digest(
+        toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var i = 0
       while (i < bits) {
-        if ((h.charAt(i) & 1) == 1) weights(i) += 1 else weights(i) -= 1
+        // hex char i is the high nibble of byte i/2 for even i, low for odd
+        val b = h(i >> 1)
+        val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+        weights(i) += NibbleCharParity(nib)
         i += 1
       }
       j += 1

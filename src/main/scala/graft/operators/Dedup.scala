@@ -268,9 +268,25 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       minJaccardMills: Int = 500, blockCols: Seq[String] = Nil,
+      maxCandBucket: Int = Int.MaxValue): DataFrame =
+    jaccardPairsFromTokens(
+      df.select(col(idCol).as("__id") +: blockCols.map(col) :+
+        TextFunctions.tokenSetSorted(col(textCol)).as("toks"): _*),
+      minJaccardMills, blockCols, maxCandBucket)
+
+  /** [[jaccardPairs]] over a PRE-TOKENIZED frame (__id, blockCols…,
+    * toks = the sorted distinct token set). Exists so a caller that
+    * already holds (or has materialized) the token sets — e.g. the
+    * q192/q194 S-curve audit, which feeds the SAME universe to this
+    * kernel AND the LSH banding — doesn't pay a separate scan +
+    * re-tokenization for each of this kernel's three reads of the doc
+    * frame. `jaccardPairs` delegates here with the projection it always
+    * made, so its plans (and the naive-parity property specs that pin
+    * them) are unchanged. */
+  def jaccardPairsFromTokens(
+      d: DataFrame,
+      minJaccardMills: Int = 500, blockCols: Seq[String] = Nil,
       maxCandBucket: Int = Int.MaxValue): DataFrame = {
-    val d = df.select(col(idCol).as("__id") +: blockCols.map(col) :+
-      TextFunctions.tokenSetSorted(col(textCol)).as("toks"): _*)
     val toks = d.select(col("__id") +: blockCols.map(col) :+
       explode(col("toks")).as("shingle"): _*)
     val dfreq = toks.groupBy("shingle").agg(count(lit(1)).as("gdf"))
@@ -370,9 +386,21 @@ object Dedup {
     // multi-hour cluster run would point `spark.sparkContext
     // .setCheckpointDir` at reliable storage and use checkpoint()
     // instead — the loop shape is unchanged.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+    //
+    // Round-13 OPT: the symmetric edge list is ONE pass over `pairs`
+    // (explode of the 2-struct array), not a union that executes the
+    // caller's — often expensive banding/verify — subtree twice; and no
+    // `.distinct()`: min-label propagation is idempotent under
+    // duplicate edges (min over a multiset equals min over its set), so
+    // the dedup exchange bought nothing — every in-repo caller passes a
+    // distinct (id_a < id_b) pair list, and a caller that doesn't just
+    // pays join width inside the rounds, never correctness.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var prevCkpt = labels // blocks the CURRENT labels projection reads

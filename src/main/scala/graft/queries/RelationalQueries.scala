@@ -2339,6 +2339,11 @@ object RelationalQueries {
     * triple (q169) kernels, so set semantics (distinct, sort order,
     * null handling) can never drift between them. */
   private def orderPartSets(s: SparkSession, dir: String): DataFrame =
+    // (round-13 OPT audit: the pre-distinct looks like a second full
+    // shuffle of the pair frame, but Catalyst's RemoveRedundantAggregates
+    // already folds it into the duplicate-agnostic collect_set — the
+    // physical plan is ONE ObjectHashAggregate exchange either way
+    // (plans/r13/q141_before.txt ≡ q141_after.txt). Left as written.)
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")

@@ -214,6 +214,20 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(got2.values.toSet == Set(5L) && got2.size == 5)
   }
 
+  test("connectedComponents is exact under duplicate and reversed-duplicate edges") {
+    // the round-13 edge build drops the dedup exchange (min-label
+    // propagation is idempotent under duplicate edges) — pin that a
+    // multiset edge list with repeats and both orientations yields the
+    // identical labeling, with exactly one row per node
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (2L, 3L),
+        (10L, 11L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == got.map(_._1).distinct.length, "one row per node")
+    assert(got.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("containmentPairs finds asymmetric quote-inclusion that Jaccard misses") {
     val corpus = Seq(
       (1L, "alpha beta gamma"),
