@@ -332,9 +332,10 @@ object Engine {
     *                      ran
     * @param packBudget    tokens per packed training sequence
     * @param materializeBoundaries when true, EAGERLY localCheckpoints
-    *                      the four stage-boundary frames each consumed
-    *                      by 2+ downstream actions (cleaned, passage-
-    *                      cleaned, decontaminated, selected) — the
+    *                      the five stage-boundary frames each consumed
+    *                      by 2+ downstream actions (cleaned, exact-
+    *                      deduped, passage-cleaned, decontaminated,
+    *                      selected) — the
     *                      persist-at-stage-boundaries shape a real run
     *                      at scale uses (and the ledger then costs one
     *                      cheap count per stage instead of a full
@@ -424,8 +425,13 @@ object Engine {
     val nonEmpty = cleaned.where(TextFunctions.tokenCount(col(textCol)) > 0)
 
     // 4. exact dedup: keep the min-id representative of each content key
-    val exactDeduped = Dedup.exact(nonEmpty, textCol, idCol)
-      .drop("content_key", "dup_count")
+    // (round-13 OPT: boundary-wrapped — under materializeBoundaries the
+    // frame is consumed by 2+ downstream actions like the other
+    // boundaries: the near-dedup banding build AND its keeper
+    // anti-join, the against-corpus probe, and the ledger counts each
+    // re-ran the content-key window from the cleaned checkpoint)
+    val exactDeduped = boundary(Dedup.exact(nonEmpty, textCol, idCol)
+      .drop("content_key", "dup_count"))
 
     // 4n. optional within-corpus fuzzy dedup: the q35 banding (star-
     // capped candidate pairs), q36-style exact token-set Jaccard

@@ -68,5 +68,14 @@ object Tables {
       // (Spark 4 otherwise limits CSV to a small allowlist)
       .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // (round-13 OPT experiment, REJECTED by measurement:
+      // spark.sql.join.preferSortMergeJoin=false — guide §3.1's
+      // shuffled-hash preference — was run through the full 663-spec
+      // suite (green; strategy never changes results) and a full
+      // 196-query bench A/B at equal gauge: total +8.4 s and the
+      // composed pipeline +3.8 s, with the banding/verify family the
+      // biggest loser (q192 +1.2 s, q194 +1.1 s) — hash-map builds
+      // over the array-carrying verify frames lose to sort-merge
+      // here. Kept at the default; see OPTIMIZATION_r13.md.)
       .config("spark.ui.enabled", "false")
 }

@@ -349,6 +349,17 @@ object TextAnalysis {
       df.select(keep :+
           explode(TextFunctions.wordNGrams(col(textCol), 2)).as("__g"): _*)
         .withColumn("__b", bucketOf(col("__g"))).drop("__g")
+    // round-13 OPT: the gram totals derive from the bucket-count aggs
+    // (Σ__sc = __ns, Σ__tc = __nt — the skipgramPmi rule: never a
+    // second gram-sized scan just for a total). That removes one
+    // full source gram pass and one target gram pass; when AQE
+    // ReusedExchange fires on the shared bucket-agg exchange the
+    // remaining duplicate collapses too. NOTE a rejected variant,
+    // measured: pre-aggregating to a (id, bucket) count frame and
+    // routing sc/scored through it ADDED a corpus-sized exchange where
+    // this operator deliberately has none (its only corpus-sized
+    // shuffle is the partial-agg'd per-doc sum) — q92 went 1.7 s →
+    // 3.2 s warm and the variant was dropped.
     val sg = gramBuckets(source, Seq(col(idCol)))
     val tg = gramBuckets(target, Seq.empty)
     val sc = sg.groupBy("__b").agg(count(lit(1)).as("__sc"))
@@ -356,8 +367,8 @@ object TextAnalysis {
     // both sides are 1-row aggs; the explicit hint makes the
     // bounded-side contract uniform instead of relying on AQE to
     // notice the 1-row estimate at runtime
-    val totals = sg.agg(count(lit(1)).as("__ns"))
-      .crossJoin(broadcast(tg.agg(count(lit(1)).as("__nt"))))
+    val totals = sc.agg(sum(col("__sc")).as("__ns"))
+      .crossJoin(broadcast(tc.agg(sum(col("__tc")).as("__nt"))))
     // weight table over ALL buckets (absent buckets still carry the
     // smoothed default weight) — bounded by `buckets`, broadcast
     val wt = source.sparkSession.range(buckets).toDF("__b")

@@ -1963,11 +1963,17 @@ object TextQueries {
     "q104_ccnet_split" -> ((s, dir) => {
       val lowered = docsSpread(s, dir)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      // round-13 OPT: `scored` feeds three consumers (per-lang totals,
+      // the cumulative histogram, the final bucket join) — each used to
+      // re-execute the corpus token explode + LM cost join. The frame
+      // is slim (one (id, lang, score) row per doc), so materialize it
+      // once; values unchanged.
       val scored = graft.operators.TextAnalysis.unigramCodeLength(
           lowered, lowered.where(col("lang") === "en"), "text", "doc_id")
         .where(col("n_toks") > 0)
         .join(lowered.select("doc_id", "lang"), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("avg_bits_mills").as("s"))
+        .localCheckpoint(true)
       val tot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang").orderBy("s")
       val cum = scored.groupBy("lang", "s").agg(count(lit(1)).as("c"))

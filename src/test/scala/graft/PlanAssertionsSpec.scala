@@ -241,6 +241,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "sketch exchange not reused for the eps-bound total:\n" + fp.take(3000))
   }
 
+  test("q90: DSIR totals reuse the bucket-count exchange, not a fresh gram scan") {
+    // round-13 OPT contract: __ns/__nt derive from the sc/tc bucket
+    // aggregates; the duplicated agg subtrees must collapse to
+    // ReusedExchange in the final adaptive plan (the q84 rule) so the
+    // gram explode + md5 bucketing runs once per side, not once per
+    // consumer
+    val df = SparkEntry.queries("q90_dsir_score")(spark, dir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      "bucket-count exchange not reused for the DSIR totals:\n" + fp.take(3000))
+  }
+
   test("q85: chunking is a pure projection — no join, no aggregate") {
     // chunkDocs' promise: scan -> project -> explode (+ the oracle's
     // deterministic sort); any join or aggregation appearing here means
