@@ -453,14 +453,20 @@ object Engine {
         // cut changes no laziness anyone relies on. Same kernels, same
         // geometry (bands = 2 × rowsPerBand = 4 through the shared
         // star-cap kernel), identical output.
-        val slim = exactDeduped
+        // boundary(), not an unconditional localCheckpoint: the frame
+        // persists full sorted token sets + band signatures for every
+        // exact-dedup survivor, a footprint materializeBoundaries=false
+        // callers opted out of (ADVICE r13). Under the flag the eager
+        // cut stands exactly as before; without it the three consumers
+        // share the lazy subtree (the components loop still makes the
+        // stage eager through its own checkpoint contract).
+        val slim = boundary(exactDeduped
           .select(col(idCol).as("__id"),
             TextFunctions.tokenSetSorted(col(textCol)).as("__tok"),
             array(
               TextFunctions.minhashBand(col(textCol), 0 until 4),
               TextFunctions.minhashBand(col(textCol), 4 until 8))
-              .as("__bands"))
-          .localCheckpoint(true)
+              .as("__bands")))
         val byBand = slim.select(col("__id"),
           posexplode(col("__bands")).as(Seq("band_no", "band_sig")))
         val cand = Dedup.cappedBucketPairs(

@@ -367,8 +367,13 @@ object TextAnalysis {
     // both sides are 1-row aggs; the explicit hint makes the
     // bounded-side contract uniform instead of relying on AQE to
     // notice the 1-row estimate at runtime
-    val totals = sc.agg(sum(col("__sc")).as("__ns"))
-      .crossJoin(broadcast(tc.agg(sum(col("__tc")).as("__nt"))))
+    // coalesce: sum() over an EMPTY bucket-agg frame is NULL where the
+    // pre-r13 count(*) totals were 0 — without it an empty source or
+    // target corpus NULLs every smoothed weight and the scores collapse
+    // to coalesced 0 instead of the smoothed defaults (ADVICE r13)
+    val totals = sc.agg(coalesce(sum(col("__sc")), lit(0L)).as("__ns"))
+      .crossJoin(broadcast(
+        tc.agg(coalesce(sum(col("__tc")), lit(0L)).as("__nt"))))
     // weight table over ALL buckets (absent buckets still carry the
     // smoothed default weight) — bounded by `buckets`, broadcast
     val wt = source.sparkSession.range(buckets).toDF("__b")

@@ -293,6 +293,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("importanceScore keeps the smoothed weights on an EMPTY target corpus") {
+    // ADVICE r13: the r13 totals rewrite (count(*) -> sum over the
+    // bucket aggs) turned an empty side's total into NULL, nulling
+    // every smoothed weight and coalescing all scores to 0. The fixed
+    // coalesce restores the exact pre-r13 smoothed-default scores.
+    val B = 16
+    val src = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val tgt = src.where(col("doc_id") < 0) // empty
+    val got = TextAnalysis.importanceScore(src, tgt, "text", "doc_id", B)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ns = 3 bigrams corpus-wide, nt = 0: every bucket's weight is the
+    // smoothed default 1000*(0+1)*(ns+B) div ((sc+1)*(0+B))
+    val ns = 3L
+    def w(sc: Long): Long = (BigInt(1000) * 1 * (ns + B) /
+      (BigInt(sc + 1) * (0 + B))).toLong
+    // all 3 bigrams are distinct strings; doc 1 has 2, doc 2 has 1 —
+    // each bucket holds exactly its own gram unless two md5-collide
+    // into one bucket, so recompute per gram honestly
+    val grams = Seq("alpha beta", "beta gamma", "delta epsilon")
+      .map(dsirBucket(_, B))
+    val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val w1 = Seq(grams(0), grams(1)).map(b => w(cnt(b))).sum
+    val w2 = w(cnt(grams(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, w1, w1 / 2), (2L, 1L, w2, w2)))
+    assert(got.forall(_._3 > 0L), s"empty-target scores collapsed: ${got.toSeq}")
+  }
+
   test("rational importance ranking agrees with the paper's log-ratio twin on the real corpus") {
     // the documented deviation (ratio-sum vs log-ratio-sum), quantified
     // like the BM25 canary: engine top-k selection on the sf0.001
