@@ -395,11 +395,19 @@ object Dedup {
     // the dedup exchange bought nothing — every in-repo caller passes a
     // distinct (id_a < id_b) pair list, and a caller that doesn't just
     // pays join width inside the rounds, never correctness.
+    // Round-14 OPT (guide §2.4): repartition+sort on `src` BEFORE the
+    // checkpoint — localCheckpoint preserves outputPartitioning and
+    // outputOrdering in the LogicalRDD, so every round's src-keyed
+    // probe join (and the label-init distinct) reads the edge frame
+    // exchange-free and sort-free instead of re-shuffling it per
+    // round. Costs one edge shuffle in the checkpoint job; saves one
+    // exchange+sort per propagation round.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)

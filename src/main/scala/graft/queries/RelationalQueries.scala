@@ -1139,31 +1139,45 @@ object RelationalQueries {
     "q143_pagerank" -> ((s, dir) => {
       val cp = coPairCounts(s, dir)
         .where(col("n_orders") >= CoPairMinSupport)
+      // Round-14 OPT (the q165 shape): the fully-lazy chain re-derived
+      // the pair generation from parquet once per round — the explain
+      // showed 60 parquet scans / 160 Exchanges at 6 rounds, held
+      // together only by runtime exchange reuse. ONE src-partitioned,
+      // src-sorted eager checkpoint of the symmetric edge frame makes
+      // every round's src-keyed join (and the degree agg) exchange- and
+      // sort-free on the edge side. Per-round checkpoints of p still
+      // HURT (measured 2.3 s → 6.8 s — p appears once per round, the
+      // chain is linear); only the shared edge frame is pinned.
       val e = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionByName(
           cp.select(col("part_b").as("src"), col("part_a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
+      // vertex-sized, referenced by n1 + ed + p0 + the final join —
+      // pinned so the rounds' lazy chain scans an RDD, not re-aggs
       val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val n1 = deg.agg(count(lit(1)).as("n"))
       // edge frame pre-joined with the source outdeg: per round only
-      // the rank table changes. (Measured: eager per-round checkpoints
-      // HURT here, 2.3 s → 6.8 s at sf0.1 — p appears exactly once per
-      // round so the lazy plan is a chain, AQE exchange reuse already
-      // dedupes the repeated ed subtree, and PrIters eager jobs add
-      // PrIters × fixed job overhead. Contrast q165, whose dist frame
-      // feeds TWO consumers per round and does need the cut.)
+      // the rank table changes
       val ed = e.join(deg.withColumnRenamed("v", "src"), Seq("src"))
       var p = deg.crossJoin(broadcast(n1))
         .select(col("v"), expr("1000000L div n").as("p"))
+      // Round-14 OPT: the old per-round `deg.select(v) ⟕ contrib` merge
+      // (2 joins + coalesce per round) is provably TOTAL on this graph:
+      // e is symmetric, so every deg vertex has an in-edge whose source
+      // carries a p row (p0 covers all of deg; induction per round) —
+      // contrib covers every vertex and coalesce(c, 0L) never fired.
+      // The teleport fold therefore rides the contribution aggregate
+      // directly: one src-keyed join (edge side exchange-free off the
+      // checkpoint) + one dst-keyed partial-agg exchange per round.
       (1 to PrIters).foreach { _ =>
-        val contrib = ed
-          .join(p.withColumnRenamed("v", "src"), Seq("src"))
+        p = ed.join(p.withColumnRenamed("v", "src"), Seq("src"))
           .select(col("dst").as("v"), expr("p div deg").as("c"))
           .groupBy("v").agg(sum(col("c")).as("c"))
-        p = deg.select("v").crossJoin(broadcast(n1))
-          .join(contrib, Seq("v"), "left")
+          .crossJoin(broadcast(n1))
           .select(col("v"),
-            expr("(150 * (1000000L div n) + 850 * coalesce(c, 0L)) div 1000")
-              .as("p"))
+            expr("(150 * (1000000L div n) + 850 * c) div 1000").as("p"))
       }
       p.join(deg, Seq("v"))
         .select(col("v").as("part"), col("p").as("pr_micros"),
@@ -1192,30 +1206,42 @@ object RelationalQueries {
       // degree frame — without the cut, every round's subtree rebuilds
       // the whole per-order pair generation (measured 5.0 s → 2.7 s
       // at sf0.1). The frame is support-thinned and parts-bounded, so
-      // the materialization is small.
-      val e = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
+      // the materialization is small. Round-14 OPT (guide §2.4 "two
+      // operations keyed the same way share one exchange"): the frame
+      // is repartitioned+sorted on `src` BEFORE the checkpoint —
+      // localCheckpoint preserves outputPartitioning/outputOrdering in
+      // the LogicalRDD, so every round's src-keyed join (and the
+      // degree aggregate) reads it exchange-free AND sort-free instead
+      // of re-shuffling the edge frame once per round.
+      val eReal = cp.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionByName(
           cp.select(col("part_b").as("src"), col("part_a").as("dst")))
+      // Round-14 OPT: the full-outer merge referenced `dist` TWICE per
+      // round (once as input, once through `next`), so the lazy plan
+      // tree DOUBLED every round — 2^BfsMaxHops join subtrees (the
+      // explain showed 98 Exchanges / 32 SMJ / 96 RDD scans) that only
+      // runtime exchange reuse kept from exploding. The merge is
+      // instead folded into the message join through SELF-LOOP edges
+      // (src=dst, hop increment 0): min over the messages of
+      // e ∪ self-loops is exactly min(own dist + 0, neighbor dists + 1)
+      // — the old coalesce-pair least() — with dist referenced ONCE per
+      // round, so the plan is linear in hops and each round is one
+      // vertex-keyed partial-agg exchange.
+      val e = eReal.withColumn("inc", lit(1L))
+        .unionByName(eReal.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst"), lit(0L).as("inc")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .localCheckpoint(true)
-      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val deg = e.where(col("inc") === 1L)
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val seeds = deg.withColumn("rn",
           row_number().over(Window.orderBy(col("deg").desc, col("v"))))
         .where(col("rn") <= BfsSeedK)
       var dist = seeds.select(col("v"), lit(0L).as("dist"))
-      // (Measured at sf0.1: per-round eager checkpoints on dist do NOT
-      // help — best-of-5 2.15 s lazy vs 2.31 s checkpointed. Although
-      // dist feeds two consumers per round, the duplicated subtrees
-      // are identical exchanges that AQE runtime-reuses, while 4 eager
-      // cuts add 4 × job overhead. The ONE cut that matters is `e`
-      // above — the per-order pair generation all rounds share.)
       (1 to BfsMaxHops).foreach { _ =>
-        val next = e.join(dist.withColumnRenamed("v", "src"), Seq("src"))
-          .select(col("dst").as("v"), (col("dist") + 1L).as("nd"))
-          .groupBy("v").agg(min(col("nd")).as("nd"))
-        dist = dist.as("a").join(next.as("b"), Seq("v"), "full_outer")
-          .select(col("v"),
-            least(coalesce(col("a.dist"), col("b.nd")),
-              coalesce(col("b.nd"), col("a.dist"))).as("dist"))
+        dist = e.join(dist.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), (col("dist") + col("inc")).as("dist"))
+          .groupBy("v").agg(min(col("dist")).as("dist"))
       }
       deg.join(dist, Seq("v"), "left")
         .select(col("v").as("part"),
