@@ -313,6 +313,33 @@ object Dedup {
       .select("id_a", "id_b", "jac_mills")
   }
 
+  /** Exact Jaccard pairs by DIRECT all-pairs enumeration over a
+    * BOUNDED, pre-tokenized universe (__id, toks) — the ground-truth
+    * kernel for the S-curve audits (q192/q194), which verify ~all pairs
+    * anyway: at audit thresholds (300 mills) the PPJoin prefix filter
+    * keeps >99.9% of pairs as candidates (measured: 499,312 of 499,500
+    * on the sf0.1 universe), so its shingle join + half-million-pair
+    * distinct exchange were pure overhead on top of an all-pairs
+    * verify. This kernel is O(N²) BY CONSTRUCTION and says so — an
+    * exact audit universe must be protocol-bounded for the verify mass
+    * to be computable at all (the at-scale form is the q194 sample),
+    * and that same bound makes the broadcast of one side safe. Output
+    * is identical to [[jaccardPairsFromTokens]] (lossless blocking ⟹
+    * same pair set): (id_a < id_b, jac_mills ≥ minJaccardMills).
+    * Corpus-scale dedup paths must keep using the prefix-filtered
+    * kernel — this one never prunes. */
+  def jaccardPairsAllPairs(d: DataFrame, minJaccardMills: Int): DataFrame =
+    d.select(col("__id").as("id_a"), col("toks").as("ta"))
+      .join(broadcast(d.select(col("__id").as("id_b"), col("toks").as("tb"))),
+        col("id_a") < col("id_b"))
+      .withColumn("common",
+        graft.functions.ArrayOps.sortedIntersectSize(col("ta"), col("tb")))
+      .withColumn("jac_mills",
+        floor(lit(1000) * col("common")
+          / (size(col("ta")) + size(col("tb")) - col("common"))).cast("long"))
+      .where(col("jac_mills") >= minJaccardMills)
+      .select("id_a", "id_b", "jac_mills")
+
   /** Ordered containment (overlap-coefficient-toward-the-left) pairs:
     * (id_a, id_b, contain_mills) where contain_mills =
     * ⌊1000·|Tₐ∩T_b| / |Tₐ|⌋ ≥ `minContainMills` and a ≠ b. The
@@ -395,41 +422,64 @@ object Dedup {
     // the dedup exchange bought nothing — every in-repo caller passes a
     // distinct (id_a < id_b) pair list, and a caller that doesn't just
     // pays join width inside the rounds, never correctness.
-    // Round-14 OPT (guide §2.4): repartition+sort on `src` BEFORE the
-    // checkpoint — localCheckpoint preserves outputPartitioning and
-    // outputOrdering in the LogicalRDD, so every round's src-keyed
-    // probe join (and the label-init distinct) reads the edge frame
-    // exchange-free and sort-free instead of re-shuffling it per
-    // round. Costs one edge shuffle in the checkpoint job; saves one
-    // exchange+sort per propagation round.
+    // Round-14 OPT (guide §2.4), three folds that make each round ONE
+    // exchange instead of three:
+    //  - SELF-LOOP edges ((a,a) and (b,b), emitted in the SAME explode
+    //    so the caller's — often expensive banding/verify — subtree
+    //    still executes exactly once) fold the old keep-own-label
+    //    left-join into the message aggregate: min over the messages of
+    //    edges ∪ self-loops IS least(own comp, min neighbor comp), and
+    //    min-label is idempotent under the duplicate self-loops this
+    //    emits. Every vertex has a self-loop, so the label set stays
+    //    total.
+    //  - repartition+sort on `src` BEFORE the checkpoint:
+    //    localCheckpoint preserves outputPartitioning/outputOrdering in
+    //    the LogicalRDD, so each round's probe join (and the label-init
+    //    distinct) reads the edge frame exchange- and sort-free. The
+    //    labels side is exchange-free too: each round's aggregate
+    //    output is id-hash-partitioned, and the id→src rename is
+    //    alias-transparent to the join's required distribution.
+    //  - convergence rides an exact SUM SIGNATURE instead of an
+    //    old-vs-new label compare: labels only ever decrease and the
+    //    vertex set is constant, so Σcomp (exact, DECIMAL(38,0))
+    //    strictly decreases iff any label changed. Same round count as
+    //    the old changed-row counter, without carrying the previous
+    //    label column through the round.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prevSig = sig(labels)
     var prevCkpt = labels // blocks the CURRENT labels projection reads
-    var changed = 1L
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr_comp"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
+    while (!converged && i < maxIter) {
+      val updated = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("comp"))
         .localCheckpoint(true) // eager: materialized HERE, off the old blocks
-      changed = updated.where(col("next") < col("comp")).count()
+      val curSig = sig(updated)
+      converged = curSig == prevSig
+      prevSig = curSig
       prevCkpt.unpersist() // the new checkpoint no longer needs round i-1
       prevCkpt = updated
-      labels = updated.select(col("id"), col("next").as("comp"))
+      labels = updated
       i += 1
     }
-    if (changed > 0)
+    if (!converged)
       System.err.println(s"[dedup] connectedComponents: NOT converged after " +
-        s"$maxIter rounds ($changed labels still changing) — component ids " +
+        s"$maxIter rounds (label sum still decreasing) — component ids " +
         "beyond that radius are intermediate; raise maxIter")
     edges.unpersist() // the result projection reads only the last checkpoint
     labels

@@ -596,7 +596,14 @@ object TextQueries {
         TextFunctions.minhashBand(col("text"), 0 until 4),
         TextFunctions.minhashBand(col("text"), 4 until 8)).as("__bands"))
       .localCheckpoint(true)
-    val truth = graft.operators.Dedup.jaccardPairsFromTokens(
+    // round-14 OPT: the ground truth rides the direct all-pairs kernel
+    // — at LshAuditMinJac the prefix filter kept >99.9% of pairs as
+    // candidates, so the PPJoin shingle join + pair distinct were
+    // overhead on an all-pairs verify; the pair set (and therefore
+    // every audit number) is identical (lossless blocking). The
+    // broadcast is bounded by the audit universe, which must be
+    // protocol-bounded for an exact O(N²) audit to be computable.
+    val truth = graft.operators.Dedup.jaccardPairsAllPairs(
       d.select(col("doc_id").as("__id"), col("toks")),
       minJaccardMills = LshAuditMinJac)
     // the LSH pair graph feeds BOTH the direct-hit join and the
