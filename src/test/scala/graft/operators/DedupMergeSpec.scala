@@ -99,6 +99,30 @@ class DedupMergeSpec extends AnyFunSuite {
     assert(comps(capped) == comps(uncapped))
   }
 
+  test("PROPERTY: all-pairs jaccard kernel equals the prefix-filtered kernel " +
+    "(randomized corpus, several thresholds)") {
+    // round-14 OPT gate: the S-curve audits' ground truth switched from
+    // jaccardPairsFromTokens to the direct jaccardPairsAllPairs kernel —
+    // the two must emit the identical (id_a, id_b, jac_mills) set at any
+    // threshold or the audit numbers silently drift
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val d = docs.select(col("doc_id").as("__id"),
+      graft.functions.TextFunctions.tokenSetSorted(col("text")).as("toks"))
+    for (t <- Seq(300, 500, 800)) {
+      val viaPrefix = Dedup.jaccardPairsFromTokens(d, minJaccardMills = t)
+        .as[(Long, Long, Long)].collect().toSet
+      val viaAll = Dedup.jaccardPairsAllPairs(d, minJaccardMills = t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaAll == viaPrefix, s"kernel drift at t=$t")
+      assert(viaAll.nonEmpty || t == 800, s"degenerate fixture at t=$t")
+    }
+  }
+
   test("minhash LSH emits identical docs as candidates (dedup#minhash)") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", bands = 2, rowsPerBand = 2,
       maxBucket = Int.MaxValue)
