@@ -39,9 +39,12 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
-  /** Quantize a float array to bigints: floor(x * scale). */
+  /** Quantize a float array to bigints: floor(x * scale). Round-14 OPT:
+    * rides the codegen'd [[QuantizeQ]] (bit-identical to the old
+    * interpreted `transform(a, x => floor(x.cast(double) * scale)
+    * .cast(long))` chain — see [[quantizeKernel]]). */
   def quantize(a: Column, scale: Int = 1000): Column =
-    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+    column(QuantizeQ(expression(a), scale))
 
   /** Exact integer dot product of two quantized (bigint) arrays. */
   def dotQ(a: Column, b: Column): Column =
@@ -108,6 +111,96 @@ object VectorFunctions {
     * Preserves cosine ordering (squares, sign-corrected). */
   def cosineSqScaledQ(a: Column, b: Column): Column =
     column(CosineSqScaledQ(expression(a), expression(b)))
+
+  /** Codegen-callable kernel: exact integer squared L2 of two quantized
+    * arrays, Σ(aᵢ−bᵢ)². Replaces the interpreted HOF composition
+    * normSqQ(a) + normSqQ(b) − 2·dotQ(a, b) in the PQ hot paths
+    * (round-14 OPT, guide step-2 per-task work): the three aggregate()
+    * trees were evaluated INTERPRETED once per (row × codebook entry ×
+    * subspace). Value-identical even under Long wrap — Σa² + Σb² − 2Σab
+    * ≡ Σ(a−b)² is a ring identity, so the two forms agree mod 2⁶⁴. */
+  def l2SqQKernel(a: ArrayData, b: ArrayData): Long = {
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Catalyst expression form of [[l2SqQKernel]] — stays inside
+    * whole-stage codegen like [[CosineSqScaledQ]]. */
+  case class L2SqQ(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      l2SqQKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.l2SqQKernel($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Exact integer squared L2 over quantized vectors (codegen'd). */
+  def l2SqQ(a: Column, b: Column): Column =
+    column(L2SqQ(expression(a), expression(b)))
+
+  /** Codegen-callable kernel twin of [[quantize]]'s HOF body: per
+    * element floor(double(x) · scale) → long, null elements preserved.
+    * The float→double widen, the single IEEE multiply, floor, and the
+    * non-ANSI double→long cast (NaN→0, ±Inf→Long.Min/Max via
+    * Double.toLong) replicate the transform() chain bit-for-bit. */
+  def quantizeKernel(a: ArrayData, scale: Int, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = java.lang.Long.valueOf(math.floor(d * scale).toLong)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Catalyst expression form of [[quantizeKernel]] — the quantize
+    * projection sits on EVERY ANN corpus/query scan, where the
+    * interpreted transform() lambda (cast, multiply, floor, cast per
+    * element) was measurable per-task work (round-14 OPT). */
+  case class QuantizeQ(child: Expression, scale: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    // lazy: child.dataType is only legal after analysis resolves it
+    private lazy val isFloat = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"quantize expects array<float|double>, got $t")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      LongType,
+      child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .containsNull)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(a: Any): Any =
+      quantizeKernel(a.asInstanceOf[ArrayData], scale, isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorFunctions.quantizeKernel($a, $scale, $isFloat)")
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
 
   /** LSH bucket id for cosine: sign bits of `planes.size` random-plane
     * projections, packed into a bigint. Planes are caller-provided

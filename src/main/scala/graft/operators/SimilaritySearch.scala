@@ -346,10 +346,13 @@ object SimilaritySearch {
     * Jégou et al. §5). Codes that lose every member during a Lloyd
     * round drop out of the codebook, exactly like empty k-means
     * cells. */
-  /** Exact integer squared L2 of two quantized vectors. */
+  /** Exact integer squared L2 of two quantized vectors. Round-14 OPT:
+    * the codegen'd Σ(a−b)² kernel replaces the interpreted
+    * normSqQ+normSqQ−2·dotQ HOF trees evaluated once per (row ×
+    * codebook entry × subspace) — a ring identity, value-identical
+    * even under Long wrap. */
   private def l2q(a: Column, b: Column): Column =
-    VectorFunctions.normSqQ(a) + VectorFunctions.normSqQ(b) -
-      lit(2L) * VectorFunctions.dotQ(a, b)
+    VectorFunctions.l2SqQ(a, b)
 
   /** PQ subspace slice s (0-based) of a dim = m·sd quantized vector. */
   private def pqSub(vec: Column, s: Int, sd: Int): Column =
