@@ -56,16 +56,69 @@ object TextFunctions {
 
   /** Order-aware word n-grams WITH multiplicity, space-joined — the one
     * n-gram constructor (TextQueries' distinct bigrams and the
-    * repetition stats both derive from it). Built by zipping the token
-    * list against its own shifted slices: the lambdas see only their
-    * zipped elements (an element_at(toks, i+k) inside the lambda would
-    * re-evaluate the split per element — O(n²) per document). */
+    * repetition stats both derive from it).
+    *
+    * Round-14 OPT (guide step-2 per-task work): rides the codegen'd
+    * [[WordNGramsQ]] — the former zip_with fold was a higher-order
+    * CodegenFallback interpreted per element on every DSIR / PMI /
+    * repetition / cross-entropy / decontam scan. The kernel replicates
+    * the old chain bit-for-bit: trim of ASCII spaces only (Spark
+    * `trim`), Java-regex `\s+` split at limit −1 (Spark `split`), drop
+    * of "" phantoms (`array_remove`), then the sliding space-join the
+    * zip_with fold produced. NULL text still yields NULL. */
   def wordNGrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    require(n >= 1, s"n=$n must be >= 1")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WordNGramsQ(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+  }
+
+  private val NGramWsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Codegen-callable kernel of [[wordNGrams]]. */
+  def wordNGramsKernel(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s0 = text.toString
+    // Spark trim(): ASCII space (0x20) only — NOT java trim/strip
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val toks = NGramWsRe.split(s0.substring(b, e), -1).filter(_.nonEmpty)
+    val len = math.max(toks.length - (n - 1), 0)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Catalyst expression form of [[wordNGramsKernel]] — whole-stage
+    * codegen, one tokenization per row. */
+  case class WordNGramsQ(
+      child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(t: Any): Any =
+      wordNGramsKernel(
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, t =>
+        s"graft.functions.TextFunctions.wordNGramsKernel($t, $n)")
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      copy(child = newChild)
   }
 
   /** Distinct lowercase token array (sorted — canonical form; no ""
