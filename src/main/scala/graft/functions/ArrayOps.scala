@@ -58,4 +58,90 @@ object ArrayOps {
   /** |a ∩ b| for sorted distinct string arrays (bigint). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
+
+  /** Round-14 OPT (guide step-2 per-task work): ordered within-array
+    * pair/triple generation for the co-purchase kernels. The former
+    * nested transform/slice/flatten HOF trees were CodegenFallback —
+    * interpreted per element, with slice() allocating a fresh array per
+    * outer element (O(k²)/O(k³) allocations per order) — on a ~10⁶-pair
+    * generation that sits inside ALL seven graph-family queries. These
+    * kernels emit the identical multiset — every (psᵢ, psⱼ), i<j (and
+    * (psᵢ, psⱼ, ps_l), i<j<l) — in one codegen'd call per row.
+    * Contract: elements non-null (collect_set output), array sorted by
+    * the caller (generation order is positional either way). */
+  def orderedPairsKernel(ps: ArrayData): ArrayData = {
+    val n = ps.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0; var i = 0
+    while (i < n) {
+      val a = ps.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, ps.getLong(j))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def orderedTriplesKernel(ps: ArrayData): ArrayData = {
+    val n = ps.numElements()
+    val out = new Array[Any](n * (n - 1) * (n - 2) / 6)
+    var idx = 0; var i = 0
+    while (i < n) {
+      val a = ps.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = ps.getLong(j)
+        var l = j + 1
+        while (l < n) {
+          out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, b, ps.getLong(l))
+          idx += 1; l += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def pairStruct(names: Seq[String]) =
+    org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, LongType, nullable = false)))
+
+  case class OrderedPairs(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      pairStruct(Seq("part_a", "part_b")), containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(a: Any): Any =
+      orderedPairsKernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.ArrayOps.orderedPairsKernel($a)")
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  case class OrderedTriples(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      pairStruct(Seq("part_a", "part_b", "part_c")), containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(a: Any): Any =
+      orderedTriplesKernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.ArrayOps.orderedTriplesKernel($a)")
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** All (ps[i], ps[j]) with i < j as array<struct<part_a, part_b>>. */
+  def orderedPairs(ps: Column): Column = column(OrderedPairs(expression(ps)))
+
+  /** All i<j<l triples as array<struct<part_a, part_b, part_c>>. */
+  def orderedTriples(ps: Column): Column =
+    column(OrderedTriples(expression(ps)))
 }

@@ -2070,13 +2070,12 @@ object RelationalQueries {
     // proves the nested slice/transform generation emits each ordered
     // triple exactly once.
     "q169_frequent_triples" -> ((s, dir) => {
+      // round-14 OPT: codegen'd ordered-triple kernel replaces the
+      // doubly-nested transform/slice HOF generation (interpreted,
+      // O(k³) slice allocations per order) — identical triple multiset
       orderPartSets(s, dir)
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          flatten(transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-            (y, j) =>
-              transform(slice(col("ps"), i + j + lit(3), size(col("ps"))),
-                z => struct(x.as("part_a"), y.as("part_b"),
-                  z.as("part_c")))))))).as("tr"))
+        .select(explode(
+          graft.functions.ArrayOps.orderedTriples(col("ps"))).as("tr"))
         .select(col("tr.part_a"), col("tr.part_b"), col("tr.part_c"))
         .groupBy("part_a", "part_b", "part_c")
         .agg(count(lit(1)).as("n_orders"))
@@ -2379,10 +2378,12 @@ object RelationalQueries {
     * ordered pairs generated ARRAY-SIDE (pair mass Σ k_o², never
     * |lineitem|²) → one pair-key hash agg. */
   private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+    // round-14 OPT: codegen'd ordered-pair kernel replaces the nested
+    // transform/slice HOF generation (interpreted, O(k²) slice allocs
+    // per order) — identical pair multiset (ArrayOps.orderedPairs doc)
     orderPartSets(s, dir)
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(explode(
+        graft.functions.ArrayOps.orderedPairs(col("ps"))).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
 
