@@ -177,6 +177,74 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Codegen-callable kernel: the per-gram hash bucket of every word
+    * n-gram of `text`, in order, WITH multiplicity — one tokenization
+    * and one md5 per gram, no hex formatting. Replicates exactly the
+    * former chain `conv(substring(md5(concat(gram, salt)), 1, 15), 16,
+    * 10) % buckets` over `explode(wordNGrams(text, n))`:
+    * tokenization is the wordNGrams rule (ASCII-space trim, `\s+`
+    * split at limit −1, "" phantoms dropped — NOT distinct, NOT
+    * lowercased), the gram is the space-join of n consecutive tokens
+    * (fed to the digest piecewise — UTF-8 of a concatenation is the
+    * concatenation of UTF-8), and the first 15 hex chars of the digest
+    * are the high 60 bits of its first 8 bytes, i.e.
+    * (big-endian long >>> 4), always non-negative, so the `%` is the
+    * same truncated modulus Spark computes. */
+  def gramBucketsKernel(text: UTF8String, n: Int, salt: Array[Byte],
+      buckets: Int): ArrayData = {
+    val s0 = text.toString
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val toks = WsRe.split(s0.substring(b, e), -1).filter(_.nonEmpty)
+    val len = math.max(toks.length - (n - 1), 0)
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      tokBytes(j) = toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      j += 1
+    }
+    val md = mdLocal.get()
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      md.update(tokBytes(i))
+      var k = 1
+      while (k < n) { md.update(' '.toByte); md.update(tokBytes(i + k)); k += 1 }
+      md.update(salt)
+      val d = md.digest()
+      var v = 0L
+      var q = 0
+      while (q < 8) { v = (v << 8) | (d(q) & 0xffL); q += 1 }
+      out(i) = java.lang.Long.valueOf((v >>> 4) % buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class GramBuckets(child: Expression, n: Int, salt: String, buckets: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    private lazy val saltBytes =
+      salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      gramBucketsKernel(v.asInstanceOf[UTF8String], n, saltBytes, buckets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("salt", saltBytes, "byte[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHash.gramBucketsKernel($c, $n, $ref, $buckets);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-gram hash buckets of the word n-grams of `c` (with
+    * multiplicity, in order) — the DSIR feature-hash projection. */
+  def gramBuckets(c: Column, n: Int, salt: String, buckets: Int): Column =
+    column(GramBuckets(expression(c), n, salt, buckets))
+
   /** Kernel: Rabin-Karp polynomial rolling hash of the whole normalized
     * text (base 257 over the Mersenne prime 2^61-1). The window-shift
     * property (hash of s[1..] derivable from hash of s in O(1)) is what

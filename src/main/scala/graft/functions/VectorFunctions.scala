@@ -225,16 +225,114 @@ object VectorFunctions {
     if (firstHexChar.toInt % 2 == 1) 1 else -1
   }
 
+  /** Codegen-callable kernel of [[rademacherLshBucket]]: all `nPlanes`
+    * ±1 projections of one vector in a single pass over a flattened
+    * sign matrix (plane-major). Replicates the former per-plane
+    * `aggregate(zip_with(qv, signs))` HOF trees exactly, edge cases
+    * included: zip_with pads a length-mismatched pair with NULLs and
+    * the fold then NULLs the projection, whose `when(proj >= 0, bit)
+    * .otherwise(0)` contribution collapses to 0 — so ANY length
+    * mismatch or NULL element zeroes EVERY plane's bit, i.e. bucket 0.
+    * Long wrap is identical (same add order, two's complement). */
+  def rademacherBucketKernel(qv: ArrayData, signs: Array[Long],
+      nPlanes: Int, dim: Int): Long = {
+    val n = qv.numElements()
+    if (n != dim) return 0L
+    var d = 0
+    while (d < n) {
+      if (qv.isNullAt(d)) return 0L
+      d += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var acc = 0L
+      d = 0
+      while (d < dim) {
+        acc += qv.getLong(d) * signs(base + d)
+        d += 1
+      }
+      if (acc >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Catalyst expression form of [[rademacherBucketKernel]] — the
+    * bucket projection sits on every LSH ANN corpus/query scan, where
+    * the per-plane interpreted fold was nPlanes·dim lambda evaluations
+    * per row (round-14 OPT, guide step-2 per-task work). */
+  case class RademacherBucketQ(child: Expression, nPlanes: Int, dim: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(nPlanes >= 1 && nPlanes <= 63 && dim >= 1,
+      s"nPlanes=$nPlanes must be in 1..63, dim=$dim must be >= 1")
+    private lazy val signs: Array[Long] = Array.tabulate(nPlanes * dim) {
+      i => rademacherSign(i / dim, i % dim).toLong
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(a: Any): Any =
+      rademacherBucketKernel(a.asInstanceOf[ArrayData], signs, nPlanes, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("signs", signs, "long[]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorFunctions.rademacherBucketKernel($a, $ref, $nPlanes, $dim)")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Sign-LSH bucket over a QUANTIZED (bigint) vector with Rademacher
     * planes: bit p = [sum_d qv[d]·s(p,d) >= 0]. All-integer math —
     * bit-exact in every engine, unlike float projections whose
-    * accumulation order is engine-specific. */
+    * accumulation order is engine-specific. Round-14 OPT: rides the
+    * codegen'd [[RademacherBucketQ]]; the coalesce replicates the old
+    * column form's NULL-vector edge (NULL proj → every plane's
+    * otherwise(0) → bucket 0, never NULL). */
   def rademacherLshBucket(qv: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { p =>
-      val signs = (0 until dim).map(d => rademacherSign(p, d).toLong)
-      val proj = aggregate(
-        zip_with(qv, typedLit(signs), (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    coalesce(
+      column(RademacherBucketQ(expression(qv), nPlanes, dim)), lit(0L))
+
+  /** Codegen-callable kernel: elementwise difference of two quantized
+    * (bigint) arrays with `zip_with(a, b, (x, y) => x - y)` semantics —
+    * output length is max(len), positions past either input or with a
+    * NULL operand yield NULL. On a Long-overflow subtraction the old
+    * ANSI form raises where this wraps — unreachable from quantize()
+    * outputs (|component·scale| ≲ 3e9), the only callers. */
+  def arraySubKernel(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(a.getLong(i) - b.getLong(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Catalyst expression form of [[arraySubKernel]] — the IVFADC
+    * residual (vector − cell centroid) projection, formerly an
+    * interpreted zip_with per corpus row / probed query (round-14
+    * OPT). */
+  case class ArraySubQ(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      arraySubKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.arraySubKernel($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Elementwise a − b over quantized arrays (codegen'd zip_with twin). */
+  def arraySubQ(a: Column, b: Column): Column =
+    column(ArraySubQ(expression(a), expression(b)))
 }

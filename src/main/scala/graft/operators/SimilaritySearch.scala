@@ -521,7 +521,7 @@ object SimilaritySearch {
     val cRes = assignCells(c, "q", cents, "cell", probes = 1)
       .join(broadcast(centDf), Seq("cell"))
       .select(col("vec_id"), col("cell"),
-        zip_with(col("q"), col("__cent"), (a, b) => a - b).as("q"))
+        VectorFunctions.arraySubQ(col("q"), col("__cent")).as("q"))
       .localCheckpoint(true)
     val (books, encodedRes) = trainPqBooks(cRes, m, ksub, iters, sd)
     // queries: nProbe cells, one residual ADC table PER probed cell
@@ -530,7 +530,7 @@ object SimilaritySearch {
           VectorFunctions.quantize(col(vecCol)).as("__qv")),
         "__qv", cents, "cell", probes = nProbe)
       .join(broadcast(centDf), Seq("cell"))
-      .withColumn("__rq", zip_with(col("__qv"), col("__cent"), (a, b) => a - b))
+      .withColumn("__rq", VectorFunctions.arraySubQ(col("__qv"), col("__cent")))
       .withColumn("__lut", pqLut(col("__rq"), m, ksub, sd, books))
       .select("query_id", "cell", "__lut")
     val scored = encodedRes.select("vec_id", "cell", "__codes")

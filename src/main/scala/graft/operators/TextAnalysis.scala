@@ -339,16 +339,9 @@ object TextAnalysis {
       idCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     val reserved = Seq("n_grams", "dsir_mills", "dsir_avg_mills",
-      "__g", "__b", "__sc", "__tc", "__ns", "__nt", "__w")
+      "__g", "__b", "__bs", "__sc", "__tc", "__ns", "__nt", "__w")
     Seq(idCol, textCol).foreach(c =>
       require(!reserved.contains(c), s"column '$c' is reserved"))
-    def bucketOf(g: Column): Column =
-      conv(substring(md5(concat(g, lit("#dsir"))), 1, 15), 16, 10)
-        .cast("long") % buckets
-    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+
-          explode(TextFunctions.wordNGrams(col(textCol), 2)).as("__g"): _*)
-        .withColumn("__b", bucketOf(col("__g"))).drop("__g")
     // round-13 OPT: the gram totals derive from the bucket-count aggs
     // (Σ__sc = __ns, Σ__tc = __nt — the skipgramPmi rule: never a
     // second gram-sized scan just for a total). That removes one
@@ -360,6 +353,23 @@ object TextAnalysis {
     // this operator deliberately has none (its only corpus-sized
     // shuffle is the partial-agg'd per-doc sum) — q92 went 1.7 s →
     // 3.2 s warm and the variant was dropped.
+    //
+    // round-14 OPT (guide §1.2 step 2): the gram→bucket projection now
+    // rides TextHash.gramBuckets — a codegen'd single-pass kernel (one
+    // tokenization per row, one md5 per gram, bucket read from the raw
+    // digest bytes) that is provably value-identical to the old
+    // explode(wordNGrams) + conv(substring(md5(concat(g, salt))))
+    // chain but skips building the gram string, the 32-char hex
+    // format, and the conv parse per gram (TextVectorSpec pins the
+    // parity). NOTE a second rejected variant, measured (this round):
+    // checkpointing a compact (id, array<bucket>) frame so the source
+    // side's two consumers share ONE gram pass LOST to the plain
+    // re-scan at bench scale — the eager checkpoint job costs more
+    // than the second (cheap, codegen'd) pass; interleaved same-JVM
+    // A/B read old 0.25–0.34 s vs checkpointed 0.35–0.46 s.
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(graft.functions.TextHash.gramBuckets(
+        col(textCol), 2, "#dsir", buckets)).as("__b"): _*)
     val sg = gramBuckets(source, Seq(col(idCol)))
     val tg = gramBuckets(target, Seq.empty)
     val sc = sg.groupBy("__b").agg(count(lit(1)).as("__sc"))

@@ -124,4 +124,77 @@ class TextVectorSpec extends AnyFunSuite {
       .select("review_id").as[Long].collect().toSeq
     assert(got == Seq(1L)) // !NULL would be NULL and silently drop row 1
   }
+
+  // ---- round-14 codegen-kernel parity: each new Catalyst kernel must
+  // reproduce the interpreted higher-order column form it replaced,
+  // bit-for-bit, on randomized inputs plus the edge cases the old
+  // forms defined (NULL vector -> bucket 0, zip_with length padding).
+
+  test("RademacherBucketQ == per-plane aggregate/zip_with fold (parity)") {
+    val nPlanes = 12; val dim = 16
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextLong(2000001L) - 1000000L))) ++
+      Seq((200L, Seq.fill(dim - 1)(1L)),        // short vector
+          (201L, Seq.fill(dim + 3)(-7L)),       // long vector
+          (202L, Seq.empty[Long]))              // empty vector
+    val df = vecs.toDF("id", "qv")
+    // the OLD interpreted form, inlined verbatim
+    val oldBucket = (0 until nPlanes).map { p =>
+      val signs = (0 until dim).map(d =>
+        VectorFunctions.rademacherSign(p, d).toLong)
+      val proj = aggregate(
+        zip_with($"qv", typedLit(signs), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select($"id",
+        VectorFunctions.rademacherLshBucket($"qv", nPlanes, dim).as("newb"),
+        oldBucket.as("oldb"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, n, o) => assert(n == o, s"id=$id: $n != $o") }
+    // NULL vector: old form collapsed to 0 via otherwise(0) per plane
+    val nullRow = Seq((0L, Option.empty[Seq[Long]])).toDF("id", "qv")
+      .select(VectorFunctions.rademacherLshBucket($"qv", nPlanes, dim))
+      .as[Long].head()
+    assert(nullRow == 0L)
+  }
+
+  test("arraySubQ == zip_with subtraction incl. length padding (parity)") {
+    // quantized-vector domain (|x| <= ~3e9, component*scale): the old
+    // ANSI zip_with raises on a Long-overflow subtraction, the kernel
+    // wraps — both unreachable from quantize() outputs, so parity is
+    // asserted on the reachable domain
+    val rnd = new scala.util.Random(7)
+    def q() = rnd.nextLong(6000000001L) - 3000000000L
+    val pairs = (0 until 100).map { i =>
+      val la = rnd.nextInt(8); val lb = if (i % 3 == 0) la else rnd.nextInt(8)
+      (Seq.fill(la)(q()), Seq.fill(lb)(q()))
+    }
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+        VectorFunctions.arraySubQ($"a", $"b").as("newd"),
+        zip_with($"a", $"b", (x, y) => x - y).as("oldd"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    rows.foreach { case (n, o) => assert(n == o) }
+  }
+
+  test("TextHash.gramBuckets == conv(substring(md5)) chain over wordNGrams (parity)") {
+    val buckets = 997
+    val rnd = new scala.util.Random(99)
+    val words = Seq("the", "fox", "Fox", "über", "日本", "a", "b-2", "", " ")
+    val texts = (0 until 150).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")) ++ Seq("", "  ", "one", "one two\nthree\t four ")
+    val df = texts.toDF("t")
+    val oldForm = transform(
+      TextFunctions.wordNGrams($"t", 2),
+      g => conv(substring(md5(concat(g, lit("#dsir"))), 1, 15), 16, 10)
+        .cast("long") % buckets)
+    val rows = df.select(
+        TextHash.gramBuckets($"t", 2, "#dsir", buckets).as("newb"),
+        oldForm.as("oldb"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, o) => assert(n == o) }
+  }
 }
